@@ -1,0 +1,516 @@
+"""Column-chunk container: encode any pyarrow Array to a self-describing
+byte blob and back, bit-identically.
+
+This is the engine's unit of work — the analogue of a Parquet page +
+header in the reference (writer.go:1107-1215, page.go:22-85): codec id,
+physical type, value count, null count, the original Arrow type (so the
+logical type round-trips exactly), a validity bitmap, the codec payload
+and a CRC32.
+
+Layout (little-endian):
+
+    magic   "RC1\\0"                      4 bytes
+    codec   u8   | ptype u8 | flags u8 | flba_width u8
+    n       u32  | n_null u32
+    type_len u32 | validity_len u32 | payload_len u32
+    arrow_type   (serialized single-field schema)
+    validity     (np.packbits little-endian of the valid mask; only if n_null>0)
+    payload      (codec bytes)
+    crc32   u32  (of everything above)
+
+Null handling follows Parquet semantics (only non-null values are
+encoded; the validity bitmap restores positions — the flat-schema
+equivalent of definition levels, value.go:39-42 / writer.go:809-822).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from . import bytestreamsplit as bss
+from . import delta, dictionary, fsst, plain, rle
+from . import registry as R
+
+MAGIC = b"RC1\0"
+_HDR = struct.Struct("<4sBBBBIIIII")
+
+
+class ChunkError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# arrow type -> physical mapping
+
+
+def physical_type(ty: pa.DataType) -> int:
+    if pa.types.is_boolean(ty):
+        return R.BOOLEAN
+    if (
+        pa.types.is_int8(ty)
+        or pa.types.is_int16(ty)
+        or pa.types.is_int32(ty)
+        or pa.types.is_uint8(ty)
+        or pa.types.is_uint16(ty)
+        or pa.types.is_date32(ty)
+        or pa.types.is_time32(ty)
+    ):
+        return R.INT32
+    if (
+        pa.types.is_int64(ty)
+        or pa.types.is_uint32(ty)
+        or pa.types.is_uint64(ty)
+        or pa.types.is_timestamp(ty)
+        or pa.types.is_date64(ty)
+        or pa.types.is_time64(ty)
+        or pa.types.is_duration(ty)
+    ):
+        return R.INT64
+    if pa.types.is_float32(ty):
+        return R.FLOAT
+    if pa.types.is_float64(ty):
+        return R.DOUBLE
+    if (
+        pa.types.is_string(ty)
+        or pa.types.is_large_string(ty)
+        or pa.types.is_binary(ty)
+        or pa.types.is_large_binary(ty)
+    ):
+        return R.BYTE_ARRAY
+    if pa.types.is_fixed_size_binary(ty):
+        return R.FIXED_LEN_BYTE_ARRAY
+    if pa.types.is_decimal(ty):
+        return R.FIXED_LEN_BYTE_ARRAY
+    if pa.types.is_list(ty) or pa.types.is_large_list(ty):
+        return R.P_LIST
+    return R.OTHER
+
+
+def _to_physical_values(values: pa.Array, ptype: int):
+    """Null-free array -> numpy values / (data, offsets) / pa.Array."""
+    ty = values.type
+    if ptype == R.BOOLEAN:
+        return values.to_numpy(zero_copy_only=False)
+    if ptype == R.INT32:
+        if not pa.types.is_int32(ty):
+            if ty.bit_width == 32:
+                values = values.view(pa.int32())
+            else:
+                values = values.cast(pa.int32())
+        out = values.to_numpy(zero_copy_only=False)
+        if out.dtype != np.int32:
+            out = out.view(np.int32)
+        return out
+    if ptype == R.INT64:
+        if pa.types.is_uint64(ty):
+            return values.to_numpy(zero_copy_only=False).view(np.int64)
+        if not pa.types.is_int64(ty):
+            if ty.bit_width == 64:
+                values = values.view(pa.int64())
+            else:
+                values = values.cast(pa.int64())
+        out = values.to_numpy(zero_copy_only=False)
+        if out.dtype != np.int64:
+            out = out.view(np.int64)
+        return out
+    if ptype in (R.FLOAT, R.DOUBLE):
+        return values.to_numpy(zero_copy_only=False)
+    if ptype == R.BYTE_ARRAY:
+        if not (pa.types.is_large_binary(ty)):
+            values = values.cast(pa.large_binary())
+        return dictionary._byte_array_buffers(values)
+    if ptype == R.FIXED_LEN_BYTE_ARRAY:
+        if pa.types.is_decimal(ty):
+            values = _decimal_to_flba(values)
+        w = values.type.byte_width
+        bufs = values.buffers()
+        data = memoryview(bufs[1])[values.offset * w : (values.offset + len(values)) * w]
+        return bytes(data), w
+    raise ChunkError(f"no physical value extraction for ptype {ptype}")
+
+
+def _decimal_to_flba(values: pa.Array) -> pa.Array:
+    w = 16 if pa.types.is_decimal128(values.type) else 32
+    bufs = values.buffers()
+    return pa.Array.from_buffers(
+        pa.binary(w),
+        len(values),
+        [bufs[0], bufs[1]],
+        offset=values.offset,
+    )
+
+
+# --------------------------------------------------------------------------
+# payload encode/decode per (codec, ptype)
+
+
+def _encode_payload(values: pa.Array, ptype: int, codec: int) -> tuple[bytes, int]:
+    """Return (payload, flba_width)."""
+    if codec == R.ARROW_IPC:
+        return _ipc_serialize(values), 0
+    if ptype == R.BOOLEAN:
+        v = _to_physical_values(values, ptype)
+        if codec == R.PLAIN:
+            return plain.encode_booleans(v), 0
+        if codec == R.RLE:
+            return rle.encode_booleans(v), 0
+    elif ptype in (R.INT32, R.INT64):
+        bits = 32 if ptype == R.INT32 else 64
+        if codec == R.DICT:
+            return dictionary.encode(_as_int_array(values, bits)), 0
+        v = _to_physical_values(values, ptype)
+        if codec == R.PLAIN:
+            return plain.encode_fixed(v), 0
+        if codec == R.RLE:
+            return rle.encode_ints(v, bits), 0
+        if codec == R.DELTA_BINARY_PACKED:
+            return delta.encode_binary_packed(v, bits), 0
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.encode(v), 0
+    elif ptype in (R.FLOAT, R.DOUBLE):
+        if codec == R.DICT:
+            return dictionary.encode(values), 0
+        v = _to_physical_values(values, ptype)
+        if codec == R.PLAIN:
+            return plain.encode_fixed(v), 0
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.encode(v), 0
+    elif ptype == R.BYTE_ARRAY:
+        if codec == R.DICT:
+            arr = values if pa.types.is_large_binary(values.type) else values.cast(pa.large_binary())
+            return dictionary.encode(arr), 0
+        data, offsets = _to_physical_values(values, ptype)
+        if codec == R.PLAIN:
+            return plain.encode_byte_array(data, offsets), 0
+        if codec == R.DELTA_LENGTH_BYTE_ARRAY:
+            return delta.encode_length_byte_array(data, offsets), 0
+        if codec == R.DELTA_BYTE_ARRAY:
+            return delta.encode_byte_array(data, offsets), 0
+        if codec == R.FSST:
+            return fsst.encode_byte_array(data, offsets), 0
+    elif ptype == R.FIXED_LEN_BYTE_ARRAY:
+        if codec == R.DICT:
+            arr = _decimal_to_flba(values) if pa.types.is_decimal(values.type) else values
+            return dictionary.encode(arr), arr.type.byte_width
+        data, w = _to_physical_values(values, ptype)
+        if codec == R.PLAIN:
+            return data, w
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.encode(np.frombuffer(data, dtype=np.dtype((np.void, w)))), w
+    raise ChunkError(
+        f"codec {R.CODEC_NAMES.get(codec)} unsupported for {R.PTYPE_NAMES.get(ptype)}"
+    )
+
+
+def _as_int_array(values: pa.Array, bits: int) -> pa.Array:
+    target = pa.int32() if bits == 32 else pa.int64()
+    if values.type == target:
+        return values
+    if values.type.bit_width == bits:
+        return values.view(target)
+    return values.cast(target)
+
+
+def _ipc_serialize(values: pa.Array) -> bytes:
+    batch = pa.record_batch([values], names=["c"])
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, batch.schema) as w:
+        w.write_batch(batch)
+    return sink.getvalue().to_pybytes()
+
+
+def _ipc_deserialize(buf: bytes) -> pa.Array:
+    with pa.ipc.open_stream(pa.py_buffer(buf)) as r:
+        table = r.read_all()
+    return table.column("c").combine_chunks()
+
+
+def _decode_payload(
+    payload: bytes, ptype: int, codec: int, n: int, flba_width: int
+):
+    """Decode to numpy values / (data, offsets) / pa.Array (null-free)."""
+    if codec == R.ARROW_IPC:
+        return _ipc_deserialize(payload)
+    if ptype == R.BOOLEAN:
+        if codec == R.PLAIN:
+            return plain.decode_booleans(payload, n)
+        if codec == R.RLE:
+            return rle.decode_booleans(payload)
+    elif ptype in (R.INT32, R.INT64):
+        bits = 32 if ptype == R.INT32 else 64
+        dtype = np.int32 if bits == 32 else np.int64
+        if codec == R.DICT:
+            vals, idx = dictionary.decode(payload, "INT32" if bits == 32 else "INT64", n)
+            return vals.to_numpy(zero_copy_only=False)[idx]
+        if codec == R.PLAIN:
+            return plain.decode_fixed(payload, dtype, n)
+        if codec == R.RLE:
+            return rle.decode_ints(payload, bits)
+        if codec == R.DELTA_BINARY_PACKED:
+            return delta.decode_binary_packed(payload, bits)[0]
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.decode(payload, dtype, n)
+    elif ptype in (R.FLOAT, R.DOUBLE):
+        dtype = np.float32 if ptype == R.FLOAT else np.float64
+        if codec == R.DICT:
+            vals, idx = dictionary.decode(payload, "FLOAT" if ptype == R.FLOAT else "DOUBLE", n)
+            return vals.to_numpy(zero_copy_only=False)[idx]
+        if codec == R.PLAIN:
+            return plain.decode_fixed(payload, dtype, n)
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.decode(payload, dtype, n)
+    elif ptype == R.BYTE_ARRAY:
+        if codec == R.DICT:
+            vals, idx = dictionary.decode(payload, "BYTE_ARRAY", n)
+            return vals.take(pa.array(idx))
+        if codec == R.PLAIN:
+            return plain.decode_byte_array(payload, n)
+        if codec == R.DELTA_LENGTH_BYTE_ARRAY:
+            return delta.decode_length_byte_array(payload)
+        if codec == R.DELTA_BYTE_ARRAY:
+            return delta.decode_byte_array(payload)
+        if codec == R.FSST:
+            return fsst.decode_byte_array(payload)
+    elif ptype == R.FIXED_LEN_BYTE_ARRAY:
+        if codec == R.DICT:
+            vals, idx = dictionary.decode(payload, "FIXED_LEN_BYTE_ARRAY", n, flba_width)
+            return vals.take(pa.array(idx))
+        if codec == R.PLAIN:
+            return payload
+        if codec == R.BYTE_STREAM_SPLIT:
+            return bss.decode(payload, np.dtype((np.void, flba_width)), n).tobytes()
+    raise ChunkError(f"cannot decode codec={codec} ptype={ptype}")
+
+
+# --------------------------------------------------------------------------
+# public API
+
+
+def encode_array(arr, codec: int | None = None) -> bytes:
+    """Encode a pyarrow Array/ChunkedArray into a chunk blob.
+
+    codec=None -> automatic selection (see selector.py).
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.dictionary_decode()
+    ptype = physical_type(arr.type)
+    n = len(arr)
+    n_null = arr.null_count
+
+    # structural: lists encode as offsets chunk + child chunk
+    if ptype == R.P_LIST:
+        return _encode_list(arr)
+
+    if ptype == R.OTHER:
+        codec = R.ARROW_IPC
+        values = arr  # nulls stay inside the IPC payload
+        n_null = 0
+        validity = b""
+    else:
+        if n_null:
+            valid_mask = ~np.asarray(arr.is_null())
+            validity = np.packbits(valid_mask, bitorder="little").tobytes()
+            values = arr.drop_null()
+        else:
+            validity = b""
+            values = arr
+        if codec is None:
+            from . import selector
+
+            codec = selector.select(values, ptype)
+        if not R.can_encode(ptype, codec):
+            raise ChunkError(
+                f"codec {R.CODEC_NAMES.get(codec)} invalid for {R.PTYPE_NAMES.get(ptype)}"
+            )
+
+    payload, flba_width = _encode_payload(values, ptype, codec)
+    type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
+    header = _HDR.pack(
+        MAGIC,
+        codec,
+        ptype,
+        1 if n_null else 0,
+        flba_width,
+        n,
+        n_null,
+        len(type_bytes),
+        len(validity),
+        len(payload),
+    )
+    body = header + type_bytes + validity + payload
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def _encode_list(arr: pa.Array) -> bytes:
+    # normalize: record validity, then make null slots empty lists so that
+    # offsets are monotone and the child holds exactly the kept values
+    n = len(arr)
+    n_null = arr.null_count
+    if n_null:
+        valid_mask = ~np.asarray(arr.is_null())
+        validity = np.packbits(valid_mask, bitorder="little").tobytes()
+    else:
+        validity = b""
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    if n_null:
+        lengths = np.where(valid_mask, lengths, 0)
+    norm_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=norm_offsets[1:])
+    child = arr.flatten()  # null/empty slots contribute no values
+
+    off_chunk = encode_array(pa.array(norm_offsets, type=pa.int64()))
+    child_chunk = encode_array(child)
+    payload = (
+        struct.pack("<I", len(off_chunk)) + off_chunk + child_chunk
+    )
+    type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
+    header = _HDR.pack(
+        MAGIC, R.LIST, R.P_LIST, 1 if n_null else 0, 0, n, n_null,
+        len(type_bytes), len(validity), len(payload),
+    )
+    body = header + type_bytes + validity + payload
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def decode_array(buf: bytes) -> pa.Array:
+    """Decode a chunk blob back to a pyarrow Array (bit-identical)."""
+    if len(buf) < _HDR.size + 4:
+        raise ChunkError(f"buffer too short for a chunk: {len(buf)} bytes")
+    (
+        magic, codec, ptype, _flags, flba_width, n, n_null,
+        type_len, validity_len, payload_len,
+    ) = _HDR.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ChunkError("bad magic")
+    pos = _HDR.size
+    (crc_stored,) = struct.unpack_from("<I", buf, pos + type_len + validity_len + payload_len)
+    if zlib.crc32(buf[: pos + type_len + validity_len + payload_len]) != crc_stored:
+        raise ChunkError("chunk checksum mismatch")
+    ty = pa.ipc.read_schema(pa.py_buffer(buf[pos : pos + type_len])).field(0).type
+    pos += type_len
+    validity = buf[pos : pos + validity_len]
+    pos += validity_len
+    payload = buf[pos : pos + payload_len]
+
+    if ptype == R.P_LIST:
+        return _decode_list(payload, ty, n, n_null, validity)
+
+    decoded = _decode_payload(payload, ptype, codec, n - n_null, flba_width)
+    return _reassemble(decoded, ty, ptype, n, n_null, validity, flba_width)
+
+
+def _valid_mask(validity: bytes, n: int) -> np.ndarray:
+    return np.unpackbits(
+        np.frombuffer(validity, dtype=np.uint8), count=n, bitorder="little"
+    ).astype(bool)
+
+
+def _reassemble(decoded, ty, ptype, n, n_null, validity, flba_width) -> pa.Array:
+    if ptype == R.OTHER:
+        out = decoded
+        if out.type != ty:
+            out = out.cast(ty)
+        return out
+    validity_buf = pa.py_buffer(validity) if n_null else None
+    if ptype == R.BOOLEAN:
+        full = np.zeros(n, dtype=bool)
+        _fill(full, decoded, n_null, validity, n)
+        data = pa.py_buffer(np.packbits(full, bitorder="little").tobytes())
+        return pa.Array.from_buffers(pa.bool_(), n, [validity_buf, data])
+    if ptype in (R.INT32, R.INT64, R.FLOAT, R.DOUBLE):
+        dtype = {R.INT32: np.int32, R.INT64: np.int64, R.FLOAT: np.float32, R.DOUBLE: np.float64}[ptype]
+        full = np.zeros(n, dtype=dtype)
+        _fill(full, np.asarray(decoded, dtype=dtype), n_null, validity, n)
+        storage = pa.Array.from_buffers(
+            pa.from_numpy_dtype(dtype), n, [validity_buf, pa.py_buffer(full.tobytes())]
+        )
+        return _cast_back(storage, ty)
+    if ptype == R.BYTE_ARRAY:
+        if isinstance(decoded, pa.Array):  # DICT path returns a pa array
+            data_np, offsets = dictionary._byte_array_buffers(decoded)
+            data = data_np
+        else:
+            data, offsets = decoded
+        if n_null:
+            mask = _valid_mask(validity, n)
+            lengths = np.diff(offsets)
+            full_len = np.zeros(n, dtype=np.int64)
+            full_len[mask] = lengths
+            offsets = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(full_len, out=offsets[1:])
+        storage = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [validity_buf, pa.py_buffer(offsets.astype(np.int64).tobytes()), pa.py_buffer(bytes(data))],
+        )
+        return _cast_back(storage, ty)
+    if ptype == R.FIXED_LEN_BYTE_ARRAY:
+        if isinstance(decoded, pa.Array):  # DICT path returns a pa array
+            decoded = _flba_bytes(decoded.combine_chunks() if isinstance(decoded, pa.ChunkedArray) else decoded)
+        w = flba_width
+        if n_null:
+            mask = _valid_mask(validity, n)
+            full = np.zeros(n * w, dtype=np.uint8)
+            src = np.frombuffer(decoded, dtype=np.uint8)
+            idx = np.repeat(np.nonzero(mask)[0] * w, w) + np.tile(np.arange(w), int(mask.sum()))
+            full[idx] = src
+            decoded = full.tobytes()
+        storage = pa.Array.from_buffers(
+            pa.binary(w), n, [validity_buf, pa.py_buffer(bytes(decoded))]
+        )
+        return _cast_back(storage, ty)
+    raise ChunkError(f"reassemble: bad ptype {ptype}")
+
+
+def _flba_bytes(arr: pa.Array) -> bytes:
+    w = arr.type.byte_width
+    bufs = arr.buffers()
+    return bytes(memoryview(bufs[1])[arr.offset * w : (arr.offset + len(arr)) * w])
+
+
+def _fill(full: np.ndarray, values: np.ndarray, n_null: int, validity: bytes, n: int) -> None:
+    if n_null:
+        full[_valid_mask(validity, n)] = values
+    else:
+        full[:] = values
+
+
+def _cast_back(storage: pa.Array, ty: pa.DataType) -> pa.Array:
+    if storage.type == ty:
+        return storage
+    if pa.types.is_decimal(ty):
+        return pa.Array.from_buffers(
+            ty, len(storage), [storage.buffers()[0], storage.buffers()[1]], offset=storage.offset
+        )
+    if pa.types.is_uint64(ty):
+        return storage.view(pa.uint64())
+    try:
+        if storage.type.bit_width == ty.bit_width and not pa.types.is_binary(ty) and not pa.types.is_string(ty):
+            return storage.view(ty)
+    except (ValueError, AttributeError):
+        pass
+    return storage.cast(ty)
+
+
+def _decode_list(payload, ty, n, n_null, validity) -> pa.Array:
+    (off_len,) = struct.unpack_from("<I", payload, 0)
+    off_chunk = payload[4 : 4 + off_len]
+    child_chunk = payload[4 + off_len :]
+    offsets = decode_array(off_chunk).to_numpy(zero_copy_only=False)
+    child = decode_array(child_chunk)
+    validity_buf = pa.py_buffer(validity) if n_null else None
+    storage = pa.Array.from_buffers(
+        pa.large_list(child.type),
+        n,
+        [validity_buf, pa.py_buffer(offsets.astype(np.int64).tobytes())],
+        children=[child],
+    )
+    if storage.type != ty:
+        storage = storage.cast(ty)
+    return storage

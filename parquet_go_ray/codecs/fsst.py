@@ -1,0 +1,379 @@
+"""FSST: Fast Static Symbol Table compression for text/html columns.
+
+Implemented from the public FSST paper (Boncz, Neumann, Leis — "FSST:
+Fast Random Access String Compression", VLDB 2020). Absent from the
+reference (segmentio/parquet-go); required by the north rule for
+text/html columns. Not byte-compatible with the C++ libfsst wire format —
+round-trip fidelity + compression gain are the contract here.
+
+Scheme: up to 255 symbols of 1..8 bytes, codes 0..254; code 255 is an
+escape followed by one literal byte. Encoding replaces greedy
+longest-match symbol occurrences with their 1-byte code.
+
+Everything is vectorized:
+
+- symbol matching: 8-byte little-endian windows of the input as uint64,
+  masked per symbol length, membership via ``np.searchsorted`` against the
+  sorted symbol keys (longest length wins);
+- the inherently sequential greedy scan (position i+len(match) depends on
+  the match at i) is solved with pointer doubling: build the "next token
+  start" function as an array and extract the visited-position path in
+  O(log n) vectorized gathers;
+- output assembly via cumsum offsets + fancy-index scatter.
+
+Training is a simplified version of the paper's iterative algorithm: at
+each round, tokenize a bounded sample with the current table, count token
+and adjacent-token-pair substrings, keep the 255 candidates with the
+highest apparent gain (frequency × length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ._util import uvarint_decode, uvarint_encode
+
+ESCAPE = 255
+MAX_SYMBOLS = 255
+MAX_SYMBOL_LEN = 8
+TRAIN_SAMPLE = 1 << 15  # 32 KiB
+TRAIN_ITERS = 4
+
+_U64 = np.uint64
+
+
+def _windows_u64(buf: np.ndarray) -> np.ndarray:
+    """W[i] = uint64 little-endian view of bytes i..i+7 (zero padded)."""
+    n = len(buf)
+    p = np.zeros(n + MAX_SYMBOL_LEN - 1, dtype=np.uint64)
+    p[:n] = buf
+    w = p[0:n].copy()
+    for k in range(1, MAX_SYMBOL_LEN):
+        w |= p[k : n + k] << _U64(8 * k)
+    return w
+
+
+def _sym_key(sym: bytes) -> int:
+    """uint64 little-endian key of a symbol (length <= 8)."""
+    return int.from_bytes(sym, "little")
+
+
+def _path_positions(step: np.ndarray, n: int) -> np.ndarray:
+    """Positions visited when walking 0 -> n by pos += step[pos].
+
+    Pointer doubling: O(log n) rounds of vectorized gathers.
+    """
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n).astype(np.int32)
+    j = np.append(nxt, n).astype(np.int32)  # sink at n
+    # invariant: `visited` holds positions reached after 0..2^k-1 steps and
+    # `j` maps a position 2^k steps forward. Path positions are strictly
+    # increasing until the sink, so only sink entries duplicate — one
+    # sort+dedup at the end suffices.
+    visited = np.array([0], dtype=np.int32)
+    for _ in range(64):
+        new = j[visited]
+        if new.max() >= n and (new >= n).all():
+            break
+        visited = np.concatenate((visited, new))
+        j = j[j]
+    visited = np.unique(visited)
+    return visited[visited < n].astype(np.int64)
+
+
+class SymbolTable:
+    __slots__ = (
+        "symbols",
+        "_lens",
+        "_concat",
+        "_concat_off",
+        "_l1",
+        "_l2",
+        "_prefix2",
+        "_lpm_lo",
+        "_lpm_hi",
+        "_lpm_code",
+        "_lpm_len",
+        "_lpm_parent",
+        "_lpm_depth",
+    )
+
+    def __init__(self, symbols: list[bytes]):
+        if len(symbols) > MAX_SYMBOLS:
+            raise ValueError("too many symbols")
+        self.symbols = symbols
+        # direct-addressed tables for 1- and 2-byte symbols (255 = no match)
+        self._l1 = np.full(256, 255, dtype=np.uint8)
+        self._l2 = np.full(65536, 255, dtype=np.uint8)
+        # 2-byte-prefix bitmap for symbols of length >= 3 (match prefilter)
+        self._prefix2 = np.zeros(65536, dtype=bool)
+        # longest-prefix-match structure over big-endian keys for len >= 3:
+        # symbol s covers key range [s·00…, s·ff…]; deepest containing range
+        # = longest match; parent = nearest enclosing (shorter) symbol.
+        longs = sorted(
+            ((i, s) for i, s in enumerate(symbols) if len(s) >= 3),
+            key=lambda e: (int.from_bytes(e[1].ljust(8, b"\x00"), "big"), len(e[1])),
+        )
+        m = len(longs)
+        self._lpm_lo = np.empty(m, dtype=np.uint64)
+        self._lpm_hi = np.empty(m, dtype=np.uint64)
+        self._lpm_code = np.empty(m, dtype=np.uint8)
+        self._lpm_len = np.empty(m, dtype=np.int8)
+        self._lpm_parent = np.full(m, -1, dtype=np.int32)
+        stack: list[int] = []
+        depth = 0
+        for j, (i, s) in enumerate(longs):
+            lo = int.from_bytes(s.ljust(8, b"\x00"), "big")
+            hi = int.from_bytes(s.ljust(8, b"\xff"), "big")
+            self._lpm_lo[j] = lo
+            self._lpm_hi[j] = hi
+            self._lpm_code[j] = i
+            self._lpm_len[j] = len(s)
+            while stack and int(self._lpm_hi[stack[-1]]) < lo:
+                stack.pop()
+            if stack:
+                self._lpm_parent[j] = stack[-1]
+            stack.append(j)
+            depth = max(depth, len(stack))
+        self._lpm_depth = depth
+        for i, s in enumerate(symbols):
+            if len(s) == 1:
+                self._l1[s[0]] = i
+            elif len(s) == 2:
+                self._l2[s[0] | (s[1] << 8)] = i
+            else:
+                self._prefix2[s[0] | (s[1] << 8)] = True
+        # decoding structures
+        self._lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
+        concat = b"".join(symbols)
+        self._concat = np.frombuffer(concat, dtype=np.uint8) if concat else np.empty(0, np.uint8)
+        off = np.zeros(len(symbols) + 1, dtype=np.int64)
+        np.cumsum(self._lens[:-1], out=off[1:])
+        self._concat_off = off
+
+    # ------------------------------------------------------------ wire form
+    def serialize(self) -> bytes:
+        out = [bytes([len(self.symbols)])]
+        out.append(bytes(len(s) for s in self.symbols))
+        out.extend(self.symbols)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, buf, pos: int = 0) -> tuple["SymbolTable", int]:
+        n = buf[pos]
+        pos += 1
+        lens = list(buf[pos : pos + n])
+        pos += n
+        symbols = []
+        for ln in lens:
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+    # ------------------------------------------------------------ tokenize
+    def _match(self, buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Per position: (best match length [0 = no symbol], symbol code)."""
+        n = len(buf)
+        bestlen = np.zeros(n, dtype=np.int8)
+        symid = np.zeros(n, dtype=np.uint8)
+        if not self.symbols or n == 0:
+            return bestlen, symid
+        # 2-byte little-endian view at every position
+        w16 = buf[: max(n - 1, 0)].astype(np.uint16)
+        if n > 1:
+            w16 |= buf[1:n].astype(np.uint16) << 8
+        # long symbols (>= 3 bytes): prefilter positions by 2-byte prefix,
+        # then one longest-prefix-match searchsorted over big-endian keys
+        # with parent chaining (laminar prefix ranges: the deepest range
+        # containing a window is the longest match)
+        if len(self._lpm_lo) and n > 2:
+            cand = np.nonzero(self._prefix2[w16[: n - 2]])[0]
+            if len(cand):
+                # big-endian 8-byte windows at candidate positions: combine
+                # the two aligned uint64 words covering each window (2
+                # gathers instead of 8), then byteswap LE -> BE
+                npad = ((n + 15) // 8) * 8
+                pad8 = np.zeros(npad, dtype=np.uint8)
+                pad8[:n] = buf
+                u = pad8.view(np.uint64)
+                word = cand >> 3
+                s = ((cand & 7) << 3).astype(np.uint64)
+                lo_w = u[word] >> s
+                hi_w = np.where(s > 0, u[word + 1] << (_U64(64) - s), 0)
+                w = (lo_w | hi_w).byteswap()
+                idx = np.searchsorted(self._lpm_lo, w, side="right").astype(np.int32) - 1
+                rem = np.nonzero(idx >= 0)[0]
+                cur = idx[rem]
+                while len(rem):
+                    ln = self._lpm_len[cur]
+                    ok = (w[rem] <= self._lpm_hi[cur]) & (
+                        cand[rem] + ln <= n
+                    )
+                    hit = cand[rem[ok]]
+                    bestlen[hit] = ln[ok]
+                    symid[hit] = self._lpm_code[cur[ok]]
+                    parent = self._lpm_parent[cur[~ok]]
+                    keep = parent >= 0
+                    rem = rem[~ok][keep]
+                    cur = parent[keep]
+        # 2-byte symbols
+        if n > 1:
+            c2 = self._l2[w16]
+            sel = (c2 != 255) & (bestlen[: n - 1] == 0)
+            bestlen[: n - 1][sel] = 2
+            symid[: n - 1][sel] = c2[sel]
+        # 1-byte symbols
+        c1 = self._l1[buf]
+        sel = (c1 != 255) & (bestlen == 0)
+        bestlen[sel] = 1
+        symid[sel] = c1[sel]
+        return bestlen, symid
+
+    def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Greedy longest-match tokenization.
+
+        Returns (starts, lengths, codes) where codes == ESCAPE marks a
+        literal byte token.
+        """
+        buf = np.frombuffer(data, dtype=np.uint8)
+        n = len(buf)
+        bestlen, symid = self._match(buf)
+        step = np.maximum(bestlen, 1)
+        starts = _path_positions(step, n)
+        lengths = step[starts]
+        codes = np.where(bestlen[starts] > 0, symid[starts], ESCAPE).astype(np.uint8)
+        return starts, lengths, codes
+
+    # ------------------------------------------------------------ en/decode
+    def encode(self, data: bytes) -> bytes:
+        starts, lengths, codes = self.tokenize(data)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        is_esc = codes == ESCAPE
+        out_len = np.where(is_esc, 2, 1)
+        out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(out_len, out=out_off[1:])
+        out = np.empty(int(out_off[-1]), dtype=np.uint8)
+        out[out_off[:-1]] = codes
+        esc_pos = out_off[:-1][is_esc]
+        out[esc_pos + 1] = buf[starts[is_esc]]
+        return out.tobytes()
+
+    def decode(self, codes: bytes) -> bytes:
+        b = np.frombuffer(codes, dtype=np.uint8)
+        n = len(b)
+        if n == 0:
+            return b""
+        step = np.where(b == ESCAPE, 2, 1)
+        starts = _path_positions(step, n)
+        tok = b[starts]
+        is_esc = tok == ESCAPE
+        out_len = np.where(is_esc, 1, self._lens[np.minimum(tok, len(self.symbols))])
+        # invalid codes (>= len(symbols), not escape) would give length 0;
+        # they cannot occur in our own streams.
+        out_off = np.zeros(len(starts) + 1, dtype=np.int64)
+        np.cumsum(out_len, out=out_off[1:])
+        out = np.empty(int(out_off[-1]), dtype=np.uint8)
+        # escapes: literal byte
+        out[out_off[:-1][is_esc]] = b[np.minimum(starts[is_esc] + 1, n - 1)]
+        # symbols: gather from the concatenated symbol buffer
+        sym_mask = ~is_esc
+        if sym_mask.any():
+            s_codes = tok[sym_mask].astype(np.int64)
+            s_lens = self._lens[s_codes]
+            total = int(s_lens.sum())
+            src = np.repeat(self._concat_off[s_codes], s_lens) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+            )
+            dst = np.repeat(out_off[:-1][sym_mask], s_lens) + (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(s_lens) - s_lens, s_lens)
+            )
+            out[dst] = self._concat[src]
+        return out.tobytes()
+
+
+def train(data: bytes, max_symbols: int = MAX_SYMBOLS, iters: int = TRAIN_ITERS) -> SymbolTable:
+    """Train a symbol table on (a bounded sample of) data."""
+    sample = data[:TRAIN_SAMPLE]
+    buf = np.frombuffer(sample, dtype=np.uint8)
+    n = len(buf)
+    if n == 0:
+        return SymbolTable([])
+    table = SymbolTable([])
+    w = _windows_u64(buf.astype(np.uint64))
+    for _ in range(iters):
+        starts, lengths, _codes = table.tokenize(sample)
+        # candidate substrings: every token, and every adjacent token pair
+        # (pairs are contiguous substrings of the sample)
+        cand_starts = [starts, starts[:-1]]
+        pair_len = lengths[:-1] + lengths[1:]
+        cand_lens = [lengths, pair_len]
+        starts_all = np.concatenate(cand_starts)
+        lens_all = np.concatenate(cand_lens)
+        ok = (lens_all <= MAX_SYMBOL_LEN) & (starts_all + lens_all <= n)
+        starts_all, lens_all = starts_all[ok], lens_all[ok]
+        # key = masked 8-byte window + length → a (key, len) composite
+        keys = w[starts_all]
+        shift = (_U64(64) - lens_all.astype(np.uint64) * _U64(8)).astype(np.uint64)
+        keys = np.where(
+            lens_all == 8, keys, (keys << shift) >> shift
+        )
+        composite = np.stack([keys, lens_all.astype(np.uint64)], axis=1)
+        uniq, counts = np.unique(composite, axis=0, return_counts=True)
+        gain = (counts * uniq[:, 1]).astype(np.int64)
+        order = np.lexsort((uniq[:, 1], uniq[:, 0], -gain))
+        top = uniq[order[:max_symbols]]
+        symbols = [
+            int(k).to_bytes(8, "little")[: int(ln)] for k, ln in top
+        ]
+        table = SymbolTable(symbols)
+    return table
+
+
+# ------------------------------------------------------- byte-array codec
+
+
+def encode_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
+    """FSST codec for a string/binary column chunk.
+
+    Layout: [symbol table][uvarint len(lengths_block)][DELTA_BINARY_PACKED
+    int32 value lengths][uvarint n_codes][FSST code stream]. The whole
+    concatenated value buffer is compressed as one stream (symbol matches
+    may span value boundaries; decode reconstructs the exact buffer and
+    re-splits at offsets).
+    """
+    from . import delta
+
+    table = train(bytes(data))
+    codes = table.encode(bytes(data))
+    lengths = np.diff(np.asarray(offsets, dtype=np.int64)).astype(np.int32)
+    lblock = delta.encode_binary_packed(lengths, 32)
+    return (
+        table.serialize()
+        + uvarint_encode(len(lblock))
+        + lblock
+        + uvarint_encode(len(codes))
+        + codes
+    )
+
+
+def decode_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
+    from . import delta
+
+    table, pos = SymbolTable.deserialize(buf, 0)
+    blen, pos = uvarint_decode(buf, pos)
+    lengths, _ = decode_lengths(buf, pos, blen)
+    pos += blen
+    clen, pos = uvarint_decode(buf, pos)
+    data = table.decode(bytes(buf[pos : pos + clen]))
+    offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    return data, offsets
+
+
+def decode_lengths(buf, pos, blen):
+    from . import delta
+
+    return delta.decode_binary_packed(bytes(buf[pos : pos + blen]), 32)

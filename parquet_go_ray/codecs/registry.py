@@ -1,0 +1,75 @@
+"""Codec / physical-type registry and support matrix.
+
+Mirrors the role of the reference's `canEncode` dispatch
+(/root/reference/encoding.go:119-143): each physical type has a set of
+valid codecs; unsupported combinations are rejected up front. Codec ids
+are part of the chunk wire format — append-only.
+"""
+
+from __future__ import annotations
+
+# ---- codec ids (wire format: append-only) ----
+PLAIN = 0
+RLE = 1  # RLE/bit-packed hybrid with frame-of-reference header
+DICT = 2  # dictionary page + RLE/bit-packed indexes
+DELTA_BINARY_PACKED = 3
+DELTA_LENGTH_BYTE_ARRAY = 4
+DELTA_BYTE_ARRAY = 5
+BYTE_STREAM_SPLIT = 6
+FSST = 7
+ARROW_IPC = 8  # fallback container for nested/other types
+LIST = 9  # structural: offsets chunk + child chunk
+
+CODEC_NAMES = {
+    PLAIN: "plain",
+    RLE: "rle",
+    DICT: "dict",
+    DELTA_BINARY_PACKED: "delta_binary_packed",
+    DELTA_LENGTH_BYTE_ARRAY: "delta_length_byte_array",
+    DELTA_BYTE_ARRAY: "delta_byte_array",
+    BYTE_STREAM_SPLIT: "byte_stream_split",
+    FSST: "fsst",
+    ARROW_IPC: "arrow_ipc",
+    LIST: "list",
+}
+CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
+
+# ---- physical types (wire format: append-only) ----
+BOOLEAN = 0
+INT32 = 1
+INT64 = 2
+FLOAT = 3
+DOUBLE = 4
+BYTE_ARRAY = 5
+FIXED_LEN_BYTE_ARRAY = 6
+P_LIST = 7
+OTHER = 8
+
+PTYPE_NAMES = {
+    BOOLEAN: "BOOLEAN",
+    INT32: "INT32",
+    INT64: "INT64",
+    FLOAT: "FLOAT",
+    DOUBLE: "DOUBLE",
+    BYTE_ARRAY: "BYTE_ARRAY",
+    FIXED_LEN_BYTE_ARRAY: "FIXED_LEN_BYTE_ARRAY",
+    P_LIST: "LIST",
+    OTHER: "OTHER",
+}
+
+# valid codecs per physical type (order = deterministic selector tie-break)
+SUPPORTED: dict[int, tuple[int, ...]] = {
+    BOOLEAN: (RLE, PLAIN),
+    INT32: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
+    INT64: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
+    FLOAT: (PLAIN, DICT, BYTE_STREAM_SPLIT),
+    DOUBLE: (PLAIN, DICT, BYTE_STREAM_SPLIT),
+    BYTE_ARRAY: (PLAIN, DICT, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, FSST),
+    FIXED_LEN_BYTE_ARRAY: (PLAIN, DICT, BYTE_STREAM_SPLIT),
+    P_LIST: (LIST,),
+    OTHER: (ARROW_IPC,),
+}
+
+
+def can_encode(ptype: int, codec: int) -> bool:
+    return codec in SUPPORTED.get(ptype, ())

@@ -1,0 +1,53 @@
+"""Automatic codec selection: sample each column chunk, trial-encode every
+candidate codec valid for its physical type, pick minimum bytes-per-value.
+
+This is the north rule's extension over the reference: parquet-go's
+default encoding choice is static per type (node.go:417-433 — byte arrays
+default to DELTA_LENGTH_BYTE_ARRAY, everything else PLAIN); here the
+choice is data-driven per chunk, deterministic given the chunk bytes
+(stride sampling, fixed tie-break by codec id order in the registry).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from . import registry as R
+
+SAMPLE_VALUES = 512  # values sampled per trial
+MIN_SAMPLE = 64
+
+
+def _sample(values: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
+    n = len(values)
+    if n <= k:
+        return values
+    stride = n // k
+    # strided head sample: deterministic, touches the whole chunk
+    idx = pa.array(range(0, stride * k, stride))
+    return values.take(idx)
+
+
+def select(values: pa.Array, ptype: int) -> int:
+    """values: null-free pa.Array. Returns the winning codec id."""
+    from . import chunk as chunk_mod
+
+    candidates = R.SUPPORTED[ptype]
+    if len(candidates) == 1 or len(values) == 0:
+        return candidates[0]
+    if len(values) < MIN_SAMPLE:
+        sample = values
+    else:
+        sample = _sample(values)
+    best_codec = candidates[0]
+    best_size = None
+    for codec in candidates:
+        try:
+            payload, _ = chunk_mod._encode_payload(sample, ptype, codec)
+        except Exception:
+            continue
+        size = len(payload)
+        if best_size is None or size < best_size:
+            best_size = size
+            best_codec = codec
+    return best_codec
