@@ -1,0 +1,144 @@
+"""The encode job: web-page parquet -> encoded chunk store + manifest.
+
+Ray-Data-first: `read_parquet` (column-pruned at the source) ->
+`map_batches(ChunkEncoder)` (actor pool; per-chunk dictionary/FSST
+state lives in the chunk payloads; the actor amortizes config/manifest
+lookups) -> lineage records -> per-shard manifest written by a tiny
+`groupby("shard").map_groups` over lineage rows only (the data itself
+never shuffles).
+
+Skew handling (north rule): mode="lang_salted" runs the explicit
+`groupby(lang, salt)` shuffle before encoding, with salt =
+hash(url) % salts so hot languages (en is ~40% of rows) split into
+bounded partitions. Each (lang, salt) group becomes a deterministic
+shard, which makes per-language dictionaries/FSST tables denser at the
+cost of one all-to-all exchange. mode="direct" (default) keeps input
+shard alignment — no shuffle, resume skips whole completed shards.
+
+At 100 TB: lineage rows are ~1e-5 of the data volume; the manifest
+groupby moves only those. Chunk files land under one directory per
+shard, so a failed run resumes by skipping manifested shards.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..stages.encode import ChunkEncoder, encode_table, lineage_of, write_chunk_file
+from ..state import manifest
+
+DEFAULT_ROWS_PER_CHUNK = 4096
+DEFAULT_SALTS = 8
+
+
+def _salt_of(urls: pd.Series, salts: int):
+    return (pd.util.hash_array(urls.to_numpy(dtype=object)) % salts).astype("int32")
+
+
+def encode_job(
+    input_files: list[str],
+    output_dir: str,
+    mode: str = "direct",
+    rows_per_chunk: int = DEFAULT_ROWS_PER_CHUNK,
+    salts: int = DEFAULT_SALTS,
+    resume: bool = True,
+    concurrency: int | None = None,
+    columns: list[str] | None = None,
+) -> dict:
+    """Run the encode job; returns a summary dict (rows, bytes, seconds)."""
+    t0 = time.time()
+    if concurrency is None:
+        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
+    input_files = sorted(input_files)
+    done = manifest.completed_shards(output_dir) if resume else set()
+
+    if mode == "direct":
+        pending = [f for f in input_files if Path(f).stem not in done]
+        skipped = len(input_files) - len(pending)
+        if not pending:
+            return {"rows": 0, "shards_skipped": skipped, "sec": 0.0}
+        ds = ray.data.read_parquet(pending, columns=columns, include_paths=True)
+        lineage = ds.map_batches(
+            ChunkEncoder,
+            fn_constructor_kwargs={
+                "output_dir": output_dir,
+                "rows_per_chunk": rows_per_chunk,
+                "skip_completed": resume,
+            },
+            batch_format="pyarrow",
+            batch_size=rows_per_chunk,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+    elif mode == "lang_salted":
+        ds = ray.data.read_parquet(input_files, columns=columns)
+
+        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["_salt"] = _salt_of(df["url"], salts)
+            return df
+
+        def encode_group(group: pa.Table) -> pa.Table:
+            lang = group.column("lang")[0].as_py()
+            salt = group.column("_salt")[0].as_py()
+            shard = f"lang={lang}-s{salt:02d}"
+            group = group.drop_columns(["_salt"])
+            outs = []
+            for start in range(0, group.num_rows, rows_per_chunk):
+                piece = group.slice(start, rows_per_chunk)
+                chunks = encode_table(piece, shard)
+                write_chunk_file(chunks, output_dir)
+                outs.append(lineage_of(chunks))
+            return pa.concat_tables(outs)
+
+        lineage = (
+            ds.map_batches(add_salt, batch_format="pandas")
+            .groupby(["lang", "_salt"])
+            .map_groups(encode_group, batch_format="pyarrow")
+        )
+        skipped = 0
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    # manifest stage: group tiny lineage rows by shard, write manifests
+    def write_manifest(group: pd.DataFrame) -> pd.DataFrame:
+        shard = group["shard"].iloc[0]
+        manifest.record_shard(output_dir, shard, group.to_dict("records"))
+        return pd.DataFrame(
+            {
+                "shard": [shard],
+                "rows": [int(group[group.col_idx == 0]["n"].sum())],
+                "raw_nbytes": [int(group["raw_nbytes"].sum())],
+                "enc_nbytes": [int(group["enc_nbytes"].sum())],
+            }
+        )
+
+    summary_ds = lineage.groupby("shard").map_groups(
+        write_manifest, batch_format="pandas"
+    )
+    summary = summary_ds.to_pandas()  # tiny: one row per shard
+    manifest.write_job_meta(
+        output_dir,
+        {
+            "mode": mode,
+            "rows_per_chunk": rows_per_chunk,
+            "salts": salts,
+            "input_files": len(input_files),
+        },
+    )
+    sec = time.time() - t0
+    return {
+        "rows": int(summary["rows"].sum()) if len(summary) else 0,
+        "raw_nbytes": int(summary["raw_nbytes"].sum()) if len(summary) else 0,
+        "enc_nbytes": int(summary["enc_nbytes"].sum()) if len(summary) else 0,
+        "shards_written": len(summary),
+        "shards_skipped": skipped,
+        "sec": sec,
+    }

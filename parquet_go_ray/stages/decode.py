@@ -1,0 +1,56 @@
+"""Decode stage: encoded chunk records/files -> original Arrow batches.
+
+Bit-identical inverse of stages/encode.py (the analogue of the
+reference's page-decode path, column.go:541-690). Each chunk group is
+self-contained (all columns of one row slice), so decode needs no
+shuffle: one task per chunk file.
+"""
+
+from __future__ import annotations
+
+import io
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import chunk as chunk_mod
+
+
+def decode_chunk_table(chunks: pa.Table) -> pa.Table:
+    """Decode a chunk-record table (possibly several chunk groups)."""
+    ids = chunks.column("chunk_id").to_numpy(zero_copy_only=False)
+    tables = []
+    if len(ids) == 0:
+        raise ValueError("empty chunk table")
+    change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+    starts = np.concatenate(([0], change, [len(ids)]))
+    for a, b in zip(starts[:-1], starts[1:]):
+        group = chunks.slice(int(a), int(b - a))
+        order = np.argsort(group.column("col_idx").to_numpy(zero_copy_only=False))
+        names, arrays = [], []
+        cols = group.column("column")
+        crcs = group.column("crc32")
+        payloads = group.column("payload")
+        for i in order:
+            blob = payloads[int(i)].as_py()
+            if zlib.crc32(blob) != crcs[int(i)].as_py():
+                raise ValueError(
+                    f"chunk payload checksum mismatch for column {cols[int(i)]}"
+                )
+            names.append(cols[int(i)].as_py())
+            arrays.append(chunk_mod.decode_array(blob))
+        tables.append(pa.table(dict(zip(names, arrays))))
+    return pa.concat_tables(tables)
+
+
+class ChunkFileDecoder:
+    """map_batches callable over `read_binary_files` of chunk parquet files."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for item in batch.column("bytes"):
+            chunks = pq.read_table(io.BytesIO(item.as_py()))
+            outs.append(decode_chunk_table(chunks))
+        return pa.concat_tables(outs)

@@ -1,0 +1,168 @@
+"""Encode stage: Arrow batches -> encoded column chunks (+ lineage).
+
+The unit of output is a *chunk group*: all columns of one row-slice,
+stored as one parquet file of (column, codec, payload) rows — the
+Ray-native analogue of a row group's column chunks in the reference
+(writer.go:568-692). Chunk ids are content-derived (sha1 of the first
+column's buffers + row count), so task retries are idempotent and a
+resumed run reproduces identical ids for identical input slices.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..codecs import chunk as chunk_mod
+from ..codecs import registry as R
+
+CHUNK_SCHEMA = pa.schema(
+    [
+        pa.field("chunk_id", pa.string()),
+        pa.field("shard", pa.string()),
+        pa.field("col_idx", pa.int32()),
+        pa.field("column", pa.string()),
+        pa.field("codec", pa.string()),
+        pa.field("n", pa.int64()),
+        pa.field("n_null", pa.int64()),
+        pa.field("raw_nbytes", pa.int64()),
+        pa.field("enc_nbytes", pa.int64()),
+        pa.field("crc32", pa.int64()),
+        pa.field("payload", pa.large_binary()),
+    ]
+)
+
+
+def chunk_id_for(table: pa.Table) -> str:
+    """Deterministic content-derived chunk id."""
+    h = hashlib.sha1()
+    col = table.column(0).combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+    for buf in col.buffers():
+        if buf is not None:
+            h.update(buf)
+    h.update(str(table.num_rows).encode())
+    return h.hexdigest()[:16]
+
+
+def encode_table(
+    table: pa.Table,
+    shard: str = "mem",
+    codec_overrides: dict[str, int] | None = None,
+) -> pa.Table:
+    """Encode all columns of a table slice into a chunk-record table."""
+    cid = chunk_id_for(table)
+    rows = {k: [] for k in CHUNK_SCHEMA.names}
+    for i, name in enumerate(table.column_names):
+        arr = table.column(name).combine_chunks()
+        codec = (codec_overrides or {}).get(name)
+        blob = chunk_mod.encode_array(arr, codec)
+        rows["chunk_id"].append(cid)
+        rows["shard"].append(shard)
+        rows["col_idx"].append(i)
+        rows["column"].append(name)
+        rows["codec"].append(R.CODEC_NAMES[blob[4]])
+        rows["n"].append(len(arr))
+        rows["n_null"].append(arr.null_count)
+        rows["raw_nbytes"].append(arr.nbytes)
+        rows["enc_nbytes"].append(len(blob))
+        rows["crc32"].append(zlib.crc32(blob))
+        rows["payload"].append(blob)
+    return pa.table(rows, schema=CHUNK_SCHEMA)
+
+
+def lineage_of(chunks: pa.Table) -> pa.Table:
+    """Chunk records minus payloads (the manifest rows)."""
+    return chunks.drop_columns(["payload"])
+
+
+def write_chunk_file(chunks: pa.Table, output_dir: str) -> str:
+    """Write one chunk group atomically; returns the file path."""
+    shard = chunks.column("shard")[0].as_py()
+    cid = chunks.column("chunk_id")[0].as_py()
+    d = Path(output_dir) / "data" / shard
+    d.mkdir(parents=True, exist_ok=True)
+    path = d / f"{cid}.parquet"
+    tmp = str(path) + f".tmp{os.getpid()}"
+    # payloads are already encoded — store uncompressed
+    pq.write_table(chunks, tmp, compression="NONE")
+    os.replace(tmp, path)
+    return str(path)
+
+
+class ChunkEncoder:
+    """map_batches callable (actor pool) for the distributed encode stage.
+
+    output_dir=None  -> emit full chunk records (in-memory mode)
+    output_dir=str   -> write chunk files, emit lineage records only
+    """
+
+    def __init__(
+        self,
+        output_dir: str | None = None,
+        codec_overrides: dict[str, str] | None = None,
+        rows_per_chunk: int = 4096,
+        skip_completed: bool = True,
+    ):
+        self.output_dir = output_dir
+        self.rows_per_chunk = rows_per_chunk
+        self.skip_completed = skip_completed
+        self.codec_overrides = {
+            k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
+        }
+        self._completed: set[str] | None = None
+
+    def _shard_done(self, shard: str) -> bool:
+        if not (self.output_dir and self.skip_completed):
+            return False
+        if self._completed is None:
+            from ..state import manifest
+
+            self._completed = manifest.completed_shards(self.output_dir)
+        return shard in self._completed
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outputs = []
+        for shard, group in split_by_shard(batch):
+            if self._shard_done(shard):
+                continue
+            for start in range(0, group.num_rows, self.rows_per_chunk):
+                piece = group.slice(start, self.rows_per_chunk)
+                chunks = encode_table(piece, shard, self.codec_overrides)
+                if self.output_dir:
+                    write_chunk_file(chunks, self.output_dir)
+                    outputs.append(lineage_of(chunks))
+                else:
+                    outputs.append(chunks)
+        if not outputs:
+            empty = CHUNK_SCHEMA if not self.output_dir else _lineage_schema()
+            return pa.table({f.name: [] for f in empty}, schema=empty)
+        return pa.concat_tables(outputs)
+
+
+def _lineage_schema() -> pa.Schema:
+    return pa.schema([f for f in CHUNK_SCHEMA if f.name != "payload"])
+
+
+def split_by_shard(batch: pa.Table):
+    """Yield (shard, subtable) groups; uses the read_parquet `path` column
+    when present (one group per input file), else a single 'mem' group."""
+    if "path" not in batch.column_names:
+        yield "mem", batch
+        return
+    paths = batch.column("path").to_numpy(zero_copy_only=False)
+    data = batch.drop_columns(["path"])
+    if len(paths) == 0:
+        return
+    stems = np.array([Path(p).stem for p in paths])
+    change = np.nonzero(stems[1:] != stems[:-1])[0] + 1
+    starts = np.concatenate(([0], change, [len(stems)]))
+    for a, b in zip(starts[:-1], starts[1:]):
+        yield stems[a], data.slice(int(a), int(b - a))

@@ -1,0 +1,79 @@
+"""Per-partition lineage records + checkpoint manifest.
+
+The north rule requires every partition to emit lineage (input chunk id,
+codec chosen, compressed bytes, checksum) to a checkpoint store so an
+interrupted job resumes mid-table. Layout:
+
+    {output_dir}/
+      data/{shard_stem}/{chunk_id}.parquet   # encoded chunk files
+      _manifest/{shard_stem}.json            # written AFTER a shard's
+                                             # chunks are all durable
+      _manifest/_job.json                    # job-level config snapshot
+
+A shard with a manifest file is complete; resume skips it. Manifest
+writes are atomic (tmp + rename). Chunk files are idempotent: retries
+rewrite the same content under the same id.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+
+
+def manifest_dir(output_dir: str) -> Path:
+    return Path(output_dir) / "_manifest"
+
+
+def data_dir(output_dir: str) -> Path:
+    return Path(output_dir) / "data"
+
+
+def completed_shards(output_dir: str) -> set[str]:
+    d = manifest_dir(output_dir)
+    if not d.exists():
+        return set()
+    return {p.stem for p in d.glob("*.json") if not p.name.startswith("_")}
+
+
+def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
+    """Atomically persist a completed shard's lineage records."""
+    d = manifest_dir(output_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "shard": shard,
+        "completed_at": time.time(),
+        "n_chunks": len({r["chunk_id"] for r in records}),
+        "rows": sum(r["n"] for r in records if r.get("column") == "_rows_"),
+        "records": records,
+    }
+    tmp = d / f".{shard}.json.tmp"
+    tmp.write_text(json.dumps(payload))
+    os.replace(tmp, d / f"{shard}.json")
+
+
+def load_shard(output_dir: str, shard: str) -> dict:
+    return json.loads((manifest_dir(output_dir) / f"{shard}.json").read_text())
+
+
+def load_all(output_dir: str) -> list[dict]:
+    return [load_shard(output_dir, s) for s in sorted(completed_shards(output_dir))]
+
+
+def write_job_meta(output_dir: str, meta: dict) -> None:
+    d = manifest_dir(output_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    tmp = d / "._job.json.tmp"
+    tmp.write_text(json.dumps(meta))
+    os.replace(tmp, d / "_job.json")
+
+
+def codec_histogram(output_dir: str) -> dict[str, int]:
+    """codec name -> chunk-column count, aggregated over all manifests."""
+    hist: dict[str, int] = {}
+    for m in load_all(output_dir):
+        for r in m["records"]:
+            hist[r["codec"]] = hist.get(r["codec"], 0) + 1
+    return hist

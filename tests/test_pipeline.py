@@ -1,0 +1,117 @@
+"""End-to-end pipeline tests: encode job -> chunk store + manifest ->
+decode job -> bit-identical verification; checkpoint resume (FIXTURES F6)."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from parquet_go_ray.sources import webpages
+
+
+@pytest.fixture(scope="module")
+def web_small(ray_session):
+    return webpages.shard_files(webpages.ensure(0.001))
+
+
+def test_generator_deterministic():
+    t1 = webpages.generate_shard(0.001, 0, 100)
+    t2 = webpages.generate_shard(0.001, 0, 100)
+    assert t1.equals(t2)
+    assert t1.schema.equals(webpages.SCHEMA)
+    # urls unique
+    assert len(set(t1.column("url").to_pylist())) == 100
+
+
+def test_encode_decode_exact(ray_session, web_small, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.state import manifest
+
+    out = str(tmp_path / "enc")
+    summary = encode_job(web_small, out, rows_per_chunk=1024)
+    assert summary["rows"] == 6250
+    assert summary["enc_nbytes"] < summary["raw_nbytes"] * 0.6  # must compress
+    hist = manifest.codec_histogram(out)
+    assert "fsst" in hist or "dict" in hist
+
+    src = ray.data.read_parquet(web_small).to_pandas().sort_values("url").reset_index(drop=True)
+    dec = decode_dataset(out).to_pandas().sort_values("url").reset_index(drop=True)
+    dec = dec[src.columns]
+    for col in src.columns:
+        assert (src[col] == dec[col]).all(), col
+
+
+def test_resume_skips_completed(ray_session, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    files = webpages.shard_files(webpages.ensure(0.01))
+    assert len(files) >= 2
+    out = str(tmp_path / "enc")
+    # simulate a job killed after the first shard completed
+    s1 = encode_job(files[:1], out)
+    assert s1["shards_written"] == 1
+    # resumed run encodes only the remainder
+    s2 = encode_job(files, out)
+    assert s2["shards_skipped"] == 1
+    assert s2["shards_written"] == len(files) - 1
+    res = verify_roundtrip(ray.data.read_parquet(files), decode_dataset(out))
+    assert res["ok"], res
+
+
+def test_salted_mode(ray_session, web_small, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    out = str(tmp_path / "enc_salted")
+    summary = encode_job(web_small, out, mode="lang_salted", salts=4)
+    assert summary["rows"] == 6250
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+
+
+def test_checksum_detects_change(ray_session, web_small):
+    import ray.data
+
+    from parquet_go_ray.pipelines.verify import dataset_checksum
+
+    src = ray.data.read_parquet(web_small)
+    rows, h1 = dataset_checksum(src)
+
+    def mutate(t: pa.Table) -> pa.Table:
+        text = t.column("text").to_pylist()
+        text[0] = text[0] + "!"
+        return t.set_column(t.schema.get_field_index("text"), "text", pa.array(text))
+
+    mutated = src.map_batches(mutate, batch_format="pyarrow")
+    rows2, h2 = dataset_checksum(mutated)
+    assert rows == rows2
+    assert h1 != h2
+
+
+def test_roundtrip_stage(ray_session, web_small):
+    import ray.data
+
+    from parquet_go_ray.pipelines.roundtrip import roundtrip_dataset
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    src = ray.data.read_parquet(web_small)
+    rt = roundtrip_dataset(ray.data.read_parquet(web_small))
+    assert verify_roundtrip(src, rt)["ok"]
+
+
+def test_chunk_id_deterministic():
+    from parquet_go_ray.stages.encode import chunk_id_for
+
+    t = webpages.generate_shard(0.001, 0, 50)
+    assert chunk_id_for(t) == chunk_id_for(t)
+    assert chunk_id_for(t.slice(0, 25)) != chunk_id_for(t.slice(25, 25))
