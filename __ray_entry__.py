@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in parquet_go_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship pipeline — encode the deterministic Common-Crawl-style
+  web-page table (sf0.001) through the full codec engine (auto codec
+  selection, chunk store + lineage manifest), decode it back, verify
+  bit-identity, and return a summary DataFrame.
+- queries(): one entry per implemented operator/pipeline (SURVEY.md §2 +
+  training-data additions); each callable takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -20,25 +19,47 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    import shutil
+
+    import pandas as pd
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+    from parquet_go_ray.sources import webpages
+    from parquet_go_ray.state import manifest
+
+    indir = webpages.ensure(0.001)
+    files = webpages.shard_files(indir)
+    out = "/tmp/graft_flagship_encode"
+    shutil.rmtree(out, ignore_errors=True)
+    summary = encode_job(files, out)
+    res = verify_roundtrip(
+        ray.data.read_parquet(files), decode_dataset(out)
+    )
+    hist = manifest.codec_histogram(out)
+    return pd.DataFrame(
+        {
+            "rows": [summary["rows"]],
+            "raw_nbytes": [summary["raw_nbytes"]],
+            "enc_nbytes": [summary["enc_nbytes"]],
+            "compression_ratio": [
+                round(summary["enc_nbytes"] / max(1, summary["raw_nbytes"]), 4)
+            ],
+            "roundtrip_ok": [res["ok"]],
+            "codecs_used": [",".join(sorted(hist))],
+        }
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from parquet_go_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from parquet_go_ray.pipelines.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,176 @@
+"""Benchmark harness.
+
+Plain run: executes the headline pipelines at $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS, default
+32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...}
+
+--scaling: runs the same bench twice in fresh processes (8 then 32
+CPUs) on the same input and prints throughput at both plus the scaling
+efficiency (target >= 0.8 per the north rule).
+
+Headline = the flagship encode job: the deterministic Common-Crawl-style
+web-page table at the matching scale factor, through automatic codec
+selection into the chunk store with lineage manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if name.startswith("sf"):
+        try:
+            return float(name[2:])
+        except ValueError:
+            pass
+    return 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=ncpu,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    from parquet_go_ray.pipelines import queries as Q
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+    from parquet_go_ray.sources import webpages
+
+    results: dict[str, float] = {}
+    detail: dict = {}
+
+    # ---- headline: web-page encode job (auto codec selection) ----
+    web_dir = webpages.ensure(sf)
+    files = webpages.shard_files(web_dir)
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    ray.data.read_parquet(files).count()
+
+    out = f"/tmp/bench_encode_sf{sf:g}_{ncpu}"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.time()
+    summary = encode_job(files, out, resume=False)
+    results["webpages_encode"] = round(time.time() - t0, 3)
+    detail["encode_rows"] = summary["rows"]
+    detail["encode_raw_mb"] = round(summary["raw_nbytes"] / 1e6, 2)
+    detail["encode_out_mb"] = round(summary["enc_nbytes"] / 1e6, 2)
+    detail["compression_ratio"] = round(
+        summary["enc_nbytes"] / max(1, summary["raw_nbytes"]), 4
+    )
+    detail["encode_mb_per_s"] = round(
+        summary["raw_nbytes"] / 1e6 / results["webpages_encode"], 2
+    )
+
+    # ---- decode + verify ----
+    t0 = time.time()
+    res = verify_roundtrip(ray.data.read_parquet(files), decode_dataset(out))
+    results["webpages_decode_verify"] = round(time.time() - t0, 3)
+    detail["roundtrip_ok"] = bool(res["ok"])
+
+    # ---- salted-shuffle encode variant (explicit skew handling) ----
+    out2 = f"/tmp/bench_encode_salted_sf{sf:g}_{ncpu}"
+    shutil.rmtree(out2, ignore_errors=True)
+    t0 = time.time()
+    encode_job(files, out2, mode="lang_salted", resume=False)
+    results["webpages_encode_salted"] = round(time.time() - t0, 3)
+
+    # ---- operator pipelines over the driver testdata tables ----
+    bench_queries = [
+        "encode_decode_lineitem",
+        "agg_pricing",
+        "token_counts",
+        "minhash_lsh_pairs",
+        "simhash_fingerprints",
+        "embedding_topk",
+        "sort_rows",
+        "windowed_counts",
+    ]
+    for name in bench_queries:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        r = fn(sf_dir)
+        if isinstance(r, ray.data.Dataset):
+            # consume the stream without materializing on the driver
+            n = 0
+            for b in r.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                n += b.num_rows
+        results[name] = round(time.time() - t0, 3)
+
+    headline = results["webpages_encode"]
+    return {
+        "metric": "webpages_encode_job_sec",
+        "value": headline,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "detail": detail,
+    }
+
+
+def run_scaling() -> dict:
+    lo, hi = 8, 32
+    outs = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        outs[n] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t_lo, t_hi = outs[lo]["value"], outs[hi]["value"]
+    mb = outs[hi]["detail"]["encode_raw_mb"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "throughput_lo_mb_s": round(mb / t_lo, 2),
+        "throughput_hi_mb_s": round(mb / t_hi, 2),
+        "sf": outs[hi]["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        out = run_bench()
+        print(json.dumps(out))
+        import ray
+
+        ray.shutdown()

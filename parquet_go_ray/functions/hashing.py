@@ -1,0 +1,155 @@
+"""Vectorized stable hashing primitives: row hashes, MinHash, SimHash,
+and a split-block-style Bloom filter.
+
+All deterministic across processes (fixed keys/seeds — the analogue of
+the reference's fixed xxhash seeds in bloom/xxhash, bloom.go:99-117).
+No Python loops over rows: shingle windows come from byte-level numpy
+views, per-document reductions use np.minimum.reduceat / np.add.reduceat
+over offset boundaries.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+_U64 = np.uint64
+
+
+def stable_hash_strings(values) -> np.ndarray:
+    """Deterministic uint64 hash of an array of str/bytes (fixed key)."""
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr).astype(np.uint64)
+
+
+def _concat_bytes(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    data = b"".join(texts)
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    np.cumsum([len(t) for t in texts], out=offsets[1:])
+    return np.frombuffer(data, dtype=np.uint8), offsets
+
+
+def _shingle_windows(buf: np.ndarray, offsets: np.ndarray, k: int):
+    """uint64 rolling k-byte windows for each doc; returns (hashes,
+    doc_starts) where doc_starts indexes the per-doc segments for
+    reduceat. Docs shorter than k contribute one (padded) window."""
+    n_docs = len(offsets) - 1
+    lengths = np.diff(offsets)
+    n_win = np.maximum(lengths - k + 1, 1)
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_win, out=starts[1:])
+    total = int(starts[-1])
+    # absolute byte position of each window start
+    pos = np.repeat(offsets[:-1], n_win) + (
+        np.arange(total, dtype=np.int64) - np.repeat(starts[:-1], n_win)
+    )
+    pad = np.zeros(len(buf) + k, dtype=np.uint64)
+    pad[: len(buf)] = buf
+    w = pad[pos].copy()
+    for i in range(1, k):
+        w = w * _U64(1099511628211) + pad[pos + i]  # FNV-style roll
+    return w, starts[:-1], n_docs
+
+
+def minhash_signatures(
+    texts: list[bytes], k: int = 4, num_perm: int = 64, seed: int = 7
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures over k-byte shingles."""
+    n_docs = len(texts)
+    out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    buf, offsets = _concat_bytes(texts)
+    w, starts, _ = _shingle_windows(buf, offsets, k)
+    if len(w) == 0:
+        return out
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | _U64(1)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    for p in range(num_perm):
+        with np.errstate(over="ignore"):
+            h = (w * a[p] + b[p]) & _MERSENNE
+        out[:, p] = np.minimum.reduceat(h, starts)
+    return out
+
+
+def lsh_band_keys(
+    signatures: np.ndarray, bands: int = 16
+) -> np.ndarray:
+    """(n_docs, bands) uint64 band keys (hash of each band's rows)."""
+    n, p = signatures.shape
+    rows = p // bands
+    sig = signatures[:, : bands * rows].reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        key = np.zeros((n, bands), dtype=np.uint64)
+        for r in range(rows):
+            key = key * _U64(1099511628211) + sig[:, :, r]
+    return key
+
+
+def simhash64(texts: list[bytes], seed: int = 11) -> np.ndarray:
+    """64-bit SimHash over whitespace tokens (vectorized)."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.uint64)
+    token_lists = [t.split() for t in texts]
+    counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
+    flat = [tok for tl in token_lists for tok in tl]
+    starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    out = np.zeros(n_docs, dtype=np.uint64)
+    if not flat:
+        return out
+    h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+    acc = np.zeros((n_docs, 64), dtype=np.int64)
+    valid = counts > 0
+    red_starts = np.minimum(starts[:-1], len(h) - 1)
+    for bit in range(64):
+        bits = ((h >> _U64(bit)) & _U64(1)).astype(np.int64) * 2 - 1
+        col = np.add.reduceat(bits, red_starts)
+        acc[:, bit] = np.where(valid, col, 0)
+    bitsset = (acc > 0).astype(np.uint64)
+    shifts = np.arange(64, dtype=np.uint64)
+    return (bitsset << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+
+
+def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
+
+
+class BloomFilter:
+    """Vectorized Bloom filter (double hashing), analogous in role to the
+    reference's split-block filter (bloom/filter.go:36-40); used for
+    semi-join / membership pre-filtering with exact verification after."""
+
+    def __init__(self, keys, bits_per_key: int = 16, k: int = 7):
+        n = max(1, len(keys))
+        self.m = int(n * bits_per_key)
+        self.k = k
+        self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
+        if len(keys):
+            h = stable_hash_strings(keys)
+            self._set(h)
+
+    def _positions(self, h: np.ndarray) -> np.ndarray:
+        h1 = h % _U64(self.m)
+        h2 = (h >> _U64(17) | _U64(1)) % _U64(self.m)
+        idx = (
+            h1[:, None] + np.arange(self.k, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % _U64(self.m)
+        return idx.astype(np.int64)
+
+    def _set(self, h: np.ndarray) -> None:
+        idx = self._positions(h).ravel()
+        np.bitwise_or.at(self.bits, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        idx = self._positions(h)
+        got = (self.bits[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+        return got.all(axis=1)
+
+    def contains(self, keys) -> np.ndarray:
+        return self.contains_hashes(stable_hash_strings(keys))

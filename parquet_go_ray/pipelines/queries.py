@@ -1,0 +1,448 @@
+"""Correctness-gate query registry.
+
+Every implemented operator/pipeline from SURVEY.md §2 (plus the
+training-data additions) has an entry here: a callable taking `sf_dir`
+and returning a Dataset / DataFrame / Table, and — when SQL-expressible
+— a DuckDB oracle producing identical rows, column names and dtypes.
+The driver hash-compares them at sf=0.01; tests/test_queries.py runs the
+same comparison at sf=0.001.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions import text as ftext
+from . import dedup, relational, similarity
+from .roundtrip import roundtrip_dataset
+
+# --------------------------------------------------------------- helpers
+
+
+def _read(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+# --------------------------------------------------------------- queries
+
+
+def q_filter_rows(sf_dir):
+    """FilterRowReader parity (filter.go:5-90): vectorized predicate."""
+    ds = _read(sf_dir, "documents")
+    return relational.filter_expr(
+        ds,
+        lambda t: pc.and_(
+            pc.equal(t.column("lang"), "en"), pc.greater(t.column("n_chars"), 300)
+        ),
+    )
+
+
+def q_transform_project(sf_dir):
+    """TransformRowReader parity (transform.go:9-143)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars", "lang"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_chars_2x": pc.multiply(t.column("n_chars"), pa.scalar(2, pa.int64())),
+                "lang_uc": pc.utf8_upper(t.column("lang")),
+            }
+        )
+
+    return relational.transform(ds, fn)
+
+
+def q_scan_limit(sf_dir):
+    """ScanRowReader parity (scan.go:7-33): first 100 rows by doc_id."""
+    return relational.scan_limit(_read(sf_dir, "documents"), ["doc_id"], 100)
+
+
+def q_sort_rows(sf_dir):
+    """SortingWriter parity (sorting.go:24-133)."""
+    return relational.scan_limit(_read(sf_dir, "documents"), ["lang", "doc_id"], 200)
+
+
+def q_merge_sorted(sf_dir):
+    """MergeRowGroups parity (merge.go:20-99): merge two sorted streams."""
+    ds = _read(sf_dir, "events")
+    lo = relational.filter_expr(ds, lambda t: pc.less(t.column("value"), 50.0))
+    hi = _read(sf_dir, "events")
+    hi = relational.filter_expr(hi, lambda t: pc.greater_equal(t.column("value"), 50.0))
+    return relational.merge_sorted([lo, hi], ["ts", "event_id"]).limit(1000)
+
+
+def q_dedupe_rows(sf_dir):
+    """DedupeRowReader parity (dedupe.go:8-111), global exact dedup."""
+    return dedup.exact_dedupe(_read(sf_dir, "documents"))
+
+
+def q_dedupe_consecutive(sf_dir):
+    """Distinct (lang, source) rows — 'consecutive under comparator'."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+    return relational.dedupe_consecutive(ds, ["lang", "source"])
+
+
+def q_convert_schema(sf_dir):
+    """ConvertRowGroup parity (convert.go:243-580): projection + casts."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_shipdate"]
+    )
+    ds = relational.convert_schema(
+        ds,
+        {"l_quantity": pa.int32(), "l_shipdate": pa.date32()},
+        keep=["l_orderkey", "l_quantity", "l_shipdate"],
+    )
+    # date32 -> string so the hash compare is dtype-stable across engines
+    return relational.convert_schema(ds, {"l_shipdate": pa.string()})
+
+
+def q_stats_minmax(sf_dir):
+    """ColumnIndexer parity (column_index.go:259-272)."""
+    return relational.column_stats(_read(sf_dir, "documents"), "lang", "n_chars")
+
+
+def q_distinct_values(sf_dir):
+    """unique() — distinct lang values."""
+    ds = _read(sf_dir, "documents", columns=["lang"])
+    return relational.dedupe_consecutive(ds, ["lang"])
+
+
+def q_search_pushdown(sf_dir):
+    """Search/Find parity (search.go:6-116): predicate pushdown at read."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "click"),
+    )
+    out = relational.filter_expr(ds, lambda t: pc.greater(t.column("value"), 50.0))
+    return out
+
+
+def q_bloom_semi_join(sf_dir):
+    """BloomFilter.Check parity (bloom.go:16-55): membership probe."""
+    return relational.bloom_semi_join(
+        _read(sf_dir, "documents"), "lang", ["en", "de", "fr"]
+    )
+
+
+def q_agg_pricing(sf_dir):
+    """Grouped aggregation with per-batch partial agg (TPC-H Q1 shape)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["l_returnflag", "l_linestatus"])
+            .agg(
+                sum_qty=("l_quantity", "sum"),
+                sum_price=("l_extendedprice", "sum"),
+                n=("l_quantity", "size"),
+            )
+            .reset_index()
+        )
+        return g
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "l_linestatus": [g["l_linestatus"].iloc[0]],
+                "sum_qty": [round(float(g["sum_qty"].sum()), 2)],
+                "sum_price": [round(float(g["sum_price"].sum()), 2)],
+                "n": [int(g["n"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def q_windowed_counts(sf_dir):
+    """Tumbling 1-hour event-time window per event_type."""
+    return relational.windowed_agg(
+        _read(sf_dir, "events"), "ts", "event_type", "value", 3_600_000_000
+    )
+
+
+# ---- engine round-trip gates (the whole codec path through SQL compare)
+
+
+def q_encode_decode_documents(sf_dir):
+    return roundtrip_dataset(_read(sf_dir, "documents"))
+
+
+def q_encode_decode_events(sf_dir):
+    return roundtrip_dataset(_read(sf_dir, "events"))
+
+
+def q_encode_decode_lineitem(sf_dir):
+    return roundtrip_dataset(_read(sf_dir, "lineitem"))
+
+
+def q_encode_decode_embeddings(sf_dir):
+    return roundtrip_dataset(_read(sf_dir, "embeddings"))
+
+
+# ---- text analysis
+
+
+def q_token_counts(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "tokens": ftext.token_counts(t.column("text")),
+            }
+        )
+
+    return relational.transform(ds, fn)
+
+
+def q_quality_scores(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        stats = ftext.char_stats(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **stats})
+
+    return relational.transform(ds, fn)
+
+
+def q_fingerprint_docs(sf_dir):
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "fp": ftext.md5_fingerprints(list(df["text"])),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def q_lang_id(sf_dir):
+    """N-gram-heuristic language ID (rows-only check: heuristic output)."""
+    import duckdb
+
+    sample = duckdb.sql(
+        f"SELECT lang, text FROM read_parquet('{sf_dir}/documents.parquet') "
+        "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 40"
+    ).df()
+    samples = {lang: list(g["text"]) for lang, g in sample.groupby("lang")}
+    model_ref = ray.put(ftext.NgramLanguageID(samples))
+
+    class Predict:
+        def __init__(self):
+            self.model = ray.get(model_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": df["doc_id"].to_numpy(),
+                    "lang_pred": self.model.predict(list(df["text"])),
+                }
+            )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(Predict, batch_format="pandas", concurrency=2)
+
+
+# ---- dedup family (rows-only where not SQL-expressible)
+
+
+def q_minhash_lsh_pairs(sf_dir):
+    return dedup.minhash_lsh_pairs(
+        _read(sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+def q_simhash_fingerprints(sf_dir):
+    return dedup.simhash_fingerprints(_read(sf_dir, "documents"))
+
+
+def q_near_dupes_verified(sf_dir):
+    return dedup.verified_near_dupes(
+        _read(sf_dir, "documents"), jaccard_threshold=0.5
+    )
+
+
+# ---- similarity search
+
+
+def q_embedding_topk(sf_dir):
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    return similarity.brute_force_topk(_read(sf_dir, "embeddings"), np.array(q), k=10)
+
+
+def q_embedding_near_pairs(sf_dir):
+    return similarity.lsh_near_pairs(
+        _read(sf_dir, "embeddings"), cos_threshold=0.85
+    )
+
+
+# ---- multimodal stubs
+
+
+def q_multimodal_meta(sf_dir):
+    from ..stages.multimodal import binary_meta
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        payload = pc.cast(t.column("text"), pa.large_binary())
+        t2 = pa.table({"doc_id": t.column("doc_id"), "payload": payload})
+        return binary_meta(t2, "payload", "doc_id")
+
+    return relational.transform(ds, fn)
+
+
+def q_media_features(sf_dir):
+    from ..stages.multimodal import MediaFeatureExtractor
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        MediaFeatureExtractor,
+        fn_constructor_kwargs={"decode_stub": True},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=2,
+    )
+
+
+# --------------------------------------------------------------- registry
+
+QUERIES = {
+    "filter_rows": q_filter_rows,
+    "transform_project": q_transform_project,
+    "scan_limit": q_scan_limit,
+    "sort_rows": q_sort_rows,
+    "merge_sorted": q_merge_sorted,
+    "dedupe_rows": q_dedupe_rows,
+    "dedupe_consecutive": q_dedupe_consecutive,
+    "convert_schema": q_convert_schema,
+    "stats_minmax": q_stats_minmax,
+    "distinct_values": q_distinct_values,
+    "search_pushdown": q_search_pushdown,
+    "bloom_semi_join": q_bloom_semi_join,
+    "agg_pricing": q_agg_pricing,
+    "windowed_counts": q_windowed_counts,
+    "encode_decode_documents": q_encode_decode_documents,
+    "encode_decode_events": q_encode_decode_events,
+    "encode_decode_lineitem": q_encode_decode_lineitem,
+    "encode_decode_embeddings": q_encode_decode_embeddings,
+    "token_counts": q_token_counts,
+    "quality_scores": q_quality_scores,
+    "fingerprint_docs": q_fingerprint_docs,
+    "lang_id": q_lang_id,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "near_dupes_verified": q_near_dupes_verified,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_pairs": q_embedding_near_pairs,
+    "multimodal_meta": q_multimodal_meta,
+    "media_features": q_media_features,
+}
+
+ORACLES = {
+    "filter_rows": "SELECT * FROM documents WHERE lang = 'en' AND n_chars > 300",
+    "transform_project": (
+        "SELECT doc_id, n_chars * 2 AS n_chars_2x, upper(lang) AS lang_uc "
+        "FROM documents"
+    ),
+    "scan_limit": "SELECT * FROM documents ORDER BY doc_id LIMIT 100",
+    "sort_rows": "SELECT * FROM documents ORDER BY lang, doc_id LIMIT 200",
+    "merge_sorted": "SELECT * FROM events ORDER BY ts, event_id LIMIT 1000",
+    "dedupe_rows": (
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"
+    ),
+    "dedupe_consecutive": "SELECT DISTINCT lang, source FROM documents",
+    "convert_schema": (
+        "SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS l_quantity, "
+        "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate FROM lineitem"
+    ),
+    "stats_minmax": (
+        "SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_v, "
+        "CAST(max(n_chars) AS BIGINT) AS max_v, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+    ),
+    "distinct_values": "SELECT DISTINCT lang FROM documents",
+    "search_pushdown": (
+        "SELECT event_id, event_type, value FROM events "
+        "WHERE event_type = 'click' AND value > 50"
+    ),
+    "bloom_semi_join": "SELECT * FROM documents WHERE lang IN ('en','de','fr')",
+    "agg_pricing": (
+        "SELECT l_returnflag, l_linestatus, "
+        "ROUND(SUM(l_quantity), 2) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, "
+        "CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "windowed_counts": (
+        "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n, SUM(value) AS sum_value "
+        "FROM events GROUP BY 1, 2"
+    ),
+    "encode_decode_documents": "SELECT * FROM documents",
+    "encode_decode_events": "SELECT * FROM events",
+    "encode_decode_lineitem": "SELECT * FROM lineitem",
+    "encode_decode_embeddings": "SELECT * FROM embeddings",
+    "token_counts": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) "
+        "AS BIGINT) AS tokens FROM documents"
+    ),
+    "quality_scores": (
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS chars, "
+        "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS spaces, "
+        "CAST(length(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS punct, "
+        "CAST(length(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digits "
+        "FROM documents"
+    ),
+    "fingerprint_docs": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "multimodal_meta": (
+        "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
+        "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
+    ),
+    "embedding_topk": (
+        "SELECT vec_id, CAST(row_number() OVER "
+        "(ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+        "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings ORDER BY vec_id LIMIT 1)) "
+        "DESC, vec_id) AS BIGINT) AS rank "
+        "FROM embeddings "
+        "ORDER BY rank LIMIT 10"
+    ),
+    # lang_id, minhash_lsh_pairs, simhash_fingerprints, near_dupes_verified,
+    # embedding_near_pairs, media_features: non-SQL-expressible -> rows-only
+}

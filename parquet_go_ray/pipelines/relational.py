@@ -1,0 +1,182 @@
+"""Row-stream combinators (reference §2.5 parity), Ray-Data-first.
+
+Each mirrors a parquet-go row-stream operator re-expressed as Dataset
+transforms (citations are to /root/reference):
+
+- filter_expr        <- FilterRowReader (filter.go:5-90)
+- transform          <- TransformRowReader (transform.go:9-143)
+- scan_limit         <- ScanRowReader (scan.go:7-33)
+- dedupe_consecutive <- DedupeRowReader (dedupe.go:8-111) — global via
+                         sort+distinct (the shuffle makes 'consecutive'
+                         global, SURVEY §2.5)
+- merge_sorted       <- MergeRowGroups (merge.go:20-99): union of sorted
+                         streams + global sort
+- sorted_rows        <- SortingWriter (sorting.go:24-133): ds.sort is
+                         Ray's sample-based range-partitioned sort
+- convert_schema     <- ConvertRowGroup (convert.go:243-580): projection
+                         + casts per batch
+- column_stats       <- ColumnIndexer min/max/null-count
+                         (column_index.go:259-272)
+- bloom_semi_join    <- BloomFilter.Check (bloom.go:16-55): broadcast
+                         filter probe + exact verify
+- windowed_agg       — streaming-shaped tumbling window as
+                         groupby(key, bucket) aggregate
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.hashing import BloomFilter, stable_hash_strings
+
+
+def filter_expr(ds: ray.data.Dataset, predicate) -> ray.data.Dataset:
+    """predicate: pa.Table -> BooleanArray (vectorized, never per-row)."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def transform(ds: ray.data.Dataset, fn) -> ray.data.Dataset:
+    """fn: pa.Table -> pa.Table (may drop/add rows and columns)."""
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scan_limit(ds: ray.data.Dataset, order_cols: list[str], k: int) -> ray.data.Dataset:
+    return ds.sort(order_cols).limit(k)
+
+
+def sorted_rows(ds: ray.data.Dataset, keys: list[str], descending=False) -> ray.data.Dataset:
+    return ds.sort(keys, descending=descending)
+
+
+def merge_sorted(streams: list[ray.data.Dataset], keys: list[str]) -> ray.data.Dataset:
+    """k-way merge of sorted streams = union + range-partitioned sort."""
+    out = streams[0]
+    for s in streams[1:]:
+        out = out.union(s)
+    return out.sort(keys)
+
+
+def dedupe_consecutive(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
+    """Drop duplicates under the sort comparator (global semantics)."""
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return ds.groupby(keys).map_groups(first_per_group, batch_format="pandas")
+
+
+def convert_schema(ds: ray.data.Dataset, conversions: dict[str, pa.DataType], keep: list[str] | None = None) -> ray.data.Dataset:
+    def conv(t: pa.Table) -> pa.Table:
+        cols, names = [], []
+        for name in keep or t.column_names:
+            arr = t.column(name)
+            if name in conversions:
+                arr = pc.cast(arr, conversions[name])
+            cols.append(arr)
+            names.append(name)
+        return pa.table(dict(zip(names, cols)))
+
+    return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def column_stats(ds: ray.data.Dataset, group_col: str, value_col: str) -> ray.data.Dataset:
+    """Per-group min/max/count (the column-index stats builder), computed
+    with per-batch partial aggregation before the tiny groupby."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([group_col, value_col]).to_pandas()
+        g = df.groupby(group_col)[value_col].agg(["min", "max", "count"]).reset_index()
+        return pa.table(
+            {
+                group_col: g[group_col],
+                "pmin": g["min"],
+                "pmax": g["max"],
+                "pcount": g["count"].astype("int64"),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "min_v": [g["pmin"].min()],
+                "max_v": [g["pmax"].max()],
+                "n": [int(g["pcount"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def bloom_semi_join(
+    ds: ray.data.Dataset, col: str, keys: list, exact: bool = True
+) -> ray.data.Dataset:
+    """Keep rows whose `col` is in `keys`: broadcast Bloom probe first
+    (cheap, false-positive-prone), exact verify after. Equivalent to an
+    IN-list semi-join without shuffling the big side."""
+    bloom_ref = ray.put(BloomFilter(keys))
+    key_set_ref = ray.put(set(keys))
+
+    class Probe:
+        def __init__(self):
+            self.bloom = ray.get(bloom_ref)
+            self.keys = ray.get(key_set_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            vals = df[col].to_numpy(dtype=object)
+            maybe = self.bloom.contains(vals)
+            out = df[maybe]
+            if exact and len(out):
+                out = out[out[col].isin(self.keys)]
+            return out
+
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=2)
+
+
+def windowed_agg(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    window_us: int,
+) -> ray.data.Dataset:
+    """Tumbling event-time window: (key, window_start) -> count/sum.
+    Partial per batch, then a tiny groupby over partials."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bucket = (df[ts_col].astype("int64") // window_us).astype("int64")
+        g = (
+            df.assign(bucket=bucket)
+            .groupby([key_col, "bucket"])[value_col]
+            .agg(["count", "sum"])
+            .reset_index()
+        )
+        return g.rename(columns={"count": "pn", "sum": "psum"})
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "bucket": [int(g["bucket"].iloc[0])],
+                "n": [int(g["pn"].sum())],
+                "sum_value": [float(g["psum"].sum())],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby([key_col, "bucket"])
+        .map_groups(final, batch_format="pandas")
+    )
