@@ -148,8 +148,11 @@ def _decimal_to_flba(values: pa.Array) -> pa.Array:
 # payload encode/decode per (codec, ptype)
 
 
-def _encode_payload(values: pa.Array, ptype: int, codec: int) -> tuple[bytes, int]:
-    """Return (payload, flba_width)."""
+def _encode_payload(
+    values: pa.Array, ptype: int, codec: int, ctx: dict | None = None
+) -> tuple[bytes, int]:
+    """Return (payload, flba_width). `ctx` can carry selector artifacts
+    (e.g. a trial-trained FSST table) to avoid redundant work."""
     if codec == R.ARROW_IPC:
         return _ipc_serialize(values), 0
     if ptype == R.BOOLEAN:
@@ -191,7 +194,8 @@ def _encode_payload(values: pa.Array, ptype: int, codec: int) -> tuple[bytes, in
         if codec == R.DELTA_BYTE_ARRAY:
             return delta.encode_byte_array(data, offsets), 0
         if codec == R.FSST:
-            return fsst.encode_byte_array(data, offsets), 0
+            table = (ctx or {}).get("fsst_table")
+            return fsst.encode_byte_array(data, offsets, table), 0
     elif ptype == R.FIXED_LEN_BYTE_ARRAY:
         if codec == R.DICT:
             arr = _decimal_to_flba(values) if pa.types.is_decimal(values.type) else values
@@ -290,10 +294,13 @@ def _decode_payload(
 # public API
 
 
-def encode_array(arr, codec: int | None = None) -> bytes:
+def encode_array(arr, codec: int | None = None, compression: str | None = None) -> bytes:
     """Encode a pyarrow Array/ChunkedArray into a chunk blob.
 
     codec=None -> automatic selection (see selector.py).
+    compression -> optional general-purpose codec ("zstd"/"snappy"/
+    "lz4"/"gzip"/"brotli") applied to the encoded payload, mirroring the
+    reference's page-compression layer (writer.go:1130-1135).
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -307,6 +314,7 @@ def encode_array(arr, codec: int | None = None) -> bytes:
     if ptype == R.P_LIST:
         return _encode_list(arr)
 
+    ctx: dict = {}
     if ptype == R.OTHER:
         codec = R.ARROW_IPC
         values = arr  # nulls stay inside the IPC payload
@@ -323,19 +331,23 @@ def encode_array(arr, codec: int | None = None) -> bytes:
         if codec is None:
             from . import selector
 
-            codec = selector.select(values, ptype)
+            codec = selector.select(values, ptype, ctx)
         if not R.can_encode(ptype, codec):
             raise ChunkError(
                 f"codec {R.CODEC_NAMES.get(codec)} invalid for {R.PTYPE_NAMES.get(ptype)}"
             )
 
-    payload, flba_width = _encode_payload(values, ptype, codec)
+    payload, flba_width = _encode_payload(values, ptype, codec, ctx)
+    flags = 1 if n_null else 0
+    if compression:
+        payload = _compress(payload, compression)
+        flags |= 4
     type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
     header = _HDR.pack(
         MAGIC,
         codec,
         ptype,
-        1 if n_null else 0,
+        flags,
         flba_width,
         n,
         n_null,
@@ -345,6 +357,18 @@ def encode_array(arr, codec: int | None = None) -> bytes:
     )
     body = header + type_bytes + validity + payload
     return body + struct.pack("<I", zlib.crc32(body))
+
+
+def _compress(payload: bytes, compression: str) -> bytes:
+    comp_id = R.COMPRESSION_IDS[compression]
+    out = pa.Codec(compression).compress(payload, asbytes=True)
+    return struct.pack("<BI", comp_id, len(payload)) + out
+
+
+def _decompress(payload: bytes) -> bytes:
+    comp_id, raw_len = struct.unpack_from("<BI", payload, 0)
+    name = R.COMPRESSIONS[comp_id]
+    return pa.Codec(name).decompress(payload[5:], raw_len, asbytes=True)
 
 
 def _encode_list(arr: pa.Array) -> bytes:
@@ -398,6 +422,8 @@ def decode_array(buf: bytes) -> pa.Array:
     validity = buf[pos : pos + validity_len]
     pos += validity_len
     payload = buf[pos : pos + payload_len]
+    if _flags & 4:
+        payload = _decompress(payload)
 
     if ptype == R.P_LIST:
         return _decode_list(payload, ty, n, n_null, validity)

@@ -320,13 +320,23 @@ def train(data: bytes, max_symbols: int = MAX_SYMBOLS, iters: int = TRAIN_ITERS)
         keys = np.where(
             lens_all == 8, keys, (keys << shift) >> shift
         )
-        composite = np.stack([keys, lens_all.astype(np.uint64)], axis=1)
-        uniq, counts = np.unique(composite, axis=0, return_counts=True)
-        gain = (counts * uniq[:, 1]).astype(np.int64)
-        order = np.lexsort((uniq[:, 1], uniq[:, 0], -gain))
-        top = uniq[order[:max_symbols]]
+        # count (key, len) pairs via one lexsort + run-length scan
+        lens_u = lens_all.astype(np.uint64)
+        order0 = np.lexsort((lens_u, keys))
+        k_s, l_s = keys[order0], lens_u[order0]
+        if len(k_s) == 0:
+            return table
+        change = np.concatenate(
+            ([True], (k_s[1:] != k_s[:-1]) | (l_s[1:] != l_s[:-1]))
+        )
+        starts_u = np.nonzero(change)[0]
+        counts = np.diff(np.concatenate((starts_u, [len(k_s)])))
+        ukeys, ulens = k_s[starts_u], l_s[starts_u]
+        gain = (counts * ulens).astype(np.int64)
+        order = np.lexsort((ulens, ukeys, -gain))
+        top = order[:max_symbols]
         symbols = [
-            int(k).to_bytes(8, "little")[: int(ln)] for k, ln in top
+            int(ukeys[i]).to_bytes(8, "little")[: int(ulens[i])] for i in top
         ]
         table = SymbolTable(symbols)
     return table
@@ -335,18 +345,22 @@ def train(data: bytes, max_symbols: int = MAX_SYMBOLS, iters: int = TRAIN_ITERS)
 # ------------------------------------------------------- byte-array codec
 
 
-def encode_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
+def encode_byte_array(
+    data: bytes, offsets: np.ndarray, table: SymbolTable | None = None
+) -> bytes:
     """FSST codec for a string/binary column chunk.
 
     Layout: [symbol table][uvarint len(lengths_block)][DELTA_BINARY_PACKED
     int32 value lengths][uvarint n_codes][FSST code stream]. The whole
     concatenated value buffer is compressed as one stream (symbol matches
     may span value boundaries; decode reconstructs the exact buffer and
-    re-splits at offsets).
+    re-splits at offsets). Pass `table` to reuse a trained symbol table
+    (e.g. the codec selector's trial table) instead of retraining.
     """
     from . import delta
 
-    table = train(bytes(data))
+    if table is None:
+        table = train(bytes(data))
     codes = table.encode(bytes(data))
     lengths = np.diff(np.asarray(offsets, dtype=np.int64)).astype(np.int32)
     lblock = delta.encode_binary_packed(lengths, 32)

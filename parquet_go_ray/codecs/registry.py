@@ -73,3 +73,12 @@ SUPPORTED: dict[int, tuple[int, ...]] = {
 
 def can_encode(ptype: int, codec: int) -> bool:
     return codec in SUPPORTED.get(ptype, ())
+
+
+# ---- chunk-level general compression (parity with the reference's
+# compress.Codec layer, compress/compress.go:19-37; applied after the
+# lightweight encoding like pages are compressed after encode,
+# writer.go:1130-1135). id 0 = uncompressed (the reference's default,
+# writer.go:318-321).
+COMPRESSIONS = {0: None, 1: "zstd", 2: "snappy", 3: "lz4", 4: "gzip", 5: "brotli"}
+COMPRESSION_IDS = {v: k for k, v in COMPRESSIONS.items()}

@@ -28,8 +28,13 @@ def _sample(values: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
     return values.take(idx)
 
 
-def select(values: pa.Array, ptype: int) -> int:
-    """values: null-free pa.Array. Returns the winning codec id."""
+def select(values: pa.Array, ptype: int, ctx: dict | None = None) -> int:
+    """values: null-free pa.Array. Returns the winning codec id.
+
+    When `ctx` is given, reusable trial artifacts are stored there (the
+    FSST symbol table trained on the sample), so the final full-chunk
+    encode does not redo the work.
+    """
     from . import chunk as chunk_mod
 
     candidates = R.SUPPORTED[ptype]
@@ -39,15 +44,25 @@ def select(values: pa.Array, ptype: int) -> int:
         sample = values
     else:
         sample = _sample(values)
+    trial_ctx: dict = {}
+    if ptype == R.BYTE_ARRAY and R.FSST in candidates:
+        from . import fsst
+        from .dictionary import _byte_array_buffers
+
+        arr = sample if pa.types.is_large_binary(sample.type) else sample.cast(pa.large_binary())
+        data, _off = _byte_array_buffers(arr)
+        trial_ctx["fsst_table"] = fsst.train(bytes(data))
     best_codec = candidates[0]
     best_size = None
     for codec in candidates:
         try:
-            payload, _ = chunk_mod._encode_payload(sample, ptype, codec)
+            payload, _ = chunk_mod._encode_payload(sample, ptype, codec, trial_ctx)
         except Exception:
             continue
         size = len(payload)
         if best_size is None or size < best_size:
             best_size = size
             best_codec = codec
+    if ctx is not None:
+        ctx.update(trial_ctx)
     return best_codec

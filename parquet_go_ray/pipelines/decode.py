@@ -22,13 +22,10 @@ def decode_dataset(encoded_dir: str, concurrency: int | None = None) -> ray.data
     files = chunk_files(encoded_dir)
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {encoded_dir}")
-    if concurrency is None:
-        import ray
-
-        concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     ds = ray.data.read_binary_files(files)
+    # stateless task form: decode holds no state worth amortizing
     return ds.map_batches(
-        ChunkFileDecoder,
+        ChunkFileDecoder(),
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,

@@ -37,10 +37,6 @@ class RoundTrip:
 
 
 def roundtrip_dataset(ds: ray.data.Dataset, **kwargs) -> ray.data.Dataset:
-    if "concurrency" not in kwargs:
-        import ray
-
-        kwargs["concurrency"] = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     return ds.map_batches(
-        RoundTrip, batch_format="pyarrow", zero_copy_batch=True, **kwargs
+        RoundTrip(), batch_format="pyarrow", zero_copy_batch=True, **kwargs
     )

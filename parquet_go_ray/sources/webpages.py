@@ -154,7 +154,10 @@ def ensure(sf: float, root: str = CACHE_ROOT) -> str:
             continue
         table = generate_shard(sf, shard, rows)
         tmp = str(path) + ".tmp"
-        pq.write_table(table, tmp, compression="snappy")
+        # small row groups let read_parquet split a shard into several
+        # read tasks (override_num_blocks), so parallelism is not capped
+        # by the shard count at test scale
+        pq.write_table(table, tmp, compression="snappy", row_group_size=2048)
         os.replace(tmp, path)
     done.write_text("ok")
     return str(out)

@@ -56,6 +56,7 @@ def encode_table(
     table: pa.Table,
     shard: str = "mem",
     codec_overrides: dict[str, int] | None = None,
+    compression: str | None = None,
 ) -> pa.Table:
     """Encode all columns of a table slice into a chunk-record table."""
     cid = chunk_id_for(table)
@@ -63,7 +64,7 @@ def encode_table(
     for i, name in enumerate(table.column_names):
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
-        blob = chunk_mod.encode_array(arr, codec)
+        blob = chunk_mod.encode_array(arr, codec, compression)
         rows["chunk_id"].append(cid)
         rows["shard"].append(shard)
         rows["col_idx"].append(i)
@@ -110,10 +111,12 @@ class ChunkEncoder:
         codec_overrides: dict[str, str] | None = None,
         rows_per_chunk: int = 4096,
         skip_completed: bool = True,
+        compression: str | None = None,
     ):
         self.output_dir = output_dir
         self.rows_per_chunk = rows_per_chunk
         self.skip_completed = skip_completed
+        self.compression = compression
         self.codec_overrides = {
             k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
         }
@@ -135,7 +138,7 @@ class ChunkEncoder:
                 continue
             for start in range(0, group.num_rows, self.rows_per_chunk):
                 piece = group.slice(start, self.rows_per_chunk)
-                chunks = encode_table(piece, shard, self.codec_overrides)
+                chunks = encode_table(piece, shard, self.codec_overrides, self.compression)
                 if self.output_dir:
                     write_chunk_file(chunks, self.output_dir)
                     outputs.append(lineage_of(chunks))

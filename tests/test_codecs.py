@@ -195,6 +195,19 @@ def test_fuzz_mixed_nulls(seed):
     roundtrip(pa.array(floats, type=pa.float64()))
 
 
+@pytest.mark.parametrize("compression", ["zstd", "snappy", "lz4", "gzip"])
+def test_compression_layer(compression):
+    rng = np.random.default_rng(3)
+    cases = [
+        pa.array([f"doc {i % 37} lorem ipsum" for i in range(2000)]),
+        pa.array(rng.integers(0, 1000, 3000), type=pa.int64()),
+        pa.array([1.5, None, 2.5] * 100, type=pa.float64()),
+    ]
+    for arr in cases:
+        blob = encode_array(arr, compression=compression)
+        assert decode_array(blob).equals(arr)
+
+
 def test_crc_detects_corruption():
     arr = pa.array(list(range(100)), type=pa.int64())
     buf = bytearray(encode_array(arr))

@@ -79,6 +79,21 @@ def test_salted_mode(ray_session, web_small, tmp_path):
     assert res["ok"], res
 
 
+def test_compressed_encode_job(ray_session, web_small, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    out = str(tmp_path / "enc_zstd")
+    summary = encode_job(web_small, out, compression="zstd")
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+    # zstd layer must further shrink the lightweight-encoded payloads
+    assert summary["enc_nbytes"] < summary["raw_nbytes"] * 0.45
+
+
 def test_checksum_detects_change(ray_session, web_small):
     import ray.data
 
