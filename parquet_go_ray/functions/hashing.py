@@ -127,7 +127,9 @@ class BloomFilter:
 
     def __init__(self, keys, bits_per_key: int = 16, k: int = 7):
         n = max(1, len(keys))
-        self.m = int(n * bits_per_key)
+        # m is a whole number of bytes so a filter rebuilt from its
+        # serialized bits (m = len(bits) * 8) probes identical positions
+        self.m = ((int(n * bits_per_key) + 7) // 8) * 8
         self.k = k
         self.bits = np.zeros((self.m + 7) // 8, dtype=np.uint8)
         if len(keys):

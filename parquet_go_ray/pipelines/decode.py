@@ -18,6 +18,136 @@ def chunk_files(encoded_dir: str) -> list[str]:
     return sorted(str(p) for p in (Path(encoded_dir) / "data").glob("*/*.parquet"))
 
 
+def chunk_files_pruned(
+    encoded_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> list[str]:
+    """Chunk files whose per-chunk [vmin, vmax] for `column` intersects
+    [lo, hi] — Search/Find parity (search.go:6-116) over the manifest's
+    ColumnIndex-style stats. Chunks without stats are kept (conservative).
+    The manifest is ~1e-5 of the data; this runs driver-side."""
+    import json
+
+    from ..state import manifest
+
+    keep = []
+    root = Path(encoded_dir) / "data"
+    for m in manifest.load_all(encoded_dir):
+        for r in m["records"]:
+            if r["column"] != column:
+                continue
+            vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+            vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+            if lo is not None and vmax is not None and vmax < lo:
+                continue
+            if hi is not None and vmin is not None and vmin > hi:
+                continue
+            keep.append(str(root / r["shard"] / f"{r['chunk_id']}.parquet"))
+    return sorted(set(keep))
+
+
+def decode_dataset_pruned(
+    encoded_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    residual: bool = True,
+) -> ray.data.Dataset:
+    """Decode only the chunks that can contain rows with column in
+    [lo, hi]; apply the exact residual predicate after decode."""
+    import pyarrow.compute as pc
+
+    files = chunk_files_pruned(encoded_dir, column, lo, hi)
+    if not files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
+    ds = ray.data.read_binary_files(files).map_batches(
+        ChunkFileDecoder(), batch_format="pyarrow", zero_copy_batch=True
+    )
+    if residual:
+
+        def filt(t):
+            import pyarrow as pa
+
+            col = t.column(column)
+            ty = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+            # stats store temporals as epoch integers; compare in int64
+            if (pa.types.is_timestamp(ty) or pa.types.is_date64(ty)) and isinstance(
+                (lo if lo is not None else hi), int
+            ):
+                col = pc.cast(col, pa.int64())
+            mask = None
+            if lo is not None:
+                mask = pc.greater_equal(col, lo)
+            if hi is not None:
+                m2 = pc.less_equal(col, hi)
+                mask = m2 if mask is None else pc.and_(mask, m2)
+            return t.filter(mask) if mask is not None else t
+
+        ds = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+    return ds
+
+
+def point_lookup(
+    encoded_dir: str, column: str, keys: list, concurrency: int | None = None
+) -> ray.data.Dataset:
+    """Exact-match lookup on the encoded store via the per-chunk bloom
+    sidecars (bloom.go:16-55 parity): a distributed probe stage reads
+    ONLY the (column, bloom) columns of each chunk file (column-pruned
+    parquet read — payloads untouched), then only candidate chunks are
+    decoded and exactly filtered."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.hashing import BloomFilter, stable_hash_strings
+
+    files = chunk_files(encoded_dir)
+    key_hashes = stable_hash_strings(keys)
+    hashes_ref = ray.put(key_hashes)
+    key_set_ref = ray.put(set(keys))
+
+    def probe(batch):
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        hs = ray.get(hashes_ref)
+        hits = []
+        for path in batch["item"]:
+            t = pq.read_table(path, columns=["column", "bloom"])
+            for col, bloom in zip(t.column("column"), t.column("bloom")):
+                if col.as_py() != column or not bloom.is_valid:
+                    continue
+                bf = BloomFilter.__new__(BloomFilter)
+                bf.bits = np.frombuffer(bloom.as_py(), dtype=np.uint8)
+                bf.m = len(bf.bits) * 8
+                bf.k = 7
+                if bf.contains_hashes(hs).any():
+                    hits.append(path)
+        return pd.DataFrame({"path": hits})
+
+    cand = ray.data.from_items(files).map_batches(probe, batch_format="pandas")
+    cand_files = [r["path"] for r in cand.take_all()]  # tiny: file names only
+    if not cand_files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
+    ds = ray.data.read_binary_files(cand_files).map_batches(
+        ChunkFileDecoder(), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def exact(t):
+        keyset = ray.get(key_set_ref)
+        mask = pc.is_in(t.column(column), value_set=__import__("pyarrow").array(list(keyset)))
+        return t.filter(mask)
+
+    return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def decode_dataset(encoded_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
     files = chunk_files(encoded_dir)
     if not files:

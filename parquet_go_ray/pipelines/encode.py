@@ -53,6 +53,7 @@ def encode_job(
     columns: list[str] | None = None,
     compression: str | None = None,
     override_num_blocks: int | None = None,
+    bloom_columns: tuple[str, ...] = ("url",),
 ) -> dict:
     """Run the encode job; returns a summary dict (rows, bytes, seconds)."""
     t0 = time.time()
@@ -81,6 +82,7 @@ def encode_job(
             rows_per_chunk=rows_per_chunk,
             skip_completed=resume,
             compression=compression,
+            bloom_columns=bloom_columns,
         )
         lineage = ds.map_batches(
             encoder,

@@ -196,6 +196,42 @@ def q_encode_decode_embeddings(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "embeddings"))
 
 
+# ---- encoded-store access paths (stats pruning + bloom lookup)
+
+
+def _doc_store(sf_dir: str) -> str:
+    """Encode the documents table into a cached chunk store (once per
+    sf_dir) with stats + bloom sidecars on doc_id."""
+    import hashlib
+
+    from .encode import encode_job
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_docstore_{key}"
+    encode_job(
+        [f"{sf_dir}/documents.parquet"],
+        out,
+        rows_per_chunk=512,
+        bloom_columns=("doc_id",),
+    )
+    return out
+
+
+def q_search_pruned_store(sf_dir):
+    """Search/Find parity on the encoded store: chunk-stats pruning +
+    residual filter (search.go:6-116 over ColumnIndex-style stats)."""
+    from .decode import decode_dataset_pruned
+
+    return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
+
+
+def q_point_lookup_bloom(sf_dir):
+    """Bloom-sidecar point lookup on the encoded store (bloom.go:16-55)."""
+    from .decode import point_lookup
+
+    return point_lookup(_doc_store(sf_dir), "doc_id", [5, 105, 205])
+
+
 # ---- text analysis
 
 
@@ -296,6 +332,19 @@ def q_embedding_topk(sf_dir):
     return similarity.brute_force_topk(_read(sf_dir, "embeddings"), np.array(q), k=10)
 
 
+def q_embedding_topk_ivf(sf_dir):
+    """IVF approximate nearest neighbours (rows-only: approximate)."""
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    return similarity.ivf_topk(
+        _read(sf_dir, "embeddings"), np.array(q), k=10, n_probe=8
+    )
+
+
 def q_embedding_near_pairs(sf_dir):
     return similarity.lsh_near_pairs(
         _read(sf_dir, "embeddings"), cos_threshold=0.85
@@ -357,6 +406,8 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "agg_pricing": q_agg_pricing,
     "windowed_counts": q_windowed_counts,
+    "search_pruned_store": q_search_pruned_store,
+    "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
     "encode_decode_lineitem": q_encode_decode_lineitem,
@@ -369,6 +420,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "near_dupes_verified": q_near_dupes_verified,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
@@ -415,6 +467,10 @@ ORACLES = {
         "CAST(count(*) AS BIGINT) AS n, SUM(value) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    "search_pruned_store": (
+        "SELECT * FROM documents WHERE n_chars >= 100 AND n_chars <= 300"
+    ),
+    "point_lookup_bloom": "SELECT * FROM documents WHERE doc_id IN (5, 105, 205)",
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",

@@ -60,6 +60,77 @@ def brute_force_topk(
     return out[[id_col, "rank"]]
 
 
+def kmeans_centroids(
+    sample: np.ndarray, n_centroids: int = 16, iters: int = 8, seed: int = 13
+) -> np.ndarray:
+    """Deterministic seeded k-means on a driver-side sample (the IVF
+    coarse quantizer). Sample is small (<= a few thousand vectors); the
+    big dataset only ever sees the centroid matrix via broadcast."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    k = min(n_centroids, n)
+    cent = sample[rng.choice(n, size=k, replace=False)].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(k):
+            members = sample[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample_rows: int = 4096,
+) -> pd.DataFrame:
+    """IVF-style approximate top-k: a coarse k-means quantizer picks the
+    n_probe nearest cells to the query; each batch scores only vectors
+    whose nearest centroid is a probed cell. Centroids are broadcast via
+    ray.put; at scale the assignment would be precomputed/partitioned,
+    here it is recomputed per batch (cheap matmul)."""
+    sample = _to_matrix(
+        ds.limit(sample_rows).to_pandas()[vec_col]
+    )
+    cent = kmeans_centroids(sample, n_centroids)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    probes = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))[:n_probe]
+    cent_ref = ray.put(cent)
+    probe_ref = ray.put(set(int(p) for p in probes))
+    q_ref = ray.put(q)
+
+    def score(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        probe_set = ray.get(probe_ref)
+        qv = ray.get(q_ref)
+        m = _to_matrix(batch[vec_col])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        cell = d.argmin(axis=1)
+        keep = np.isin(cell, list(probe_set))
+        if not keep.any():
+            return pd.DataFrame({id_col: [], "cos": []}).astype(
+                {id_col: "int64", "cos": "float64"}
+            )
+        mk = m[keep]
+        ids = batch[id_col].to_numpy()[keep]
+        cos = (mk @ qv) / np.maximum(np.linalg.norm(mk, axis=1), 1e-12)
+        order = np.lexsort((ids, -cos))[:k]
+        return pd.DataFrame({id_col: ids[order], "cos": cos[order]})
+
+    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
+    order = np.lexsort((partials[id_col].to_numpy(), -partials["cos"].to_numpy()))[:k]
+    out = partials.iloc[order].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[[id_col, "rank", "cos"]]
+
+
 def lsh_near_pairs(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",

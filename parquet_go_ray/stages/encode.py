@@ -34,9 +34,57 @@ CHUNK_SCHEMA = pa.schema(
         pa.field("raw_nbytes", pa.int64()),
         pa.field("enc_nbytes", pa.int64()),
         pa.field("crc32", pa.int64()),
+        # per-chunk column statistics (ColumnIndexer parity,
+        # column_index.go:259-272): JSON-encoded min/max of the non-null
+        # values (numbers as numbers, timestamps as epoch micros,
+        # strings truncated to 64 chars), null for binary/nested
+        pa.field("vmin", pa.string()),
+        pa.field("vmax", pa.string()),
+        # optional split-block-style bloom sidecar for key columns
+        # (bloom.go:99-117 parity): probe before decode
+        pa.field("bloom", pa.large_binary()),
         pa.field("payload", pa.large_binary()),
     ]
 )
+
+_STAT_TRUNC = 64
+
+
+def _stat_bounds(arr: pa.Array):
+    """(vmin, vmax) as JSON strings, or (None, None) if not applicable."""
+    import json
+
+    import pyarrow.compute as pc
+
+    ty = arr.type
+    if len(arr) == arr.null_count:
+        return None, None
+    try:
+        if pa.types.is_timestamp(ty):
+            ints = arr.view(pa.int64()) if ty.bit_width == 64 else arr
+            mm = pc.min_max(ints)
+            return json.dumps(mm["min"].as_py()), json.dumps(mm["max"].as_py())
+        if (
+            pa.types.is_integer(ty)
+            or pa.types.is_floating(ty)
+            or pa.types.is_date(ty)
+            or pa.types.is_boolean(ty)
+        ):
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if pa.types.is_date(ty):
+                lo, hi = str(lo), str(hi)
+            return json.dumps(lo), json.dumps(hi)
+        if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            mm = pc.min_max(arr)
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            lo = lo[:_STAT_TRUNC]  # truncated min is still a lower bound
+            if len(hi) > _STAT_TRUNC:
+                hi = hi[:_STAT_TRUNC] + "￿"  # keep it an upper bound
+            return json.dumps(lo), json.dumps(hi)
+    except Exception:
+        pass
+    return None, None
 
 
 def chunk_id_for(table: pa.Table) -> str:
@@ -57,6 +105,7 @@ def encode_table(
     shard: str = "mem",
     codec_overrides: dict[str, int] | None = None,
     compression: str | None = None,
+    bloom_columns: tuple[str, ...] = ("url",),
 ) -> pa.Table:
     """Encode all columns of a table slice into a chunk-record table."""
     cid = chunk_id_for(table)
@@ -65,6 +114,14 @@ def encode_table(
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
         blob = chunk_mod.encode_array(arr, codec, compression)
+        vmin, vmax = _stat_bounds(arr)
+        bloom = None
+        if name in bloom_columns and table.num_rows:
+            from ..functions.hashing import BloomFilter
+
+            vals = arr.drop_null().to_pylist()
+            if vals:
+                bloom = BloomFilter(vals).bits.tobytes()
         rows["chunk_id"].append(cid)
         rows["shard"].append(shard)
         rows["col_idx"].append(i)
@@ -75,13 +132,17 @@ def encode_table(
         rows["raw_nbytes"].append(arr.nbytes)
         rows["enc_nbytes"].append(len(blob))
         rows["crc32"].append(zlib.crc32(blob))
+        rows["vmin"].append(vmin)
+        rows["vmax"].append(vmax)
+        rows["bloom"].append(bloom)
         rows["payload"].append(blob)
     return pa.table(rows, schema=CHUNK_SCHEMA)
 
 
 def lineage_of(chunks: pa.Table) -> pa.Table:
-    """Chunk records minus payloads (the manifest rows)."""
-    return chunks.drop_columns(["payload"])
+    """Chunk records minus payloads/blooms (the manifest rows; blooms
+    stay in the chunk files and are probed with column-pruned reads)."""
+    return chunks.drop_columns(["payload", "bloom"])
 
 
 def write_chunk_file(chunks: pa.Table, output_dir: str) -> str:
@@ -112,11 +173,13 @@ class ChunkEncoder:
         rows_per_chunk: int = 4096,
         skip_completed: bool = True,
         compression: str | None = None,
+        bloom_columns: tuple[str, ...] = ("url",),
     ):
         self.output_dir = output_dir
         self.rows_per_chunk = rows_per_chunk
         self.skip_completed = skip_completed
         self.compression = compression
+        self.bloom_columns = tuple(bloom_columns)
         self.codec_overrides = {
             k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
         }
@@ -138,7 +201,7 @@ class ChunkEncoder:
                 continue
             for start in range(0, group.num_rows, self.rows_per_chunk):
                 piece = group.slice(start, self.rows_per_chunk)
-                chunks = encode_table(piece, shard, self.codec_overrides, self.compression)
+                chunks = encode_table(piece, shard, self.codec_overrides, self.compression, self.bloom_columns)
                 if self.output_dir:
                     write_chunk_file(chunks, self.output_dir)
                     outputs.append(lineage_of(chunks))

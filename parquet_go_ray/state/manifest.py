@@ -46,7 +46,7 @@ def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
         "shard": shard,
         "completed_at": time.time(),
         "n_chunks": len({r["chunk_id"] for r in records}),
-        "rows": sum(r["n"] for r in records if r.get("column") == "_rows_"),
+        "rows": sum(r["n"] for r in records if r.get("col_idx") == 0),
         "records": records,
     }
     tmp = d / f".{shard}.json.tmp"

@@ -1,0 +1,78 @@
+"""Chunk-stats pruning (Search/Find parity) and bloom point lookup."""
+
+import json
+
+import numpy as np
+import pytest
+
+from parquet_go_ray.sources import webpages
+
+
+@pytest.fixture(scope="module")
+def encoded_store(ray_session, tmp_path_factory):
+    from parquet_go_ray.pipelines.encode import encode_job
+
+    files = webpages.shard_files(webpages.ensure(0.001))
+    out = str(tmp_path_factory.mktemp("store") / "enc")
+    encode_job(files, out, rows_per_chunk=1024)
+    return files, out
+
+
+def test_stats_recorded(encoded_store):
+    from parquet_go_ray.state import manifest
+
+    _, out = encoded_store
+    recs = [r for m in manifest.load_all(out) for r in m["records"]]
+    ts = [r for r in recs if r["column"] == "warc_ts"]
+    assert ts and all(r["vmin"] is not None for r in ts)
+    assert all(json.loads(r["vmin"]) <= json.loads(r["vmax"]) for r in ts)
+    urls = [r for r in recs if r["column"] == "url"]
+    assert all(isinstance(json.loads(r["vmin"]), str) for r in urls)
+
+
+def test_pruned_decode_matches_full_filter(ray_session, encoded_store):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import (
+        chunk_files,
+        chunk_files_pruned,
+        decode_dataset_pruned,
+    )
+
+    files, out = encoded_store
+    src = ray.data.read_parquet(files).to_pandas()
+    ts = np.sort(src["warc_ts"].astype("int64").to_numpy())
+    lo, hi = int(ts[len(ts) // 4]), int(ts[len(ts) // 2])
+
+    pruned = chunk_files_pruned(out, "warc_ts", lo, hi)
+    assert len(pruned) < len(chunk_files(out))  # actually prunes
+
+    got = decode_dataset_pruned(out, "warc_ts", lo, hi).to_pandas()
+    want = src[(src["warc_ts"].astype("int64") >= lo) & (src["warc_ts"].astype("int64") <= hi)]
+    assert len(got) == len(want)
+    assert set(got["url"]) == set(want["url"])
+
+
+def test_point_lookup_bloom(ray_session, encoded_store):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import point_lookup
+
+    files, out = encoded_store
+    src = ray.data.read_parquet(files).to_pandas()
+    keys = list(src["url"].iloc[[3, 777, 4000]])
+    got = point_lookup(out, "url", keys).to_pandas()
+    assert set(got["url"]) == set(keys)
+    assert len(got) == 3
+    # text payloads round-trip bit-identically through the lookup
+    want = src[src["url"].isin(keys)].sort_values("url")
+    got = got.sort_values("url")
+    assert list(got["text"]) == list(want["text"])
+
+
+def test_point_lookup_missing_key(ray_session, encoded_store):
+    from parquet_go_ray.pipelines.decode import point_lookup
+
+    _, out = encoded_store
+    ds = point_lookup(out, "url", ["https://nonexistent.example/x"])
+    assert ds.count() == 0
