@@ -114,6 +114,18 @@ def run_bench() -> dict:
     encode_job(files, out2, mode="lang_salted", resume=False)
     results["webpages_encode_salted"] = round(time.time() - t0, 3)
 
+    # ---- actor pool with cached per-partition FSST/dict state ----
+    out4 = f"/tmp/bench_encode_cached_sf{sf:g}_{ncpu}"
+    shutil.rmtree(out4, ignore_errors=True)
+    t0 = time.time()
+    s4 = encode_job(
+        files, out4, mode="actor_cached", resume=False, override_num_blocks=nblocks
+    )
+    results["webpages_encode_cached"] = round(time.time() - t0, 3)
+    detail["compression_ratio_cached"] = round(
+        s4["enc_nbytes"] / max(1, s4["raw_nbytes"]), 4
+    )
+
     # ---- zstd page-compression layer on top of the lightweight codecs ----
     out3 = f"/tmp/bench_encode_zstd_sf{sf:g}_{ncpu}"
     shutil.rmtree(out3, ignore_errors=True)

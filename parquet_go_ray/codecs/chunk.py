@@ -294,13 +294,21 @@ def _decode_payload(
 # public API
 
 
-def encode_array(arr, codec: int | None = None, compression: str | None = None) -> bytes:
+def encode_array(
+    arr,
+    codec: int | None = None,
+    compression: str | None = None,
+    ctx: dict | None = None,
+) -> bytes:
     """Encode a pyarrow Array/ChunkedArray into a chunk blob.
 
     codec=None -> automatic selection (see selector.py).
     compression -> optional general-purpose codec ("zstd"/"snappy"/
     "lz4"/"gzip"/"brotli") applied to the encoded payload, mirroring the
     reference's page-compression layer (writer.go:1130-1135).
+    ctx -> optional shared state dict: pass {"fsst_table": SymbolTable}
+    to reuse a previously trained table (per-partition actor state);
+    after the call it holds the artifacts used, for the caller to cache.
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -314,7 +322,8 @@ def encode_array(arr, codec: int | None = None, compression: str | None = None) 
     if ptype == R.P_LIST:
         return _encode_list(arr)
 
-    ctx: dict = {}
+    if ctx is None:
+        ctx = {}
     if ptype == R.OTHER:
         codec = R.ARROW_IPC
         values = arr  # nulls stay inside the IPC payload

@@ -44,8 +44,8 @@ def select(values: pa.Array, ptype: int, ctx: dict | None = None) -> int:
         sample = values
     else:
         sample = _sample(values)
-    trial_ctx: dict = {}
-    if ptype == R.BYTE_ARRAY and R.FSST in candidates:
+    trial_ctx: dict = dict(ctx or {})
+    if ptype == R.BYTE_ARRAY and R.FSST in candidates and "fsst_table" not in trial_ctx:
         from . import fsst
         from .dictionary import _byte_array_buffers
 

@@ -90,6 +90,35 @@ def encode_job(
             batch_size=rows_per_chunk,
             zero_copy_batch=True,
         )
+    elif mode == "actor_cached":
+        # actor pool with per-partition FSST/dict symbol-table state:
+        # each actor trains once and reuses its tables across batches
+        # (ChunkEncoder state semantics, SURVEY §2.6)
+        from ..stages.encode import CachedStateEncoder
+
+        pending = [f for f in input_files if Path(f).stem not in done]
+        skipped = len(input_files) - len(pending)
+        if not pending:
+            return {"rows": 0, "shards_skipped": skipped, "sec": 0.0}
+        nblocks = override_num_blocks or max(len(pending), concurrency * 2)
+        ds = ray.data.read_parquet(
+            pending, columns=columns, include_paths=True, override_num_blocks=nblocks
+        )
+        pool = max(2, min(16, concurrency))
+        lineage = ds.map_batches(
+            CachedStateEncoder,
+            fn_constructor_kwargs={
+                "output_dir": output_dir,
+                "rows_per_chunk": rows_per_chunk,
+                "skip_completed": resume,
+                "compression": compression,
+                "bloom_columns": bloom_columns,
+            },
+            batch_format="pyarrow",
+            batch_size=rows_per_chunk,
+            concurrency=pool,
+            zero_copy_batch=True,
+        )
     elif mode == "lang_salted":
         ds = ray.data.read_parquet(input_files, columns=columns)
 

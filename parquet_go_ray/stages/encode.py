@@ -106,14 +106,19 @@ def encode_table(
     codec_overrides: dict[str, int] | None = None,
     compression: str | None = None,
     bloom_columns: tuple[str, ...] = ("url",),
+    column_ctx: dict[str, dict] | None = None,
 ) -> pa.Table:
-    """Encode all columns of a table slice into a chunk-record table."""
+    """Encode all columns of a table slice into a chunk-record table.
+
+    column_ctx maps column name -> shared codec state (e.g. a cached
+    FSST symbol table held by a per-partition actor)."""
     cid = chunk_id_for(table)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
     for i, name in enumerate(table.column_names):
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
-        blob = chunk_mod.encode_array(arr, codec, compression)
+        ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
+        blob = chunk_mod.encode_array(arr, codec, compression, ctx)
         vmin, vmax = _stat_bounds(arr)
         bloom = None
         if name in bloom_columns and table.num_rows:
@@ -211,6 +216,68 @@ class ChunkEncoder:
             empty = CHUNK_SCHEMA if not self.output_dir else _lineage_schema()
             return pa.table({f.name: [] for f in empty}, schema=empty)
         return pa.concat_tables(outputs)
+
+
+class CachedStateEncoder(ChunkEncoder):
+    """Actor-pool encode stage holding per-partition symbol-table state
+    (the north star's 'actor pools holding per-partition FSST/dict
+    symbol-table state'; analogue of the reference's per-writerColumn
+    dictionary state, writer.go:340-347).
+
+    Each actor caches the trained FSST table per column and reuses it
+    across batches — training cost is paid once per actor instead of
+    once per chunk. The output compression ratio per column is
+    monitored; if it degrades more than `retrain_slack` relative to the
+    ratio observed when the table was fresh, the cache is dropped and
+    the next batch retrains (data drift guard).
+    """
+
+    def __init__(self, *args, retrain_slack: float = 0.15, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.retrain_slack = retrain_slack
+        self._ctx: dict[str, dict] = {}
+        self._baseline: dict[str, float] = {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outputs = []
+        for shard, group in split_by_shard(batch):
+            if self._shard_done(shard):
+                continue
+            for start in range(0, group.num_rows, self.rows_per_chunk):
+                piece = group.slice(start, self.rows_per_chunk)
+                chunks = encode_table(
+                    piece,
+                    shard,
+                    self.codec_overrides,
+                    self.compression,
+                    self.bloom_columns,
+                    column_ctx=self._ctx,
+                )
+                self._monitor(chunks)
+                if self.output_dir:
+                    write_chunk_file(chunks, self.output_dir)
+                    outputs.append(lineage_of(chunks))
+                else:
+                    outputs.append(chunks)
+        if not outputs:
+            empty = CHUNK_SCHEMA if not self.output_dir else _lineage_schema()
+            return pa.table({f.name: [] for f in empty}, schema=empty)
+        return pa.concat_tables(outputs)
+
+    def _monitor(self, chunks: pa.Table) -> None:
+        cols = chunks.column("column").to_pylist()
+        raw = chunks.column("raw_nbytes").to_pylist()
+        enc = chunks.column("enc_nbytes").to_pylist()
+        for name, r, e in zip(cols, raw, enc):
+            if name not in self._ctx or "fsst_table" not in self._ctx[name]:
+                continue
+            ratio = e / max(1, r)
+            base = self._baseline.get(name)
+            if base is None:
+                self._baseline[name] = ratio
+            elif ratio > base * (1 + self.retrain_slack):
+                del self._ctx[name]["fsst_table"]
+                del self._baseline[name]
 
 
 def _lineage_schema() -> pa.Schema:

@@ -79,6 +79,53 @@ def test_salted_mode(ray_session, web_small, tmp_path):
     assert res["ok"], res
 
 
+def test_actor_cached_mode(ray_session, web_small, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    out = str(tmp_path / "enc_cached")
+    summary = encode_job(web_small, out, mode="actor_cached")
+    assert summary["rows"] == 6250
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+
+
+def test_cached_encoder_reuses_and_retrains():
+    from parquet_go_ray.stages.encode import CachedStateEncoder
+
+    enc = CachedStateEncoder(rows_per_chunk=512)
+    t1 = webpages.generate_shard(0.001, 0, 512)
+    enc(t1.select(["text", "url"]))
+    table1 = enc._ctx.get("text", {}).get("fsst_table")
+    assert table1 is not None
+    enc(t1.select(["text", "url"]))
+    assert enc._ctx["text"]["fsst_table"] is table1  # reused, not retrained
+    # radically different data (incompressible random hex, distinct per
+    # row so neither dict nor the stale FSST table helps) -> the column
+    # ratio degrades -> the drift guard drops the cache
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(9)
+    letters = np.frombuffer(b"abcdefghijklmnopqrstuvwxyz0123456789", dtype="S1")
+    rnd = pa.table(
+        {
+            "text": [
+                b"".join(rng.choice(letters, 200)).decode() for _ in range(512)
+            ],
+            "url": t1.column("url"),
+        }
+    )
+    for _ in range(3):
+        enc(rnd)
+    # after the drift guard fires, the cache is either retrained (new
+    # object) or dropped; it must not still be the stale table
+    assert enc._ctx.get("text", {}).get("fsst_table") is not table1
+
+
 def test_compressed_encode_job(ray_session, web_small, tmp_path):
     import ray.data
 
