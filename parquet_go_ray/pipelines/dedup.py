@@ -88,37 +88,75 @@ def minhash_lsh_pairs(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({ "id_a": [], "id_b": [], "est_jaccard": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
-            )
-        ids = group[id_col].to_numpy()
-        sigs = np.stack(group["sig"].to_numpy())
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        ia, ib = np.triu_indices(len(ids), k=1)
-        est = (sigs[ia] == sigs[ib]).mean(axis=1)
-        keep = est >= jaccard_threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[ia[keep]].astype(np.int64),
-                "id_b": ids[ib[keep]].astype(np.int64),
-                "est_jaccard": np.round(est[keep], 4),
-            }
+    _empty = {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+
+    def bucket_pairs(super_group: pd.DataFrame) -> pd.DataFrame:
+        """One call per hashed SUPER-group (bounded count), pandas
+        groupby over the real (band, key) buckets inside — avoids one
+        Python call per tiny bucket (thousands at any scale)."""
+        outs = []
+        for (_b, _k), group in super_group.groupby(["band", "key"], sort=False):
+            if len(group) < 2:
+                continue
+            ids = group[id_col].to_numpy()
+            sigs = np.stack(group["sig"].to_numpy())
+            order = np.argsort(ids)
+            ids, sigs = ids[order], sigs[order]
+            ia, ib = np.triu_indices(len(ids), k=1)
+            est = (sigs[ia] == sigs[ib]).mean(axis=1)
+            keep = est >= jaccard_threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia[keep]].astype(np.int64),
+                            "id_b": ids[ib[keep]].astype(np.int64),
+                            "est_jaccard": np.round(est[keep], 4),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        # a pair found by several bands within this super-group dedupes here
+        return (
+            pd.concat(outs).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
         )
 
+    sigs = ds.map_batches(sig_rows, batch_format="pandas")
+
+    def add_super(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["sg"] = (
+            df["key"].to_numpy().view(np.uint64) % np.uint64(64)
+        ).astype(np.int32)
+        return df
+
     pairs = (
-        ds.map_batches(sig_rows, batch_format="pandas")
-        .groupby(["band", "key"])
+        sigs.map_batches(add_super, batch_format="pandas")
+        .groupby("sg")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # a pair can surface from several bands -> keep one row per pair
-    def dedup_pair(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)[["id_a", "id_b", "est_jaccard"]]
+    # cross-super-group duplicates: same (band,key) always lands in the
+    # same super-group, but the same PAIR can emerge from bands in
+    # different super-groups -> final dedup over hashed pair groups
+    def add_pg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pg"] = ((df["id_a"].to_numpy() * 31 + df["id_b"].to_numpy()) % 16).astype(
+            np.int32
+        )
+        return df
 
-    return pairs.groupby(["id_a", "id_b"]).map_groups(dedup_pair, batch_format="pandas")
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "est_jaccard"]
+        ]
+
+    return (
+        pairs.map_batches(add_pg, batch_format="pandas")
+        .groupby("pg")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )
 
 
 def simhash_fingerprints(

@@ -170,6 +170,60 @@ def q_agg_pricing(sf_dir):
     )
 
 
+def q_asof_join(sf_dir):
+    """As-of join: each event matched to the latest hourly mark (first
+    event of its type in the hour) at or before its timestamp. Ray side:
+    broadcast-asof (searchsorted per batch, no shuffle); oracle: DuckDB
+    ASOF JOIN."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "event_type": df["event_type"].to_numpy(),
+                "ts_us": df["ts"].astype("int64"),
+            }
+        )
+
+    us = ds.map_batches(to_us, batch_format="pandas")
+
+    # hourly marks: small aggregate (partial per batch, tiny groupby)
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hour = df["ts_us"] // 3_600_000_000
+        return (
+            df.assign(hour=hour)
+            .groupby(["event_type", "hour"])["ts_us"]
+            .min()
+            .reset_index()
+            .rename(columns={"ts_us": "mark_us"})
+        )
+
+    marks = (
+        us.map_batches(partial, batch_format="pandas")
+        .groupby(["event_type", "hour"])
+        .map_groups(
+            lambda g: g.nsmallest(1, "mark_us")[["event_type", "mark_us"]],
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+
+    joined = relational.asof_join_broadcast(
+        us, marks, "event_type", "ts_us", "mark_us"
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "mark_us": df["mark_us"].astype("int64"),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pandas")
+
+
 def q_windowed_counts(sf_dir):
     """Tumbling 1-hour event-time window per event_type."""
     return relational.windowed_agg(
@@ -406,6 +460,7 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "agg_pricing": q_agg_pricing,
     "windowed_counts": q_windowed_counts,
+    "asof_join": q_asof_join,
     "search_pruned_store": q_search_pruned_store,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
@@ -466,6 +521,15 @@ ORACLES = {
         "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, "
         "CAST(count(*) AS BIGINT) AS n, SUM(value) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "asof_join": (
+        "WITH marks AS ("
+        "  SELECT event_type, CAST(min(epoch_us(ts)) AS BIGINT) AS mark_us"
+        "  FROM events GROUP BY event_type, epoch_us(ts) // 3600000000"
+        ") "
+        "SELECT e.event_id, m.mark_us FROM events e ASOF JOIN marks m "
+        "ON e.event_type = m.event_type "
+        "AND CAST(epoch_us(e.ts) AS BIGINT) >= m.mark_us"
     ),
     "search_pruned_store": (
         "SELECT * FROM documents WHERE n_chars >= 100 AND n_chars <= 300"

@@ -145,6 +145,48 @@ def bloom_semi_join(
     return ds.map_batches(Probe, batch_format="pandas", concurrency=2)
 
 
+def asof_join_broadcast(
+    ds: ray.data.Dataset,
+    marks: pd.DataFrame,
+    key_col: str,
+    ts_col: str,
+    mark_ts_col: str,
+) -> ray.data.Dataset:
+    """As-of join against a broadcast small side (no shuffle): for each
+    row, the greatest mark timestamp <= row ts within its key. The big
+    side streams; each batch does a per-key searchsorted against the
+    broadcast sorted marks (`ray.put` once). This is the custom-operator
+    pattern from the north rule: composition of map_batches + broadcast
+    state, documented partitioning assumption = marks fit in memory."""
+    by_key = {
+        k: np.sort(g[mark_ts_col].to_numpy())
+        for k, g in marks.groupby(key_col)
+    }
+    marks_ref = ray.put(by_key)
+
+    class AsOf:
+        def __init__(self):
+            self.marks = ray.get(marks_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            ts = df[ts_col].to_numpy()
+            out = np.full(len(df), np.nan, dtype=np.float64)
+            keys = df[key_col].to_numpy()
+            for k in pd.unique(keys):
+                m = self.marks.get(k)
+                if m is None or not len(m):
+                    continue
+                sel = keys == k
+                idx = np.searchsorted(m, ts[sel], side="right") - 1
+                vals = np.where(idx >= 0, m[np.maximum(idx, 0)], np.nan)
+                out[sel] = vals
+            res = df.copy()
+            res[mark_ts_col] = out
+            return res[~np.isnan(out)]
+
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=2)
+
+
 def windowed_agg(
     ds: ray.data.Dataset,
     ts_col: str,

@@ -165,7 +165,10 @@ def write_chunk_file(chunks: pa.Table, output_dir: str) -> str:
 
 
 class ChunkEncoder:
-    """map_batches callable (actor pool) for the distributed encode stage.
+    """map_batches callable for the distributed encode stage. Passed as
+    an INSTANCE -> stateless Ray tasks (elastic, no pool startup); see
+    CachedStateEncoder for the actor-pool variant with cross-batch
+    symbol-table state.
 
     output_dir=None  -> emit full chunk records (in-memory mode)
     output_dir=str   -> write chunk files, emit lineage records only
