@@ -1,0 +1,171 @@
+"""CLI: python -m parquet_go_ray <command> ...
+
+Commands (the pipelines a reference user runs day-to-day):
+
+  encode   INPUT_DIR OUT_DIR [--mode direct|lang_salted|actor_cached]
+           [--compression zstd|snappy|lz4|gzip] [--rows-per-chunk N]
+           [--no-resume]
+  decode   ENCODED_DIR OUT_DIR          # back to parquet
+  verify   INPUT_DIR ENCODED_DIR       # order-insensitive bit-identity
+  describe ENCODED_DIR                  # schema/codec/stats summary
+  bench    [--scaling]                  # same as bench.py
+
+Owns its Ray session (the driver contract only forbids ray.init inside
+__ray_entry__ / library code).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_encode(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.encode import encode_job
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    summary = encode_job(
+        files,
+        args.out_dir,
+        mode=args.mode,
+        rows_per_chunk=args.rows_per_chunk,
+        resume=not args.no_resume,
+        compression=args.compression,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    _init_ray(args.num_cpus)
+    from .pipelines.decode import decode_dataset
+
+    ds = decode_dataset(args.encoded_dir)
+    ds.write_parquet(args.out_dir)
+    print(json.dumps({"rows": ds.count(), "out": args.out_dir}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    _init_ray(args.num_cpus)
+    import ray.data
+
+    from .pipelines.decode import decode_dataset
+    from .pipelines.verify import verify_roundtrip
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    res = verify_roundtrip(
+        ray.data.read_parquet(files), decode_dataset(args.encoded_dir)
+    )
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
+def cmd_describe(args) -> int:
+    from .state import manifest
+
+    meta_rows = 0
+    shards = manifest.load_all(args.encoded_dir)
+    per_col: dict[str, dict] = {}
+    for m in shards:
+        meta_rows += m.get("rows", 0)
+        for r in m["records"]:
+            c = per_col.setdefault(
+                r["column"],
+                {"codecs": {}, "raw": 0, "enc": 0, "nulls": 0, "chunks": 0},
+            )
+            c["codecs"][r["codec"]] = c["codecs"].get(r["codec"], 0) + 1
+            c["raw"] += r["raw_nbytes"]
+            c["enc"] += r["enc_nbytes"]
+            c["nulls"] += r["n_null"]
+            c["chunks"] += 1
+    print(f"shards: {len(shards)}  rows: {meta_rows}")
+    print(f"{'column':12s} {'chunks':>7s} {'raw MB':>9s} {'enc MB':>9s} {'ratio':>6s}  codecs")
+    for name, c in per_col.items():
+        ratio = c["enc"] / max(1, c["raw"])
+        codecs = ",".join(f"{k}:{v}" for k, v in sorted(c["codecs"].items()))
+        print(
+            f"{name:12s} {c['chunks']:7d} {c['raw']/1e6:9.2f} {c['enc']/1e6:9.2f} "
+            f"{ratio:6.3f}  {codecs}"
+        )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
+    repo = Path(__file__).resolve().parent.parent
+    sys.path.insert(0, str(repo))
+    import bench
+
+    if args.scaling:
+        print(json.dumps(bench.run_scaling()))
+    else:
+        print(json.dumps(bench.run_bench()))
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="parquet_go_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    e = sub.add_parser("encode")
+    e.add_argument("input_dir")
+    e.add_argument("out_dir")
+    e.add_argument("--mode", default="direct", choices=["direct", "lang_salted", "actor_cached"])
+    e.add_argument("--compression", default=None)
+    e.add_argument("--rows-per-chunk", type=int, default=4096)
+    e.add_argument("--no-resume", action="store_true")
+    e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode")
+    d.add_argument("encoded_dir")
+    d.add_argument("out_dir")
+    d.set_defaults(fn=cmd_decode)
+
+    v = sub.add_parser("verify")
+    v.add_argument("input_dir")
+    v.add_argument("encoded_dir")
+    v.set_defaults(fn=cmd_verify)
+
+    s = sub.add_parser("describe")
+    s.add_argument("encoded_dir")
+    s.set_defaults(fn=cmd_describe)
+
+    b = sub.add_parser("bench")
+    b.add_argument("--scaling", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    rc = args.fn(args)
+    import ray
+
+    if ray.is_initialized():
+        ray.shutdown()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -103,6 +103,22 @@ def q_convert_schema(sf_dir):
     return relational.convert_schema(ds, {"l_shipdate": pa.string()})
 
 
+def q_schema_evolution(sf_dir):
+    """Convert parity with evolution: cast, null-fill a new column,
+    drop the rest, reorder to the target schema (convert.go:243-580)."""
+    from .convert import convert_dataset
+
+    target = pa.schema(
+        [
+            pa.field("l_orderkey", pa.int64()),
+            pa.field("l_linenumber", pa.string()),  # int32 -> string
+            pa.field("l_quantity", pa.int32()),  # double -> int32 (lossy)
+            pa.field("l_comment", pa.string()),  # absent -> nulls
+        ]
+    )
+    return convert_dataset(_read(sf_dir, "lineitem"), target)
+
+
 def q_stats_minmax(sf_dir):
     """ColumnIndexer parity (column_index.go:259-272)."""
     return relational.column_stats(_read(sf_dir, "documents"), "lang", "n_chars")
@@ -454,6 +470,7 @@ QUERIES = {
     "dedupe_rows": q_dedupe_rows,
     "dedupe_consecutive": q_dedupe_consecutive,
     "convert_schema": q_convert_schema,
+    "schema_evolution": q_schema_evolution,
     "stats_minmax": q_stats_minmax,
     "distinct_values": q_distinct_values,
     "search_pushdown": q_search_pushdown,
@@ -498,6 +515,11 @@ ORACLES = {
     "convert_schema": (
         "SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS l_quantity, "
         "CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipdate FROM lineitem"
+    ),
+    "schema_evolution": (
+        "SELECT l_orderkey, CAST(l_linenumber AS VARCHAR) AS l_linenumber, "
+        "CAST(l_quantity AS INTEGER) AS l_quantity, "
+        "CAST(NULL AS VARCHAR) AS l_comment FROM lineitem"
     ),
     "stats_minmax": (
         "SELECT lang, CAST(min(n_chars) AS BIGINT) AS min_v, "

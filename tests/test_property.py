@@ -1,0 +1,86 @@
+"""Hypothesis property tests: decode(encode(x)) == x for arbitrary
+arrays (the reference's quick.Check layer, internal/quick/quick.go)."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from parquet_go_ray.codecs import decode_array, encode_array
+from parquet_go_ray.codecs import registry as R
+
+
+def rt(arr: pa.Array, codec=None):
+    out = decode_array(encode_array(arr, codec))
+    assert out.type == arr.type
+    assert out.equals(arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)), max_size=300
+    )
+)
+def test_int64_any(values):
+    rt(pa.array(values, type=pa.int64()))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.text(max_size=40)), max_size=200))
+def test_strings_any(values):
+    arr = pa.array(values, type=pa.string())
+    for codec in R.SUPPORTED[R.BYTE_ARRAY]:
+        rt(arr, codec)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.binary(max_size=60)), max_size=150))
+def test_binary_any(values):
+    rt(pa.array(values, type=pa.binary()))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(allow_nan=False, width=64),
+        ),
+        max_size=200,
+    )
+)
+def test_double_any(values):
+    rt(pa.array(values, type=pa.float64()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.one_of(st.none(), st.booleans()), max_size=300))
+def test_bool_any(values):
+    rt(pa.array(values, type=pa.bool_()))
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.lists(st.integers(-1000, 1000), max_size=8)),
+        max_size=60,
+    )
+)
+def test_list_any(values):
+    rt(pa.array(values, type=pa.list_(pa.int64())))
+
+
+def test_wide_binary_values():
+    """MB-scale payloads (heavy-tailed html case): the chunk layer must
+    handle values far larger than the sample/train windows."""
+    rng = np.random.default_rng(5)
+    big = [
+        rng.integers(0, 256, 3_000_000).astype(np.uint8).tobytes(),
+        b"",
+        b"<html>" + b"boilerplate " * 200_000 + b"</html>",
+        None,
+        b"x",
+    ]
+    arr = pa.array(big, type=pa.large_binary())
+    rt(arr)
