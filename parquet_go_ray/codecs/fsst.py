@@ -36,6 +36,7 @@ from ._util import uvarint_decode, uvarint_encode
 ESCAPE = 255
 MAX_SYMBOLS = 255
 MAX_SYMBOL_LEN = 8
+BLOCK = 4096  # tokenization block: matches never cross a block boundary
 TRAIN_SAMPLE = 1 << 15  # 32 KiB
 TRAIN_ITERS = 4
 
@@ -58,20 +59,36 @@ def _sym_key(sym: bytes) -> int:
     return int.from_bytes(sym, "little")
 
 
-def _path_positions(step: np.ndarray, n: int) -> np.ndarray:
-    """Positions visited when walking 0 -> n by pos += step[pos].
+def _path_positions(
+    step: np.ndarray, n: int, roots: np.ndarray | None = None
+) -> np.ndarray:
+    """Positions visited when walking pos += step[pos] from each root
+    (default: just 0) until the next root or n.
 
-    Pointer doubling: O(log n) rounds of vectorized gathers.
+    Pointer doubling: O(log max-segment-length) rounds of vectorized
+    gathers. With block roots every BLOCK bytes (and steps that never
+    cross a block boundary), the round count drops from log2(n) to
+    log2(BLOCK) and all blocks advance in parallel.
     """
     if n == 0:
         return np.empty(0, dtype=np.int64)
     nxt = np.minimum(np.arange(n, dtype=np.int64) + step, n).astype(np.int32)
+    if roots is None:
+        visited = np.array([0], dtype=np.int32)
+    else:
+        visited = roots.astype(np.int32)
+        # steps never cross a root (caller clamps matches at block
+        # boundaries), so every segment's walk lands exactly ON the next
+        # root — turn that landing into a sink so each segment's doubling
+        # terminates in log2(segment length) rounds instead of log2(n)
+        root_mask = np.zeros(n + 1, dtype=bool)
+        root_mask[np.minimum(roots, n)] = True
+        nxt = np.where(root_mask[nxt], n, nxt).astype(np.int32)
     j = np.append(nxt, n).astype(np.int32)  # sink at n
-    # invariant: `visited` holds positions reached after 0..2^k-1 steps and
-    # `j` maps a position 2^k steps forward. Path positions are strictly
-    # increasing until the sink, so only sink entries duplicate — one
-    # sort+dedup at the end suffices.
-    visited = np.array([0], dtype=np.int32)
+    # invariant: `visited` holds positions reached after 0..2^k-1 steps
+    # from every root and `j` maps a position 2^k steps forward. Path
+    # positions are strictly increasing until the sink, so only sink
+    # entries (and root collisions) duplicate — one dedup at the end.
     for _ in range(64):
         new = j[visited]
         if new.max() >= n and (new >= n).all():
@@ -90,7 +107,7 @@ class SymbolTable:
         "_concat_off",
         "_l1",
         "_l2",
-        "_prefix2",
+        "_prefix3",
         "_lpm_lo",
         "_lpm_hi",
         "_lpm_code",
@@ -106,8 +123,9 @@ class SymbolTable:
         # direct-addressed tables for 1- and 2-byte symbols (255 = no match)
         self._l1 = np.full(256, 255, dtype=np.uint8)
         self._l2 = np.full(65536, 255, dtype=np.uint8)
-        # 2-byte-prefix bitmap for symbols of length >= 3 (match prefilter)
-        self._prefix2 = np.zeros(65536, dtype=bool)
+        # 3-byte-prefix bitmap for symbols of length >= 3 (match
+        # prefilter; 16 MiB direct table, rebuilt from symbols on load)
+        self._prefix3 = np.zeros(1 << 24, dtype=bool)
         # longest-prefix-match structure over big-endian keys for len >= 3:
         # symbol s covers key range [s·00…, s·ff…]; deepest containing range
         # = longest match; parent = nearest enclosing (shorter) symbol.
@@ -143,7 +161,7 @@ class SymbolTable:
             elif len(s) == 2:
                 self._l2[s[0] | (s[1] << 8)] = i
             else:
-                self._prefix2[s[0] | (s[1] << 8)] = True
+                self._prefix3[s[0] | (s[1] << 8) | (s[2] << 16)] = True
         # decoding structures
         self._lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
         concat = b"".join(symbols)
@@ -188,7 +206,10 @@ class SymbolTable:
         # with parent chaining (laminar prefix ranges: the deepest range
         # containing a window is the longest match)
         if len(self._lpm_lo) and n > 2:
-            cand = np.nonzero(self._prefix2[w16[: n - 2]])[0]
+            w24 = w16[: n - 2].astype(np.uint32) | (
+                buf[2:n].astype(np.uint32) << 16
+            )
+            cand = np.nonzero(self._prefix3[w24])[0]
             if len(cand):
                 # big-endian 8-byte windows at candidate positions: combine
                 # the two aligned uint64 words covering each window (2
@@ -207,8 +228,10 @@ class SymbolTable:
                 cur = idx[rem]
                 while len(rem):
                     ln = self._lpm_len[cur]
-                    ok = (w[rem] <= self._lpm_hi[cur]) & (
-                        cand[rem] + ln <= n
+                    ok = (
+                        (w[rem] <= self._lpm_hi[cur])
+                        & (cand[rem] + ln <= n)
+                        & ((cand[rem] & (BLOCK - 1)) + ln <= BLOCK)
                     )
                     hit = cand[rem[ok]]
                     bestlen[hit] = ln[ok]
@@ -217,10 +240,11 @@ class SymbolTable:
                     keep = parent >= 0
                     rem = rem[~ok][keep]
                     cur = parent[keep]
-        # 2-byte symbols
+        # 2-byte symbols (not at a block's last byte)
         if n > 1:
             c2 = self._l2[w16]
             sel = (c2 != 255) & (bestlen[: n - 1] == 0)
+            sel &= (np.arange(n - 1) & (BLOCK - 1)) != BLOCK - 1
             bestlen[: n - 1][sel] = 2
             symid[: n - 1][sel] = c2[sel]
         # 1-byte symbols
@@ -231,7 +255,9 @@ class SymbolTable:
         return bestlen, symid
 
     def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Greedy longest-match tokenization.
+        """Greedy longest-match tokenization (block-local: tokens never
+        cross a BLOCK boundary, making every block an independent
+        segment for parallel path extraction).
 
         Returns (starts, lengths, codes) where codes == ESCAPE marks a
         literal byte token.
@@ -240,13 +266,18 @@ class SymbolTable:
         n = len(buf)
         bestlen, symid = self._match(buf)
         step = np.maximum(bestlen, 1)
-        starts = _path_positions(step, n)
+        roots = np.arange(0, n, BLOCK, dtype=np.int64)
+        starts = _path_positions(step, n, roots if len(roots) else None)
         lengths = step[starts]
         codes = np.where(bestlen[starts] > 0, symid[starts], ESCAPE).astype(np.uint8)
         return starts, lengths, codes
 
     # ------------------------------------------------------------ en/decode
     def encode(self, data: bytes) -> bytes:
+        """Code stream: [uvarint n_blocks][uvarint code-bytes per input
+        BLOCK]... [codes]. The per-block lengths let decode start a path
+        root at every block (log2(block) doubling rounds, all blocks in
+        parallel)."""
         starts, lengths, codes = self.tokenize(data)
         buf = np.frombuffer(data, dtype=np.uint8)
         is_esc = codes == ESCAPE
@@ -257,15 +288,29 @@ class SymbolTable:
         out[out_off[:-1]] = codes
         esc_pos = out_off[:-1][is_esc]
         out[esc_pos + 1] = buf[starts[is_esc]]
-        return out.tobytes()
+        # per-input-block code lengths (block starts are token starts)
+        n = len(buf)
+        roots = np.arange(0, n, BLOCK, dtype=np.int64)
+        root_tok = np.searchsorted(starts, roots)
+        bounds = np.append(out_off[root_tok], out_off[-1])
+        block_lens = np.diff(bounds)
+        header = [uvarint_encode(len(block_lens))]
+        header.extend(uvarint_encode(int(x)) for x in block_lens)
+        return b"".join(header) + out.tobytes()
 
-    def decode(self, codes: bytes) -> bytes:
-        b = np.frombuffer(codes, dtype=np.uint8)
+    def decode(self, stream: bytes) -> bytes:
+        n_blocks, pos = uvarint_decode(stream, 0)
+        block_lens = np.empty(n_blocks, dtype=np.int64)
+        for i in range(n_blocks):
+            block_lens[i], pos = uvarint_decode(stream, pos)
+        b = np.frombuffer(stream, dtype=np.uint8, offset=pos)
         n = len(b)
         if n == 0:
             return b""
+        roots = np.zeros(n_blocks, dtype=np.int64)
+        np.cumsum(block_lens[:-1], out=roots[1:])
         step = np.where(b == ESCAPE, 2, 1)
-        starts = _path_positions(step, n)
+        starts = _path_positions(step, n, roots)
         tok = b[starts]
         is_esc = tok == ESCAPE
         out_len = np.where(is_esc, 1, self._lens[np.minimum(tok, len(self.symbols))])

@@ -274,10 +274,11 @@ def _doc_store(sf_dir: str) -> str:
     sf_dir) with stats + bloom sidecars on doc_id."""
     import hashlib
 
+    from ..codecs.registry import FORMAT_VERSION
     from .encode import encode_job
 
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_docstore_{key}"
+    out = f"/tmp/graft_docstore_v{FORMAT_VERSION}_{key}"
     encode_job(
         [f"{sf_dir}/documents.parquet"],
         out,
