@@ -9,6 +9,8 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import pyarrow.compute as pc
+
 import ray.data
 
 from ..stages.decode import ChunkFileDecoder
@@ -34,17 +36,19 @@ def chunk_files_pruned(
 
     keep = []
     root = Path(encoded_dir) / "data"
-    for m in manifest.load_all(encoded_dir):
-        for r in m["records"]:
-            if r["column"] != column:
-                continue
-            vmin = json.loads(r["vmin"]) if r.get("vmin") else None
-            vmax = json.loads(r["vmax"]) if r.get("vmax") else None
-            if lo is not None and vmax is not None and vmax < lo:
-                continue
-            if hi is not None and vmin is not None and vmin > hi:
-                continue
-            keep.append(str(root / r["shard"] / f"{r['chunk_id']}.parquet"))
+    t = manifest.lineage_table(
+        encoded_dir, columns=["shard", "chunk_id", "column", "vmin", "vmax"]
+    )
+    if t is None:
+        return []
+    for r in t.filter(pc.equal(t.column("column"), column)).to_pylist():
+        vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+        if lo is not None and vmax is not None and vmax < lo:
+            continue
+        if hi is not None and vmin is not None and vmin > hi:
+            continue
+        keep.append(str(root / r["shard"] / f"{r['chunk_id']}.parquet"))
     return sorted(set(keep))
 
 
@@ -57,8 +61,6 @@ def decode_dataset_pruned(
 ) -> ray.data.Dataset:
     """Decode only the chunks that can contain rows with column in
     [lo, hi]; apply the exact residual predicate after decode."""
-    import pyarrow.compute as pc
-
     files = chunk_files_pruned(encoded_dir, column, lo, hi)
     if not files:
         import pyarrow as pa
@@ -99,8 +101,6 @@ def point_lookup(
     ONLY the (column, bloom) columns of each chunk file (column-pruned
     parquet read — payloads untouched), then only candidate chunks are
     decoded and exactly filtered."""
-    import pyarrow.compute as pc
-
     import ray
 
     from ..functions.hashing import BloomFilter, stable_hash_strings

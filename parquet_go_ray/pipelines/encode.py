@@ -119,6 +119,27 @@ def encode_job(
             concurrency=pool,
             zero_copy_batch=True,
         )
+    elif mode == "sorted":
+        # global sort by url before encoding (SURVEY §7.2 milestone 8):
+        # one range-partitioned sample sort (the explicit wide shuffle),
+        # after which DELTA_BYTE_ARRAY front-coding on url and denser
+        # text locality improve the ratio
+        ds = ray.data.read_parquet(input_files, columns=columns)
+        encoder = ChunkEncoder(
+            output_dir=output_dir,
+            rows_per_chunk=rows_per_chunk,
+            skip_completed=False,
+            compression=compression,
+            bloom_columns=bloom_columns,
+            default_shard="sorted",
+        )
+        lineage = ds.sort("url").map_batches(
+            encoder,
+            batch_format="pyarrow",
+            batch_size=rows_per_chunk,
+            zero_copy_batch=True,
+        )
+        skipped = 0
     elif mode == "lang_salted":
         ds = ray.data.read_parquet(input_files, columns=columns)
 
@@ -128,9 +149,16 @@ def encode_job(
             return df
 
         def encode_group(group: pa.Table) -> pa.Table:
+            from ..stages.encode import _lineage_schema
+
             lang = group.column("lang")[0].as_py()
             salt = group.column("_salt")[0].as_py()
             shard = f"lang={lang}-s{salt:02d}"
+            if resume and shard in manifest.completed_shards(output_dir):
+                # resumed run: the shuffle re-ran but this partition's
+                # chunks are durable — skip the encode + write work
+                sch = _lineage_schema()
+                return pa.table({f.name: [] for f in sch}, schema=sch)
             group = group.drop_columns(["_salt"])
             outs = []
             for start in range(0, group.num_rows, rows_per_chunk):

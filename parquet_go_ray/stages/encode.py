@@ -182,7 +182,9 @@ class ChunkEncoder:
         skip_completed: bool = True,
         compression: str | None = None,
         bloom_columns: tuple[str, ...] = ("url",),
+        default_shard: str = "mem",
     ):
+        self.default_shard = default_shard
         self.output_dir = output_dir
         self.rows_per_chunk = rows_per_chunk
         self.skip_completed = skip_completed
@@ -204,7 +206,7 @@ class ChunkEncoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outputs = []
-        for shard, group in split_by_shard(batch):
+        for shard, group in split_by_shard(batch, self.default_shard):
             if self._shard_done(shard):
                 continue
             for start in range(0, group.num_rows, self.rows_per_chunk):
@@ -287,11 +289,11 @@ def _lineage_schema() -> pa.Schema:
     return pa.schema([f for f in CHUNK_SCHEMA if f.name != "payload"])
 
 
-def split_by_shard(batch: pa.Table):
+def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
     """Yield (shard, subtable) groups; uses the read_parquet `path` column
-    when present (one group per input file), else a single 'mem' group."""
+    when present (one group per input file), else one default group."""
     if "path" not in batch.column_names:
-        yield "mem", batch
+        yield default_shard, batch
         return
     paths = batch.column("path").to_numpy(zero_copy_only=False)
     data = batch.drop_columns(["path"])

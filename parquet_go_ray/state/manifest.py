@@ -39,7 +39,10 @@ def completed_shards(output_dir: str) -> set[str]:
 
 
 def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
-    """Atomically persist a completed shard's lineage records."""
+    """Atomically persist a completed shard's lineage records — JSON for
+    humans/resume plus a parquet twin so pruning over huge manifests can
+    use column projection + predicate pushdown instead of JSON parsing
+    (at 10^12 docs the manifest itself is a queryable table)."""
     d = manifest_dir(output_dir)
     d.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -49,9 +52,28 @@ def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
         "rows": sum(r["n"] for r in records if r.get("col_idx") == 0),
         "records": records,
     }
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ptmp = d / f".{shard}.parquet.tmp"
+    pq.write_table(pa.Table.from_pylist(records), ptmp)
+    os.replace(ptmp, d / f"{shard}.parquet")
     tmp = d / f".{shard}.json.tmp"
     tmp.write_text(json.dumps(payload))
     os.replace(tmp, d / f"{shard}.json")
+
+
+def lineage_table(output_dir: str, columns: list[str] | None = None):
+    """All lineage records as one Arrow table (column-pruned read of the
+    parquet manifests)."""
+    import pyarrow.parquet as pq
+
+    d = manifest_dir(output_dir)
+    files = sorted(p for p in d.glob("*.parquet") if not p.name.startswith("."))
+    import pyarrow as pa
+
+    tables = [pq.read_table(f, columns=columns) for f in files]
+    return pa.concat_tables(tables) if tables else None
 
 
 def load_shard(output_dir: str, shard: str) -> dict:

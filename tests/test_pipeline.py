@@ -2,6 +2,7 @@
 decode job -> bit-identical verification; checkpoint resume (FIXTURES F6)."""
 
 import shutil
+from pathlib import Path
 
 import pyarrow as pa
 import pytest
@@ -139,6 +140,61 @@ def test_compressed_encode_job(ray_session, web_small, tmp_path):
     assert res["ok"], res
     # zstd layer must further shrink the lightweight-encoded payloads
     assert summary["enc_nbytes"] < summary["raw_nbytes"] * 0.45
+
+
+def test_sorted_mode(ray_session, web_small, tmp_path):
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+    from parquet_go_ray.state import manifest
+
+    out = str(tmp_path / "enc_sorted")
+    summary = encode_job(web_small, out, mode="sorted")
+    assert summary["rows"] == 6250
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+    # the selector still runs per chunk — whatever wins must be a string
+    # codec, and the lineage must carry the sorted shard name
+    t = manifest.lineage_table(out, columns=["shard", "column", "codec"]).to_pandas()
+    url_codecs = set(t[t["column"] == "url"]["codec"])
+    assert url_codecs <= {"delta_byte_array", "fsst", "dict", "delta_length_byte_array", "plain"}
+    assert set(t["shard"]) == {"sorted"}
+
+
+def test_salted_resume_skips(ray_session, web_small, tmp_path):
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.state import manifest
+
+    out = str(tmp_path / "enc_salted_resume")
+    encode_job(web_small, out, mode="lang_salted", salts=2)
+    done = manifest.completed_shards(out)
+    assert done
+    # resumed run: durable partitions are skipped inside the groups
+    before = {s: manifest.load_shard(out, s)["completed_at"] for s in done}
+    encode_job(web_small, out, mode="lang_salted", salts=2)
+    after = {s: manifest.load_shard(out, s)["completed_at"] for s in done}
+    assert before == after  # manifests untouched -> no re-encode happened
+
+
+def test_cli_smoke(ray_session, web_small, tmp_path):
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "cli_enc")
+    env_dir = str(Path(web_small[0]).parent)
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray", "--num-cpus", "4",
+         "encode", env_dir, out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray", "describe", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0 and "column" in r.stdout
 
 
 def test_checksum_detects_change(ray_session, web_small):
