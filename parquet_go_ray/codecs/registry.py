@@ -8,10 +8,10 @@ are part of the chunk wire format — append-only.
 
 from __future__ import annotations
 
-# wire format version: bump on ANY chunk/codec layout change so cached
-# encoded stores are invalidated (a store written by version X must be
-# decoded by version X)
-FORMAT_VERSION = 2
+# wire format version: bump on ANY chunk/codec/manifest layout change so
+# cached encoded stores are invalidated (a store written by version X
+# must be decoded by version X)
+FORMAT_VERSION = 3
 
 # ---- codec ids (wire format: append-only) ----
 PLAIN = 0
