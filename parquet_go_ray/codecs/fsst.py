@@ -240,18 +240,22 @@ class SymbolTable:
                     keep = parent >= 0
                     rem = rem[~ok][keep]
                     cur = parent[keep]
-        # 2-byte symbols (not at a block's last byte)
+        # 2-byte symbols (not at a block's last byte): gather only at
+        # still-unset positions — long matches already cover a large
+        # fraction on natural text
         if n > 1:
-            c2 = self._l2[w16]
-            sel = (c2 != 255) & (bestlen[: n - 1] == 0)
-            sel &= (np.arange(n - 1) & (BLOCK - 1)) != BLOCK - 1
-            bestlen[: n - 1][sel] = 2
-            symid[: n - 1][sel] = c2[sel]
+            unset = np.nonzero(bestlen[: n - 1] == 0)[0]
+            c2 = self._l2[w16[unset]]
+            sel = (c2 != 255) & ((unset & (BLOCK - 1)) != BLOCK - 1)
+            hit = unset[sel]
+            bestlen[hit] = 2
+            symid[hit] = c2[sel]
         # 1-byte symbols
-        c1 = self._l1[buf]
-        sel = (c1 != 255) & (bestlen == 0)
-        bestlen[sel] = 1
-        symid[sel] = c1[sel]
+        unset = np.nonzero(bestlen == 0)[0]
+        c1 = self._l1[buf[unset]]
+        sel = c1 != 255
+        bestlen[unset[sel]] = 1
+        symid[unset[sel]] = c1[sel]
         return bestlen, symid
 
     def tokenize(self, data: bytes) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

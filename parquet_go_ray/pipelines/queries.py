@@ -266,6 +266,80 @@ def q_encode_decode_embeddings(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "embeddings"))
 
 
+def _mk_roundtrip(table):
+    def q(sf_dir, _t=table):
+        return roundtrip_dataset(_read(sf_dir, _t))
+
+    return q
+
+
+def q_hash_join(sf_dir):
+    """Partitioned hash join (both sides large — the guide's explicit
+    bucket pattern): bucket = custkey % B on both sides, groupby(bucket),
+    pandas merge within each bucket. No broadcast; only matching buckets
+    co-locate."""
+    B = 16
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["o_custkey"] % B).astype("int32")
+        return df
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": -1,
+                "o_custkey": df["c_custkey"].to_numpy(),
+                "o_totalprice": 0.0,
+                "c_name": df["c_name"].to_numpy(),
+                "bucket": (df["c_custkey"] % B).astype("int32"),
+            }
+        )
+
+    def tag_orders2(df: pd.DataFrame) -> pd.DataFrame:
+        df = tag_orders(df)
+        df["c_name"] = None
+        return df[["o_orderkey", "o_custkey", "o_totalprice", "c_name", "bucket"]]
+
+    both = orders.map_batches(tag_orders2, batch_format="pandas").union(
+        cust.map_batches(tag_cust, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["o_orderkey"] >= 0][["o_orderkey", "o_custkey", "o_totalprice"]]
+        right = g[g["o_orderkey"] < 0][["o_custkey", "c_name"]].drop_duplicates(
+            "o_custkey"
+        )
+        out = left.merge(right, on="o_custkey", how="inner")
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]]
+
+    return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def q_json_props_extract(sf_dir):
+    """Extract the integer k from the JSON props column (vectorized
+    regex on both sides — no JSON library dependency)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        k = (
+            df["props"]
+            .str.extract(r'"k":\s*(\d+)', expand=False)
+            .astype("float64")
+        )
+        return pd.DataFrame(
+            {
+                "event_id": df["event_id"].to_numpy(),
+                "k": k.fillna(-1).astype("int64"),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 # ---- encoded-store access paths (stats pruning + bloom lookup)
 
 
@@ -485,6 +559,14 @@ QUERIES = {
     "encode_decode_events": q_encode_decode_events,
     "encode_decode_lineitem": q_encode_decode_lineitem,
     "encode_decode_embeddings": q_encode_decode_embeddings,
+    "encode_decode_orders": _mk_roundtrip("orders"),
+    "encode_decode_customer": _mk_roundtrip("customer"),
+    "encode_decode_part": _mk_roundtrip("part"),
+    "encode_decode_supplier": _mk_roundtrip("supplier"),
+    "encode_decode_nation": _mk_roundtrip("nation"),
+    "encode_decode_region": _mk_roundtrip("region"),
+    "hash_join": q_hash_join,
+    "json_props_extract": q_json_props_extract,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
     "fingerprint_docs": q_fingerprint_docs,
@@ -562,6 +644,20 @@ ORACLES = {
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
+    "encode_decode_orders": "SELECT * FROM orders",
+    "encode_decode_customer": "SELECT * FROM customer",
+    "encode_decode_part": "SELECT * FROM part",
+    "encode_decode_supplier": "SELECT * FROM supplier",
+    "encode_decode_nation": "SELECT * FROM nation",
+    "encode_decode_region": "SELECT * FROM region",
+    "hash_join": (
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
+        "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "json_props_extract": (
+        "SELECT event_id, CAST(coalesce(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), "
+        "'-1') AS BIGINT) AS k FROM events"
+    ),
     "token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) "
         "AS BIGINT) AS tokens FROM documents"
