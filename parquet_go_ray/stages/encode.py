@@ -183,10 +183,15 @@ class ChunkEncoder:
         compression: str | None = None,
         bloom_columns: tuple[str, ...] = ("url",),
         default_shard: str = "mem",
+        max_chunk_bytes: int = 64 << 20,
     ):
         self.default_shard = default_shard
         self.output_dir = output_dir
         self.rows_per_chunk = rows_per_chunk
+        # wide-row guard: a chunk is capped by BYTES as well as rows, so
+        # MB-scale html/media payloads cannot blow a worker's heap
+        # (the analogue of the reference's page-size cut, writer.go:1074-1087)
+        self.max_chunk_bytes = max_chunk_bytes
         self.skip_completed = skip_completed
         self.compression = compression
         self.bloom_columns = tuple(bloom_columns)
@@ -204,13 +209,20 @@ class ChunkEncoder:
             self._completed = manifest.completed_shards(self.output_dir)
         return shard in self._completed
 
+    def _chunk_rows(self, table: pa.Table) -> int:
+        if table.num_rows == 0:
+            return self.rows_per_chunk
+        row_bytes = max(1, table.nbytes // table.num_rows)
+        return max(1, min(self.rows_per_chunk, self.max_chunk_bytes // row_bytes))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         outputs = []
         for shard, group in split_by_shard(batch, self.default_shard):
             if self._shard_done(shard):
                 continue
-            for start in range(0, group.num_rows, self.rows_per_chunk):
-                piece = group.slice(start, self.rows_per_chunk)
+            step = self._chunk_rows(group)
+            for start in range(0, group.num_rows, step):
+                piece = group.slice(start, step)
                 chunks = encode_table(piece, shard, self.codec_overrides, self.compression, self.bloom_columns)
                 if self.output_dir:
                     write_chunk_file(chunks, self.output_dir)
@@ -245,11 +257,12 @@ class CachedStateEncoder(ChunkEncoder):
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outputs = []
-        for shard, group in split_by_shard(batch):
+        for shard, group in split_by_shard(batch, self.default_shard):
             if self._shard_done(shard):
                 continue
-            for start in range(0, group.num_rows, self.rows_per_chunk):
-                piece = group.slice(start, self.rows_per_chunk)
+            step = self._chunk_rows(group)
+            for start in range(0, group.num_rows, step):
+                piece = group.slice(start, step)
                 chunks = encode_table(
                     piece,
                     shard,

@@ -227,6 +227,24 @@ def test_roundtrip_stage(ray_session, web_small):
     assert verify_roundtrip(src, rt)["ok"]
 
 
+def test_bytes_capped_chunking():
+    import numpy as np
+
+    from parquet_go_ray.stages.decode import decode_chunk_table
+    from parquet_go_ray.stages.encode import ChunkEncoder
+
+    rng = np.random.default_rng(2)
+    # 200 rows x ~1 MB each; with a 16 MiB cap a single chunk must hold
+    # far fewer than the 4096-row default
+    payload = [rng.integers(0, 256, 1_000_000).astype(np.uint8).tobytes() for _ in range(40)]
+    t = pa.table({"id": list(range(40)), "blob": pa.array(payload, type=pa.large_binary())})
+    enc = ChunkEncoder(rows_per_chunk=4096, max_chunk_bytes=16 << 20)
+    chunks = enc(t)
+    n_per_chunk = chunks.to_pandas().groupby("chunk_id")["n"].first()
+    assert n_per_chunk.max() <= 16
+    assert decode_chunk_table(chunks).equals(t)
+
+
 def test_chunk_id_deterministic():
     from parquet_go_ray.stages.encode import chunk_id_for
 
