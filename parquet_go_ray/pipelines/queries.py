@@ -186,6 +186,30 @@ def q_agg_pricing(sf_dir):
     )
 
 
+def q_session_windows(sf_dir):
+    """Sessionization: per user, events within 30 minutes of the
+    previous event share a session (the guide's stream-shaped pattern:
+    partition by key, sort by ts inside the group). Returns per-user
+    session count and max session length."""
+    GAP = 1_800_000_000  # 30 min in µs
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = np.sort(g["ts"].astype("int64").to_numpy())
+        new_session = np.concatenate(([True], np.diff(ts) > GAP))
+        sid = np.cumsum(new_session)
+        sizes = np.bincount(sid)[1:]
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(sid[-1])],
+                "max_session_events": [int(sizes.max())],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -553,6 +577,7 @@ QUERIES = {
     "agg_pricing": q_agg_pricing,
     "windowed_counts": q_windowed_counts,
     "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
@@ -626,6 +651,24 @@ ORACLES = {
         "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, "
         "CAST(count(*) AS BIGINT) AS n, SUM(value) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "session_windows": (
+        "WITH d AS ("
+        "  SELECT user_id, epoch_us(ts) AS t,"
+        "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER "
+        "      (PARTITION BY user_id ORDER BY ts) > 1800000000 "
+        "      OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        "    THEN 1 ELSE 0 END AS new_s"
+        "  FROM events"
+        "), s AS ("
+        "  SELECT user_id, SUM(new_s) OVER "
+        "    (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid"
+        "  FROM d"
+        ") "
+        "SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions, "
+        "CAST(MAX(cnt) AS BIGINT) AS max_session_events FROM ("
+        "  SELECT user_id, sid, COUNT(*) AS cnt FROM s GROUP BY user_id, sid"
+        ") GROUP BY user_id"
     ),
     "asof_join": (
         "WITH marks AS ("
