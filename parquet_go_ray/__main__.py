@@ -46,6 +46,7 @@ def cmd_encode(args) -> int:
     if not files:
         print(f"no parquet files under {args.input_dir}", file=sys.stderr)
         return 2
+    overrides = dict(kv.split("=", 1) for kv in args.codec) or None
     summary = encode_job(
         files,
         args.out_dir,
@@ -53,6 +54,7 @@ def cmd_encode(args) -> int:
         rows_per_chunk=args.rows_per_chunk,
         resume=not args.no_resume,
         compression=args.compression,
+        codec_overrides=overrides,
     )
     print(json.dumps(summary))
     return 0
@@ -134,7 +136,12 @@ def main(argv=None) -> int:
     e = sub.add_parser("encode")
     e.add_argument("input_dir")
     e.add_argument("out_dir")
-    e.add_argument("--mode", default="direct", choices=["direct", "lang_salted", "actor_cached"])
+    e.add_argument("--mode", default="direct",
+                   choices=["direct", "lang_salted", "actor_cached", "sorted"])
+    e.add_argument(
+        "--codec", action="append", default=[], metavar="COL=CODEC",
+        help="per-column codec override (struct-tag parity, e.g. text=fsst)",
+    )
     e.add_argument("--compression", default=None)
     e.add_argument("--rows-per-chunk", type=int, default=4096)
     e.add_argument("--no-resume", action="store_true")

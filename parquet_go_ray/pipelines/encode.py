@@ -54,6 +54,7 @@ def encode_job(
     compression: str | None = None,
     override_num_blocks: int | None = None,
     bloom_columns: tuple[str, ...] = ("url",),
+    codec_overrides: dict[str, str] | None = None,
 ) -> dict:
     """Run the encode job; returns a summary dict (rows, bytes, seconds)."""
     t0 = time.time()
@@ -83,6 +84,7 @@ def encode_job(
             skip_completed=resume,
             compression=compression,
             bloom_columns=bloom_columns,
+            codec_overrides=codec_overrides,
         )
         lineage = ds.map_batches(
             encoder,
@@ -113,6 +115,7 @@ def encode_job(
                 "skip_completed": resume,
                 "compression": compression,
                 "bloom_columns": bloom_columns,
+                "codec_overrides": codec_overrides,
             },
             batch_format="pyarrow",
             batch_size=rows_per_chunk,
