@@ -340,7 +340,7 @@ def encode_array(
         if codec is None:
             from . import selector
 
-            codec = selector.select(values, ptype, ctx)
+            codec = selector.select(values, ptype, ctx, compression)
         if not R.can_encode(ptype, codec):
             raise ChunkError(
                 f"codec {R.CODEC_NAMES.get(codec)} invalid for {R.PTYPE_NAMES.get(ptype)}"

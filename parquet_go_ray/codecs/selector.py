@@ -28,12 +28,19 @@ def _sample(values: pa.Array, k: int = SAMPLE_VALUES) -> pa.Array:
     return values.take(idx)
 
 
-def select(values: pa.Array, ptype: int, ctx: dict | None = None) -> int:
+def select(
+    values: pa.Array,
+    ptype: int,
+    ctx: dict | None = None,
+    compression: str | None = None,
+) -> int:
     """values: null-free pa.Array. Returns the winning codec id.
 
     When `ctx` is given, reusable trial artifacts are stored there (the
     FSST symbol table trained on the sample), so the final full-chunk
-    encode does not redo the work.
+    encode does not redo the work. When a chunk-level `compression` is
+    configured, candidates are judged by their size AFTER that codec —
+    a cheap lightweight encoding + zstd can beat a heavier encoding.
     """
     from . import chunk as chunk_mod
 
@@ -52,6 +59,11 @@ def select(values: pa.Array, ptype: int, ctx: dict | None = None) -> int:
         arr = sample if pa.types.is_large_binary(sample.type) else sample.cast(pa.large_binary())
         data, _off = _byte_array_buffers(arr)
         trial_ctx["fsst_table"] = fsst.train(bytes(data))
+    codec_obj = None
+    if compression:
+        import pyarrow as _pa
+
+        codec_obj = _pa.Codec(compression)
     best_codec = candidates[0]
     best_size = None
     for codec in candidates:
@@ -59,7 +71,11 @@ def select(values: pa.Array, ptype: int, ctx: dict | None = None) -> int:
             payload, _ = chunk_mod._encode_payload(sample, ptype, codec, trial_ctx)
         except Exception:
             continue
-        size = len(payload)
+        size = (
+            len(codec_obj.compress(payload, asbytes=True))
+            if codec_obj is not None
+            else len(payload)
+        )
         if best_size is None or size < best_size:
             best_size = size
             best_codec = codec
