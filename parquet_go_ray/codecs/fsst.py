@@ -42,6 +42,52 @@ TRAIN_ITERS = 4
 
 _U64 = np.uint64
 
+# ---------------------------------------------------------------- native
+# Optional C hot loop for the greedy tokenizer (compiled once per host
+# with the system compiler, cached under /tmp; sha-keyed so source edits
+# invalidate). The numpy implementation below remains the reference and
+# the fallback — both produce the same wire format and are
+# cross-compatible (tested in tests/test_fsst.py).
+
+_NATIVE: object = None
+
+
+def _native():
+    global _NATIVE
+    if _NATIVE is None:
+        _NATIVE = _load_native() or False
+    return _NATIVE or None
+
+
+def _load_native():
+    try:
+        import ctypes
+        import hashlib
+        import os
+        import subprocess
+        from pathlib import Path
+
+        src = Path(__file__).with_name("_fsst_native.c")
+        code = src.read_bytes()
+        key = hashlib.sha1(code).hexdigest()[:12]
+        so = Path("/tmp/pgr_native") / f"fsst_{key}.so"
+        if not so.exists():
+            so.parent.mkdir(parents=True, exist_ok=True)
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(str(so))
+        lib.fsst_encode.restype = ctypes.c_int
+        lib.fsst_decode.restype = ctypes.c_int
+        return lib
+    except Exception:
+        return None
+
 
 def _windows_u64(buf: np.ndarray) -> np.ndarray:
     """W[i] = uint64 little-endian view of bytes i..i+7 (zero padded)."""
@@ -114,6 +160,8 @@ class SymbolTable:
         "_lpm_len",
         "_lpm_parent",
         "_lpm_depth",
+        "_packed",
+        "_lens_u8",
     )
 
     def __init__(self, symbols: list[bytes]):
@@ -169,6 +217,12 @@ class SymbolTable:
         off = np.zeros(len(symbols) + 1, dtype=np.int64)
         np.cumsum(self._lens[:-1], out=off[1:])
         self._concat_off = off
+        # native-path tables: 8-byte padded symbol matrix + u8 lengths
+        self._packed = np.zeros((MAX_SYMBOLS, 8), dtype=np.uint8)
+        self._lens_u8 = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
+        for i, s in enumerate(symbols):
+            self._packed[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            self._lens_u8[i] = len(s)
 
     # ------------------------------------------------------------ wire form
     def serialize(self) -> bytes:
@@ -281,7 +335,10 @@ class SymbolTable:
         """Code stream: [uvarint n_blocks][uvarint code-bytes per input
         BLOCK]... [codes]. The per-block lengths let decode start a path
         root at every block (log2(block) doubling rounds, all blocks in
-        parallel)."""
+        parallel). Uses the native C tokenizer when available."""
+        lib = _native()
+        if lib is not None:
+            return self._encode_native(lib, data)
         starts, lengths, codes = self.tokenize(data)
         buf = np.frombuffer(data, dtype=np.uint8)
         is_esc = codes == ESCAPE
@@ -302,6 +359,62 @@ class SymbolTable:
         header.extend(uvarint_encode(int(x)) for x in block_lens)
         return b"".join(header) + out.tobytes()
 
+    def _encode_native(self, lib, data: bytes) -> bytes:
+        import ctypes
+
+        n = len(data)
+        buf = np.frombuffer(data, dtype=np.uint8)
+        out = np.empty(2 * n + 16, dtype=np.uint8)
+        block_lens = np.empty(n // BLOCK + 2, dtype=np.int64)
+        out_len = ctypes.c_int64(0)
+        n_blocks = ctypes.c_int64(0)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        rc = lib.fsst_encode(
+            ptr(buf) if n else None,
+            ctypes.c_int64(n),
+            ptr(self._packed),
+            ptr(self._lens_u8),
+            ctypes.c_int32(len(self.symbols)),
+            ptr(out),
+            ctypes.byref(out_len),
+            ptr(block_lens),
+            ctypes.byref(n_blocks),
+        )
+        if rc != 0:
+            raise RuntimeError(f"native fsst_encode failed rc={rc}")
+        nb = int(n_blocks.value)
+        header = [uvarint_encode(nb)]
+        header.extend(uvarint_encode(int(x)) for x in block_lens[:nb])
+        return b"".join(header) + out[: int(out_len.value)].tobytes()
+
+    def _decode_native(self, lib, codes: np.ndarray) -> bytes:
+        import ctypes
+
+        n = len(codes)
+        out = np.empty(8 * n + 16, dtype=np.uint8)
+        out_len = ctypes.c_int64(0)
+
+        def ptr(a):
+            return a.ctypes.data_as(ctypes.c_void_p)
+
+        codes = np.ascontiguousarray(codes)
+        rc = lib.fsst_decode(
+            ptr(codes),
+            ctypes.c_int64(n),
+            ptr(self._packed),
+            ptr(self._lens_u8),
+            ctypes.c_int32(len(self.symbols)),
+            ptr(out),
+            ctypes.c_int64(len(out)),
+            ctypes.byref(out_len),
+        )
+        if rc != 0:
+            raise ValueError(f"native fsst_decode failed rc={rc}")
+        return out[: int(out_len.value)].tobytes()
+
     def decode(self, stream: bytes) -> bytes:
         n_blocks, pos = uvarint_decode(stream, 0)
         block_lens = np.empty(n_blocks, dtype=np.int64)
@@ -311,6 +424,9 @@ class SymbolTable:
         n = len(b)
         if n == 0:
             return b""
+        lib = _native()
+        if lib is not None:
+            return self._decode_native(lib, b)
         roots = np.zeros(n_blocks, dtype=np.int64)
         np.cumsum(block_lens[:-1], out=roots[1:])
         step = np.where(b == ESCAPE, 2, 1)

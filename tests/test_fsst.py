@@ -49,6 +49,29 @@ def test_byte_array_codec():
     assert np.array_equal(o, off)
 
 
+def test_native_numpy_cross_compat():
+    """The C hot loop and the numpy reference implementation must accept
+    each other's streams (and produce equal-size output on this input)."""
+    rng = np.random.default_rng(4)
+    words = ["alpha", "beta", "gamma", "delta", " ", "the", "npj"]
+    data = "".join(rng.choice(words, 3000)).encode() + bytes([255, 0, 255])
+    table = fsst.train(data)
+    lib = fsst._native()
+    if lib is None:
+        pytest.skip("no system compiler available")
+    native_stream = table.encode(data)
+    saved = fsst._NATIVE
+    try:
+        fsst._NATIVE = False  # force numpy path
+        numpy_stream = table.encode(data)
+        assert table.decode(native_stream) == data  # numpy decodes native
+        fsst._NATIVE = saved
+        assert table.decode(numpy_stream) == data  # native decodes numpy
+        assert len(native_stream) == len(numpy_stream)
+    finally:
+        fsst._NATIVE = saved
+
+
 def test_table_serialization():
     table = fsst.train(b"hello world hello world hello")
     blob = table.serialize()
