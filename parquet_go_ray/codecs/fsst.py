@@ -168,11 +168,51 @@ class SymbolTable:
         if len(symbols) > MAX_SYMBOLS:
             raise ValueError("too many symbols")
         self.symbols = symbols
+        # numpy matcher structures (l1/l2/prefix3/LPM) are built lazily
+        # on first _match: the native path never needs them, and the
+        # 16 MiB prefix table is the dominant construction cost
+        self._l1 = None
+        # decoding structures
+        self._lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
+        concat = b"".join(symbols)
+        self._concat = np.frombuffer(concat, dtype=np.uint8) if concat else np.empty(0, np.uint8)
+        off = np.zeros(len(symbols) + 1, dtype=np.int64)
+        np.cumsum(self._lens[:-1], out=off[1:])
+        self._concat_off = off
+        # native-path tables: 8-byte padded symbol matrix + u8 lengths
+        self._packed = np.zeros((MAX_SYMBOLS, 8), dtype=np.uint8)
+        self._lens_u8 = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
+        for i, s in enumerate(symbols):
+            self._packed[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+            self._lens_u8[i] = len(s)
+
+    # ------------------------------------------------------------ wire form
+    def serialize(self) -> bytes:
+        out = [bytes([len(self.symbols)])]
+        out.append(bytes(len(s) for s in self.symbols))
+        out.extend(self.symbols)
+        return b"".join(out)
+
+    @classmethod
+    def deserialize(cls, buf, pos: int = 0) -> tuple["SymbolTable", int]:
+        n = buf[pos]
+        pos += 1
+        lens = list(buf[pos : pos + n])
+        pos += n
+        symbols = []
+        for ln in lens:
+            symbols.append(bytes(buf[pos : pos + ln]))
+            pos += ln
+        return cls(symbols), pos
+
+    # ------------------------------------------------------------ tokenize
+    def _build_match_structs(self) -> None:
+        symbols = self.symbols
         # direct-addressed tables for 1- and 2-byte symbols (255 = no match)
         self._l1 = np.full(256, 255, dtype=np.uint8)
         self._l2 = np.full(65536, 255, dtype=np.uint8)
         # 3-byte-prefix bitmap for symbols of length >= 3 (match
-        # prefilter; 16 MiB direct table, rebuilt from symbols on load)
+        # prefilter; 16 MiB direct table, rebuilt from symbols on demand)
         self._prefix3 = np.zeros(1 << 24, dtype=bool)
         # longest-prefix-match structure over big-endian keys for len >= 3:
         # symbol s covers key range [s·00…, s·ff…]; deepest containing range
@@ -210,42 +250,11 @@ class SymbolTable:
                 self._l2[s[0] | (s[1] << 8)] = i
             else:
                 self._prefix3[s[0] | (s[1] << 8) | (s[2] << 16)] = True
-        # decoding structures
-        self._lens = np.array([len(s) for s in symbols] + [0], dtype=np.int64)
-        concat = b"".join(symbols)
-        self._concat = np.frombuffer(concat, dtype=np.uint8) if concat else np.empty(0, np.uint8)
-        off = np.zeros(len(symbols) + 1, dtype=np.int64)
-        np.cumsum(self._lens[:-1], out=off[1:])
-        self._concat_off = off
-        # native-path tables: 8-byte padded symbol matrix + u8 lengths
-        self._packed = np.zeros((MAX_SYMBOLS, 8), dtype=np.uint8)
-        self._lens_u8 = np.zeros(MAX_SYMBOLS, dtype=np.uint8)
-        for i, s in enumerate(symbols):
-            self._packed[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-            self._lens_u8[i] = len(s)
 
-    # ------------------------------------------------------------ wire form
-    def serialize(self) -> bytes:
-        out = [bytes([len(self.symbols)])]
-        out.append(bytes(len(s) for s in self.symbols))
-        out.extend(self.symbols)
-        return b"".join(out)
-
-    @classmethod
-    def deserialize(cls, buf, pos: int = 0) -> tuple["SymbolTable", int]:
-        n = buf[pos]
-        pos += 1
-        lens = list(buf[pos : pos + n])
-        pos += n
-        symbols = []
-        for ln in lens:
-            symbols.append(bytes(buf[pos : pos + ln]))
-            pos += ln
-        return cls(symbols), pos
-
-    # ------------------------------------------------------------ tokenize
     def _match(self, buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Per position: (best match length [0 = no symbol], symbol code)."""
+        if self._l1 is None:
+            self._build_match_structs()
         n = len(buf)
         bestlen = np.zeros(n, dtype=np.int8)
         symid = np.zeros(n, dtype=np.uint8)
@@ -320,6 +329,9 @@ class SymbolTable:
         Returns (starts, lengths, codes) where codes == ESCAPE marks a
         literal byte token.
         """
+        lib = _native()
+        if lib is not None and len(data):
+            return self._tokenize_via_native(lib, data)
         buf = np.frombuffer(data, dtype=np.uint8)
         n = len(buf)
         bestlen, symid = self._match(buf)
@@ -329,6 +341,30 @@ class SymbolTable:
         lengths = step[starts]
         codes = np.where(bestlen[starts] > 0, symid[starts], ESCAPE).astype(np.uint8)
         return starts, lengths, codes
+
+    def _tokenize_via_native(self, lib, data: bytes):
+        """Recover (starts, lengths, codes) from the native encoder's
+        stream — used by training so it also runs at native speed."""
+        stream = self._encode_native(lib, data)
+        n_blocks, pos = uvarint_decode(stream, 0)
+        block_lens = np.empty(n_blocks, dtype=np.int64)
+        for i in range(n_blocks):
+            block_lens[i], pos = uvarint_decode(stream, pos)
+        b = np.frombuffer(stream, dtype=np.uint8, offset=pos)
+        roots = np.zeros(n_blocks, dtype=np.int64)
+        if n_blocks:
+            np.cumsum(block_lens[:-1], out=roots[1:])
+        step = np.where(b == ESCAPE, 2, 1)
+        cstarts = _path_positions(step, len(b), roots if n_blocks else None)
+        tok = b[cstarts]
+        is_esc = tok == ESCAPE
+        in_lens = np.where(
+            is_esc, 1, self._lens[np.minimum(tok, len(self.symbols))]
+        ).astype(np.int64)
+        starts = np.zeros(len(in_lens), dtype=np.int64)
+        if len(in_lens) > 1:
+            np.cumsum(in_lens[:-1], out=starts[1:])
+        return starts, in_lens, tok
 
     # ------------------------------------------------------------ en/decode
     def encode(self, data: bytes) -> bytes:

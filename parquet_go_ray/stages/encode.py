@@ -124,8 +124,8 @@ def encode_table(
         if name in bloom_columns and table.num_rows:
             from ..functions.hashing import BloomFilter
 
-            vals = arr.drop_null().to_pylist()
-            if vals:
+            vals = arr.drop_null().to_numpy(zero_copy_only=False)
+            if len(vals):
                 bloom = BloomFilter(vals).bits.tobytes()
         rows["chunk_id"].append(cid)
         rows["shard"].append(shard)
