@@ -15,6 +15,11 @@ At 100 TB the only all-to-all traffic is (hash, id) pairs — a ~1e-4
 fraction of the corpus; document payloads never shuffle. Pair
 verification re-reads only the candidate docs (here: they ride along in
 the group since candidates are rare).
+
+Scale note: minhash band rows currently carry the full signature (16x
+signature volume through the shuffle) so buckets can estimate Jaccard
+in place; at 10^12 docs, restructure to ship (band, key, id) only and
+re-join signatures for the candidate set (a ~1e-3 fraction).
 """
 
 from __future__ import annotations

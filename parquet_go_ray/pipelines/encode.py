@@ -166,7 +166,17 @@ def encode_job(
             outs = []
             for start in range(0, group.num_rows, rows_per_chunk):
                 piece = group.slice(start, rows_per_chunk)
-                chunks = encode_table(piece, shard, compression=compression)
+                from ..codecs.registry import CODEC_IDS
+
+                chunks = encode_table(
+                    piece,
+                    shard,
+                    codec_overrides={
+                        k: CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
+                    },
+                    compression=compression,
+                    bloom_columns=bloom_columns,
+                )
                 write_chunk_file(chunks, output_dir)
                 outs.append(lineage_of(chunks))
             return pa.concat_tables(outs)
