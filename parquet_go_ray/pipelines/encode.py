@@ -1,19 +1,23 @@
 """The encode job: web-page parquet -> encoded chunk store + manifest.
 
 Ray-Data-first: `read_parquet` (column-pruned at the source) ->
-`map_batches(ChunkEncoder)` (actor pool; per-chunk dictionary/FSST
-state lives in the chunk payloads; the actor amortizes config/manifest
-lookups) -> lineage records -> per-shard manifest written by a tiny
-`groupby("shard").map_groups` over lineage rows only (the data itself
-never shuffles).
+`map_batches(ChunkEncoder)` (stateless tasks; per-chunk dictionary/FSST
+state lives in the chunk payloads) -> lineage records -> per-shard
+manifest written by a tiny `groupby("shard").map_groups` over lineage
+rows only (the data itself never shuffles in the direct path).
 
-Skew handling (north rule): mode="lang_salted" runs the explicit
-`groupby(lang, salt)` shuffle before encoding, with salt =
-hash(url) % salts so hot languages (en is ~40% of rows) split into
-bounded partitions. Each (lang, salt) group becomes a deterministic
-shard, which makes per-language dictionaries/FSST tables denser at the
-cost of one all-to-all exchange. mode="direct" (default) keeps input
-shard alignment — no shuffle, resume skips whole completed shards.
+Modes:
+- "direct" (default): input-shard-aligned, no shuffle; resume skips
+  whole completed shards.
+- "lang_salted" (north-rule skew handling): explicit
+  `groupby(lang, salt)` shuffle before encoding, salt = hash(url) %
+  salts, so hot languages (en is ~40% of rows) split into bounded
+  partitions; each (lang, salt) group is a deterministic shard with
+  denser per-language dictionaries/FSST tables; resumed runs re-shuffle
+  but skip the encode+write work of durable partitions.
+- "actor_cached": actor pool holding per-partition FSST/dict
+  symbol-table state across batches (stages/encode.CachedStateEncoder).
+- "sorted": global url sample-sort before encoding (front-coding case).
 
 At 100 TB: lineage rows are ~1e-5 of the data volume; the manifest
 groupby moves only those. Chunk files land under one directory per
