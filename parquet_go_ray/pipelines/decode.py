@@ -122,6 +122,9 @@ def point_lookup(
             for col, bloom in zip(t.column("column"), t.column("bloom")):
                 if col.as_py() != column or not bloom.is_valid:
                     continue
+                # rebuild from serialized bits: m is always a whole number
+                # of bytes (see BloomFilter.__init__) and k is the fixed
+                # default — sidecars are always written with defaults
                 bf = BloomFilter.__new__(BloomFilter)
                 bf.bits = np.frombuffer(bloom.as_py(), dtype=np.uint8)
                 bf.m = len(bf.bits) * 8

@@ -70,6 +70,37 @@ def test_point_lookup_bloom(ray_session, encoded_store):
     assert list(got["text"]) == list(want["text"])
 
 
+def test_salted_zstd_store_pruning(ray_session, tmp_path):
+    """All features combined: salted-shuffle encode + zstd page layer +
+    stats pruning + bloom lookup on the resulting store."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import (
+        decode_dataset,
+        decode_dataset_pruned,
+        point_lookup,
+    )
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    files = webpages.shard_files(webpages.ensure(0.001))
+    out = str(tmp_path / "combo")
+    encode_job(files, out, mode="lang_salted", salts=2, compression="zstd")
+    src_ds = ray.data.read_parquet(files)
+    assert verify_roundtrip(src_ds, decode_dataset(out))["ok"]
+
+    src = src_ds.to_pandas()
+    ts = np.sort(src["warc_ts"].astype("int64").to_numpy())
+    lo, hi = int(ts[100]), int(ts[400])
+    got = decode_dataset_pruned(out, "warc_ts", lo, hi).to_pandas()
+    want = src[(src["warc_ts"].astype("int64") >= lo) & (src["warc_ts"].astype("int64") <= hi)]
+    assert set(got["url"]) == set(want["url"])
+
+    keys = list(src["url"].iloc[[7, 1234]])
+    found = point_lookup(out, "url", keys).to_pandas()
+    assert set(found["url"]) == set(keys)
+
+
 def test_point_lookup_missing_key(ray_session, encoded_store):
     from parquet_go_ray.pipelines.decode import point_lookup
 
