@@ -44,7 +44,9 @@ def run_bench() -> dict:
     # both worker counts, so the asymptotic (100 TB-relevant) efficiency
     # is measured instead of fixed pipeline overhead + wave quantization
     web_sf = float(os.environ.get("BENCH_WEB_SF", sf))
-    nblocks = int(os.environ.get("BENCH_NBLOCKS", "64"))
+    # 0 = shard-aligned (one block per input file — the scale layout);
+    # scaling runs override with a count divisible by both CPU levels
+    nblocks = int(os.environ.get("BENCH_NBLOCKS", "0")) or None
 
     import ray
 
@@ -86,7 +88,7 @@ def run_bench() -> dict:
     # identical block count at every parallelism level so the scaling
     # comparison runs the exact same task graph; repeat to amortize the
     # fixed per-pipeline cost (planning + manifest barrier ~1-2s)
-    repeat = int(os.environ.get("BENCH_REPEAT", "1"))
+    repeat = int(os.environ.get("BENCH_REPEAT", "2"))
     out = f"/tmp/bench_encode_sf{sf:g}_{ncpu}"
     t0 = time.time()
     for r in range(repeat):

@@ -59,6 +59,24 @@ def _native():
     return _NATIVE or None
 
 
+def _native_cache_dir():
+    """Per-user 0700 cache dir for the compiled kernel (never a shared,
+    predictable world-writable path another local user could pre-seed)."""
+    import os
+    from pathlib import Path
+
+    base = Path(
+        os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache"))
+    ) / "pgr_native"
+    base.mkdir(parents=True, exist_ok=True, mode=0o700)
+    st = base.stat()
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        import tempfile
+
+        base = Path(tempfile.mkdtemp(prefix="pgr_native_"))
+    return base
+
+
 def _load_native():
     try:
         import ctypes
@@ -70,9 +88,8 @@ def _load_native():
         src = Path(__file__).with_name("_fsst_native.c")
         code = src.read_bytes()
         key = hashlib.sha1(code).hexdigest()[:12]
-        so = Path("/tmp/pgr_native") / f"fsst_{key}.so"
+        so = _native_cache_dir() / f"fsst_{key}.so"
         if not so.exists():
-            so.parent.mkdir(parents=True, exist_ok=True)
             tmp = f"{so}.{os.getpid()}.tmp"
             subprocess.run(
                 ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
@@ -81,6 +98,10 @@ def _load_native():
                 timeout=60,
             )
             os.replace(tmp, so)
+        # never dlopen a file another uid could have planted
+        st = os.stat(so)
+        if st.st_uid != os.getuid():
+            return None
         lib = ctypes.CDLL(str(so))
         lib.fsst_encode.restype = ctypes.c_int
         lib.fsst_decode.restype = ctypes.c_int

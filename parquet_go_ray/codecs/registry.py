@@ -11,7 +11,7 @@ from __future__ import annotations
 # wire format version: bump on ANY chunk/codec/manifest layout change so
 # cached encoded stores are invalidated (a store written by version X
 # must be decoded by version X)
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 # ---- codec ids (wire format: append-only) ----
 PLAIN = 0

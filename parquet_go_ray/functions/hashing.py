@@ -155,3 +155,23 @@ class BloomFilter:
 
     def contains(self, keys) -> np.ndarray:
         return self.contains_hashes(stable_hash_strings(keys))
+
+    def to_bytes(self) -> bytes:
+        """Self-describing sidecar: version, k and m travel with the bits
+        so probe-time parameters can never drift from encode-time ones."""
+        import struct
+
+        return struct.pack("<BBI", 1, self.k, self.m) + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "BloomFilter":
+        import struct
+
+        version, k, m = struct.unpack_from("<BBI", buf, 0)
+        if version != 1:
+            raise ValueError(f"unknown bloom sidecar version {version}")
+        bf = cls.__new__(cls)
+        bf.k = k
+        bf.m = m
+        bf.bits = np.frombuffer(buf, dtype=np.uint8, offset=6).copy()
+        return bf

@@ -35,6 +35,12 @@ def convert_value(arr: pa.ChunkedArray | pa.Array, target: pa.DataType):
         return pc.cast(arr, target)
     if pa.types.is_boolean(target) and (pa.types.is_integer(src) or pa.types.is_floating(src)):
         return pc.not_equal(arr, pa.scalar(0).cast(src))
+    # float -> integer narrows by rounding half away from zero (matching
+    # SQL CAST semantics, so the DuckDB oracle agrees on non-integral
+    # inputs), not by the unsafe cast's truncation toward zero
+    if pa.types.is_floating(src) and pa.types.is_integer(target):
+        rounded = pc.round(arr, 0, round_mode="half_towards_infinity")
+        return pc.cast(rounded, target, safe=False)
     # everything else (numeric widening/narrowing, string<->number,
     # string<->temporal): Arrow cast, unsafe to permit narrowing like
     # the reference's lossy numeric conversions

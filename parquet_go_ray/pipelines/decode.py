@@ -17,7 +17,22 @@ from ..stages.decode import ChunkFileDecoder
 
 
 def chunk_files(encoded_dir: str) -> list[str]:
-    return sorted(str(p) for p in (Path(encoded_dir) / "data").glob("*/*.parquet"))
+    """Chunk files listed from the manifest when present (the manifest is
+    the source of truth — stale files from a differently-batched partial
+    run are ignored), else a directory glob for un-manifested stores."""
+    from ..state import manifest
+
+    t = manifest.lineage_table(encoded_dir, columns=["shard", "file"])
+    root = Path(encoded_dir) / "data"
+    if t is not None and "file" in t.column_names:
+        pairs = {
+            (s, f)
+            for s, f in zip(
+                t.column("shard").to_pylist(), t.column("file").to_pylist()
+            )
+        }
+        return sorted(str(root / s / f"{f}.parquet") for s, f in pairs)
+    return sorted(str(p) for p in root.glob("*/*.parquet"))
 
 
 def chunk_files_pruned(
@@ -37,7 +52,7 @@ def chunk_files_pruned(
     keep = []
     root = Path(encoded_dir) / "data"
     t = manifest.lineage_table(
-        encoded_dir, columns=["shard", "chunk_id", "column", "vmin", "vmax"]
+        encoded_dir, columns=["shard", "file", "column", "vmin", "vmax"]
     )
     if t is None:
         return []
@@ -48,7 +63,7 @@ def chunk_files_pruned(
             continue
         if hi is not None and vmin is not None and vmin > hi:
             continue
-        keep.append(str(root / r["shard"] / f"{r['chunk_id']}.parquet"))
+        keep.append(str(root / r["shard"] / f"{r['file']}.parquet"))
     return sorted(set(keep))
 
 
@@ -122,15 +137,12 @@ def point_lookup(
             for col, bloom in zip(t.column("column"), t.column("bloom")):
                 if col.as_py() != column or not bloom.is_valid:
                     continue
-                # rebuild from serialized bits: m is always a whole number
-                # of bytes (see BloomFilter.__init__) and k is the fixed
-                # default — sidecars are always written with defaults
-                bf = BloomFilter.__new__(BloomFilter)
-                bf.bits = np.frombuffer(bloom.as_py(), dtype=np.uint8)
-                bf.m = len(bf.bits) * 8
-                bf.k = 7
+                # k and m travel in the sidecar header, so encode-time
+                # parameter changes can never silently break probes
+                bf = BloomFilter.from_bytes(bloom.as_py())
                 if bf.contains_hashes(hs).any():
                     hits.append(path)
+                    break  # one hit admits the whole file
         return pd.DataFrame({"path": hits})
 
     cand = ray.data.from_items(files).map_batches(probe, batch_format="pandas")
@@ -151,10 +163,26 @@ def point_lookup(
     return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def decode_dataset(encoded_dir: str, concurrency: int | None = None) -> ray.data.Dataset:
+def decode_dataset(
+    encoded_dir: str,
+    columns: list[str] | None = None,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Decode the store as a streaming Dataset. With `columns`, each task
+    reads chunk files with a parquet row filter on the `column` field, so
+    only the requested columns' payloads are read and decoded (the
+    reference's selected-columns page read, column.go:541-690)."""
     files = chunk_files(encoded_dir)
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {encoded_dir}")
+    if columns is not None:
+        ds = ray.data.from_items(files, override_num_blocks=len(files))
+        return ds.map_batches(
+            ChunkFileDecoder(columns=columns),
+            batch_format="pyarrow",
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
     ds = ray.data.read_binary_files(files)
     # stateless task form: decode holds no state worth amortizing
     return ds.map_batches(

@@ -29,11 +29,15 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
+
+# per-worker, per-language codec-selection caches for lang_salted mode
+_SALTED_CACHES: dict[str, dict] = {}
 
 from ..stages.encode import ChunkEncoder, encode_table, lineage_of, write_chunk_file
 from ..state import manifest
@@ -42,8 +46,15 @@ DEFAULT_ROWS_PER_CHUNK = 4096
 DEFAULT_SALTS = 8
 
 
-def _salt_of(urls: pd.Series, salts: int):
-    return (pd.util.hash_array(urls.to_numpy(dtype=object)) % salts).astype("int32")
+def _add_salt_arrow(batch: pa.Table, salts: int) -> pa.Table:
+    """Append the salt column zero-copy: only the url column is hashed
+    (numpy over the string values), the payload columns are untouched —
+    no pandas conversion of MB-scale html anywhere near this stage."""
+    from ..functions.hashing import stable_hash_strings
+
+    urls = batch.column("url").to_numpy(zero_copy_only=False)
+    salt = (stable_hash_strings(urls) % np.uint64(salts)).astype(np.int32)
+    return batch.append_column("_salt", pa.array(salt, type=pa.int32()))
 
 
 def encode_job(
@@ -72,7 +83,11 @@ def encode_job(
         skipped = len(input_files) - len(pending)
         if not pending:
             return {"rows": 0, "shards_skipped": skipped, "sec": 0.0}
-        nblocks = override_num_blocks or max(len(pending), concurrency * 2)
+        # shard-aligned blocks: one task per input file, so every task
+        # owns a whole shard and commits its manifest in-task (at scale,
+        # shards >> cores; oversized shards still split dynamically and
+        # fall back to the driver-side lineage merge)
+        nblocks = override_num_blocks or len(pending)
         ds = ray.data.read_parquet(
             pending,
             columns=columns,
@@ -90,10 +105,14 @@ def encode_job(
             bloom_columns=bloom_columns,
             codec_overrides=codec_overrides,
         )
+        # whole blocks as batches: each task encodes a block's worth of
+        # chunk groups and packs them into ONE parquet file per shard
+        # (file count tracks task count, not chunk count — at 100 TB
+        # this is the difference between 10^6 and 10^8 output files)
         lineage = ds.map_batches(
             encoder,
             batch_format="pyarrow",
-            batch_size=rows_per_chunk,
+            batch_size=None,
             zero_copy_batch=True,
         )
     elif mode == "actor_cached":
@@ -106,7 +125,7 @@ def encode_job(
         skipped = len(input_files) - len(pending)
         if not pending:
             return {"rows": 0, "shards_skipped": skipped, "sec": 0.0}
-        nblocks = override_num_blocks or max(len(pending), concurrency * 2)
+        nblocks = override_num_blocks or len(pending)
         ds = ray.data.read_parquet(
             pending, columns=columns, include_paths=True, override_num_blocks=nblocks
         )
@@ -122,7 +141,7 @@ def encode_job(
                 "codec_overrides": codec_overrides,
             },
             batch_format="pyarrow",
-            batch_size=rows_per_chunk,
+            batch_size=None,
             concurrency=pool,
             zero_copy_batch=True,
         )
@@ -140,53 +159,71 @@ def encode_job(
             bloom_columns=bloom_columns,
             default_shard="sorted",
         )
+        # post-shuffle batches have no source file: name each call's
+        # shard by content hash so every task commits its own manifest
+        encoder.shard_per_call = True
         lineage = ds.sort("url").map_batches(
             encoder,
             batch_format="pyarrow",
-            batch_size=rows_per_chunk,
+            batch_size=None,
             zero_copy_batch=True,
         )
         skipped = 0
     elif mode == "lang_salted":
         ds = ray.data.read_parquet(input_files, columns=columns)
-
-        def add_salt(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["_salt"] = _salt_of(df["url"], salts)
-            return df
+        job_epoch = t0  # keys the workers' completed-shard cache per run
 
         def encode_group(group: pa.Table) -> pa.Table:
-            from ..stages.encode import _lineage_schema
+            from ..codecs.registry import CODEC_IDS
+            from ..stages.encode import SUMMARY_SCHEMA, summary_row
 
             lang = group.column("lang")[0].as_py()
             salt = group.column("_salt")[0].as_py()
             shard = f"lang={lang}-s{salt:02d}"
-            if resume and shard in manifest.completed_shards(output_dir):
+            # per-language selection cache (per worker): FSST tables
+            # specialize to the language whose partitions this worker
+            # encodes — the point of the salted layout — instead of one
+            # mixed-language table for all groups
+            cache = _SALTED_CACHES.setdefault(lang, {})
+            if resume and shard in manifest.completed_shards_cached(output_dir, job_epoch):
                 # resumed run: the shuffle re-ran but this partition's
                 # chunks are durable — skip the encode + write work
-                sch = _lineage_schema()
-                return pa.table({f.name: [] for f in sch}, schema=sch)
+                return pa.table(
+                    {f.name: [] for f in SUMMARY_SCHEMA}, schema=SUMMARY_SCHEMA
+                )
             group = group.drop_columns(["_salt"])
-            outs = []
+            overrides = {
+                k: CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
+            }
+            groups = []
             for start in range(0, group.num_rows, rows_per_chunk):
                 piece = group.slice(start, rows_per_chunk)
-                from ..codecs.registry import CODEC_IDS
-
-                chunks = encode_table(
-                    piece,
-                    shard,
-                    codec_overrides={
-                        k: CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
-                    },
-                    compression=compression,
-                    bloom_columns=bloom_columns,
+                groups.append(
+                    encode_table(
+                        piece,
+                        shard,
+                        codec_overrides=overrides,
+                        compression=compression,
+                        bloom_columns=bloom_columns,
+                        cache=cache,
+                    )
                 )
-                write_chunk_file(chunks, output_dir)
-                outs.append(lineage_of(chunks))
-            return pa.concat_tables(outs)
+            chunks = write_chunk_file(pa.concat_tables(groups), output_dir)
+            lin = lineage_of(chunks)
+            # a map_groups call owns its (lang, salt) partition entirely:
+            # commit the manifest here — no further shuffle needed
+            manifest.record_shard_table(output_dir, shard, lin)
+            return pa.Table.from_pylist(
+                [summary_row(shard, lin, True)], schema=SUMMARY_SCHEMA
+            )
 
         lineage = (
-            ds.map_batches(add_salt, batch_format="pandas")
+            ds.map_batches(
+                _add_salt_arrow,
+                fn_kwargs={"salts": salts},
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
             .groupby(["lang", "_salt"])
             .map_groups(encode_group, batch_format="pyarrow")
         )
@@ -194,23 +231,18 @@ def encode_job(
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
-    # manifest stage: group tiny lineage rows by shard, write manifests
-    def write_manifest(group: pd.DataFrame) -> pd.DataFrame:
-        shard = group["shard"].iloc[0]
-        manifest.record_shard(output_dir, shard, group.to_dict("records"))
-        return pd.DataFrame(
-            {
-                "shard": [shard],
-                "rows": [int(group[group.col_idx == 0]["n"].sum())],
-                "raw_nbytes": [int(group["raw_nbytes"].sum())],
-                "enc_nbytes": [int(group["enc_nbytes"].sum())],
-            }
-        )
+    # Manifest commit: complete shards already wrote their manifests
+    # inside the encode tasks (no shuffle); only block-split shards ride
+    # back as tiny lineage blobs and are merged here. The collected
+    # summary is one row per (shard, task) — metadata, ~1e-5 of data.
+    summary = lineage.to_pandas()
+    incomplete = summary[~summary["complete"]] if len(summary) else summary
+    if len(incomplete):
+        from ..stages.encode import _table_from_ipc
 
-    summary_ds = lineage.groupby("shard").map_groups(
-        write_manifest, batch_format="pandas"
-    )
-    summary = summary_ds.to_pandas()  # tiny: one row per shard
+        for shard, grp in incomplete.groupby("shard"):
+            parts = [_table_from_ipc(b) for b in grp["lineage_ipc"]]
+            manifest.record_shard_table(output_dir, shard, pa.concat_tables(parts))
     manifest.write_job_meta(
         output_dir,
         {
@@ -226,7 +258,7 @@ def encode_job(
         "rows": int(summary["rows"].sum()) if len(summary) else 0,
         "raw_nbytes": int(summary["raw_nbytes"].sum()) if len(summary) else 0,
         "enc_nbytes": int(summary["enc_nbytes"].sum()) if len(summary) else 0,
-        "shards_written": len(summary),
+        "shards_written": int(summary["shard"].nunique()) if len(summary) else 0,
         "shards_skipped": skipped,
         "sec": sec,
     }

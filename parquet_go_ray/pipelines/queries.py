@@ -10,6 +10,8 @@ same comparison at sf=0.001.
 
 from __future__ import annotations
 
+from ..util import autoscale_concurrency
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -466,7 +468,7 @@ def q_lang_id(sf_dir):
             )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(Predict, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Predict, batch_format="pandas", concurrency=autoscale_concurrency())
 
 
 # ---- dedup family (rows-only where not SQL-expressible)
@@ -554,7 +556,7 @@ def q_media_features(sf_dir):
         fn_constructor_kwargs={"decode_stub": True},
         batch_format="pandas",
         batch_size=64,
-        concurrency=2,
+        concurrency=autoscale_concurrency(),
     )
 
 

@@ -25,6 +25,8 @@ transforms (citations are to /root/reference):
 
 from __future__ import annotations
 
+from ..util import autoscale_concurrency
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -142,7 +144,7 @@ def bloom_semi_join(
                 out = out[out[col].isin(self.keys)]
             return out
 
-    return ds.map_batches(Probe, batch_format="pandas", concurrency=2)
+    return ds.map_batches(Probe, batch_format="pandas", concurrency=autoscale_concurrency())
 
 
 def asof_join_broadcast(
@@ -184,7 +186,7 @@ def asof_join_broadcast(
             res[mark_ts_col] = out
             return res[~np.isnan(out)]
 
-    return ds.map_batches(AsOf, batch_format="pandas", concurrency=2)
+    return ds.map_batches(AsOf, batch_format="pandas", concurrency=autoscale_concurrency())
 
 
 def windowed_agg(

@@ -10,6 +10,8 @@
 
 from __future__ import annotations
 
+from ..util import autoscale_concurrency
+
 import numpy as np
 import pandas as pd
 
@@ -52,7 +54,7 @@ def brute_force_topk(
             )
 
     partials = ds.map_batches(
-        PartialTopK, batch_format="pandas", concurrency=2
+        PartialTopK, batch_format="pandas", concurrency=autoscale_concurrency()
     ).to_pandas()
     order = np.lexsort((partials[id_col].to_numpy(), -partials["cos"].to_numpy()))[:k]
     out = partials.iloc[order].reset_index(drop=True)

@@ -46,11 +46,39 @@ def decode_chunk_table(chunks: pa.Table) -> pa.Table:
 
 
 class ChunkFileDecoder:
-    """map_batches callable over `read_binary_files` of chunk parquet files."""
+    """map_batches callable over `read_binary_files` of chunk parquet files.
+
+    With `columns`, only the requested columns' payload rows are decoded —
+    and when the input batch carries file *paths* instead of bytes, the
+    chunk file is read with a parquet row filter so non-selected columns'
+    payloads never leave storage (the reference reads only selected
+    columns' pages, column.go:541-690)."""
+
+    def __init__(self, columns: list[str] | None = None):
+        self.columns = list(columns) if columns else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         outs = []
-        for item in batch.column("bytes"):
-            chunks = pq.read_table(io.BytesIO(item.as_py()))
-            outs.append(decode_chunk_table(chunks))
+        if "bytes" in batch.column_names:
+            for item in batch.column("bytes"):
+                chunks = pq.read_table(io.BytesIO(item.as_py()))
+                if self.columns is not None:
+                    chunks = chunks.filter(
+                        pc.is_in(
+                            chunks.column("column"), value_set=pa.array(self.columns)
+                        )
+                    )
+                if chunks.num_rows:
+                    outs.append(decode_chunk_table(chunks))
+        else:  # path batches: column-projected read of the chunk file
+            col = "path" if "path" in batch.column_names else "item"
+            filters = [("column", "in", self.columns)] if self.columns else None
+            for path in batch.column(col).to_pylist():
+                chunks = pq.read_table(path, filters=filters)
+                if chunks.num_rows:
+                    outs.append(decode_chunk_table(chunks))
+        if not outs:
+            return pa.table({})
         return pa.concat_tables(outs)

@@ -1,11 +1,22 @@
 """Encode stage: Arrow batches -> encoded column chunks (+ lineage).
 
 The unit of output is a *chunk group*: all columns of one row-slice,
-stored as one parquet file of (column, codec, payload) rows — the
+stored as rows of (column, codec, payload) in a parquet file — the
 Ray-native analogue of a row group's column chunks in the reference
-(writer.go:568-692). Chunk ids are content-derived (sha1 of the first
-column's buffers + row count), so task retries are idempotent and a
+(writer.go:568-692). Many chunk groups of one shard pack into a single
+file per encode task (the analogue of many row groups per file), so the
+file count tracks the task count, not the chunk count. Chunk ids are
+content-derived (sha1 over the IPC serialization of the whole slice —
+every column, offsets normalized), so task retries are idempotent and a
 resumed run reproduces identical ids for identical input slices.
+
+Codec selection state (the winning codec id + the trained FSST symbol
+table per column) is cached per worker process: Ray reuses workers
+across tasks, so the sampling/training cost is paid once per worker
+instead of once per 4096-row chunk — the load-once-per-actor pattern,
+without requiring an actor pool. A drift guard re-runs selection when a
+chunk's ratio degrades vs the ratio at selection time, and every
+RESELECT_EVERY chunks regardless.
 """
 
 from __future__ import annotations
@@ -26,6 +37,9 @@ CHUNK_SCHEMA = pa.schema(
     [
         pa.field("chunk_id", pa.string()),
         pa.field("shard", pa.string()),
+        # stem of the parquet file this chunk group is stored in (many
+        # chunk groups share one file); "" in in-memory mode
+        pa.field("file", pa.string()),
         pa.field("col_idx", pa.int32()),
         pa.field("column", pa.string()),
         pa.field("codec", pa.string()),
@@ -80,24 +94,89 @@ def _stat_bounds(arr: pa.Array):
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             lo = lo[:_STAT_TRUNC]  # truncated min is still a lower bound
             if len(hi) > _STAT_TRUNC:
-                hi = hi[:_STAT_TRUNC] + "￿"  # keep it an upper bound
+                hi = _truncate_upper(hi)
+                if hi is None:
+                    # every retained codepoint is U+10FFFF: no finite
+                    # truncated upper bound exists — treat as +inf
+                    return json.dumps(lo), None
             return json.dumps(lo), json.dumps(hi)
     except Exception:
         pass
     return None, None
 
 
+def _truncate_upper(s: str, limit: int = _STAT_TRUNC) -> str | None:
+    """Parquet-style truncated upper bound: keep `limit` chars, then
+    increment the last incrementable codepoint (dropping any trailing
+    U+10FFFF runs). Returns None when no finite upper bound exists."""
+    prefix = s[:limit]
+    for i in range(len(prefix) - 1, -1, -1):
+        cp = ord(prefix[i])
+        if cp < 0x10FFFF:
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:  # skip the surrogate gap
+                nxt = 0xE000
+            return prefix[:i] + chr(nxt)
+    return None
+
+
 def chunk_id_for(table: pa.Table) -> str:
-    """Deterministic content-derived chunk id."""
-    h = hashlib.sha1()
-    col = table.column(0).combine_chunks()
-    if isinstance(col, pa.ChunkedArray):
-        col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
-    for buf in col.buffers():
-        if buf is not None:
-            h.update(buf)
-    h.update(str(table.num_rows).encode())
+    """Deterministic content-derived chunk id over EVERY column's logical
+    content. IPC serialization truncates buffers to the slice (two
+    different slices sharing a parent buffer serialize differently), so
+    equal ids imply equal slice content — retries stay idempotent and
+    distinct slices can never silently overwrite each other."""
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, table.schema) as w:
+        w.write_table(table)
+    h = hashlib.sha1(memoryview(sink.getvalue()))
     return h.hexdigest()[:16]
+
+
+# ---------------------------------------------------------------------------
+# per-worker codec-selection cache
+#
+# Keyed by column name; Ray reuses worker processes across tasks, so the
+# selector's sampling + FSST training amortize over every chunk a worker
+# ever encodes (writer.go:340-347's per-writer dictionary state, made
+# per-worker). Entries re-validate on ratio drift and on a fixed cadence.
+
+RESELECT_EVERY = 64  # chunks between forced re-selections per column
+RETRAIN_SLACK = 0.15  # ratio degradation that invalidates a cache entry
+
+_COLUMN_CACHE: dict[str, dict] = {}
+
+
+def _encode_column_cached(
+    arr: pa.Array,
+    name: str,
+    override: int | None,
+    compression: str | None,
+    cache: dict[str, dict] | None,
+) -> bytes:
+    """Encode one column chunk, consulting/maintaining the selection cache."""
+    if cache is None:
+        ctx: dict = {}
+        return chunk_mod.encode_array(arr, override, compression, ctx)
+    ent = cache.get(name)
+    if ent is not None and override is not None and ent["codec"] != override:
+        ent = None
+    if ent is not None and ent["uses"] < RESELECT_EVERY:
+        blob = chunk_mod.encode_array(arr, ent["codec"], compression, ent["ctx"])
+        ent["uses"] += 1
+        ratio = len(blob) / max(1, arr.nbytes)
+        if ratio > ent["baseline"] * (1 + RETRAIN_SLACK):
+            cache.pop(name, None)  # drift: re-select on the next chunk
+        return blob
+    ctx = {}
+    blob = chunk_mod.encode_array(arr, override, compression, ctx)
+    cache[name] = {
+        "codec": blob[4],
+        "ctx": ctx,
+        "uses": 1,
+        "baseline": len(blob) / max(1, arr.nbytes),
+    }
+    return blob
 
 
 def encode_table(
@@ -107,18 +186,23 @@ def encode_table(
     compression: str | None = None,
     bloom_columns: tuple[str, ...] = ("url",),
     column_ctx: dict[str, dict] | None = None,
+    cache: dict[str, dict] | None = None,
 ) -> pa.Table:
     """Encode all columns of a table slice into a chunk-record table.
 
     column_ctx maps column name -> shared codec state (e.g. a cached
-    FSST symbol table held by a per-partition actor)."""
+    FSST symbol table held by a per-partition actor); `cache` is the
+    richer per-worker selection cache (codec id + ctx + drift guard)."""
     cid = chunk_id_for(table)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
     for i, name in enumerate(table.column_names):
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
-        ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
-        blob = chunk_mod.encode_array(arr, codec, compression, ctx)
+        if cache is not None:
+            blob = _encode_column_cached(arr, name, codec, compression, cache)
+        else:
+            ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
+            blob = chunk_mod.encode_array(arr, codec, compression, ctx)
         vmin, vmax = _stat_bounds(arr)
         bloom = None
         if name in bloom_columns and table.num_rows:
@@ -126,9 +210,10 @@ def encode_table(
 
             vals = arr.drop_null().to_numpy(zero_copy_only=False)
             if len(vals):
-                bloom = BloomFilter(vals).bits.tobytes()
+                bloom = BloomFilter(vals).to_bytes()
         rows["chunk_id"].append(cid)
         rows["shard"].append(shard)
+        rows["file"].append("")
         rows["col_idx"].append(i)
         rows["column"].append(name)
         rows["codec"].append(R.CODEC_NAMES[blob[4]])
@@ -150,10 +235,65 @@ def lineage_of(chunks: pa.Table) -> pa.Table:
     return chunks.drop_columns(["payload", "bloom"])
 
 
-def write_chunk_file(chunks: pa.Table, output_dir: str) -> str:
-    """Write one chunk group atomically; returns the file path."""
+# Tiny per-shard-group rows returned by the persisted encode stage: one
+# row per (shard, task) instead of one row per chunk-column. Complete
+# shards had their manifest written in-task (no shuffle anywhere in the
+# job); groups that only saw part of a shard (block-split inputs) carry
+# their lineage as an IPC blob for a driver-side merge — at scale,
+# shards >> cores and blocks align to shards, so the blob path is the
+# rare exception, not the rule.
+SUMMARY_SCHEMA = pa.schema(
+    [
+        pa.field("shard", pa.string()),
+        pa.field("complete", pa.bool_()),
+        pa.field("rows", pa.int64()),
+        pa.field("raw_nbytes", pa.int64()),
+        pa.field("enc_nbytes", pa.int64()),
+        pa.field("lineage_ipc", pa.large_binary()),
+    ]
+)
+
+
+def _table_ipc(t: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, t.schema) as w:
+        w.write_table(t)
+    return sink.getvalue().to_pybytes()
+
+
+def _table_from_ipc(b: bytes) -> pa.Table:
+    with pa.ipc.open_stream(pa.py_buffer(b)) as r:
+        return r.read_all()
+
+
+def summary_row(
+    shard: str, lineage: pa.Table, complete: bool
+) -> dict:
+    import pyarrow.compute as pc
+
+    first_col = lineage.filter(pc.equal(lineage.column("col_idx"), 0))
+    return {
+        "shard": shard,
+        "complete": complete,
+        "rows": int(pc.sum(first_col.column("n")).as_py() or 0),
+        "raw_nbytes": int(pc.sum(lineage.column("raw_nbytes")).as_py() or 0),
+        "enc_nbytes": int(pc.sum(lineage.column("enc_nbytes")).as_py() or 0),
+        "lineage_ipc": None if complete else _table_ipc(lineage),
+    }
+
+
+def write_chunk_file(chunks: pa.Table, output_dir: str) -> pa.Table:
+    """Write one or many chunk groups of one shard as a single parquet
+    file (atomic rename); file name = first chunk id, deterministic for
+    deterministic batching. Returns the chunk table with the `file`
+    column filled in."""
     shard = chunks.column("shard")[0].as_py()
     cid = chunks.column("chunk_id")[0].as_py()
+    chunks = chunks.set_column(
+        chunks.schema.get_field_index("file"),
+        "file",
+        pa.array([cid] * chunks.num_rows, type=pa.string()),
+    )
     d = Path(output_dir) / "data" / shard
     d.mkdir(parents=True, exist_ok=True)
     path = d / f"{cid}.parquet"
@@ -161,7 +301,7 @@ def write_chunk_file(chunks: pa.Table, output_dir: str) -> str:
     # payloads are already encoded — store uncompressed
     pq.write_table(chunks, tmp, compression="NONE")
     os.replace(tmp, path)
-    return str(path)
+    return chunks
 
 
 class ChunkEncoder:
@@ -195,6 +335,10 @@ class ChunkEncoder:
         self.skip_completed = skip_completed
         self.compression = compression
         self.bloom_columns = tuple(bloom_columns)
+        # shard_per_call: name each call's output shard by its content
+        # hash (for shuffled inputs like sorted mode, where every call
+        # owns its rows exclusively and can commit its own manifest)
+        self.shard_per_call = False
         self.codec_overrides = {
             k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
         }
@@ -215,98 +359,103 @@ class ChunkEncoder:
         row_bytes = max(1, table.nbytes // table.num_rows)
         return max(1, min(self.rows_per_chunk, self.max_chunk_bytes // row_bytes))
 
+    def _cache(self) -> dict[str, dict]:
+        """The codec-selection cache: module-global (per worker process)
+        for the stateless-task form; overridden per instance in the
+        actor-pool form."""
+        return _COLUMN_CACHE
+
+    def _is_whole_shard(self, source_path, n_rows: int) -> bool:
+        """True when this task's group is the entire input shard (checked
+        against the source parquet footer), so the shard manifest can be
+        committed in-task with no shuffle."""
+        if source_path is None:
+            return False
+        try:
+            return pq.read_metadata(source_path).num_rows == n_rows
+        except Exception:
+            return False
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         outputs = []
-        for shard, group in split_by_shard(batch, self.default_shard):
+        summaries = []
+        cache = self._cache()
+        for shard, source_path, group in split_by_shard(batch, self.default_shard):
             if self._shard_done(shard):
                 continue
+            if self.shard_per_call:
+                shard = f"{shard}-{chunk_id_for(group)}"
             step = self._chunk_rows(group)
+            groups = []
             for start in range(0, group.num_rows, step):
                 piece = group.slice(start, step)
-                chunks = encode_table(piece, shard, self.codec_overrides, self.compression, self.bloom_columns)
-                if self.output_dir:
-                    write_chunk_file(chunks, self.output_dir)
-                    outputs.append(lineage_of(chunks))
-                else:
-                    outputs.append(chunks)
+                groups.append(
+                    encode_table(
+                        piece,
+                        shard,
+                        self.codec_overrides,
+                        self.compression,
+                        self.bloom_columns,
+                        cache=cache,
+                    )
+                )
+            chunks = pa.concat_tables(groups)
+            if self.output_dir:
+                chunks = write_chunk_file(chunks, self.output_dir)
+                lineage = lineage_of(chunks)
+                complete = self.shard_per_call or self._is_whole_shard(
+                    source_path, group.num_rows
+                )
+                if complete:
+                    from ..state import manifest
+
+                    manifest.record_shard_table(self.output_dir, shard, lineage)
+                summaries.append(summary_row(shard, lineage, complete))
+            else:
+                outputs.append(chunks)
+        if self.output_dir:
+            if not summaries:
+                return pa.table(
+                    {f.name: [] for f in SUMMARY_SCHEMA}, schema=SUMMARY_SCHEMA
+                )
+            return pa.Table.from_pylist(summaries, schema=SUMMARY_SCHEMA)
         if not outputs:
-            empty = CHUNK_SCHEMA if not self.output_dir else _lineage_schema()
-            return pa.table({f.name: [] for f in empty}, schema=empty)
+            return pa.table({f.name: [] for f in CHUNK_SCHEMA}, schema=CHUNK_SCHEMA)
         return pa.concat_tables(outputs)
 
 
 class CachedStateEncoder(ChunkEncoder):
-    """Actor-pool encode stage holding per-partition symbol-table state
-    (the north star's 'actor pools holding per-partition FSST/dict
+    """Actor-pool encode stage holding per-ACTOR symbol-table state (the
+    north star's 'actor pools holding per-partition FSST/dict
     symbol-table state'; analogue of the reference's per-writerColumn
     dictionary state, writer.go:340-347).
 
-    Each actor caches the trained FSST table per column and reuses it
-    across batches — training cost is paid once per actor instead of
-    once per chunk. The output compression ratio per column is
-    monitored; if it degrades more than `retrain_slack` relative to the
-    ratio observed when the table was fresh, the cache is dropped and
-    the next batch retrains (data drift guard).
-    """
+    Functionally the same selection cache as the stateless form, but the
+    state lives on the actor instance, so its lifetime and locality are
+    explicit: with a key-partitioned input (e.g. lang_salted mode) each
+    actor's cache specializes to the partitions it owns."""
 
-    def __init__(self, *args, retrain_slack: float = 0.15, **kwargs):
+    def __init__(self, *args, retrain_slack: float = RETRAIN_SLACK, **kwargs):
         super().__init__(*args, **kwargs)
         self.retrain_slack = retrain_slack
-        self._ctx: dict[str, dict] = {}
-        self._baseline: dict[str, float] = {}
+        self._actor_cache: dict[str, dict] = {}
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        outputs = []
-        for shard, group in split_by_shard(batch, self.default_shard):
-            if self._shard_done(shard):
-                continue
-            step = self._chunk_rows(group)
-            for start in range(0, group.num_rows, step):
-                piece = group.slice(start, step)
-                chunks = encode_table(
-                    piece,
-                    shard,
-                    self.codec_overrides,
-                    self.compression,
-                    self.bloom_columns,
-                    column_ctx=self._ctx,
-                )
-                self._monitor(chunks)
-                if self.output_dir:
-                    write_chunk_file(chunks, self.output_dir)
-                    outputs.append(lineage_of(chunks))
-                else:
-                    outputs.append(chunks)
-        if not outputs:
-            empty = CHUNK_SCHEMA if not self.output_dir else _lineage_schema()
-            return pa.table({f.name: [] for f in empty}, schema=empty)
-        return pa.concat_tables(outputs)
-
-    def _monitor(self, chunks: pa.Table) -> None:
-        cols = chunks.column("column").to_pylist()
-        raw = chunks.column("raw_nbytes").to_pylist()
-        enc = chunks.column("enc_nbytes").to_pylist()
-        for name, r, e in zip(cols, raw, enc):
-            if name not in self._ctx or "fsst_table" not in self._ctx[name]:
-                continue
-            ratio = e / max(1, r)
-            base = self._baseline.get(name)
-            if base is None:
-                self._baseline[name] = ratio
-            elif ratio > base * (1 + self.retrain_slack):
-                del self._ctx[name]["fsst_table"]
-                del self._baseline[name]
+    def _cache(self) -> dict[str, dict]:
+        return self._actor_cache
 
 
 def _lineage_schema() -> pa.Schema:
-    return pa.schema([f for f in CHUNK_SCHEMA if f.name != "payload"])
+    """Schema of lineage (manifest) rows — chunk records minus the
+    payload/bloom blobs; must stay the exact complement of lineage_of."""
+    return pa.schema([f for f in CHUNK_SCHEMA if f.name not in ("payload", "bloom")])
 
 
 def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
-    """Yield (shard, subtable) groups; uses the read_parquet `path` column
-    when present (one group per input file), else one default group."""
+    """Yield (shard, source_path | None, subtable) groups; uses the
+    read_parquet `path` column when present (one group per input file),
+    else one default group."""
     if "path" not in batch.column_names:
-        yield default_shard, batch
+        yield default_shard, None, batch
         return
     paths = batch.column("path").to_numpy(zero_copy_only=False)
     data = batch.drop_columns(["path"])
@@ -316,4 +465,4 @@ def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
     change = np.nonzero(stems[1:] != stems[:-1])[0] + 1
     starts = np.concatenate(([0], change, [len(stems)]))
     for a, b in zip(starts[:-1], starts[1:]):
-        yield stems[a], data.slice(int(a), int(b - a))
+        yield stems[a], paths[a], data.slice(int(a), int(b - a))

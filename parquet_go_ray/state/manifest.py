@@ -38,6 +38,29 @@ def completed_shards(output_dir: str) -> set[str]:
     return {p.stem for p in d.glob("*.json") if not p.name.startswith("_")}
 
 
+# worker-local cache: one filesystem listing per (worker, output_dir, job)
+# instead of one per task. The epoch (set by the driver per job run) keys
+# the cache so a worker surviving into a resumed job re-lists; within a
+# job, manifests are only written after encoding finishes, so the set is
+# static and a cached copy is always correct.
+_COMPLETED_CACHE: dict[tuple[str, float], set[str]] = {}
+
+
+def completed_shards_cached(output_dir: str, epoch: float = 0.0) -> set[str]:
+    key = (output_dir, epoch)
+    got = _COMPLETED_CACHE.get(key)
+    if got is None:
+        got = _COMPLETED_CACHE[key] = completed_shards(output_dir)
+    return got
+
+
+def record_shard_table(output_dir: str, shard: str, lineage) -> None:
+    """record_shard over an Arrow lineage table (the in-task commit path:
+    the encode task that owns a whole shard writes the manifest itself —
+    no lineage shuffle anywhere in the job)."""
+    record_shard(output_dir, shard, lineage.to_pylist())
+
+
 def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
     """Atomically persist a completed shard's lineage records — JSON for
     humans/resume plus a parquet twin so pruning over huge manifests can
