@@ -120,7 +120,14 @@ def _to_physical_values(values: pa.Array, ptype: int):
     if ptype in (R.FLOAT, R.DOUBLE):
         return values.to_numpy(zero_copy_only=False)
     if ptype == R.BYTE_ARRAY:
-        if not (pa.types.is_large_binary(ty)):
+        # string/binary layouts are read directly (int32 or int64
+        # offsets) — no cast, so the value bytes are never copied
+        if not (
+            pa.types.is_string(ty)
+            or pa.types.is_large_string(ty)
+            or pa.types.is_binary(ty)
+            or pa.types.is_large_binary(ty)
+        ):
             values = values.cast(pa.large_binary())
         return dictionary._byte_array_buffers(values)
     if ptype == R.FIXED_LEN_BYTE_ARRAY:
@@ -184,8 +191,7 @@ def _encode_payload(
             return bss.encode(v), 0
     elif ptype == R.BYTE_ARRAY:
         if codec == R.DICT:
-            arr = values if pa.types.is_large_binary(values.type) else values.cast(pa.large_binary())
-            return dictionary.encode(arr), 0
+            return dictionary.encode(values), 0
         data, offsets = _to_physical_values(values, ptype)
         if codec == R.PLAIN:
             return plain.encode_byte_array(data, offsets), 0

@@ -44,8 +44,11 @@ def _plain_encode_values(arr: pa.Array) -> bytes:
     return plain.encode_fixed(arr.to_numpy(zero_copy_only=False))
 
 
-def _byte_array_buffers(arr: pa.Array) -> tuple[bytes, np.ndarray]:
-    """Zero-copy (data, offsets) of a string/binary array with no nulls."""
+def _byte_array_buffers(arr: pa.Array):
+    """Zero-copy (data, offsets) of a string/binary array with no nulls.
+    `data` is a memoryview over the Arrow buffer — NO copy of the value
+    bytes is made (encoders consume it via np.frombuffer, also
+    zero-copy); only the small offsets array is widened to int64."""
     if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
         off_dtype = np.int64
     else:
@@ -53,10 +56,10 @@ def _byte_array_buffers(arr: pa.Array) -> tuple[bytes, np.ndarray]:
     bufs = arr.buffers()
     offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=len(arr) + 1, offset=arr.offset * np.dtype(off_dtype).itemsize)
     data_buf = bufs[2]
-    data = memoryview(data_buf)[int(offsets[0]) : int(offsets[-1])] if data_buf is not None else b""
+    data = memoryview(data_buf)[int(offsets[0]) : int(offsets[-1])] if data_buf is not None else memoryview(b"")
     if int(offsets[0]) != 0:
         offsets = offsets - offsets[0]
-    return bytes(data), offsets.astype(np.int64)
+    return data, offsets.astype(np.int64)
 
 
 def encode(arr: pa.Array) -> bytes:

@@ -56,8 +56,7 @@ def select(
         from . import fsst
         from .dictionary import _byte_array_buffers
 
-        arr = sample if pa.types.is_large_binary(sample.type) else sample.cast(pa.large_binary())
-        data, _off = _byte_array_buffers(arr)
+        data, _off = _byte_array_buffers(sample)
         trial_ctx["fsst_table"] = fsst.train(bytes(data))
     codec_obj = None
     if compression:

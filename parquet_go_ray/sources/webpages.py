@@ -136,8 +136,22 @@ def generate_shard(sf: float, shard: int, n_rows: int) -> pa.Table:
     )
 
 
+def _write_shard(args) -> None:
+    sf, shard, rows, path = args
+    table = generate_shard(sf, shard, rows)
+    tmp = f"{path}.tmp{os.getpid()}"
+    # small row groups let read_parquet split a shard into several
+    # read tasks (override_num_blocks), so parallelism is not capped
+    # by the shard count at test scale
+    pq.write_table(table, tmp, compression="snappy", row_group_size=2048)
+    os.replace(tmp, path)
+
+
 def ensure(sf: float, root: str = CACHE_ROOT) -> str:
-    """Generate (once) and return the shard directory for scale factor sf."""
+    """Generate (once) and return the shard directory for scale factor sf.
+    Shards are seed-deterministic and independent, so generation fans out
+    over a process pool (generating GB-scale inputs for scaling runs in
+    seconds instead of minutes)."""
     n_rows = rows_for_sf(sf)
     n_shards = max(1, (n_rows + ROWS_PER_SHARD - 1) // ROWS_PER_SHARD)
     out = Path(root) / f"sf{sf:g}"
@@ -145,6 +159,7 @@ def ensure(sf: float, root: str = CACHE_ROOT) -> str:
     if done.exists():
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
+    jobs = []
     for shard in range(n_shards):
         rows = min(ROWS_PER_SHARD, n_rows - shard * ROWS_PER_SHARD)
         if rows <= 0:
@@ -152,13 +167,15 @@ def ensure(sf: float, root: str = CACHE_ROOT) -> str:
         path = out / f"shard-{shard:05d}.parquet"
         if path.exists():
             continue
-        table = generate_shard(sf, shard, rows)
-        tmp = str(path) + ".tmp"
-        # small row groups let read_parquet split a shard into several
-        # read tasks (override_num_blocks), so parallelism is not capped
-        # by the shard count at test scale
-        pq.write_table(table, tmp, compression="snappy", row_group_size=2048)
-        os.replace(tmp, path)
+        jobs.append((sf, shard, rows, str(path)))
+    if len(jobs) <= 2:
+        for j in jobs:
+            _write_shard(j)
+    else:
+        from concurrent.futures import ProcessPoolExecutor
+
+        with ProcessPoolExecutor(max_workers=min(16, len(jobs))) as ex:
+            list(ex.map(_write_shard, jobs, chunksize=4))
     done.write_text("ok")
     return str(out)
 

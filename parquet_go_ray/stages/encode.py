@@ -120,16 +120,66 @@ def _truncate_upper(s: str, limit: int = _STAT_TRUNC) -> str | None:
     return None
 
 
+def _hash_flat_array(h, arr: pa.Array) -> bool:
+    """Feed arr's logical content into hash h with zero copies of the
+    value bytes (memoryview slices of the Arrow buffers, offsets
+    normalized). Returns False for layouts it can't handle (caller falls
+    back to IPC serialization for that column)."""
+    ty = arr.type
+    if arr.null_count:
+        import pyarrow.compute as pc
+
+        mask = np.asarray(pc.is_null(arr))
+        h.update(np.packbits(mask).tobytes())
+    try:
+        if (
+            pa.types.is_string(ty)
+            or pa.types.is_large_string(ty)
+            or pa.types.is_binary(ty)
+            or pa.types.is_large_binary(ty)
+        ):
+            from ..codecs.dictionary import _byte_array_buffers
+
+            data, offsets = _byte_array_buffers(arr)
+            h.update(offsets.tobytes())
+            h.update(data)
+            return True
+        if pa.types.is_fixed_size_binary(ty) or pa.types.is_decimal(ty):
+            w = ty.byte_width
+            buf = arr.buffers()[1]
+            h.update(memoryview(buf)[arr.offset * w : (arr.offset + len(arr)) * w])
+            return True
+        width = getattr(ty, "bit_width", 0)
+        if width and width % 8 == 0 and not pa.types.is_boolean(ty):
+            w = width // 8
+            buf = arr.buffers()[1]
+            h.update(memoryview(buf)[arr.offset * w : (arr.offset + len(arr)) * w])
+            return True
+    except Exception:
+        return False
+    return False
+
+
 def chunk_id_for(table: pa.Table) -> str:
     """Deterministic content-derived chunk id over EVERY column's logical
-    content. IPC serialization truncates buffers to the slice (two
-    different slices sharing a parent buffer serialize differently), so
-    equal ids imply equal slice content — retries stay idempotent and
-    distinct slices can never silently overwrite each other."""
-    sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, table.schema) as w:
-        w.write_table(table)
-    h = hashlib.sha1(memoryview(sink.getvalue()))
+    content (offsets normalized, so two different slices sharing a parent
+    buffer hash differently) — retries stay idempotent and distinct
+    slices can never silently overwrite each other. Flat columns hash
+    their buffers zero-copy in one pass; nested/boolean columns fall back
+    to hashing their IPC serialization."""
+    h = hashlib.sha1()
+    h.update(str(table.num_rows).encode())
+    for name in table.column_names:
+        col = table.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h.update(name.encode())
+        if not _hash_flat_array(h, col):
+            sink = pa.BufferOutputStream()
+            batch = pa.record_batch([col], names=[name])
+            with pa.ipc.new_stream(sink, batch.schema) as w:
+                w.write_batch(batch)
+            h.update(memoryview(sink.getvalue()))
     return h.hexdigest()[:16]
 
 
@@ -141,8 +191,9 @@ def chunk_id_for(table: pa.Table) -> str:
 # ever encodes (writer.go:340-347's per-writer dictionary state, made
 # per-worker). Entries re-validate on ratio drift and on a fixed cadence.
 
-RESELECT_EVERY = 64  # chunks between forced re-selections per column
-RETRAIN_SLACK = 0.15  # ratio degradation that invalidates a cache entry
+RESELECT_EVERY = 64  # chunks between forced (fully fresh) re-selections
+RETRAIN_SLACK = 0.3  # ratio degradation that counts as drift
+DRIFT_HYSTERESIS = 2  # consecutive drift chunks before re-selecting
 
 _COLUMN_CACHE: dict[str, dict] = {}
 
@@ -154,7 +205,15 @@ def _encode_column_cached(
     compression: str | None,
     cache: dict[str, dict] | None,
 ) -> bytes:
-    """Encode one column chunk, consulting/maintaining the selection cache."""
+    """Encode one column chunk, consulting/maintaining the selection cache.
+
+    Natural chunk-to-chunk ratio variance must not thrash the cache (a
+    re-selection trial-encodes every candidate and trains an FSST table —
+    the very cost the cache exists to amortize), so invalidation needs
+    DRIFT_HYSTERESIS consecutive bad chunks, and a drift-triggered
+    re-selection reuses the previous FSST table as its trial table (a
+    stale table only mis-ranks FSST itself, and only pessimistically;
+    the periodic RESELECT_EVERY pass always retrains from scratch)."""
     if cache is None:
         ctx: dict = {}
         return chunk_mod.encode_array(arr, override, compression, ctx)
@@ -166,14 +225,25 @@ def _encode_column_cached(
         ent["uses"] += 1
         ratio = len(blob) / max(1, arr.nbytes)
         if ratio > ent["baseline"] * (1 + RETRAIN_SLACK):
-            cache.pop(name, None)  # drift: re-select on the next chunk
+            ent["drift"] = ent.get("drift", 0) + 1
+            if ent["drift"] >= DRIFT_HYSTERESIS:
+                stale = cache.pop(name)
+                table = stale["ctx"].get("fsst_table")
+                if table is not None and stale["codec"] != R.CODEC_IDS["fsst"]:
+                    cache[("__hint__", name)] = table
+        else:
+            ent["drift"] = 0
         return blob
     ctx = {}
+    hint = cache.pop(("__hint__", name), None)
+    if hint is not None:
+        ctx["fsst_table"] = hint
     blob = chunk_mod.encode_array(arr, override, compression, ctx)
     cache[name] = {
         "codec": blob[4],
         "ctx": ctx,
         "uses": 1,
+        "drift": 0,
         "baseline": len(blob) / max(1, arr.nbytes),
     }
     return blob
@@ -461,8 +531,10 @@ def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
     data = batch.drop_columns(["path"])
     if len(paths) == 0:
         return
-    stems = np.array([Path(p).stem for p in paths])
-    change = np.nonzero(stems[1:] != stems[:-1])[0] + 1
-    starts = np.concatenate(([0], change, [len(stems)]))
+    # boundaries on the raw path strings (no per-row parsing); the stem
+    # is computed once per group, not once per row
+    change = np.nonzero(paths[1:] != paths[:-1])[0] + 1
+    starts = np.concatenate(([0], change, [len(paths)]))
     for a, b in zip(starts[:-1], starts[1:]):
-        yield stems[a], paths[a], data.slice(int(a), int(b - a))
+        p = paths[a]
+        yield Path(p).stem, p, data.slice(int(a), int(b - a))
