@@ -5,21 +5,23 @@ one explicit shuffle (the `groupby`) — the pattern the guide recommends
 (hash per batch, shuffle only keys/ids, verify within groups):
 
 - exact:   content hash per batch -> groupby(hash) -> keep min id
-- minhash: shingle->MinHash per batch -> explode (band, key, id) rows ->
-           groupby(band, key) -> candidate pairs -> exact Jaccard verify
-- simhash: 64-bit fingerprint per batch -> bucket by high bits ->
-           near-pairs by Hamming distance within buckets
-- ngram:   exact k-gram Jaccard on candidate pairs (the verify kernel)
+- minhash: shingle->MinHash per batch -> explode (band, key, id) rows
+           (24 bytes each — signatures do NOT ride the shuffle) ->
+           hash-partitioned bucket stage -> candidate pairs ->
+           distributed signature re-join for the est-Jaccard filter
+- simhash: 64-bit fingerprint per batch -> 4x16-bit band buckets ->
+           near-pairs by Hamming distance within buckets (pigeonhole:
+           any pair at Hamming <= 3 shares at least one intact band)
+- ngram:   exact k-gram Jaccard on candidate pairs (the verify kernel),
+           run INSIDE pair groups — texts of candidate docs shuffle,
+           never the corpus, and nothing is collected on the driver
 
-At 100 TB the only all-to-all traffic is (hash, id) pairs — a ~1e-4
-fraction of the corpus; document payloads never shuffle. Pair
-verification re-reads only the candidate docs (here: they ride along in
-the group since candidates are rare).
-
-Scale note: minhash band rows currently carry the full signature (16x
-signature volume through the shuffle) so buckets can estimate Jaccard
-in place; at 10^12 docs, restructure to ship (band, key, id) only and
-re-join signatures for the candidate set (a ~1e-3 fraction).
+At 100 TB the only all-to-all traffic is (band, key, id) triples — a
+~1e-4 byte fraction of the corpus; document payloads shuffle only for
+the candidate set (~1e-3 of docs at realistic thresholds). Bucket
+batching is hash-partitioned with a size-targeted partition count, so
+one task never materializes more than ~PARTITION_TARGET_ROWS band rows
+(the round-1 `% 64` super-group loaded corpus/64 per call — unbounded).
 """
 
 from __future__ import annotations
@@ -60,25 +62,37 @@ def exact_dedupe(
     )
 
 
-def minhash_lsh_pairs(
+# hash-partitioned bucket batching: one map_groups call per partition
+# (pandas groupby over the real buckets inside), sized so a partition's
+# band rows stay ~PARTITION_TARGET_ROWS regardless of corpus size
+PARTITION_TARGET_ROWS = 500_000
+MAX_BUCKET = 4096  # a bucket this large is a near-identical cluster, not
+# a near-dup candidate set — exact dedup handles it; caps the O(b^2) pair
+# explosion a degenerate key would cause
+
+
+def _n_partitions(n_docs_hint: int | None, bands: int) -> int:
+    if not n_docs_hint:
+        return 256
+    return max(64, (n_docs_hint * bands) // PARTITION_TARGET_ROWS)
+
+
+def minhash_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 4,
     num_perm: int = 64,
     bands: int = 16,
-    jaccard_threshold: float = 0.7,
+    n_docs_hint: int | None = None,
 ) -> ray.data.Dataset:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+    """LSH candidate pairs (id_a < id_b); may repeat a pair found by
+    bands in different partitions (the downstream pair join dedups).
+    Only (band, key, id) triples shuffle — 24 bytes per band row;
+    signatures never ride the shuffle (round-1 shipped the full
+    64x u64 signature per row)."""
 
-    Stage 1 (map_batches): signatures + band keys per doc; emit one
-    (band, key, id, signature) row per band. Stage 2 (groupby band+key):
-    within-bucket pairs, estimated Jaccard from signature agreement,
-    dedup pairs via min-band ownership.
-    """
-    rows_per_band = num_perm // bands
-
-    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
         texts = [t.encode() for t in batch[text_col]]
         ids = batch[id_col].to_numpy()
         sigs = hashing.minhash_signatures(texts, shingle_k, num_perm)
@@ -89,79 +103,301 @@ def minhash_lsh_pairs(
                 "band": np.tile(np.arange(bands, dtype=np.int32), n),
                 "key": keys.ravel().view(np.int64),
                 id_col: np.repeat(ids, bands),
-                "sig": list(np.repeat(sigs.view(np.int64), bands, axis=0).reshape(n * bands, num_perm)),
             }
         )
 
-    _empty = {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+    P = _n_partitions(n_docs_hint, bands)
+    _empty = {"id_a": "int64", "id_b": "int64"}
 
-    def bucket_pairs(super_group: pd.DataFrame) -> pd.DataFrame:
-        """One call per hashed SUPER-group (bounded count), pandas
-        groupby over the real (band, key) buckets inside — avoids one
-        Python call per tiny bucket (thousands at any scale)."""
-        outs = []
-        for (_b, _k), group in super_group.groupby(["band", "key"], sort=False):
-            if len(group) < 2:
-                continue
-            ids = group[id_col].to_numpy()
-            sigs = np.stack(group["sig"].to_numpy())
-            order = np.argsort(ids)
-            ids, sigs = ids[order], sigs[order]
-            ia, ib = np.triu_indices(len(ids), k=1)
-            est = (sigs[ia] == sigs[ib]).mean(axis=1)
-            keep = est >= jaccard_threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[ia[keep]].astype(np.int64),
-                            "id_b": ids[ib[keep]].astype(np.int64),
-                            "est_jaccard": np.round(est[keep], 4),
-                        }
-                    )
-                )
-        if not outs:
-            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
-        # a pair found by several bands within this super-group dedupes here
-        return (
-            pd.concat(outs).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-        )
-
-    sigs = ds.map_batches(sig_rows, batch_format="pandas")
-
-    def add_super(df: pd.DataFrame) -> pd.DataFrame:
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["sg"] = (
-            df["key"].to_numpy().view(np.uint64) % np.uint64(64)
-        ).astype(np.int32)
+        key = df["key"].to_numpy().view(np.uint64)
+        band = df["band"].to_numpy().astype(np.uint64)
+        df["pt"] = ((key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)).astype(
+            np.int64
+        )
         return df
 
-    pairs = (
-        sigs.map_batches(add_super, batch_format="pandas")
-        .groupby("sg")
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_b, _k), group in part.groupby(["band", "key"], sort=False):
+            b = len(group)
+            if b < 2 or b > MAX_BUCKET:
+                continue
+            ids = np.sort(group[id_col].to_numpy())
+            ia, ib = np.triu_indices(b, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ids[ia].astype(np.int64), "id_b": ids[ib].astype(np.int64)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        return pd.concat(outs).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+    # NOTE: the same pair can emerge from bands in different partitions,
+    # so the output may contain duplicate (id_a, id_b) rows — the pair
+    # join (_attach_pair_values) collapses them without an extra shuffle.
+    return (
+        ds.map_batches(band_rows, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("pt")
         .map_groups(bucket_pairs, batch_format="pandas")
     )
 
-    # cross-super-group duplicates: same (band,key) always lands in the
-    # same super-group, but the same PAIR can emerge from bands in
-    # different super-groups -> final dedup over hashed pair groups
-    def add_pg(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pg"] = ((df["id_a"].to_numpy() * 31 + df["id_b"].to_numpy()) % 16).astype(
-            np.int32
+
+def _attach_pair_values(
+    cand: ray.data.Dataset,
+    ds: ray.data.Dataset,
+    value_fn,
+    text_col: str,
+    id_col: str,
+    parts: int = 64,
+):
+    """Distributed pair join: attach a per-doc value (signature, text,
+    ...) to both sides of every candidate pair WITHOUT collecting docs on
+    the driver. Only candidate ids are broadcast (8 bytes/doc); values of
+    candidate docs shuffle through two hash-partitioned groupbys sized by
+    the candidate set (~1e-3 of the corpus at realistic thresholds),
+    never the corpus. Duplicate candidate pairs (the same pair surfacing
+    from several LSH partitions) collapse in the pairing stage, so the
+    caller does not need a separate dedup shuffle.
+
+    Returns a Dataset of (id_a, id_b, val_a, val_b) rows via:
+      pair rows exploded per side + candidate doc values, unioned,
+      groupby(hash(doc) % parts) attaches values (pandas merge inside —
+      one task per partition, not per doc), then
+      groupby(hash(pair) % parts) pairs the sides.
+    """
+    import ray
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["id_a", "id_b"])
+        a = df["id_a"].to_numpy()
+        b = df["id_b"].to_numpy()
+        doc = np.concatenate([a, b]).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc": doc,
+                "dg": (doc.view(np.uint64) % np.uint64(parts)).astype(np.int64),
+                "id_a": np.concatenate([a, a]).astype(np.int64),
+                "id_b": np.concatenate([b, b]).astype(np.int64),
+                "val": [None] * (2 * len(df)),
+            }
         )
-        return df
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["id_a", "id_b"])[
-            ["id_a", "id_b", "est_jaccard"]
-        ]
+    # candidates are consumed twice (id broadcast + pair explode):
+    # materialize the small pair table once instead of re-running the
+    # LSH pipeline
+    cand = cand.materialize()
+    # broadcast the candidate-id set (ids only — the one driver-side
+    # structure; 8 bytes per candidate doc)
+    ids_df = cand.to_pandas()
+    need = np.unique(np.concatenate([ids_df["id_a"].to_numpy(), ids_df["id_b"].to_numpy()])) if len(ids_df) else np.array([], dtype=np.int64)
+    cand_ids_ref = ray.put(set(need.tolist()))
 
-    return (
-        pairs.map_batches(add_pg, batch_format="pandas")
-        .groupby("pg")
-        .map_groups(dedup_pairs, batch_format="pandas")
+    def doc_values(batch: pd.DataFrame) -> pd.DataFrame:
+        needset = ray.get(cand_ids_ref)
+        m = batch[id_col].isin(needset)
+        sel = batch.loc[m]
+        if not len(sel):
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype="int64"),
+                 "dg": pd.Series([], dtype="int64"),
+                 "id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "val": pd.Series([], dtype="object")}
+            )
+        vals = value_fn(sel)
+        doc = sel[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc": doc,
+                "dg": (doc.view(np.uint64) % np.uint64(parts)).astype(np.int64),
+                "id_a": np.full(len(sel), -1, dtype=np.int64),
+                "id_b": np.full(len(sel), -1, dtype=np.int64),
+                "val": vals,
+            }
+        )
+
+    pair_rows = cand.map_batches(explode, batch_format="pandas")
+    value_rows = ds.map_batches(doc_values, batch_format="pandas")
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        src = part[part["id_a"] == -1][["doc", "val"]].drop_duplicates("doc")
+        sides = part[part["id_a"] != -1].drop_duplicates(["id_a", "id_b", "doc"])
+        out = sides[["id_a", "id_b", "doc"]].merge(src, on="doc", how="inner")
+        pg = (
+            (out["id_a"].to_numpy() * 1_000_003 + out["id_b"].to_numpy())
+            % parts
+        ).astype(np.int64)
+        out["pg"] = pg
+        return out
+
+    attached = (
+        pair_rows.union(value_rows)
+        .groupby("dg")
+        .map_groups(attach, batch_format="pandas")
     )
+
+    def pair_up(part: pd.DataFrame) -> pd.DataFrame:
+        rows = {"id_a": [], "id_b": [], "val_a": [], "val_b": []}
+        for (a, b), g in part.groupby(["id_a", "id_b"], sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("doc")
+            rows["id_a"].append(int(a))
+            rows["id_b"].append(int(b))
+            rows["val_a"].append(g["val"].iloc[0])
+            rows["val_b"].append(g["val"].iloc[1])
+        return pd.DataFrame(rows)
+
+    return attached.groupby("pg").map_groups(pair_up, batch_format="pandas")
+
+
+# above this many candidate pairs, the signature-broadcast fast path
+# switches to the fully distributed pair join (the driver would
+# otherwise hold ~512 B x candidate docs)
+BROADCAST_PAIR_LIMIT = 2_000_000
+
+
+def _candidate_value_lookup(
+    cand: ray.data.Dataset, ds: ray.data.Dataset, value_fn, id_col: str
+):
+    """Broadcast helper for small candidate sets: one projected pass
+    over the corpus computes candidate docs' values; returns a ray
+    ObjectRef of {doc_id: value}, ray.put once and read per task."""
+    import ray
+
+    ids_df = cand.to_pandas()
+    need = (
+        np.unique(np.concatenate([ids_df["id_a"].to_numpy(), ids_df["id_b"].to_numpy()]))
+        if len(ids_df)
+        else np.array([], dtype=np.int64)
+    )
+    needset_ref = ray.put(set(need.tolist()))
+
+    def doc_values(batch: pd.DataFrame) -> pd.DataFrame:
+        needset = ray.get(needset_ref)
+        sel = batch.loc[batch[id_col].isin(needset)]
+        if not len(sel):
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype="int64"),
+                 "val": pd.Series([], dtype="object")}
+            )
+        return pd.DataFrame(
+            {"doc": sel[id_col].to_numpy().astype(np.int64), "val": value_fn(sel)}
+        )
+
+    vals = ds.map_batches(doc_values, batch_format="pandas").to_pandas()
+    return ray.put(dict(zip(vals["doc"], vals["val"])))
+
+
+def minhash_lsh_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 4,
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.7,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
+
+    Candidates from the (band, key, id)-only LSH stage; the est-Jaccard
+    filter re-computes signatures for candidate docs ONLY (a projected
+    second pass over the corpus). Signatures are fixed 512 B/doc, so
+    below BROADCAST_PAIR_LIMIT pairs they broadcast (no extra shuffle);
+    above it the fully distributed pair join takes over — no signatures
+    in the wide shuffle, nothing unbounded on the driver."""
+
+    cand = minhash_candidates(
+        ds, text_col, id_col, shingle_k, num_perm, bands, n_docs_hint
+    ).materialize()
+
+    def sig_values(sel: pd.DataFrame):
+        texts = [t.encode() for t in sel[text_col]]
+        sigs = hashing.minhash_signatures(texts, shingle_k, num_perm)
+        # bytes, not ndarrays: object columns of ndarrays trip Ray's
+        # tensor-extension coercion in the shuffle
+        return [s.tobytes() for s in sigs]
+
+    if cand.count() <= BROADCAST_PAIR_LIMIT:
+        # broadcast fast path: sig lookup ray.put once; dedup + attach +
+        # estimate fused into ONE hash-partitioned stage (the candidate
+        # count can be large on duplication-heavy corpora — 1.4M pairs
+        # from 5k docs at sf0.1 — so the estimate must be vectorized
+        # and parallel, never a single-task or per-pair loop)
+        import ray
+
+        lookup_ref = _candidate_value_lookup(cand, ds, sig_values, id_col)
+        PG = 64
+
+        def add_pg(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["pg"] = (
+                (df["id_a"].to_numpy() * 1_000_003 + df["id_b"].to_numpy()) % PG
+            ).astype(np.int32)
+            return df
+
+        def est_part(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.drop_duplicates(["id_a", "id_b"])
+            lookup = ray.get(lookup_ref)
+            ids_a = part["id_a"].to_numpy().astype(np.int64)
+            ids_b = part["id_b"].to_numpy().astype(np.int64)
+            sig_a = np.frombuffer(
+                b"".join(lookup[a] for a in ids_a), dtype=np.uint64
+            ).reshape(len(part), num_perm)
+            sig_b = np.frombuffer(
+                b"".join(lookup[b] for b in ids_b), dtype=np.uint64
+            ).reshape(len(part), num_perm)
+            est = (sig_a == sig_b).mean(axis=1)
+            keep = est >= jaccard_threshold
+            return pd.DataFrame(
+                {
+                    "id_a": ids_a[keep],
+                    "id_b": ids_b[keep],
+                    "est_jaccard": np.round(est[keep], 4),
+                }
+            )
+
+        return (
+            cand.map_batches(add_pg, batch_format="pandas")
+            .groupby("pg")
+            .map_groups(est_part, batch_format="pandas")
+        )
+
+    paired = _attach_pair_values(cand, ds, sig_values, text_col, id_col)
+
+    def estimate(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "est_jaccard": pd.Series([], dtype="float64")}
+            )
+        est = np.array(
+            [
+                float(
+                    (
+                        np.frombuffer(a, dtype=np.uint64)
+                        == np.frombuffer(b, dtype=np.uint64)
+                    ).mean()
+                )
+                for a, b in zip(batch["val_a"], batch["val_b"])
+            ]
+        )
+        keep = est >= jaccard_threshold
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": batch["id_b"].to_numpy()[keep].astype(np.int64),
+                "est_jaccard": np.round(est[keep], 4),
+            }
+        )
+
+    return paired.map_batches(estimate, batch_format="pandas")
 
 
 def simhash_fingerprints(
@@ -198,31 +434,140 @@ def verified_near_dupes(
     id_col: str = "doc_id",
     jaccard_threshold: float = 0.6,
     **lsh_kwargs,
-) -> pd.DataFrame:
-    """MinHash-LSH candidates -> exact n-gram Jaccard verification.
-
-    Returns a small driver-side DataFrame (id_a, id_b, jaccard). The
-    candidate set is tiny relative to the corpus; texts for verification
-    are fetched via a broadcast lookup of only the candidate ids."""
+) -> ray.data.Dataset:
+    """MinHash-LSH candidates -> exact n-gram Jaccard verification,
+    entirely off-driver: candidate texts are attached to their pairs by
+    the distributed join and the exact Jaccard kernel runs inside the
+    pair groups. Only the candidate-id set touches the driver."""
     cand = minhash_lsh_pairs(
         ds, text_col, id_col, jaccard_threshold=jaccard_threshold * 0.8, **lsh_kwargs
-    ).to_pandas()
-    if cand.empty:
-        return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
-        )
-    need = set(cand["id_a"]) | set(cand["id_b"])
-
-    def project(batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch[id_col].isin(need)
-        return batch.loc[m, [id_col, text_col]]
-
-    docs = ds.map_batches(project, batch_format="pandas").to_pandas()
-    lookup = dict(zip(docs[id_col], docs[text_col]))
-    jac = np.array(
-        [ngram_jaccard(lookup[a], lookup[b]) for a, b in zip(cand["id_a"], cand["id_b"])]
+    ).map_batches(
+        lambda df: df[["id_a", "id_b"]], batch_format="pandas"
     )
-    keep = jac >= jaccard_threshold
-    out = cand.loc[keep, ["id_a", "id_b"]].copy()
-    out["jaccard"] = np.round(jac[keep], 4)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    def text_values(sel: pd.DataFrame):
+        return list(sel[text_col])
+
+    paired = _attach_pair_values(cand, ds, text_values, text_col, id_col)
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"),
+                 "id_b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        jac = np.array(
+            [ngram_jaccard(a, b) for a, b in zip(batch["val_a"], batch["val_b"])]
+        )
+        keep = jac >= jaccard_threshold
+        return pd.DataFrame(
+            {
+                "id_a": batch["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": batch["id_b"].to_numpy()[keep].astype(np.int64),
+                "jaccard": np.round(jac[keep], 4),
+            }
+        )
+
+    return paired.map_batches(verify, batch_format="pandas")
+
+
+def simhash_near_pairs(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Near-duplicate pairs by SimHash: (id_a < id_b, hamming <= k).
+
+    Banded multi-probe: the 64-bit fingerprint splits into 4 16-bit
+    bands; any pair within Hamming distance 3 agrees exactly on at least
+    one band (pigeonhole), so bucketing by (band, band_bits) finds every
+    such pair. Within-bucket distances use the vectorized popcount
+    kernel (functions/hashing.hamming_distance64). Same bounded
+    hash-partitioned batching as the MinHash bucket stage."""
+    BANDS = 4
+
+    def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [t.encode() for t in batch[text_col]]
+        h = hashing.simhash64(texts)
+        ids = batch[id_col].to_numpy()
+        n = len(ids)
+        bandvals = np.stack(
+            [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) for b in range(BANDS)],
+            axis=1,
+        )  # (n, 4)
+        return pd.DataFrame(
+            {
+                "band": np.tile(np.arange(BANDS, dtype=np.int32), n),
+                "key": bandvals.ravel().astype(np.int64),
+                id_col: np.repeat(ids, BANDS),
+                "fp": np.repeat(h.view(np.int64), BANDS),
+            }
+        )
+
+    P = _n_partitions(n_docs_hint, BANDS)
+    _empty = {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        key = df["key"].to_numpy().view(np.uint64)
+        band = df["band"].to_numpy().astype(np.uint64)
+        df["pt"] = (
+            (key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)
+        ).astype(np.int64)
+        return df
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for (_b, _k), group in part.groupby(["band", "key"], sort=False):
+            b = len(group)
+            if b < 2 or b > MAX_BUCKET:
+                continue
+            order = np.argsort(group[id_col].to_numpy())
+            ids = group[id_col].to_numpy()[order]
+            fps = group["fp"].to_numpy()[order].view(np.uint64)
+            ia, ib = np.triu_indices(b, k=1)
+            d = hashing.hamming_distance64(fps[ia], fps[ib])
+            keep = d <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ia[keep]].astype(np.int64),
+                            "id_b": ids[ib[keep]].astype(np.int64),
+                            "hamming": d[keep].astype(np.int64),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
+        return pd.concat(outs).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+    pairs = (
+        ds.map_batches(fp_rows, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    PG = max(16, P // 8)
+
+    def add_pg(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pg"] = (
+            (df["id_a"].to_numpy() * 31 + df["id_b"].to_numpy()) % PG
+        ).astype(np.int32)
+        return df
+
+    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        return group.drop_duplicates(["id_a", "id_b"])[
+            ["id_a", "id_b", "hamming"]
+        ]
+
+    return (
+        pairs.map_batches(add_pg, batch_format="pandas")
+        .groupby("pg")
+        .map_groups(dedup_pairs, batch_format="pandas")
+    )

@@ -484,6 +484,12 @@ def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read(sf_dir, "documents"))
 
 
+def q_simhash_near_pairs(sf_dir):
+    # banded multi-probe buckets + within-bucket vectorized Hamming;
+    # every pair at distance <= 3 shares an intact 16-bit band
+    return dedup.simhash_near_pairs(_read(sf_dir, "documents"))
+
+
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
         _read(sf_dir, "documents"), jaccard_threshold=0.5
@@ -600,6 +606,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
