@@ -87,6 +87,10 @@ def physical_type(ty: pa.DataType) -> int:
         return R.FIXED_LEN_BYTE_ARRAY
     if pa.types.is_list(ty) or pa.types.is_large_list(ty):
         return R.P_LIST
+    if pa.types.is_struct(ty) and ty.num_fields > 0:
+        return R.P_STRUCT
+    if pa.types.is_map(ty):
+        return R.P_MAP
     return R.OTHER
 
 
@@ -324,9 +328,16 @@ def encode_array(
     n = len(arr)
     n_null = arr.null_count
 
-    # structural: lists encode as offsets chunk + child chunk
+    # structural: lists encode as offsets chunk + child chunk; structs
+    # shred into per-field child chunks (node.go:393-415 /
+    # schema.go:216-280 semantics, expressed as Arrow children instead
+    # of rep/def levels); maps shred as list-of-struct
     if ptype == R.P_LIST:
         return _encode_list(arr)
+    if ptype == R.P_STRUCT:
+        return _encode_struct(arr)
+    if ptype == R.P_MAP:
+        return _encode_map(arr)
 
     if ctx is None:
         ctx = {}
@@ -418,6 +429,93 @@ def _encode_list(arr: pa.Array) -> bytes:
     return body + struct.pack("<I", zlib.crc32(body))
 
 
+def _encode_struct(arr: pa.Array) -> bytes:
+    """Struct shredding: parent validity bitmap + one recursively encoded
+    chunk per child field (each child gets its own codec selection — a
+    numeric field delta-packs, a string field dictionary/FSST-encodes)."""
+    n = len(arr)
+    n_null = arr.null_count
+    if n_null:
+        valid_mask = ~np.asarray(arr.is_null())
+        validity = np.packbits(valid_mask, bitorder="little").tobytes()
+    else:
+        validity = b""
+    parts = []
+    for i in range(arr.type.num_fields):
+        child_chunk = encode_array(arr.field(i))
+        parts.append(struct.pack("<I", len(child_chunk)))
+        parts.append(child_chunk)
+    payload = b"".join(parts)
+    type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
+    header = _HDR.pack(
+        MAGIC, R.STRUCT, R.P_STRUCT, 1 if n_null else 0, 0, n, n_null,
+        len(type_bytes), len(validity), len(payload),
+    )
+    body = header + type_bytes + validity + payload
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def _decode_struct(payload, ty, n, n_null, validity) -> pa.Array:
+    children = []
+    pos = 0
+    while pos < len(payload):
+        (ln,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        children.append(decode_array(payload[pos : pos + ln]))
+        pos += ln
+    validity_buf = pa.py_buffer(validity) if n_null else None
+    return pa.Array.from_buffers(ty, n, [validity_buf], children=children)
+
+
+def _encode_map(arr: pa.Array) -> bytes:
+    """Map shredding: offsets chunk + key/value children as one struct
+    chunk (maps are list-of-struct; schema.go:216-280's map path)."""
+    n = len(arr)
+    n_null = arr.null_count
+    if n_null:
+        valid_mask = ~np.asarray(arr.is_null())
+        validity = np.packbits(valid_mask, bitorder="little").tobytes()
+    else:
+        validity = b""
+    offsets = np.asarray(arr.offsets, dtype=np.int64)
+    lengths = np.diff(offsets)
+    if n_null:
+        lengths = np.where(valid_mask, lengths, 0)
+    norm_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=norm_offsets[1:])
+    # keys/items are parent-wide children; slice to this array's extent.
+    # (Null slots with nonzero extents would misalign; Arrow map arrays
+    # from parquet/ipc always have zero-extent null slots.)
+    lo, hi = int(offsets[0]), int(offsets[-1])
+    entries = pa.StructArray.from_arrays(
+        [arr.keys.slice(lo, hi - lo), arr.items.slice(lo, hi - lo)],
+        ["key", "value"],
+    )
+    off_chunk = encode_array(pa.array(norm_offsets, type=pa.int64()))
+    child_chunk = encode_array(entries)
+    payload = struct.pack("<I", len(off_chunk)) + off_chunk + child_chunk
+    type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
+    header = _HDR.pack(
+        MAGIC, R.MAP, R.P_MAP, 1 if n_null else 0, 0, n, n_null,
+        len(type_bytes), len(validity), len(payload),
+    )
+    body = header + type_bytes + validity + payload
+    return body + struct.pack("<I", zlib.crc32(body))
+
+
+def _decode_map(payload, ty, n, n_null, validity) -> pa.Array:
+    (off_len,) = struct.unpack_from("<I", payload, 0)
+    offsets = decode_array(payload[4 : 4 + off_len]).to_numpy(zero_copy_only=False)
+    entries = decode_array(payload[4 + off_len :])
+    validity_buf = pa.py_buffer(validity) if n_null else None
+    return pa.Array.from_buffers(
+        ty,
+        n,
+        [validity_buf, pa.py_buffer(offsets.astype(np.int32).tobytes())],
+        children=[entries],
+    )
+
+
 def decode_array(buf: bytes) -> pa.Array:
     """Decode a chunk blob back to a pyarrow Array (bit-identical)."""
     if len(buf) < _HDR.size + 4:
@@ -442,6 +540,10 @@ def decode_array(buf: bytes) -> pa.Array:
 
     if ptype == R.P_LIST:
         return _decode_list(payload, ty, n, n_null, validity)
+    if ptype == R.P_STRUCT:
+        return _decode_struct(payload, ty, n, n_null, validity)
+    if ptype == R.P_MAP:
+        return _decode_map(payload, ty, n, n_null, validity)
 
     decoded = _decode_payload(payload, ptype, codec, n - n_null, flba_width)
     return _reassemble(decoded, ty, ptype, n, n_null, validity, flba_width)

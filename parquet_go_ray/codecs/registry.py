@@ -22,8 +22,10 @@ DELTA_LENGTH_BYTE_ARRAY = 4
 DELTA_BYTE_ARRAY = 5
 BYTE_STREAM_SPLIT = 6
 FSST = 7
-ARROW_IPC = 8  # fallback container for nested/other types
+ARROW_IPC = 8  # fallback container for other/exotic types
 LIST = 9  # structural: offsets chunk + child chunk
+STRUCT = 10  # structural: validity + per-field child chunks
+MAP = 11  # structural: list-of-struct shredding (offsets + key/value)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -36,6 +38,8 @@ CODEC_NAMES = {
     FSST: "fsst",
     ARROW_IPC: "arrow_ipc",
     LIST: "list",
+    STRUCT: "struct",
+    MAP: "map",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -49,6 +53,8 @@ BYTE_ARRAY = 5
 FIXED_LEN_BYTE_ARRAY = 6
 P_LIST = 7
 OTHER = 8
+P_STRUCT = 9
+P_MAP = 10
 
 PTYPE_NAMES = {
     BOOLEAN: "BOOLEAN",
@@ -60,6 +66,8 @@ PTYPE_NAMES = {
     FIXED_LEN_BYTE_ARRAY: "FIXED_LEN_BYTE_ARRAY",
     P_LIST: "LIST",
     OTHER: "OTHER",
+    P_STRUCT: "STRUCT",
+    P_MAP: "MAP",
 }
 
 # valid codecs per physical type (order = deterministic selector tie-break)
@@ -73,6 +81,8 @@ SUPPORTED: dict[int, tuple[int, ...]] = {
     FIXED_LEN_BYTE_ARRAY: (PLAIN, DICT, BYTE_STREAM_SPLIT),
     P_LIST: (LIST,),
     OTHER: (ARROW_IPC,),
+    P_STRUCT: (STRUCT,),
+    P_MAP: (MAP,),
 }
 
 

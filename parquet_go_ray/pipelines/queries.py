@@ -292,6 +292,48 @@ def q_encode_decode_embeddings(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "embeddings"))
 
 
+def q_encode_decode_nested(sf_dir):
+    """Struct/map shredding round-trip with an exact SQL oracle: events
+    columns are packed into a struct and a map column, run through the
+    full encode->decode path (STRUCT/MAP structural codecs — per-field
+    child chunks, no arrow_ipc fallback), then flattened back so the
+    DuckDB hash compare proves bit-identity of the nested payload."""
+    import pyarrow as pa
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value", "user_id"])
+
+    def pack(t: pa.Table) -> pa.Table:
+        evt = pa.StructArray.from_arrays(
+            [t.column("event_type").combine_chunks(), t.column("value").combine_chunks()],
+            ["etype", "val"],
+        )
+        m = pa.MapArray.from_arrays(
+            pa.array(range(0, t.num_rows + 1), type=pa.int32()),
+            pa.array(["user"] * t.num_rows),
+            t.column("user_id").combine_chunks(),
+        )
+        return pa.table(
+            {"event_id": t.column("event_id"), "evt": evt, "attrs": m}
+        )
+
+    def unpack(t: pa.Table) -> pa.Table:
+        evt = t.column("evt").combine_chunks()
+        attrs = t.column("attrs").combine_chunks()
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "event_type": evt.field("etype"),
+                "value": evt.field("val"),
+                "user_id": attrs.items,
+            }
+        )
+
+    packed = ds.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return roundtrip_dataset(packed).map_batches(
+        unpack, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _mk_roundtrip(table):
     def q(sf_dir, _t=table):
         return roundtrip_dataset(_read(sf_dir, _t))
@@ -598,6 +640,7 @@ QUERIES = {
     "encode_decode_supplier": _mk_roundtrip("supplier"),
     "encode_decode_nation": _mk_roundtrip("nation"),
     "encode_decode_region": _mk_roundtrip("region"),
+    "encode_decode_nested": q_encode_decode_nested,
     "hash_join": q_hash_join,
     "json_props_extract": q_json_props_extract,
     "token_counts": q_token_counts,
@@ -702,6 +745,9 @@ ORACLES = {
     "encode_decode_supplier": "SELECT * FROM supplier",
     "encode_decode_nation": "SELECT * FROM nation",
     "encode_decode_region": "SELECT * FROM region",
+    "encode_decode_nested": (
+        "SELECT event_id, event_type, value, user_id FROM events"
+    ),
     "hash_join": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
