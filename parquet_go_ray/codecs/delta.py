@@ -91,22 +91,45 @@ def encode_binary_packed(values: np.ndarray, bits: int) -> bytes:
     else:
         signed_view = deltas.view(np.int64)
 
-    out = [header]
     blocks = deltas.reshape(nblocks, BLOCK_SIZE)
     sblocks = signed_view.reshape(nblocks, BLOCK_SIZE)
     block_mins = sblocks.min(axis=1)
+    mins_u = (block_mins.astype(np.int64).view(np.uint64)) & mask
+    adjusted = (blocks - mins_u[:, None]) & mask
+    mbs = adjusted.reshape(nblocks * MINIBLOCKS, MINIBLOCK_SIZE)
+    maxes = mbs.max(axis=1)
+    # bit_length via searchsorted over powers of two (exact for uint64,
+    # unlike log2 floats)
+    powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+    widths_all = np.searchsorted(powers, maxes, side="right").astype(np.int32)
+    # pack all miniblocks of equal width together (one vectorized
+    # packbits per DISTINCT width instead of one call per miniblock)
+    payloads: dict[int, bytes] = {}
+    for w in np.unique(widths_all):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.nonzero(widths_all == w)[0]
+        shifts = np.arange(w, dtype=np.uint64)
+        bits_arr = (
+            (mbs[sel][:, :, None] >> shifts[None, None, :]) & _U64(1)
+        ).astype(np.uint8)
+        packed = np.packbits(
+            bits_arr.reshape(len(sel), MINIBLOCK_SIZE * w),
+            axis=1,
+            bitorder="little",
+        )
+        for j, mb_idx in enumerate(sel):
+            payloads[int(mb_idx)] = packed[j].tobytes()
+    out = [header]
     for b in range(nblocks):
-        mn = int(block_mins[b])
-        adjusted = (blocks[b] - _U64(mn & 0xFFFFFFFFFFFFFFFF)) & mask
-        mbs = adjusted.reshape(MINIBLOCKS, MINIBLOCK_SIZE)
-        widths = [
-            int(m).bit_length() for m in mbs.max(axis=1)
-        ]
-        out.append(svarint_encode(mn, bits))
-        out.append(bytes(widths))
+        out.append(svarint_encode(int(block_mins[b]), bits))
+        ws = widths_all[b * MINIBLOCKS : (b + 1) * MINIBLOCKS]
+        out.append(bytes(int(x) for x in ws))
         for i in range(MINIBLOCKS):
-            if widths[i]:
-                out.append(pack_bits(mbs[i], widths[i]))
+            p = payloads.get(b * MINIBLOCKS + i)
+            if p is not None:
+                out.append(p)
     return b"".join(out)
 
 
@@ -126,24 +149,48 @@ def decode_binary_packed(buf: bytes, bits: int, pos: int = 0) -> tuple[np.ndarra
     mask = _MASK64 if bits == 64 else _U64(0xFFFFFFFF)
     nd = n - 1
     nblocks = (nd + block_size - 1) // block_size
-    pieces = []
+    # pass 1: walk headers, record every miniblock's (width, byte start)
+    mins = []
+    n_mb = nblocks * miniblocks
+    mb_w = np.empty(n_mb, dtype=np.int32)
+    mb_start = np.empty(n_mb, dtype=np.int64)
+    k = 0
     for _ in range(nblocks):
         mn, pos = svarint_decode(buf, pos)
+        mins.append(mn & 0xFFFFFFFFFFFFFFFF)
         widths = buf[pos : pos + miniblocks]
         pos += miniblocks
-        block_vals = np.empty(block_size, dtype=np.uint64)
-        for i in range(miniblocks):
-            w = widths[i]
-            if w:
-                nbytes = packed_byte_len(mb_size, w)
-                block_vals[i * mb_size : (i + 1) * mb_size] = unpack_bits(
-                    buf[pos : pos + nbytes], w, mb_size
-                )
-                pos += nbytes
-            else:
-                block_vals[i * mb_size : (i + 1) * mb_size] = 0
-        pieces.append((block_vals + _U64(mn & 0xFFFFFFFFFFFFFFFF)) & mask)
-    deltas = np.concatenate(pieces)[:nd]
+        for w in widths:
+            mb_w[k] = w
+            mb_start[k] = pos
+            pos += packed_byte_len(mb_size, w)
+            k += 1
+    # pass 2: unpack all miniblocks of equal width together (one
+    # vectorized unpackbits per DISTINCT width instead of one numpy
+    # round-trip per 32-value miniblock)
+    deltas = np.zeros(n_mb * mb_size, dtype=np.uint64)
+    buf_np = np.frombuffer(buf, dtype=np.uint8)
+    for w in np.unique(mb_w):
+        w = int(w)
+        if w == 0:
+            continue
+        sel = np.nonzero(mb_w == w)[0]
+        nbytes = packed_byte_len(mb_size, w)
+        raw = buf_np[mb_start[sel][:, None] + np.arange(nbytes)[None, :]]
+        bits_arr = np.unpackbits(
+            raw, axis=1, count=mb_size * w, bitorder="little"
+        )
+        shifts = np.arange(w, dtype=np.uint64)
+        vals = (
+            bits_arr.reshape(len(sel), mb_size, w).astype(np.uint64)
+            << shifts[None, None, :]
+        ).sum(axis=2, dtype=np.uint64)
+        dst = (sel[:, None] * mb_size + np.arange(mb_size)[None, :]).ravel()
+        deltas[dst] = vals.ravel()
+    mins_u = np.array(mins, dtype=np.uint64)
+    deltas = (
+        (deltas.reshape(nblocks, block_size) + mins_u[:, None]) & mask
+    ).ravel()[:nd]
     acc = np.empty(n, dtype=np.uint64)
     acc[0] = np.uint64(first & 0xFFFFFFFFFFFFFFFF)
     np.cumsum(deltas, out=acc[1:])
@@ -239,6 +286,15 @@ def encode_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
     )
 
 
+def _native_dba():
+    """Optional C hot loop for front-coding decode (the reconstruction
+    is sequential by nature; a per-value Python loop otherwise bounds
+    the codec's throughput on sorted url-like columns)."""
+    from . import native
+
+    return native.load("_delta_native.c")
+
+
 def decode_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
     blen, pos = uvarint_decode(buf, 0)
     prefix, _ = decode_binary_packed(buf[pos : pos + blen], 32)
@@ -250,9 +306,26 @@ def decode_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
     lens = prefix.astype(np.int64) + suffix_lens.astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lens, out=offsets[1:])
+    suffixes = bytes(buf[pos:])
+    lib = _native_dba()
+    if lib is not None and n:
+        import ctypes
+
+        out_np = np.empty(int(offsets[-1]), dtype=np.uint8)
+        pref32 = np.ascontiguousarray(prefix, dtype=np.int32)
+        slen32 = np.ascontiguousarray(suffix_lens, dtype=np.int32)
+        lib.dba_decode(
+            suffixes,
+            ctypes.c_long(n),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            pref32.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            slen32.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+            out_np.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        return out_np.tobytes(), offsets
     out = bytearray(int(offsets[-1]))
     mv = memoryview(out)
-    suffixes = memoryview(bytes(buf[pos:]))
+    smv = memoryview(suffixes)
     spos = 0
     prev_start = 0
     for i in range(n):
@@ -262,7 +335,7 @@ def decode_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
         if p:
             mv[start : start + p] = mv[prev_start : prev_start + p]
         if sl:
-            mv[start + p : start + p + sl] = suffixes[spos : spos + sl]
+            mv[start + p : start + p + sl] = smv[spos : spos + sl]
             spos += sl
         prev_start = start
     return bytes(out), offsets

@@ -1,0 +1,58 @@
+"""Generic loader for the optional C hot-loop kernels.
+
+Compiles a sibling .c file once per host with the system cc into a
+per-user 0700 cache dir (sha-keyed by source, so edits recompile) and
+dlopens it. Every kernel has a pure-numpy/Python fallback — a missing
+compiler just means the slower path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+_LIBS: dict[str, object] = {}
+
+
+def _cache_dir() -> Path:
+    base = Path(
+        os.environ.get("XDG_CACHE_HOME", str(Path.home() / ".cache"))
+    ) / "pgr_native"
+    base.mkdir(parents=True, exist_ok=True, mode=0o700)
+    st = base.stat()
+    if st.st_uid != os.getuid() or (st.st_mode & 0o077):
+        import tempfile
+
+        base = Path(tempfile.mkdtemp(prefix="pgr_native_"))
+    return base
+
+
+def load(src_filename: str):
+    """CDLL for the given sibling C source, or None if unavailable.
+    Cached per process; never dlopens a file owned by another uid."""
+    if src_filename in _LIBS:
+        lib = _LIBS[src_filename]
+        return lib or None
+    lib = None
+    try:
+        src = Path(__file__).with_name(src_filename)
+        key = hashlib.sha1(src.read_bytes()).hexdigest()[:12]
+        so = _cache_dir() / f"{src.stem}_{key}.so"
+        if not so.exists():
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                ["cc", "-O2", "-shared", "-fPIC", "-o", tmp, str(src)],
+                check=True,
+                capture_output=True,
+                timeout=60,
+            )
+            os.replace(tmp, so)
+        if os.stat(so).st_uid == os.getuid():
+            lib = ctypes.CDLL(str(so))
+    except Exception:
+        lib = None
+    _LIBS[src_filename] = lib or False
+    return lib
