@@ -194,6 +194,12 @@ def _encode_payload(
         if codec == R.BYTE_STREAM_SPLIT:
             return bss.encode(v), 0
     elif ptype == R.BYTE_ARRAY:
+        if codec == R.DICT_SHARED:
+            # indexes only; the dictionary page is written once per file
+            # (writer.go:340-347 parity — one dict per column per row
+            # group instead of one per page)
+            st = ctx["shared_dict"]
+            return dictionary.encode_shared(st.insert(values), len(st)), 0
         if codec == R.DICT:
             return dictionary.encode(values), 0
         data, offsets = _to_physical_values(values, ptype)
@@ -244,7 +250,8 @@ def _ipc_deserialize(buf: bytes) -> pa.Array:
 
 
 def _decode_payload(
-    payload: bytes, ptype: int, codec: int, n: int, flba_width: int
+    payload: bytes, ptype: int, codec: int, n: int, flba_width: int,
+    shared_dict: pa.Array | None = None,
 ):
     """Decode to numpy values / (data, offsets) / pa.Array (null-free)."""
     if codec == R.ARROW_IPC:
@@ -278,6 +285,12 @@ def _decode_payload(
         if codec == R.BYTE_STREAM_SPLIT:
             return bss.decode(payload, dtype, n)
     elif ptype == R.BYTE_ARRAY:
+        if codec == R.DICT_SHARED:
+            if shared_dict is None:
+                raise ChunkError(
+                    "dict_shared chunk requires the file's dict page"
+                )
+            return dictionary.decode_shared(payload, shared_dict)
         if codec == R.DICT:
             vals, idx = dictionary.decode(payload, "BYTE_ARRAY", n)
             return vals.take(pa.array(idx))
@@ -358,7 +371,12 @@ def encode_array(
             from . import selector
 
             codec = selector.select(values, ptype, ctx, compression)
-        if not R.can_encode(ptype, codec):
+        shared_ok = (
+            codec == R.DICT_SHARED
+            and ptype == R.BYTE_ARRAY
+            and "shared_dict" in ctx
+        )
+        if not shared_ok and not R.can_encode(ptype, codec):
             raise ChunkError(
                 f"codec {R.CODEC_NAMES.get(codec)} invalid for {R.PTYPE_NAMES.get(ptype)}"
             )
@@ -516,8 +534,10 @@ def _decode_map(payload, ty, n, n_null, validity) -> pa.Array:
     )
 
 
-def decode_array(buf: bytes) -> pa.Array:
-    """Decode a chunk blob back to a pyarrow Array (bit-identical)."""
+def decode_array(buf: bytes, shared_dict: pa.Array | None = None) -> pa.Array:
+    """Decode a chunk blob back to a pyarrow Array (bit-identical).
+    `shared_dict` resolves dict_shared payloads (the file-level dict
+    page decoded by the caller, stages/decode.decode_chunk_table)."""
     if len(buf) < _HDR.size + 4:
         raise ChunkError(f"buffer too short for a chunk: {len(buf)} bytes")
     (
@@ -545,7 +565,9 @@ def decode_array(buf: bytes) -> pa.Array:
     if ptype == R.P_MAP:
         return _decode_map(payload, ty, n, n_null, validity)
 
-    decoded = _decode_payload(payload, ptype, codec, n - n_null, flba_width)
+    decoded = _decode_payload(
+        payload, ptype, codec, n - n_null, flba_width, shared_dict
+    )
     return _reassemble(decoded, ty, ptype, n, n_null, validity, flba_width)
 
 

@@ -62,6 +62,56 @@ def _byte_array_buffers(arr: pa.Array):
     return data, offsets.astype(np.int64)
 
 
+class DictState:
+    """Accumulating first-seen dictionary shared across the chunks of
+    one output file (writer.go:340-347 / dictionary.go:306-311 parity:
+    one dictionary per column per row group, indexes stay valid as the
+    dictionary only ever appends). String/binary values only."""
+
+    def __init__(self):
+        self._values: list[bytes] = []
+        self._pd_index = None
+
+    def __len__(self) -> int:
+        return len(self._values)
+
+    def insert(self, arr: pa.Array) -> np.ndarray:
+        """Probe-or-insert (first-seen dense ids); returns int64 indexes.
+        Vectorized via a pandas hash index (get_indexer), new values
+        appended in first-occurrence order."""
+        import pandas as pd
+
+        vals = arr.cast(pa.large_binary()).to_numpy(zero_copy_only=False)
+        if self._pd_index is not None:
+            codes = self._pd_index.get_indexer(vals)
+        else:
+            codes = np.full(len(vals), -1, dtype=np.int64)
+        miss = codes < 0
+        if miss.any():
+            new_vals = pd.unique(vals[miss])
+            self._values.extend(new_vals)
+            self._pd_index = pd.Index(np.array(self._values, dtype=object))
+            codes[miss] = self._pd_index.get_indexer(vals[miss])
+        return codes.astype(np.int64)
+
+    def values_array(self) -> pa.Array:
+        return pa.array(self._values, type=pa.large_binary())
+
+
+def encode_shared(indexes: np.ndarray, dict_size: int) -> bytes:
+    """Index-only payload referencing the file-level dict page."""
+    return uvarint_encode(dict_size) + encode_indexes(indexes, dict_size)
+
+
+def decode_shared(buf: bytes, values: pa.Array) -> pa.Array:
+    """Resolve an index-only payload against the file-level dict page."""
+    _size, pos = uvarint_decode(buf, 0)
+    width = buf[pos]
+    n_idx, p = uvarint_decode(buf, pos + 1)
+    indexes = rle.decode(buf[p:], width, n_idx).astype(np.int64)
+    return values.take(pa.array(indexes))
+
+
 def encode(arr: pa.Array) -> bytes:
     """arr: null-free pyarrow array of a dictionary-supported type."""
     denc = arr.dictionary_encode()

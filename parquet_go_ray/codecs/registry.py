@@ -11,7 +11,7 @@ from __future__ import annotations
 # wire format version: bump on ANY chunk/codec/manifest layout change so
 # cached encoded stores are invalidated (a store written by version X
 # must be decoded by version X)
-FORMAT_VERSION = 4
+FORMAT_VERSION = 5
 
 # ---- codec ids (wire format: append-only) ----
 PLAIN = 0
@@ -26,6 +26,9 @@ ARROW_IPC = 8  # fallback container for other/exotic types
 LIST = 9  # structural: offsets chunk + child chunk
 STRUCT = 10  # structural: validity + per-field child chunks
 MAP = 11  # structural: list-of-struct shredding (offsets + key/value)
+DICT_SHARED = 12  # indexes only; dictionary lives in the file's dict page
+DICT_PAGE = 13  # row label for a file-level dict page (payload is a
+# self-contained chunk of the dictionary values)
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -40,6 +43,8 @@ CODEC_NAMES = {
     LIST: "list",
     STRUCT: "struct",
     MAP: "map",
+    DICT_SHARED: "dict_shared",
+    DICT_PAGE: "dict_page",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

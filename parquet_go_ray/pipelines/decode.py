@@ -35,36 +35,53 @@ def chunk_files(encoded_dir: str) -> list[str]:
     return sorted(str(p) for p in root.glob("*/*.parquet"))
 
 
-def chunk_files_pruned(
+def chunk_groups_pruned(
     encoded_dir: str,
     column: str,
     lo=None,
     hi=None,
-) -> list[str]:
-    """Chunk files whose per-chunk [vmin, vmax] for `column` intersects
-    [lo, hi] — Search/Find parity (search.go:6-116) over the manifest's
-    ColumnIndex-style stats. Chunks without stats are kept (conservative).
-    The manifest is ~1e-5 of the data; this runs driver-side."""
+) -> tuple[list[str], set[str]]:
+    """(files, chunk_ids) whose per-chunk [vmin, vmax] for `column`
+    intersects [lo, hi] — Search/Find parity (search.go:6-116) over the
+    manifest's ColumnIndex-style stats. Chunks without stats are kept
+    (conservative). The manifest read is column-pruned and row-filtered
+    (predicate pushdown on `column`); this runs driver-side over
+    metadata ~1e-5 the size of the data."""
     import json
 
     from ..state import manifest
 
-    keep = []
+    files = set()
+    ids = set()
     root = Path(encoded_dir) / "data"
     t = manifest.lineage_table(
-        encoded_dir, columns=["shard", "file", "column", "vmin", "vmax"]
+        encoded_dir,
+        columns=["shard", "file", "chunk_id", "column", "vmin", "vmax"],
+        filters=[("column", "==", column)],
     )
     if t is None:
-        return []
-    for r in t.filter(pc.equal(t.column("column"), column)).to_pylist():
+        return [], set()
+    for r in t.to_pylist():
         vmin = json.loads(r["vmin"]) if r.get("vmin") else None
         vmax = json.loads(r["vmax"]) if r.get("vmax") else None
         if lo is not None and vmax is not None and vmax < lo:
             continue
         if hi is not None and vmin is not None and vmin > hi:
             continue
-        keep.append(str(root / r["shard"] / f"{r['file']}.parquet"))
-    return sorted(set(keep))
+        files.add(str(root / r["shard"] / f"{r['file']}.parquet"))
+        ids.add(r["chunk_id"])
+    return sorted(files), ids
+
+
+def chunk_files_pruned(
+    encoded_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+) -> list[str]:
+    """File-level view of chunk_groups_pruned (kept for callers that
+    only need the file list)."""
+    return chunk_groups_pruned(encoded_dir, column, lo, hi)[0]
 
 
 def decode_dataset_pruned(
@@ -74,15 +91,19 @@ def decode_dataset_pruned(
     hi=None,
     residual: bool = True,
 ) -> ray.data.Dataset:
-    """Decode only the chunks that can contain rows with column in
-    [lo, hi]; apply the exact residual predicate after decode."""
-    files = chunk_files_pruned(encoded_dir, column, lo, hi)
+    """Decode only the chunk GROUPS that can contain rows with column in
+    [lo, hi] (file pruning + a parquet row filter on chunk_id inside
+    kept files, so non-matching groups' payloads never leave storage);
+    apply the exact residual predicate after decode."""
+    files, keep_ids = chunk_groups_pruned(encoded_dir, column, lo, hi)
     if not files:
         import pyarrow as pa
 
         return ray.data.from_arrow(pa.table({}))
-    ds = ray.data.read_binary_files(files).map_batches(
-        ChunkFileDecoder(), batch_format="pyarrow", zero_copy_batch=True
+    ds = ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
+        ChunkFileDecoder(chunk_ids=keep_ids),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     if residual:
 

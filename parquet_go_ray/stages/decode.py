@@ -19,10 +19,23 @@ from ..codecs import chunk as chunk_mod
 
 
 def decode_chunk_table(chunks: pa.Table) -> pa.Table:
-    """Decode a chunk-record table (possibly several chunk groups)."""
+    """Decode a chunk-record table (possibly several chunk groups).
+    File-level dict pages (codec "dict_page") are decoded first and
+    resolve any dict_shared chunks in the same table."""
+    import pyarrow.compute as pc
+
+    shared_dicts: dict[str, pa.Array] = {}
+    dict_mask = pc.equal(chunks.column("codec"), "dict_page")
+    if pc.any(dict_mask).as_py():
+        pages = chunks.filter(dict_mask)
+        for col, payload in zip(pages.column("column"), pages.column("payload")):
+            shared_dicts[col.as_py()] = chunk_mod.decode_array(payload.as_py())
+        chunks = chunks.filter(pc.invert(dict_mask))
     ids = chunks.column("chunk_id").to_numpy(zero_copy_only=False)
     tables = []
     if len(ids) == 0:
+        if shared_dicts:  # group filter kept only dict pages
+            return pa.table({})
         raise ValueError("empty chunk table")
     change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
     starts = np.concatenate(([0], change, [len(ids)]))
@@ -39,8 +52,11 @@ def decode_chunk_table(chunks: pa.Table) -> pa.Table:
                 raise ValueError(
                     f"chunk payload checksum mismatch for column {cols[int(i)]}"
                 )
-            names.append(cols[int(i)].as_py())
-            arrays.append(chunk_mod.decode_array(blob))
+            name = cols[int(i)].as_py()
+            names.append(name)
+            arrays.append(
+                chunk_mod.decode_array(blob, shared_dict=shared_dicts.get(name))
+            )
         tables.append(pa.table(dict(zip(names, arrays))))
     return pa.concat_tables(tables)
 
@@ -54,8 +70,23 @@ class ChunkFileDecoder:
     payloads never leave storage (the reference reads only selected
     columns' pages, column.go:541-690)."""
 
-    def __init__(self, columns: list[str] | None = None):
+    def __init__(
+        self,
+        columns: list[str] | None = None,
+        chunk_ids: set[str] | None = None,
+    ):
         self.columns = list(columns) if columns else None
+        self.chunk_ids = sorted(chunk_ids) if chunk_ids is not None else None
+
+    def _filters(self):
+        filters = []
+        if self.columns:
+            filters.append(("column", "in", self.columns))
+        if self.chunk_ids is not None:
+            # "__dict__" rows are file-level dict pages that dict_shared
+            # chunks of ANY selected group may reference — always admit
+            filters.append(("chunk_id", "in", self.chunk_ids + ["__dict__"]))
+        return filters or None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -70,11 +101,18 @@ class ChunkFileDecoder:
                             chunks.column("column"), value_set=pa.array(self.columns)
                         )
                     )
+                if self.chunk_ids is not None:
+                    chunks = chunks.filter(
+                        pc.is_in(
+                            chunks.column("chunk_id"),
+                            value_set=pa.array(self.chunk_ids + ["__dict__"]),
+                        )
+                    )
                 if chunks.num_rows:
                     outs.append(decode_chunk_table(chunks))
-        else:  # path batches: column-projected read of the chunk file
+        else:  # path batches: projected + group-filtered read of the file
             col = "path" if "path" in batch.column_names else "item"
-            filters = [("column", "in", self.columns)] if self.columns else None
+            filters = self._filters()
             for path in batch.column(col).to_pylist():
                 chunks = pq.read_table(path, filters=filters)
                 if chunks.num_rows:

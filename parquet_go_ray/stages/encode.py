@@ -204,6 +204,7 @@ def _encode_column_cached(
     override: int | None,
     compression: str | None,
     cache: dict[str, dict] | None,
+    shared_dicts: dict | None = None,
 ) -> bytes:
     """Encode one column chunk, consulting/maintaining the selection cache.
 
@@ -221,7 +222,22 @@ def _encode_column_cached(
     if ent is not None and override is not None and ent["codec"] != override:
         ent = None
     if ent is not None and ent["uses"] < RESELECT_EVERY:
-        blob = chunk_mod.encode_array(arr, ent["codec"], compression, ent["ctx"])
+        codec = ent["codec"]
+        ctx = ent["ctx"]
+        if (
+            shared_dicts is not None
+            and codec == R.CODEC_IDS["dict"]
+            and chunk_mod.physical_type(arr.type) == 5  # BYTE_ARRAY
+        ):
+            # dict-winning string column in a packed file: emit indexes
+            # only; the accumulated dictionary is written ONCE per file
+            # as a dict page (writer.go:340-347 parity)
+            from ..codecs.dictionary import DictState
+
+            ctx = dict(ctx)
+            ctx["shared_dict"] = shared_dicts.setdefault(name, DictState())
+            codec = R.CODEC_IDS["dict_shared"]
+        blob = chunk_mod.encode_array(arr, codec, compression, ctx)
         ent["uses"] += 1
         ratio = len(blob) / max(1, arr.nbytes)
         if ratio > ent["baseline"] * (1 + RETRAIN_SLACK):
@@ -257,19 +273,24 @@ def encode_table(
     bloom_columns: tuple[str, ...] = ("url",),
     column_ctx: dict[str, dict] | None = None,
     cache: dict[str, dict] | None = None,
+    shared_dicts: dict | None = None,
 ) -> pa.Table:
     """Encode all columns of a table slice into a chunk-record table.
 
     column_ctx maps column name -> shared codec state (e.g. a cached
     FSST symbol table held by a per-partition actor); `cache` is the
-    richer per-worker selection cache (codec id + ctx + drift guard)."""
+    richer per-worker selection cache (codec id + ctx + drift guard);
+    `shared_dicts` (column -> DictState) enables file-level dict pages
+    for dict-winning string columns."""
     cid = chunk_id_for(table)
     rows = {k: [] for k in CHUNK_SCHEMA.names}
     for i, name in enumerate(table.column_names):
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
         if cache is not None:
-            blob = _encode_column_cached(arr, name, codec, compression, cache)
+            blob = _encode_column_cached(
+                arr, name, codec, compression, cache, shared_dicts
+            )
         else:
             ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
             blob = chunk_mod.encode_array(arr, codec, compression, ctx)
@@ -456,6 +477,11 @@ class ChunkEncoder:
             if self.shard_per_call:
                 shard = f"{shard}-{chunk_id_for(group)}"
             step = self._chunk_rows(group)
+            # file-level shared dictionaries only pay off when the file
+            # holds several chunk groups
+            shared: dict | None = (
+                {} if self.output_dir and group.num_rows > step else None
+            )
             groups = []
             for start in range(0, group.num_rows, step):
                 piece = group.slice(start, step)
@@ -467,8 +493,11 @@ class ChunkEncoder:
                         self.compression,
                         self.bloom_columns,
                         cache=cache,
+                        shared_dicts=shared,
                     )
                 )
+            if shared:
+                groups.append(_dict_page_rows(shared, shard, self.compression))
             chunks = pa.concat_tables(groups)
             if self.output_dir:
                 chunks = write_chunk_file(chunks, self.output_dir)
@@ -512,6 +541,36 @@ class CachedStateEncoder(ChunkEncoder):
 
     def _cache(self) -> dict[str, dict]:
         return self._actor_cache
+
+
+def _dict_page_rows(
+    shared: dict, shard: str, compression: str | None
+) -> pa.Table:
+    """One dict-page row per shared-dict column: the accumulated
+    dictionary values as a self-contained chunk, referenced by every
+    dict_shared chunk in the same file."""
+    rows = {k: [] for k in CHUNK_SCHEMA.names}
+    for name, st in shared.items():
+        if not len(st):
+            continue
+        values = st.values_array()
+        blob = chunk_mod.encode_array(values, None, compression)
+        rows["chunk_id"].append("__dict__")
+        rows["shard"].append(shard)
+        rows["file"].append("")
+        rows["col_idx"].append(-1)
+        rows["column"].append(name)
+        rows["codec"].append("dict_page")
+        rows["n"].append(len(values))
+        rows["n_null"].append(0)
+        rows["raw_nbytes"].append(values.nbytes)
+        rows["enc_nbytes"].append(len(blob))
+        rows["crc32"].append(zlib.crc32(blob))
+        rows["vmin"].append(None)
+        rows["vmax"].append(None)
+        rows["bloom"].append(None)
+        rows["payload"].append(blob)
+    return pa.table(rows, schema=CHUNK_SCHEMA)
 
 
 def _lineage_schema() -> pa.Schema:

@@ -86,16 +86,22 @@ def record_shard(output_dir: str, shard: str, records: list[dict]) -> None:
     os.replace(tmp, d / f"{shard}.json")
 
 
-def lineage_table(output_dir: str, columns: list[str] | None = None):
-    """All lineage records as one Arrow table (column-pruned read of the
-    parquet manifests)."""
+def lineage_table(
+    output_dir: str,
+    columns: list[str] | None = None,
+    filters=None,
+):
+    """All lineage records as one Arrow table (column-pruned, optionally
+    row-filtered read of the parquet manifests — at 10^12 docs the
+    manifest is itself a queryable table and predicate pushdown keeps
+    only matching rows in memory)."""
     import pyarrow.parquet as pq
 
     d = manifest_dir(output_dir)
     files = sorted(p for p in d.glob("*.parquet") if not p.name.startswith("."))
     import pyarrow as pa
 
-    tables = [pq.read_table(f, columns=columns) for f in files]
+    tables = [pq.read_table(f, columns=columns, filters=filters) for f in files]
     return pa.concat_tables(tables) if tables else None
 
 
