@@ -35,6 +35,23 @@ def convert_value(arr: pa.ChunkedArray | pa.Array, target: pa.DataType):
         return pc.cast(arr, target)
     if pa.types.is_boolean(target) and (pa.types.is_integer(src) or pa.types.is_floating(src)):
         return pc.not_equal(arr, pa.scalar(0).cast(src))
+    # UUID (FLBA-16) <-> canonical string (type.go:1040 be128 semantics:
+    # the textual form is the big-endian hex of the 16 bytes)
+    if (
+        pa.types.is_fixed_size_binary(src)
+        and src.byte_width == 16
+        and (pa.types.is_string(target) or pa.types.is_large_string(target))
+    ):
+        return _uuid_to_string(arr, target)
+    if (
+        (pa.types.is_string(src) or pa.types.is_large_string(src))
+        and pa.types.is_fixed_size_binary(target)
+        and target.byte_width == 16
+    ):
+        return _string_to_uuid(arr, target)
+    # FLBA (non-16) <-> binary: plain byte reinterpretation
+    if pa.types.is_fixed_size_binary(src) and pa.types.is_binary(target):
+        return pc.cast(arr, target)
     # float -> integer narrows by rounding half away from zero (matching
     # SQL CAST semantics, so the DuckDB oracle agrees on non-integral
     # inputs), not by the unsafe cast's truncation toward zero
@@ -51,6 +68,30 @@ def convert_value(arr: pa.ChunkedArray | pa.Array, target: pa.DataType):
     except pa.ArrowNotImplementedError:
         # e.g. binary -> string roundabout
         return pc.cast(pc.cast(arr, pa.string()), target, safe=False)
+
+
+def _uuid_to_string(arr, target: pa.DataType):
+    import uuid as _uuid
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [
+        None if v is None else str(_uuid.UUID(bytes=v))
+        for v in arr.to_pylist()
+    ]
+    return pa.array(out, type=target)
+
+
+def _string_to_uuid(arr, target: pa.DataType):
+    import uuid as _uuid
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = [
+        None if v is None else _uuid.UUID(v).bytes
+        for v in arr.to_pylist()
+    ]
+    return pa.array(out, type=target)
 
 
 def convert_table(t: pa.Table, target: pa.Schema) -> pa.Table:

@@ -80,6 +80,29 @@ def q_merge_sorted(sf_dir):
     return relational.merge_sorted([lo, hi], ["ts", "event_id"]).limit(1000)
 
 
+def q_merge_sorted_stream(sf_dir):
+    """MergeRowGroups READ-path parity (merge.go:84-99 heap merge +
+    CopyRows, sorting.go:79-133): the streaming O(n log k) k-way merge
+    of pre-sorted runs, without re-sorting. Events are already
+    ts-ordered per shard in the testdata, so each filtered stream is a
+    sorted run; the heap merge yields globally ordered batches."""
+    ds = _read(sf_dir, "events")
+    lo = relational.filter_expr(ds, lambda t: pc.less(t.column("value"), 50.0))
+    hi = _read(sf_dir, "events")
+    hi = relational.filter_expr(hi, lambda t: pc.greater_equal(t.column("value"), 50.0))
+    lo = relational.sorted_rows(lo, ["ts", "event_id"])
+    hi = relational.sorted_rows(hi, ["ts", "event_id"])
+    out = []
+    n = 0
+    for batch in relational.merge_sorted_iter([lo, hi], ["ts", "event_id"]):
+        out.append(batch)
+        n += batch.num_rows
+        if n >= 1000:
+            break
+    merged = pa.concat_tables(out).slice(0, 1000)
+    return merged
+
+
 def q_dedupe_rows(sf_dir):
     """DedupeRowReader parity (dedupe.go:8-111), global exact dedup."""
     return dedup.exact_dedupe(_read(sf_dir, "documents"))
@@ -616,6 +639,7 @@ QUERIES = {
     "scan_limit": q_scan_limit,
     "sort_rows": q_sort_rows,
     "merge_sorted": q_merge_sorted,
+    "merge_sorted_stream": q_merge_sorted_stream,
     "dedupe_rows": q_dedupe_rows,
     "dedupe_consecutive": q_dedupe_consecutive,
     "convert_schema": q_convert_schema,
@@ -667,6 +691,9 @@ ORACLES = {
     "scan_limit": "SELECT * FROM documents ORDER BY doc_id LIMIT 100",
     "sort_rows": "SELECT * FROM documents ORDER BY lang, doc_id LIMIT 200",
     "merge_sorted": "SELECT * FROM events ORDER BY ts, event_id LIMIT 1000",
+    "merge_sorted_stream": (
+        "SELECT * FROM events ORDER BY ts, event_id LIMIT 1000"
+    ),
     "dedupe_rows": (
         "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
         "CAST(count(*) AS BIGINT) AS n_dups FROM documents GROUP BY text"

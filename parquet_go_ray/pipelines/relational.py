@@ -59,11 +59,87 @@ def sorted_rows(ds: ray.data.Dataset, keys: list[str], descending=False) -> ray.
 
 
 def merge_sorted(streams: list[ray.data.Dataset], keys: list[str]) -> ray.data.Dataset:
-    """k-way merge of sorted streams = union + range-partitioned sort."""
+    """k-way merge of sorted streams = union + range-partitioned sort.
+    This is the DISTRIBUTED form (all-to-all); for a single consumer of
+    already-sorted runs, merge_sorted_iter streams the heap merge in
+    O(n log k) without re-sorting (merge.go:84-99 parity)."""
     out = streams[0]
     for s in streams[1:]:
         out = out.union(s)
     return out.sort(keys)
+
+
+def merge_sorted_iter(
+    streams: list[ray.data.Dataset],
+    keys: list[str],
+    batch_size: int = 8192,
+):
+    """Streaming k-way heap merge of globally sorted Datasets: yields
+    merged pyarrow Tables of ~batch_size rows in O(n log k), holding at
+    most one in-flight batch per stream (constant memory) — the
+    reference's MergeRowGroups/CopyRows read path (merge.go:84-99,
+    sorting.go:79-133). Each input must already be sorted by `keys`
+    (e.g. the output of sorted_rows / a sorted chunk store); consumption
+    is driver-side streaming, exactly like any iter_batches sink.
+
+    Inputs are materialized first: interleaved partial iteration of
+    several LIVE streaming executors deadlocks (each pull blocks on the
+    paused peers), whereas materialized blocks sit in the object store
+    (spillable) and iterate independently — faithful to the reference,
+    which heap-merges already-written sorted runs."""
+    import heapq
+
+    import numpy as np
+
+    # iter() is load-bearing: iter_batches returns a RE-ITERABLE, and a
+    # bare `for` over it would restart the stream from the beginning on
+    # every refill
+    iters = [
+        iter(s.materialize().iter_batches(batch_size=batch_size, batch_format="pyarrow"))
+        for s in streams
+    ]
+
+    def key_tuple(batch: pa.Table, i: int):
+        return tuple(batch.column(k)[i].as_py() for k in keys)
+
+    def next_nonempty(it):
+        for batch in it:
+            if batch.num_rows:
+                return batch
+        return None
+
+    heap = []  # (key, stream_idx, row_idx, batch, iterator)
+    for si, it in enumerate(iters):
+        batch = next_nonempty(it)
+        if batch is not None:
+            heapq.heappush(heap, (key_tuple(batch, 0), si, 0, batch, it))
+
+    out_rows: list[pa.Table] = []
+    n_out = 0
+    while heap:
+        key, si, ri, batch, it = heapq.heappop(heap)
+        # take the whole run of rows from this batch that stay <= the
+        # next heap head (vectorized run detection, not row-at-a-time)
+        if heap:
+            nxt = heap[0][0]
+            hi = ri + 1
+            while hi < batch.num_rows and key_tuple(batch, hi) <= nxt:
+                hi += 1
+        else:
+            hi = batch.num_rows
+        out_rows.append(batch.slice(ri, hi - ri))
+        n_out += hi - ri
+        if hi < batch.num_rows:
+            heapq.heappush(heap, (key_tuple(batch, hi), si, hi, batch, it))
+        else:
+            nb = next_nonempty(it)
+            if nb is not None:
+                heapq.heappush(heap, (key_tuple(nb, 0), si, 0, nb, it))
+        if n_out >= batch_size:
+            yield pa.concat_tables(out_rows)
+            out_rows, n_out = [], 0
+    if out_rows:
+        yield pa.concat_tables(out_rows)
 
 
 def dedupe_consecutive(ds: ray.data.Dataset, keys: list[str]) -> ray.data.Dataset:
