@@ -20,4 +20,7 @@ def ray_session():
 
 @pytest.fixture(scope="session")
 def sf_dir():
-    return "/root/testdata/sf0.001"
+    import os
+
+    # override to mirror the driver's gate scale: GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+    return os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
