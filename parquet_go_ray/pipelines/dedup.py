@@ -38,12 +38,20 @@ from ..functions import hashing
 def exact_dedupe(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:
-    """One row per distinct text: (keep_id = min id, n_dups)."""
+    """One row per distinct text: (keep_id = min id, n_dups).
+
+    The dedup key is a 128-bit content hash (md5 hex): at 10^12 docs a
+    64-bit key expects ~10^7 birthday collisions (silently merged
+    non-duplicates); 128 bits puts the expectation at ~10^-14."""
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        h = hashing.stable_hash_strings(batch[text_col].to_numpy(dtype=object))
+        import hashlib
+
         return pd.DataFrame({
-            "h": h.view(np.int64),
+            "h": [
+                hashlib.md5(t.encode()).hexdigest()
+                for t in batch[text_col]
+            ],
             id_col: batch[id_col].to_numpy(),
         })
 

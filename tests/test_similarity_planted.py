@@ -1,0 +1,57 @@
+"""Positive exercise of the embedding near-pair path: the driver
+testdata embeddings are near-orthogonal (0 pairs is correct there), so
+this plants true near-duplicates and checks LSH recovers them."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture()
+def planted(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # plant 20 near-duplicates: ids 1000+i is a slightly-perturbed copy of i
+    dups = base[:20] + rng.standard_normal((20, 32)) * 0.02
+    dups /= np.linalg.norm(dups, axis=1, keepdims=True)
+    vecs = np.concatenate([base, dups])
+    ids = np.concatenate([np.arange(200), 1000 + np.arange(20)])
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+        }
+    )
+    return ray.data.from_arrow(t)
+
+
+def test_lsh_near_pairs_finds_planted(planted):
+    from parquet_go_ray.pipelines.similarity import lsh_near_pairs
+
+    df = lsh_near_pairs(
+        planted, cos_threshold=0.98, n_planes=8
+    ).to_pandas()
+    found = {
+        (int(a), int(b)) for a, b in zip(df["id_a"], df["id_b"])
+    }
+    planted_pairs = {(i, 1000 + i) for i in range(20)}
+    recovered = planted_pairs & found
+    # LSH is approximate: require high recall, not perfection
+    assert len(recovered) >= 15, (len(recovered), sorted(found)[:10])
+    # and no wildly-wrong pairs: every found pair must truly be close
+    assert df["cos"].min() >= 0.98
+
+
+def test_brute_force_topk_exact(planted):
+    from parquet_go_ray.pipelines.similarity import brute_force_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((200, 32))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    out = brute_force_topk(planted, base[0], k=2)
+    # vector 0 itself and its planted near-copy must be ranks 1 and 2
+    assert set(out["vec_id"]) == {0, 1000}
