@@ -115,6 +115,24 @@ def cmd_describe(args) -> int:
     return 0
 
 
+def cmd_show(args) -> int:
+    """Pretty-print the first N decoded rows (print.go PrintRowGroup
+    parity; decode is column-projected if --columns given)."""
+    _init_ray(args.num_cpus)
+    from .pipelines.decode import decode_dataset
+
+    cols = args.columns.split(",") if args.columns else None
+    ds = decode_dataset(args.encoded_dir, columns=cols)
+    shown = 0
+    for batch in ds.iter_batches(batch_size=args.n, batch_format="pandas"):
+        with_idx = batch.head(args.n - shown)
+        print(with_idx.to_string(max_colwidth=48))
+        shown += len(with_idx)
+        if shown >= args.n:
+            break
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
     repo = Path(__file__).resolve().parent.parent
@@ -160,6 +178,12 @@ def main(argv=None) -> int:
     s = sub.add_parser("describe")
     s.add_argument("encoded_dir")
     s.set_defaults(fn=cmd_describe)
+
+    sh = sub.add_parser("show")
+    sh.add_argument("encoded_dir")
+    sh.add_argument("-n", type=int, default=10)
+    sh.add_argument("--columns", default=None, help="comma-separated projection")
+    sh.set_defaults(fn=cmd_show)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")
