@@ -196,18 +196,12 @@ def decode_dataset(
     files = chunk_files(encoded_dir)
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {encoded_dir}")
-    if columns is not None:
-        ds = ray.data.from_items(files, override_num_blocks=len(files))
-        return ds.map_batches(
-            ChunkFileDecoder(columns=columns),
-            batch_format="pyarrow",
-            concurrency=concurrency,
-            zero_copy_batch=True,
-        )
-    ds = ray.data.read_binary_files(files)
-    # stateless task form: decode holds no state worth amortizing
+    # path-based tasks (pq.read_table in-task) rather than
+    # read_binary_files: the file bytes never round-trip through the
+    # object store, and column projection pushes into the parquet read
+    ds = ray.data.from_items(files, override_num_blocks=len(files))
     return ds.map_batches(
-        ChunkFileDecoder(),
+        ChunkFileDecoder(columns=columns),
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,

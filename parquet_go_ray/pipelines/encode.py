@@ -46,15 +46,35 @@ DEFAULT_ROWS_PER_CHUNK = 4096
 DEFAULT_SALTS = 8
 
 
-def _add_salt_arrow(batch: pa.Table, salts: int) -> pa.Table:
+def _add_salt_arrow(batch: pa.Table, salt_map: dict[str, int]) -> pa.Table:
     """Append the salt column zero-copy: only the url column is hashed
     (numpy over the string values), the payload columns are untouched —
-    no pandas conversion of MB-scale html anywhere near this stage."""
+    no pandas conversion of MB-scale html anywhere near this stage.
+    salt_map gives each language its salt count (proportional to its
+    frequency: hot keys split into bounded partitions, rare keys stay
+    whole — cold languages shredded into tiny partitions would encode
+    worse, not better)."""
     from ..functions.hashing import stable_hash_strings
 
     urls = batch.column("url").to_numpy(zero_copy_only=False)
-    salt = (stable_hash_strings(urls) % np.uint64(salts)).astype(np.int32)
+    langs = batch.column("lang").to_numpy(zero_copy_only=False)
+    mods = np.array([salt_map.get(l, 1) for l in langs], dtype=np.uint64)
+    salt = (stable_hash_strings(urls) % np.maximum(mods, 1)).astype(np.int32)
     return batch.append_column("_salt", pa.array(salt, type=pa.int32()))
+
+
+def _salt_counts(
+    ds, salts: int, rows_per_partition: int = 50_000
+) -> dict[str, int]:
+    """Per-language salt counts from a tiny count aggregation: a
+    language gets ceil(count / rows_per_partition) partitions, capped at
+    `salts` (the skew bound for the hottest key). Only (lang, count)
+    pairs reach the driver."""
+    counts = ds.groupby("lang").count().to_pandas()
+    out = {}
+    for lang, n in zip(counts["lang"], counts["count()"]):
+        out[str(lang)] = int(min(salts, max(1, -(-int(n) // rows_per_partition))))
+    return out
 
 
 def encode_job(
@@ -217,10 +237,15 @@ def encode_job(
                 [summary_row(shard, lin, True)], schema=SUMMARY_SCHEMA
             )
 
+        # adaptive salting: one tiny count-by-lang pass sizes each key's
+        # partition count (hot keys split, rare keys stay whole)
+        salt_map = _salt_counts(
+            ray.data.read_parquet(input_files, columns=["lang"]), salts
+        )
         lineage = (
             ds.map_batches(
                 _add_salt_arrow,
-                fn_kwargs={"salts": salts},
+                fn_kwargs={"salt_map": salt_map},
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
