@@ -84,6 +84,88 @@ def chunk_files_pruned(
     return chunk_groups_pruned(encoded_dir, column, lo, hi)[0]
 
 
+def decode_dataset_pruned_distributed(
+    encoded_dir: str,
+    column: str,
+    lo=None,
+    hi=None,
+    residual: bool = True,
+) -> ray.data.Dataset:
+    """Fully distributed stats pruning: the manifests are read as a
+    Dataset (column-pruned, predicate pushed down), the [vmin, vmax]
+    intersection test runs in map_batches, and surviving (file,
+    chunk_id) rows flow straight into per-batch projected decodes — the
+    matching-file list never materializes on the driver. At 10^12 docs
+    the manifest is ~1e-5 of the data but still TBs; this is the path
+    that scales past driver memory. A file whose matching rows span two
+    batches is read twice with disjoint chunk-id filters (correct,
+    slightly redundant)."""
+    import json
+
+    from ..state import manifest as M
+
+    man_files = sorted(
+        str(p)
+        for p in M.manifest_dir(encoded_dir).glob("*.parquet")
+        if not p.name.startswith(".")
+    )
+    if not man_files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
+    root = str(Path(encoded_dir) / "data")
+    lin = ray.data.read_parquet(
+        man_files,
+        columns=["shard", "file", "chunk_id", "column", "vmin", "vmax"],
+        filter=(pc.field("column") == column),
+    )
+
+    def prune(batch):
+        import pandas as pd
+
+        keep_rows = []
+        for r in batch.to_pylist():
+            vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+            vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+            if lo is not None and vmax is not None and vmax < lo:
+                continue
+            if hi is not None and vmin is not None and vmin > hi:
+                continue
+            keep_rows.append(
+                {
+                    "path": f"{root}/{r['shard']}/{r['file']}.parquet",
+                    "chunk_id": r["chunk_id"],
+                }
+            )
+        return pd.DataFrame(keep_rows, columns=["path", "chunk_id"])
+
+    def decode_matches(batch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from ..stages.decode import decode_chunk_table
+
+        outs = []
+        df = batch.to_pandas()
+        for path, grp in df.groupby("path", sort=False):
+            ids = sorted(set(grp["chunk_id"])) + ["__dict__"]
+            chunks = pq.read_table(path, filters=[("chunk_id", "in", ids)])
+            if chunks.num_rows:
+                t = decode_chunk_table(chunks)
+                if t.num_rows:
+                    outs.append(t)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    ds = lin.map_batches(prune, batch_format="pyarrow").map_batches(
+        decode_matches, batch_format="pyarrow"
+    )
+    if residual:
+        ds = _residual_filter(ds, column, lo, hi)
+    return ds
+
+
 def decode_dataset_pruned(
     encoded_dir: str,
     column: str,
@@ -106,27 +188,32 @@ def decode_dataset_pruned(
         zero_copy_batch=True,
     )
     if residual:
-
-        def filt(t):
-            import pyarrow as pa
-
-            col = t.column(column)
-            ty = col.type if not isinstance(col, pa.ChunkedArray) else col.type
-            # stats store temporals as epoch integers; compare in int64
-            if (pa.types.is_timestamp(ty) or pa.types.is_date64(ty)) and isinstance(
-                (lo if lo is not None else hi), int
-            ):
-                col = pc.cast(col, pa.int64())
-            mask = None
-            if lo is not None:
-                mask = pc.greater_equal(col, lo)
-            if hi is not None:
-                m2 = pc.less_equal(col, hi)
-                mask = m2 if mask is None else pc.and_(mask, m2)
-            return t.filter(mask) if mask is not None else t
-
-        ds = ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+        ds = _residual_filter(ds, column, lo, hi)
     return ds
+
+
+def _residual_filter(ds: ray.data.Dataset, column: str, lo, hi) -> ray.data.Dataset:
+    """Exact predicate applied after the conservative stats pruning."""
+
+    def filt(t):
+        import pyarrow as pa
+
+        col = t.column(column)
+        ty = col.type if not isinstance(col, pa.ChunkedArray) else col.type
+        # stats store temporals as epoch integers; compare in int64
+        if (pa.types.is_timestamp(ty) or pa.types.is_date64(ty)) and isinstance(
+            (lo if lo is not None else hi), int
+        ):
+            col = pc.cast(col, pa.int64())
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(col, lo)
+        if hi is not None:
+            m2 = pc.less_equal(col, hi)
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        return t.filter(mask) if mask is not None else t
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def point_lookup(

@@ -53,6 +53,27 @@ def test_pruned_decode_matches_full_filter(ray_session, encoded_store):
     assert set(got["url"]) == set(want["url"])
 
 
+def test_pruned_decode_distributed_matches(ray_session, encoded_store):
+    """The fully distributed pruning path (manifest read as a Dataset,
+    no driver-side file list) must return exactly the same rows as the
+    driver-side path."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset_pruned_distributed
+
+    files, out = encoded_store
+    src = ray.data.read_parquet(files).to_pandas()
+    ts = np.sort(src["warc_ts"].astype("int64").to_numpy())
+    lo, hi = int(ts[len(ts) // 4]), int(ts[len(ts) // 2])
+    got = decode_dataset_pruned_distributed(out, "warc_ts", lo, hi).to_pandas()
+    want = src[
+        (src["warc_ts"].astype("int64") >= lo)
+        & (src["warc_ts"].astype("int64") <= hi)
+    ]
+    assert len(got) == len(want)
+    assert set(got["url"]) == set(want["url"])
+
+
 def test_point_lookup_bloom(ray_session, encoded_store):
     import ray.data
 
