@@ -408,6 +408,40 @@ def minhash_lsh_pairs(
     return paired.map_batches(estimate, batch_format="pandas")
 
 
+def dedup_pipeline(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.7,
+    **lsh_kwargs,
+) -> ray.data.Dataset:
+    """The standard corpus-dedup composition: exact dedup first (md5
+    key), then MinHash-LSH near-dup pairs over the REPRESENTATIVE docs
+    only. Collapsing identical texts before LSH shrinks every
+    exact-duplicate cluster's bucket from O(cluster^2) candidate pairs
+    to one representative — on duplication-heavy web data this is the
+    difference between millions and thousands of candidates.
+
+    Representative selection broadcasts keep-ids (8 B per distinct doc);
+    past driver scale, swap the broadcast for the partitioned hash-join
+    pattern (queries.q_hash_join) keyed on the content hash. Returns
+    (id_a, id_b, est_jaccard) near-dup pairs among representatives."""
+    import ray
+
+    reps = exact_dedupe(ds, text_col, id_col)
+    keep = set(int(x) for x in reps.to_pandas()["keep_id"])
+    keep_ref = ray.put(keep)
+
+    def only_reps(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        return batch[batch[id_col].isin(ks)]
+
+    survivors = ds.map_batches(only_reps, batch_format="pandas")
+    return minhash_lsh_pairs(
+        survivors, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+    )
+
+
 def simhash_fingerprints(
     ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> ray.data.Dataset:

@@ -555,6 +555,12 @@ def q_simhash_near_pairs(sf_dir):
     return dedup.simhash_near_pairs(_read(sf_dir, "documents"))
 
 
+def q_dedup_pipeline(sf_dir):
+    # exact dedup -> MinHash-LSH near-dup pairs over representatives
+    # (the standard training-corpus composition)
+    return dedup.dedup_pipeline(_read(sf_dir, "documents"), jaccard_threshold=0.5)
+
+
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
         _read(sf_dir, "documents"), jaccard_threshold=0.5
@@ -675,6 +681,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
+    "dedup_pipeline": q_dedup_pipeline,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,

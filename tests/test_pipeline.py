@@ -182,6 +182,65 @@ def test_salted_resume_skips(ray_session, web_small, tmp_path):
     assert before == after  # manifests untouched -> no re-encode happened
 
 
+def test_direct_resume_after_crash_window(ray_session, web_small, tmp_path):
+    """Kill window between chunk-file write and manifest commit: the
+    shard's chunk file exists but no manifest. Resume must re-encode
+    that shard idempotently (same deterministic file name, overwritten
+    atomically) and end green."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+    from parquet_go_ray.state import manifest
+
+    out = str(tmp_path / "enc_crash")
+    encode_job(web_small, out)
+    done = sorted(manifest.completed_shards(out))
+    victim = done[0]
+    # simulate the crash: manifest gone, chunk file(s) still on disk
+    (manifest.manifest_dir(out) / f"{victim}.json").unlink()
+    (manifest.manifest_dir(out) / f"{victim}.parquet").unlink()
+    files_before = sorted(
+        p.name for p in (manifest.data_dir(out) / victim).glob("*.parquet")
+    )
+    s = encode_job(web_small, out)  # resume
+    assert s["shards_written"] == 1  # only the victim re-encoded
+    assert sorted(manifest.completed_shards(out)) == done
+    files_after = sorted(
+        p.name for p in (manifest.data_dir(out) / victim).glob("*.parquet")
+    )
+    assert files_before == files_after  # deterministic names, no strays
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+
+
+def test_encoder_retry_idempotent(web_small):
+    """A retried task (same input batch) must produce the same chunk ids
+    and byte-identical chunk files."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.stages.encode import ChunkEncoder
+
+    t = pq.read_table(web_small[0])
+    t = t.append_column("path", pa.array([web_small[0]] * t.num_rows))
+    import shutil
+
+    outdir = "/tmp/retry_idem"
+    shutil.rmtree(outdir, ignore_errors=True)
+    enc = ChunkEncoder(output_dir=outdir, skip_completed=False)
+    s1 = enc(t)
+    from pathlib import Path
+
+    f = sorted(Path(outdir, "data").glob("*/*.parquet"))[0]
+    first = pq.read_table(f)
+    s2 = ChunkEncoder(output_dir=outdir, skip_completed=False)(t)  # "retry"
+    second = pq.read_table(f)
+    assert s1.column("shard").to_pylist() == s2.column("shard").to_pylist()
+    assert first.column("chunk_id").to_pylist() == second.column("chunk_id").to_pylist()
+    shutil.rmtree(outdir, ignore_errors=True)
+
+
 def test_salted_partial_resume(ray_session, web_small, tmp_path):
     """A killed salted run with only SOME (lang, salt) partitions durable
     must resume green: the skip path emits empty lineage tables whose
