@@ -137,8 +137,11 @@ def run_bench() -> dict:
     out2 = f"{out_root}/bench_encode_salted_sf{sf:g}_{ncpu}"
     shutil.rmtree(out2, ignore_errors=True)
     t0 = time.time()
-    encode_job(files, out2, mode="lang_salted", resume=False)
+    s2 = encode_job(files, out2, mode="lang_salted", resume=False)
     results["webpages_encode_salted"] = round(time.time() - t0, 3)
+    detail["compression_ratio_salted"] = round(
+        s2["enc_nbytes"] / max(1, s2["raw_nbytes"]), 4
+    )
 
     # ---- actor pool with cached per-partition FSST/dict state ----
     out4 = f"{out_root}/bench_encode_cached_sf{sf:g}_{ncpu}"

@@ -195,7 +195,11 @@ def encode_job(
 
         def encode_group(group: pa.Table) -> pa.Table:
             from ..codecs.registry import CODEC_IDS
-            from ..stages.encode import SUMMARY_SCHEMA, summary_row
+            from ..stages.encode import (
+                SUMMARY_SCHEMA,
+                _dict_page_rows,
+                summary_row,
+            )
 
             lang = group.column("lang")[0].as_py()
             salt = group.column("_salt")[0].as_py()
@@ -215,6 +219,12 @@ def encode_job(
             overrides = {
                 k: CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
             }
+            # per-language shared dict pages: the whole (lang, salt)
+            # partition lands in ONE packed file, so dict-winning string
+            # columns write their accumulated per-language dictionary
+            # once per file instead of once per 4096-row chunk — the
+            # compression payoff that justifies the salted shuffle
+            shared: dict | None = {} if group.num_rows > rows_per_chunk else None
             groups = []
             for start in range(0, group.num_rows, rows_per_chunk):
                 piece = group.slice(start, rows_per_chunk)
@@ -226,8 +236,11 @@ def encode_job(
                         compression=compression,
                         bloom_columns=bloom_columns,
                         cache=cache,
+                        shared_dicts=shared,
                     )
                 )
+            if shared:
+                groups.append(_dict_page_rows(shared, shard, compression))
             chunks = write_chunk_file(pa.concat_tables(groups), output_dir)
             lin = lineage_of(chunks)
             # a map_groups call owns its (lang, salt) partition entirely:
