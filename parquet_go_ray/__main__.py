@@ -60,6 +60,46 @@ def cmd_encode(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    """Export parquet shards (or an encoded chunk store) as wire-level
+    parquet written by our own encoders — readable by any parquet
+    reader, including the reference."""
+    _init_ray(args.num_cpus)
+    from .pipelines.export import export_parquet_job, export_store
+
+    src = Path(args.input)
+    if (src / "manifests").exists() or (src / "data").exists():
+        summary = export_store(
+            str(src), args.out_dir, compression=args.compression
+        )
+    else:
+        import pyarrow.parquet as pq
+
+        from .codecs.parquet_wire import supports_schema
+
+        files = sorted(str(p) for p in src.glob("*.parquet"))
+        if not files:
+            print(f"no parquet files under {src}", file=sys.stderr)
+            return 2
+        flat = [f for f in files if supports_schema(pq.read_schema(f))]
+        unsupported = sorted(set(files) - set(flat))
+        if unsupported:
+            print(
+                f"skipping {len(unsupported)} file(s) with nested columns "
+                f"(wire export is flat-primitive only): "
+                + ", ".join(Path(f).name for f in unsupported),
+                file=sys.stderr,
+            )
+        if not flat:
+            return 2
+        summary = export_parquet_job(
+            flat, args.out_dir, compression=args.compression
+        )
+        summary["files_unsupported"] = len(unsupported)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_decode(args) -> int:
     _init_ray(args.num_cpus)
     from .pipelines.decode import decode_dataset
@@ -164,6 +204,13 @@ def main(argv=None) -> int:
     e.add_argument("--rows-per-chunk", type=int, default=4096)
     e.add_argument("--no-resume", action="store_true")
     e.set_defaults(fn=cmd_encode)
+
+    x = sub.add_parser("export")
+    x.add_argument("input", help="parquet dir or encoded chunk store")
+    x.add_argument("out_dir")
+    x.add_argument("--compression", default=None)
+    x.add_argument("--num-cpus", type=int, default=None)
+    x.set_defaults(fn=cmd_export)
 
     d = sub.add_parser("decode")
     d.add_argument("encoded_dir")

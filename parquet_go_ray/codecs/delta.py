@@ -80,10 +80,15 @@ def encode_binary_packed(values: np.ndarray, bits: int) -> bytes:
     deltas = (u[1:] - u[:-1]) & mask
     nd = len(deltas)
     nblocks = (nd + BLOCK_SIZE - 1) // BLOCK_SIZE
+    # parquet wire semantics (delta_binary_packed.md, matched by the
+    # reference's binary_packed.go and by arrow): the last block's
+    # UNNEEDED miniblocks (those entirely past the value count) have a
+    # width byte but NO body; needed miniblocks have full-size bodies
+    # whose padding values may be arbitrary (we use the last delta so
+    # they stay within the block's [min, max] range)
+    mb_needed = (nd + MINIBLOCK_SIZE - 1) // MINIBLOCK_SIZE
     pad = nblocks * BLOCK_SIZE - nd
     if pad:
-        # pad with a copy of the last delta: harmless (decoder truncates)
-        # and keeps the padded values inside the block's [min, max] range.
         deltas = np.concatenate((deltas, np.full(pad, deltas[-1], dtype=np.uint64)))
     # signed interpretation for per-block min:
     if bits == 32:
@@ -102,14 +107,15 @@ def encode_binary_packed(values: np.ndarray, bits: int) -> bytes:
     # unlike log2 floats)
     powers = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
     widths_all = np.searchsorted(powers, maxes, side="right").astype(np.int32)
+    widths_all[mb_needed:] = 0  # unneeded trailing miniblocks: width 0, no body
     # pack all miniblocks of equal width together (one vectorized
     # packbits per DISTINCT width instead of one call per miniblock)
     payloads: dict[int, bytes] = {}
-    for w in np.unique(widths_all):
+    for w in np.unique(widths_all[:mb_needed]):
         w = int(w)
         if w == 0:
             continue
-        sel = np.nonzero(widths_all == w)[0]
+        sel = np.nonzero(widths_all[:mb_needed] == w)[0]
         shifts = np.arange(w, dtype=np.uint64)
         bits_arr = (
             (mbs[sel][:, :, None] >> shifts[None, None, :]) & _U64(1)
@@ -149,10 +155,13 @@ def decode_binary_packed(buf: bytes, bits: int, pos: int = 0) -> tuple[np.ndarra
     mask = _MASK64 if bits == 64 else _U64(0xFFFFFFFF)
     nd = n - 1
     nblocks = (nd + block_size - 1) // block_size
+    # unneeded trailing miniblocks carry a width byte but no body (their
+    # width "should be zero but readers must accept arbitrary values")
+    mb_needed = (nd + mb_size - 1) // mb_size
     # pass 1: walk headers, record every miniblock's (width, byte start)
     mins = []
     n_mb = nblocks * miniblocks
-    mb_w = np.empty(n_mb, dtype=np.int32)
+    mb_w = np.zeros(n_mb, dtype=np.int32)
     mb_start = np.empty(n_mb, dtype=np.int64)
     k = 0
     for _ in range(nblocks):
@@ -161,9 +170,10 @@ def decode_binary_packed(buf: bytes, bits: int, pos: int = 0) -> tuple[np.ndarra
         widths = buf[pos : pos + miniblocks]
         pos += miniblocks
         for w in widths:
-            mb_w[k] = w
-            mb_start[k] = pos
-            pos += packed_byte_len(mb_size, w)
+            if k < mb_needed:
+                mb_w[k] = w
+                mb_start[k] = pos
+                pos += packed_byte_len(mb_size, w)
             k += 1
     # pass 2: unpack all miniblocks of equal width together (one
     # vectorized unpackbits per DISTINCT width instead of one numpy
@@ -203,16 +213,17 @@ def decode_binary_packed(buf: bytes, bits: int, pos: int = 0) -> tuple[np.ndarra
 
 
 def encode_length_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
-    """offsets: int32/int64 monotonically increasing, len = n+1."""
+    """offsets: int32/int64 monotonically increasing, len = n+1.
+
+    Exact parquet wire form (delta_length_byte_array.md): the
+    DELTA_BINARY_PACKED length block is self-terminating, so the value
+    bytes follow it with no framing."""
     lengths = np.diff(offsets).astype(np.int32)
-    block = encode_binary_packed(lengths, 32)
-    return uvarint_encode(len(block)) + block + bytes(data)
+    return encode_binary_packed(lengths, 32) + bytes(data)
 
 
 def decode_length_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
-    blen, pos = uvarint_decode(buf, 0)
-    lengths, _ = decode_binary_packed(buf[pos : pos + blen], 32)
-    pos += blen
+    lengths, pos = decode_binary_packed(buf, 32)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
     data = buf[pos : pos + int(offsets[-1])]
@@ -275,15 +286,12 @@ def encode_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
         suffix_bytes = raw[seg_starts + within].tobytes()
     else:
         suffix_bytes = b""
+    # exact parquet wire form (delta_byte_array.md): prefix-length block,
+    # then the suffixes as DELTA_LENGTH_BYTE_ARRAY — both delta blocks
+    # are self-terminating, no framing
     pblock = encode_binary_packed(prefix.astype(np.int32), 32)
     sblock = encode_binary_packed(suffix_lens, 32)
-    return (
-        uvarint_encode(len(pblock))
-        + pblock
-        + uvarint_encode(len(sblock))
-        + sblock
-        + suffix_bytes
-    )
+    return pblock + sblock + suffix_bytes
 
 
 def _native_dba():
@@ -296,12 +304,8 @@ def _native_dba():
 
 
 def decode_byte_array(buf: bytes) -> tuple[bytes, np.ndarray]:
-    blen, pos = uvarint_decode(buf, 0)
-    prefix, _ = decode_binary_packed(buf[pos : pos + blen], 32)
-    pos += blen
-    blen, p2 = uvarint_decode(buf, pos)
-    suffix_lens, _ = decode_binary_packed(buf[p2 : p2 + blen], 32)
-    pos = p2 + blen
+    prefix, pos = decode_binary_packed(buf, 32)
+    suffix_lens, pos = decode_binary_packed(buf, 32, pos)
     n = len(prefix)
     lens = prefix.astype(np.int64) + suffix_lens.astype(np.int64)
     offsets = np.zeros(n + 1, dtype=np.int64)

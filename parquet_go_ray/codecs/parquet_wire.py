@@ -1,0 +1,650 @@
+"""Wire-level Parquet writer: emits real ``.parquet`` files readable by
+pyarrow / DuckDB / the reference itself, with every page payload produced
+by THIS repo's own encoders (plain / rle / dictionary / delta /
+bytestreamsplit) and the footer serialized by a hand-rolled thrift
+compact-protocol writer (no thrift dependency).
+
+This is the byte-level interop proof for the codec layer: the reference
+writes parquet files (writer.go:568-692, format structs in format/*.go);
+we re-emit the same wire format from the Ray-native engine, so any
+parquet reader — including parquet-go — decodes our encodings directly.
+Encodings emitted: PLAIN, RLE (booleans + def levels),
+RLE_DICTIONARY (+ PLAIN dict pages), DELTA_BINARY_PACKED,
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, BYTE_STREAM_SPLIT — the same
+wire formats implemented in encoding/{plain,rle,delta,bytestreamsplit}
+of the reference and cross-checked here by pyarrow/DuckDB read-back.
+
+Scope: flat schemas (the web-page table shape and the TPC-H-ish test
+tables). Nested columns are the chunk store's job (codecs/chunk.py);
+wire export targets interop, where flat columns are the 99% case.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from . import bytestreamsplit as bss
+from . import delta, plain, rle
+from .dictionary import _byte_array_buffers
+
+# ---------------------------------------------------------------------------
+# thrift compact protocol (write-only, just what parquet footers need)
+
+_CT_STOP = 0
+_CT_TRUE = 1
+_CT_FALSE = 2
+_CT_I32 = 5
+_CT_I64 = 6
+_CT_BINARY = 8
+_CT_LIST = 9
+_CT_STRUCT = 12
+
+
+def _uvarint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
+
+
+def ts(fields: list[tuple[int, str, object]]) -> bytes:
+    """Serialize a thrift struct from (field_id, kind, value) triples.
+    kind: i32 | i64 | bin | bool | list | struct. None values are skipped
+    (optional fields). list/struct values must be pre-encoded bytes."""
+    out = bytearray()
+    last = 0
+    for fid, kind, val in fields:
+        if val is None:
+            continue
+        if kind == "bool":
+            t = _CT_TRUE if val else _CT_FALSE
+            payload = b""
+        elif kind == "i32" or kind == "i64":
+            t = _CT_I32 if kind == "i32" else _CT_I64
+            payload = _uvarint(_zigzag(int(val)))
+        elif kind == "bin":
+            raw = val if isinstance(val, bytes) else str(val).encode()
+            t = _CT_BINARY
+            payload = _uvarint(len(raw)) + raw
+        elif kind == "list":
+            t = _CT_LIST
+            payload = val
+        elif kind == "struct":
+            t = _CT_STRUCT
+            payload = val
+        else:  # pragma: no cover
+            raise ValueError(kind)
+        delta_id = fid - last
+        if 0 < delta_id <= 15:
+            out.append((delta_id << 4) | t)
+        else:
+            out.append(t)
+            out += _uvarint(_zigzag(fid))
+        out += payload
+        last = fid
+    out.append(_CT_STOP)
+    return bytes(out)
+
+
+def tlist(elem_kind: str, items: list) -> bytes:
+    """Serialize a thrift list. elem_kind: i32 | bin | struct."""
+    t = {"i32": _CT_I32, "i64": _CT_I64, "bin": _CT_BINARY, "struct": _CT_STRUCT}[
+        elem_kind
+    ]
+    n = len(items)
+    out = bytearray()
+    if n < 15:
+        out.append((n << 4) | t)
+    else:
+        out.append(0xF0 | t)
+        out += _uvarint(n)
+    for it in items:
+        if elem_kind in ("i32", "i64"):
+            out += _uvarint(_zigzag(int(it)))
+        elif elem_kind == "bin":
+            raw = it if isinstance(it, bytes) else str(it).encode()
+            out += _uvarint(len(raw)) + raw
+        else:
+            out += it
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# parquet format enums (format/parquet.thrift)
+
+T_BOOLEAN, T_INT32, T_INT64, T_INT96, T_FLOAT, T_DOUBLE, T_BYTE_ARRAY, T_FLBA = range(8)
+
+E_PLAIN = 0
+E_RLE = 3
+E_DELTA_BINARY_PACKED = 5
+E_DELTA_LENGTH_BYTE_ARRAY = 6
+E_DELTA_BYTE_ARRAY = 7
+E_RLE_DICTIONARY = 8
+E_BYTE_STREAM_SPLIT = 9
+
+_COMPRESSION_IDS = {
+    None: 0,
+    "none": 0,
+    "snappy": 1,
+    "gzip": 2,
+    "brotli": 4,
+    "lz4": 7,  # LZ4_RAW (the non-deprecated block format)
+    "zstd": 6,
+}
+
+_PAGE_DATA = 0
+_PAGE_DICT = 2
+
+_REQUIRED, _OPTIONAL = 0, 1
+
+ENCODING_NAMES = {
+    E_PLAIN: "plain",
+    E_RLE: "rle",
+    E_DELTA_BINARY_PACKED: "delta_binary_packed",
+    E_DELTA_LENGTH_BYTE_ARRAY: "delta_length_byte_array",
+    E_DELTA_BYTE_ARRAY: "delta_byte_array",
+    E_RLE_DICTIONARY: "rle_dictionary",
+    E_BYTE_STREAM_SPLIT: "byte_stream_split",
+}
+_ENCODING_IDS = {v: k for k, v in ENCODING_NAMES.items()}
+
+
+def supports_schema(schema: pa.Schema) -> bool:
+    """True when every column is a flat primitive the wire writer emits."""
+    try:
+        for field in schema:
+            _ColType(field.type)
+        return True
+    except ValueError:
+        return False
+
+
+class _Logical:
+    """LogicalType union field builders (union = struct with one field)."""
+
+    @staticmethod
+    def string() -> bytes:
+        return ts([(1, "struct", ts([]))])
+
+    @staticmethod
+    def date() -> bytes:
+        return ts([(6, "struct", ts([]))])
+
+    @staticmethod
+    def timestamp(unit_field: int, utc: bool) -> bytes:
+        unit = ts([(unit_field, "struct", ts([]))])
+        return ts([(8, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
+
+    @staticmethod
+    def decimal(scale: int, precision: int) -> bytes:
+        return ts(
+            [(5, "struct", ts([(1, "i32", scale), (2, "i32", precision)]))]
+        )
+
+    @staticmethod
+    def integer(bits: int, signed: bool) -> bytes:
+        # bitWidth is thrift byte (i8): compact writes it as a plain byte
+        inner = bytearray()
+        inner.append(0x13)  # field 1, type BYTE
+        inner.append(bits & 0xFF)
+        inner.append(0x11 if signed else 0x12)  # field 2 (delta 1), bool
+        inner.append(_CT_STOP)
+        return ts([(10, "struct", bytes(inner))])
+
+
+class _ColType:
+    """Physical + logical typing for one Arrow column."""
+
+    def __init__(self, ty: pa.DataType):
+        self.arrow = ty
+        self.type_length = None
+        self.converted = None
+        self.logical = None
+        self.scale = self.precision = None
+        if pa.types.is_boolean(ty):
+            self.physical = T_BOOLEAN
+        elif pa.types.is_integer(ty) and ty.bit_width <= 32:
+            self.physical = T_INT32
+            if ty.bit_width < 32 or not pa.types.is_signed_integer(ty):
+                signed = pa.types.is_signed_integer(ty)
+                self.converted = {
+                    (8, True): 15, (16, True): 16, (32, True): 17,
+                    (8, False): 11, (16, False): 12, (32, False): 13,
+                }[(ty.bit_width, signed)]
+                self.logical = _Logical.integer(ty.bit_width, signed)
+        elif pa.types.is_int64(ty):
+            self.physical = T_INT64
+        elif pa.types.is_uint64(ty):
+            self.physical = T_INT64
+            self.converted = 14
+            self.logical = _Logical.integer(64, False)
+        elif pa.types.is_date32(ty):
+            self.physical = T_INT32
+            self.converted = 6
+            self.logical = _Logical.date()
+        elif pa.types.is_timestamp(ty):
+            self.physical = T_INT64
+            unit = {"ms": 1, "us": 2, "ns": 3}.get(ty.unit)
+            if unit is None:
+                raise ValueError(f"unsupported timestamp unit {ty.unit}")
+            utc = ty.tz is not None
+            self.logical = _Logical.timestamp(unit, utc)
+            if utc and ty.unit in ("ms", "us"):
+                self.converted = 9 if ty.unit == "ms" else 10
+        elif pa.types.is_float32(ty):
+            self.physical = T_FLOAT
+        elif pa.types.is_float64(ty):
+            self.physical = T_DOUBLE
+        elif pa.types.is_string(ty) or pa.types.is_large_string(ty):
+            self.physical = T_BYTE_ARRAY
+            self.converted = 0
+            self.logical = _Logical.string()
+        elif pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+            self.physical = T_BYTE_ARRAY
+        elif pa.types.is_fixed_size_binary(ty):
+            self.physical = T_FLBA
+            self.type_length = ty.byte_width
+        elif pa.types.is_decimal128(ty):
+            self.physical = T_FLBA
+            self.type_length = 16
+            self.converted = 5
+            self.scale, self.precision = ty.scale, ty.precision
+            self.logical = _Logical.decimal(ty.scale, ty.precision)
+        else:
+            raise ValueError(
+                f"wire export supports flat primitive columns only, got {ty}"
+            )
+
+    def schema_element(self, name: str, optional: bool) -> bytes:
+        return ts(
+            [
+                (1, "i32", self.physical),
+                (2, "i32", self.type_length),
+                (3, "i32", _OPTIONAL if optional else _REQUIRED),
+                (4, "bin", name),
+                (6, "i32", self.converted),
+                (7, "i32", self.scale),
+                (8, "i32", self.precision),
+                (10, "struct", self.logical),
+            ]
+        )
+
+
+# ---------------------------------------------------------------------------
+# value encoders (null-free arrays -> raw parquet encoding bytes)
+
+
+def _fixed_np(arr: pa.Array, ct: _ColType) -> np.ndarray:
+    ty = arr.type
+    if pa.types.is_timestamp(ty):
+        return arr.view(pa.int64()).to_numpy()
+    if pa.types.is_date32(ty):
+        return arr.view(pa.int32()).to_numpy()
+    if ct.physical == T_INT32 and ty.bit_width < 32:
+        return pc.cast(arr, pa.int32()).to_numpy()
+    if pa.types.is_uint32(ty):
+        return arr.to_numpy().view(np.int32)
+    if pa.types.is_uint64(ty):
+        return arr.to_numpy().view(np.int64)
+    return arr.to_numpy()
+
+
+def _flba_bytes(arr: pa.Array, ct: _ColType) -> bytes:
+    w = ct.type_length
+    buf = arr.buffers()[1]
+    raw = np.frombuffer(buf, dtype=np.uint8, count=len(arr) * w, offset=arr.offset * w)
+    if pa.types.is_decimal128(arr.type):
+        # arrow stores decimal128 little-endian; parquet FLBA decimals are
+        # big-endian two's complement
+        raw = raw.reshape(len(arr), w)[:, ::-1].reshape(-1)
+    return raw.tobytes()
+
+
+def _encode_values(arr: pa.Array, enc: int, ct: _ColType) -> bytes:
+    """arr has no nulls. Returns the raw data-page value bytes."""
+    p = ct.physical
+    if enc == E_PLAIN:
+        if p == T_BOOLEAN:
+            return plain.encode_booleans(arr.to_numpy(zero_copy_only=False))
+        if p == T_BYTE_ARRAY:
+            data, offsets = _byte_array_buffers(arr)
+            return plain.encode_byte_array(data, offsets)
+        if p == T_FLBA:
+            return _flba_bytes(arr, ct)
+        return plain.encode_fixed(_fixed_np(arr, ct))
+    if enc == E_RLE:  # boolean values: 4-byte LE length + hybrid stream
+        body = rle.encode(
+            arr.to_numpy(zero_copy_only=False).astype(np.uint64), 1
+        )
+        return struct.pack("<I", len(body)) + body
+    if enc == E_DELTA_BINARY_PACKED:
+        v = _fixed_np(arr, ct)
+        return delta.encode_binary_packed(v, 32 if p == T_INT32 else 64)
+    if enc == E_DELTA_LENGTH_BYTE_ARRAY:
+        data, offsets = _byte_array_buffers(arr)
+        return delta.encode_length_byte_array(data, offsets)
+    if enc == E_DELTA_BYTE_ARRAY:
+        data, offsets = _byte_array_buffers(arr)
+        return delta.encode_byte_array(data, offsets)
+    if enc == E_BYTE_STREAM_SPLIT:
+        return bss.encode(_fixed_np(arr, ct))
+    raise ValueError(f"cannot encode physical type {p} as {ENCODING_NAMES[enc]}")
+
+
+def _def_levels(validity: np.ndarray) -> bytes:
+    body = rle.encode(validity.astype(np.uint64), 1)
+    return struct.pack("<I", len(body)) + body
+
+
+def _candidates(ct: _ColType, compression: str | None) -> list[int]:
+    p = ct.physical
+    if p == T_BOOLEAN:
+        return [E_PLAIN, E_RLE]
+    if p in (T_INT32, T_INT64):
+        return [E_PLAIN, E_DELTA_BINARY_PACKED]
+    if p in (T_FLOAT, T_DOUBLE):
+        # BSS only pays off under a compression codec (same raw size)
+        return [E_PLAIN, E_BYTE_STREAM_SPLIT] if compression else [E_PLAIN]
+    if p == T_BYTE_ARRAY:
+        return [E_PLAIN, E_DELTA_LENGTH_BYTE_ARRAY, E_DELTA_BYTE_ARRAY]
+    return [E_PLAIN]
+
+
+def _select_encoding(
+    arr: pa.Array, ct: _ColType, compression: str | None
+) -> tuple[int, pa.Array | None, pa.Array | None]:
+    """Pick the cheapest parquet encoding for this column chunk by trial
+    on a sample (the repo's selector policy restricted to parquet wire
+    encodings; FSST has no parquet code so text falls back to the best
+    spec encoding). Returns (encoding, dict_values, dict_indices);
+    dict_* are set when RLE_DICTIONARY wins."""
+    nn = arr.drop_null()
+    if len(nn) == 0:
+        return E_PLAIN, None, None
+    sample = nn.slice(0, 2048)
+    best, best_size = None, None
+    for enc in _candidates(ct, compression):
+        try:
+            size = len(_encode_values(sample, enc, ct))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best, best_size = enc, size
+    # dictionary trial: dense ids + one dict page amortized over the chunk
+    dict_vals = dict_idx = None
+    if ct.physical != T_BOOLEAN:
+        denc = pc.dictionary_encode(arr)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        nuniq = len(denc.dictionary)
+        if nuniq and nuniq <= max(1, len(nn) // 2):
+            width = max(1, (nuniq - 1).bit_length()) if nuniq > 1 else 1
+            sample_n = len(sample)
+            dict_size = len(
+                _encode_values(denc.dictionary, E_PLAIN, ct)
+            ) * sample_n / max(1, len(nn)) + sample_n * width / 8
+            if dict_size < best_size:
+                best = E_RLE_DICTIONARY
+                dict_vals = denc.dictionary
+                dict_idx = denc.indices
+    return best, dict_vals, dict_idx
+
+
+# ---------------------------------------------------------------------------
+# file writer
+
+
+def _compress_page(raw: bytes, compression: str | None) -> bytes:
+    if not compression or compression == "none":
+        return raw
+    if compression == "lz4":
+        # parquet's LZ4_RAW is the block format; pa.Codec("lz4") is the
+        # frame format — not wire-compatible, so reject rather than emit
+        # files other readers can't open
+        raise ValueError("lz4 is not supported by the wire writer; use zstd/snappy")
+    return pa.Codec(compression).compress(raw, asbytes=True)
+
+
+def _page_header(
+    kind: int,
+    raw_len: int,
+    comp_len: int,
+    crc: int,
+    num_values: int,
+    enc: int,
+) -> bytes:
+    if kind == _PAGE_DICT:
+        inner = ts([(1, "i32", num_values), (2, "i32", enc)])
+        fields = [
+            (1, "i32", kind),
+            (2, "i32", raw_len),
+            (3, "i32", comp_len),
+            (4, "i32", crc),
+            (7, "struct", inner),
+        ]
+    else:
+        inner = ts(
+            [
+                (1, "i32", num_values),
+                (2, "i32", enc),
+                (3, "i32", E_RLE),
+                (4, "i32", E_RLE),
+            ]
+        )
+        fields = [
+            (1, "i32", kind),
+            (2, "i32", raw_len),
+            (3, "i32", comp_len),
+            (4, "i32", crc),
+            (5, "struct", inner),
+        ]
+    return ts(fields)
+
+
+def _crc32_signed(data: bytes) -> int:
+    v = zlib.crc32(data) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+class _ColumnChunkResult:
+    __slots__ = (
+        "pages",
+        "encodings",
+        "value_encoding",
+        "data_page_offset",
+        "dict_page_offset",
+        "total_raw",
+        "total_comp",
+        "num_values",
+    )
+
+
+def _write_column_chunk(
+    out,
+    arr: pa.Array,
+    ct: _ColType,
+    optional: bool,
+    compression: str | None,
+    encoding: str | None,
+    page_rows: int,
+) -> _ColumnChunkResult:
+    res = _ColumnChunkResult()
+    res.num_values = len(arr)
+    res.total_raw = res.total_comp = 0
+    res.dict_page_offset = None
+    res.pages = 0
+
+    if encoding is not None:
+        enc = _ENCODING_IDS[encoding]
+        dict_vals = dict_idx = None
+        if enc == E_RLE_DICTIONARY:
+            denc = pc.dictionary_encode(arr)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            dict_vals, dict_idx = denc.dictionary, denc.indices
+    else:
+        enc, dict_vals, dict_idx = _select_encoding(arr, ct, compression)
+
+    def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
+        offset = out.tell()
+        comp = _compress_page(raw, compression)
+        header = _page_header(
+            kind, len(raw), len(comp), _crc32_signed(comp), num_values, page_enc
+        )
+        out.write(header)
+        out.write(comp)
+        res.total_raw += len(header) + len(raw)
+        res.total_comp += len(header) + len(comp)
+        res.pages += 1
+        return offset
+
+    if enc == E_RLE_DICTIONARY:
+        dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
+        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+        source = dict_idx  # pages slice the index stream
+        width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
+    else:
+        source = arr
+
+    res.data_page_offset = None
+    n = len(arr)
+    for start in range(0, max(n, 1), page_rows):
+        page = source.slice(start, page_rows) if n else source
+        n_page = len(page)
+        parts = []
+        if optional:
+            validity = np.ones(n_page, dtype=bool)
+            if page.null_count:
+                validity = ~np.asarray(pc.is_null(page))
+            parts.append(_def_levels(validity))
+        values = page.drop_null() if page.null_count else page
+        if enc == E_RLE_DICTIONARY:
+            idx = values.to_numpy(zero_copy_only=False).astype(np.uint64)
+            parts.append(bytes([width]) + rle.encode(idx, width))
+        else:
+            parts.append(_encode_values(values, enc, ct))
+        off = emit(_PAGE_DATA, b"".join(parts), n_page, enc)
+        if res.data_page_offset is None:
+            res.data_page_offset = off
+        if n == 0:
+            break
+
+    encodings = [enc]
+    if enc == E_RLE_DICTIONARY:
+        encodings = [E_PLAIN, E_RLE_DICTIONARY]
+    if optional:
+        encodings.append(E_RLE)
+    res.encodings = sorted(set(encodings))
+    res.value_encoding = enc
+    return res
+
+
+def write_table(
+    table: pa.Table,
+    path: str,
+    compression: str | None = None,
+    rows_per_group: int | None = None,
+    encodings: dict[str, str] | None = None,
+    page_rows: int = 8192,
+) -> dict:
+    """Write `table` as a real parquet file at `path`.
+
+    encodings: optional per-column forced encoding name (see
+    ENCODING_NAMES values); unlisted columns auto-select.
+    Returns {"rows", "bytes", "encodings": {col: name}}.
+    """
+    cols = [(name, _ColType(table.schema.field(name).type)) for name in table.column_names]
+    optional = {
+        name: bool(table.column(name).null_count) for name, _ in cols
+    }
+    chosen: dict[str, str] = {}
+    rows_per_group = rows_per_group or max(1, table.num_rows) if table.num_rows else 1
+
+    with open(path, "wb") as out:
+        out.write(b"PAR1")
+        row_groups = []
+        nrows_total = table.num_rows
+        for g_start in range(0, max(nrows_total, 1), rows_per_group):
+            g = table.slice(g_start, rows_per_group)
+            col_chunks = []
+            total_bytes = 0
+            for name, ct in cols:
+                arr = g.column(name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                r = _write_column_chunk(
+                    out,
+                    arr,
+                    ct,
+                    optional[name],
+                    compression,
+                    (encodings or {}).get(name),
+                    page_rows,
+                )
+                chosen[name] = ENCODING_NAMES[r.value_encoding]
+                meta = ts(
+                    [
+                        (1, "i32", ct.physical),
+                        (2, "list", tlist("i32", r.encodings)),
+                        (3, "list", tlist("bin", [name])),
+                        (4, "i32", _COMPRESSION_IDS[compression]),
+                        (5, "i64", r.num_values),
+                        (6, "i64", r.total_raw),
+                        (7, "i64", r.total_comp),
+                        (9, "i64", r.data_page_offset),
+                        (11, "i64", r.dict_page_offset),
+                    ]
+                )
+                first_off = (
+                    r.dict_page_offset
+                    if r.dict_page_offset is not None
+                    else r.data_page_offset
+                )
+                col_chunks.append(
+                    ts([(2, "i64", first_off), (3, "struct", meta)])
+                )
+                total_bytes += r.total_comp
+            row_groups.append(
+                ts(
+                    [
+                        (1, "list", tlist("struct", col_chunks)),
+                        (2, "i64", total_bytes),
+                        (3, "i64", g.num_rows),
+                    ]
+                )
+            )
+            if nrows_total == 0:
+                break
+
+        root = ts([(4, "bin", b"schema"), (5, "i32", len(cols))])
+        schema_elems = [root] + [
+            ct.schema_element(name, optional[name]) for name, ct in cols
+        ]
+        footer = ts(
+            [
+                (1, "i32", 1),
+                (2, "list", tlist("struct", schema_elems)),
+                (3, "i64", nrows_total),
+                (4, "list", tlist("struct", row_groups)),
+                (6, "bin", b"parquet_go_ray wire writer"),
+            ]
+        )
+        out.write(footer)
+        out.write(struct.pack("<I", len(footer)))
+        out.write(b"PAR1")
+        size = out.tell()
+    return {"rows": nrows_total, "bytes": size, "encodings": chosen}

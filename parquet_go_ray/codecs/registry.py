@@ -11,7 +11,9 @@ from __future__ import annotations
 # wire format version: bump on ANY chunk/codec/manifest layout change so
 # cached encoded stores are invalidated (a store written by version X
 # must be decoded by version X)
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6  # v6: delta codecs emit exact parquet wire form
+                    # (no framing around self-terminating delta blocks;
+                    # unneeded trailing miniblocks have no body)
 
 # ---- codec ids (wire format: append-only) ----
 PLAIN = 0

@@ -311,6 +311,24 @@ def q_encode_decode_lineitem(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "lineitem"))
 
 
+def q_parquet_wire_roundtrip(sf_dir):
+    """Wire-level parquet interop (writer.go:568-692 parity at the BYTE
+    level): lineitem -> real .parquet files whose pages are produced by
+    our own encoders and whose footer is our hand-rolled thrift compact
+    serialization (codecs/parquet_wire) -> read back by pyarrow's
+    parquet reader. Value-identical output proves any parquet reader —
+    including the reference — decodes our encodings directly."""
+    import tempfile
+    from pathlib import Path
+
+    from .export import export_parquet_job
+
+    out = tempfile.mkdtemp(prefix="pgr_wire_")
+    export_parquet_job([f"{sf_dir}/lineitem.parquet"], out, resume=False)
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    return ray.data.read_parquet(files)
+
+
 def q_encode_decode_embeddings(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "embeddings"))
 
@@ -663,6 +681,7 @@ QUERIES = {
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
     "encode_decode_lineitem": q_encode_decode_lineitem,
+    "parquet_wire_roundtrip": q_parquet_wire_roundtrip,
     "encode_decode_embeddings": q_encode_decode_embeddings,
     "encode_decode_orders": _mk_roundtrip("orders"),
     "encode_decode_customer": _mk_roundtrip("customer"),
@@ -772,6 +791,7 @@ ORACLES = {
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",
+    "parquet_wire_roundtrip": "SELECT * FROM lineitem",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
     "encode_decode_customer": "SELECT * FROM customer",
