@@ -165,6 +165,17 @@ def run_bench() -> dict:
         s3["enc_nbytes"] / max(1, s3["raw_nbytes"]), 4
     )
 
+    # ---- wire-level parquet export (interop writer, own encoders) ----
+    from parquet_go_ray.pipelines.export import export_parquet_job
+
+    out5 = f"{out_root}/bench_export_wire_sf{sf:g}_{ncpu}"
+    shutil.rmtree(out5, ignore_errors=True)
+    t0 = time.time()
+    s5 = export_parquet_job(files, out5, compression="zstd", resume=False)
+    results["webpages_export_wire"] = round(time.time() - t0, 3)
+    detail["export_wire_out_mb"] = round(s5["bytes"] / 1e6, 2)
+    shutil.rmtree(out5, ignore_errors=True)
+
     # ---- operator pipelines over the driver testdata tables ----
     bench_queries = [
         "encode_decode_lineitem",

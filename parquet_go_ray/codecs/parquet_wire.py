@@ -384,9 +384,13 @@ def _select_encoding(
             continue
         if best_size is None or size < best_size:
             best, best_size = enc, size
-    # dictionary trial: dense ids + one dict page amortized over the chunk
+    # dictionary trial: probe unique ratio on the SAMPLE first — full
+    # dictionary_encode over e.g. an html binary column hashes megabytes
+    # only to learn every value is unique
     dict_vals = dict_idx = None
-    if ct.physical != T_BOOLEAN:
+    if ct.physical != T_BOOLEAN and len(
+        pc.unique(sample)
+    ) <= max(1, len(sample) // 2):
         denc = pc.dictionary_encode(arr)
         if isinstance(denc, pa.ChunkedArray):
             denc = denc.combine_chunks()
