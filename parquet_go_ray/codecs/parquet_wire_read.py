@@ -1,0 +1,469 @@
+"""Wire-level Parquet READER: parses real ``.parquet`` files — thrift
+compact footer, page headers, def levels, and every page payload —
+with THIS repo's own decoders (plain / rle / dictionary / delta /
+bytestreamsplit), no pyarrow parquet involvement.
+
+Together with codecs/parquet_wire (the writer) this closes the interop
+loop at the byte level: files written by the reference (its golden
+corpus under /root/reference/testdata, the same set file_test.go:13-30
+iterates) or by pyarrow decode through our own code paths, and files
+we write decode through theirs. Reference semantics: file_.go /
+column.go:541-690 (chunk+page iteration), format/parquet.thrift
+(metadata structs), deprecated/int96.go (INT96 timestamps — decoded
+here as timestamp[ns], closing that compat gap).
+
+Scope: flat primitive columns (optional or required), data pages V1
+and V2, PLAIN / RLE / PLAIN_DICTIONARY / RLE_DICTIONARY /
+DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+BYTE_STREAM_SPLIT encodings, snappy/zstd/gzip/brotli page compression,
+INT96 and INT32/INT64/FLBA/BYTE_ARRAY decimals.
+"""
+
+from __future__ import annotations
+
+import struct
+from decimal import Decimal
+
+import numpy as np
+import pyarrow as pa
+
+from . import bytestreamsplit as bss
+from . import delta, plain, rle
+
+# thrift compact type codes
+_CT_STOP = 0
+_CT_TRUE, _CT_FALSE = 1, 2
+_CT_BYTE, _CT_I16, _CT_I32, _CT_I64 = 3, 4, 5, 6
+_CT_DOUBLE, _CT_BINARY, _CT_LIST, _CT_SET, _CT_MAP, _CT_STRUCT = 7, 8, 9, 10, 11, 12
+
+
+class WireFormatError(ValueError):
+    pass
+
+
+def _uvarint(buf, pos):
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+class _TR:
+    """Thrift compact-protocol struct reader (just what footers need)."""
+
+    def __init__(self, buf, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def struct(self) -> dict:
+        out = {}
+        last = 0
+        while True:
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == _CT_STOP:
+                return out
+            t = b & 0x0F
+            delta_id = b >> 4
+            if delta_id:
+                fid = last + delta_id
+            else:
+                z, self.pos = _uvarint(self.buf, self.pos)
+                fid = _unzig(z)
+            out[fid] = self._value(t)
+            last = fid
+
+    def _value(self, t: int):
+        if t == _CT_TRUE:
+            return True
+        if t == _CT_FALSE:
+            return False
+        if t == _CT_BYTE:
+            v = self.buf[self.pos]
+            self.pos += 1
+            return v
+        if t in (_CT_I16, _CT_I32, _CT_I64):
+            z, self.pos = _uvarint(self.buf, self.pos)
+            return _unzig(z)
+        if t == _CT_DOUBLE:
+            (v,) = struct.unpack_from("<d", self.buf, self.pos)
+            self.pos += 8
+            return v
+        if t == _CT_BINARY:
+            n, self.pos = _uvarint(self.buf, self.pos)
+            v = bytes(self.buf[self.pos : self.pos + n])
+            self.pos += n
+            return v
+        if t in (_CT_LIST, _CT_SET):
+            h = self.buf[self.pos]
+            self.pos += 1
+            n = h >> 4
+            if n == 15:
+                n, self.pos = _uvarint(self.buf, self.pos)
+            et = h & 0x0F
+            return [self._value(et) for _ in range(n)]
+        if t == _CT_STRUCT:
+            return self.struct()
+        raise WireFormatError(f"unsupported thrift type {t}")
+
+
+# parquet enums
+_T_BOOLEAN, _T_INT32, _T_INT64, _T_INT96 = 0, 1, 2, 3
+_T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY, _T_FLBA = 4, 5, 6, 7
+
+_DECOMP = {1: "snappy", 2: "gzip", 4: "brotli", 6: "zstd", 7: "lz4_raw"}
+
+
+def _decompress(data: bytes, codec: int, raw_len: int) -> bytes:
+    if codec == 0:
+        return data
+    name = _DECOMP.get(codec)
+    if name is None:
+        raise WireFormatError(f"unsupported compression codec {codec}")
+    return pa.Codec(name).decompress(data, raw_len, asbytes=True)
+
+
+class _Column:
+    """Leaf schema element + arrow type mapping."""
+
+    def __init__(self, el: dict):
+        self.name = el[4].decode()
+        self.ptype = el.get(1)
+        self.type_length = el.get(2)
+        self.optional = el.get(3, 0) == 1
+        self.converted = el.get(6)
+        self.scale = el.get(7, 0)
+        self.precision = el.get(8, 0)
+        self.logical = el.get(10) or {}
+
+    def arrow_type(self) -> pa.DataType:
+        p, c = self.ptype, self.converted
+        lt = self.logical
+        if p == _T_BOOLEAN:
+            return pa.bool_()
+        if p == _T_INT32:
+            if c == 5 or 5 in lt:
+                d = lt.get(5, {})
+                return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
+            if c == 6 or 6 in lt:
+                return pa.date32()
+            if 10 in lt:
+                bits, signed = lt[10].get(1, 32), lt[10].get(2, True)
+                return getattr(pa, f"{'' if signed else 'u'}int{bits}")()
+            if c in (11, 12, 13):
+                return getattr(pa, f"uint{8 << (c - 11)}")()
+            if c in (15, 16, 17):
+                return getattr(pa, f"int{8 << (c - 15)}")()
+            return pa.int32()
+        if p == _T_INT64:
+            if c == 5 or 5 in lt:
+                d = lt.get(5, {})
+                return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
+            if 8 in lt:  # TIMESTAMP logical
+                unit = {1: "ms", 2: "us", 3: "ns"}[next(iter(lt[8].get(2, {1: {}})))]
+                return pa.timestamp(unit, tz="UTC" if lt[8].get(1) else None)
+            if c == 9:
+                return pa.timestamp("ms")
+            if c == 10:
+                return pa.timestamp("us")
+            if c == 14 or (10 in lt and not lt[10].get(2, True)):
+                return pa.uint64()
+            return pa.int64()
+        if p == _T_INT96:
+            return pa.timestamp("ns")
+        if p == _T_FLOAT:
+            return pa.float32()
+        if p == _T_DOUBLE:
+            return pa.float64()
+        if p == _T_BYTE_ARRAY:
+            if c == 0 or 1 in lt or c == 4:  # UTF8 / STRING / ENUM
+                return pa.string()
+            if c == 5 or 5 in lt:
+                d = lt.get(5, {})
+                return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
+            return pa.binary()
+        if p == _T_FLBA:
+            if c == 5 or 5 in lt:
+                d = lt.get(5, {})
+                return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
+            return pa.binary(self.type_length)
+        raise WireFormatError(f"unsupported physical type {self.ptype}")
+
+
+def _decode_plain(data: bytes, n: int, col: _Column):
+    """PLAIN page payload -> 'dense values' in an intermediate form."""
+    p = col.ptype
+    if p == _T_BOOLEAN:
+        return plain.decode_booleans(data, n)
+    if p == _T_INT32:
+        return plain.decode_fixed(data, np.int32, n)
+    if p == _T_INT64:
+        return plain.decode_fixed(data, np.int64, n)
+    if p == _T_FLOAT:
+        return plain.decode_fixed(data, np.float32, n)
+    if p == _T_DOUBLE:
+        return plain.decode_fixed(data, np.float64, n)
+    if p == _T_INT96:
+        raw = np.frombuffer(data, dtype=np.uint8, count=n * 12).reshape(n, 12)
+        nanos = raw[:, :8].copy().view("<u8").ravel().astype(np.int64)
+        julian = raw[:, 8:12].copy().view("<u4").ravel().astype(np.int64)
+        return (julian - 2440588) * 86_400_000_000_000 + nanos
+    if p == _T_BYTE_ARRAY:
+        return plain.decode_byte_array(data, n)  # (data, offsets)
+    if p == _T_FLBA:
+        w = col.type_length
+        return np.frombuffer(data, dtype=np.uint8, count=n * w).reshape(n, w)
+    raise WireFormatError(f"PLAIN decode: type {p}")
+
+
+def _decode_values(data: bytes, enc: int, n: int, col: _Column, dictionary):
+    if enc == 0:  # PLAIN
+        return ("plain", _decode_plain(data, n, col))
+    if enc in (2, 8):  # PLAIN_DICTIONARY / RLE_DICTIONARY
+        width = data[0]
+        idx = rle.decode(data[1:], width, n).astype(np.int64)
+        return ("idx", idx)
+    if enc == 3:  # RLE (boolean values); v1 pages carry a 4-byte length
+        # prefix, v2 writers differ — detect by exact-length match
+        (blen,) = struct.unpack_from("<I", data, 0)
+        body = data[4 : 4 + blen] if blen == len(data) - 4 else data
+        return ("plain", rle.decode(body, 1, n).astype(bool))
+    if enc == 5:
+        bits = 32 if col.ptype == _T_INT32 else 64
+        vals, _ = delta.decode_binary_packed(data, bits)
+        return ("plain", vals)
+    if enc == 6:
+        return ("plain", delta.decode_length_byte_array(data))
+    if enc == 7:
+        return ("plain", delta.decode_byte_array(data))
+    if enc == 9:
+        dtype = {
+            _T_FLOAT: np.float32,
+            _T_DOUBLE: np.float64,
+            _T_INT32: np.int32,
+            _T_INT64: np.int64,
+        }[col.ptype]
+        return ("plain", bss.decode(data, dtype, n))
+    raise WireFormatError(f"unsupported data encoding {enc}")
+
+
+def _dense_to_arrow(vals, col: _Column, ty: pa.DataType) -> pa.Array:
+    """Dense decoded values -> arrow array of the column's final type."""
+    p = col.ptype
+    if isinstance(vals, tuple):  # byte array (data, offsets)
+        data, offsets = vals
+        n = len(offsets) - 1
+        if pa.types.is_decimal(ty):
+            out = []
+            for i in range(n):
+                raw = data[int(offsets[i]) : int(offsets[i + 1])]
+                out.append(
+                    Decimal(int.from_bytes(raw, "big", signed=True)).scaleb(-ty.scale)
+                )
+            return pa.array(out, type=ty)
+        base = pa.string() if pa.types.is_string(ty) else pa.binary()
+        arr = pa.Array.from_buffers(
+            base,
+            n,
+            [
+                None,
+                pa.py_buffer(offsets.astype(np.int32).tobytes()),
+                pa.py_buffer(data),
+            ],
+        )
+        return arr
+    if p == _T_FLBA and isinstance(vals, np.ndarray) and vals.ndim == 2:
+        if pa.types.is_decimal(ty):
+            out = [
+                Decimal(int.from_bytes(row.tobytes(), "big", signed=True)).scaleb(
+                    -ty.scale
+                )
+                for row in vals
+            ]
+            return pa.array(out, type=ty)
+        return pa.Array.from_buffers(
+            pa.binary(col.type_length), len(vals), [None, pa.py_buffer(vals.tobytes())]
+        )
+    if pa.types.is_decimal(ty):  # INT32/INT64 decimal
+        return pa.array(
+            [Decimal(int(v)).scaleb(-ty.scale) for v in vals], type=ty
+        )
+    if pa.types.is_timestamp(ty):
+        return pa.array(np.asarray(vals, dtype=np.int64)).cast(pa.int64()).view(ty)
+    if pa.types.is_date32(ty):
+        return pa.array(np.asarray(vals, dtype=np.int32)).view(ty)
+    if pa.types.is_boolean(ty):
+        return pa.array(np.asarray(vals, dtype=bool))
+    np_ty = np.dtype(ty.to_pandas_dtype())
+    arr = np.asarray(vals)
+    if arr.dtype != np_ty:
+        if (
+            np_ty.kind == "u"
+            and arr.dtype.kind == "i"
+            and arr.dtype.itemsize == np_ty.itemsize
+        ):
+            # stored as two's complement in the signed physical type
+            arr = arr.view(np_ty)
+        else:
+            arr = arr.astype(np_ty, copy=False)
+    return pa.array(arr, type=ty)
+
+
+def _with_nulls(dense: pa.Array, validity: np.ndarray) -> pa.Array:
+    if validity.all():
+        return dense
+    idx = np.cumsum(validity) - 1
+    take = pa.array(
+        np.where(validity, idx, 0).astype(np.int64), mask=~validity
+    )
+    return dense.take(take)
+
+
+def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array:
+    codec = meta.get(4, 0)
+    total_values = meta[5]
+    offs = [meta[9]]
+    # some writers emit dictionary_page_offset=0 to mean "absent"
+    # (the dict-page-offset-zero golden file exists to test exactly this)
+    if meta.get(11):
+        offs.append(meta[11])
+    pos = min(offs)
+    ty = col.arrow_type()
+
+    dictionary = None
+    seen = 0
+    dense_parts: list = []
+    validity_parts: list[np.ndarray] = []
+    while seen < total_values:
+        tr = _TR(buf, pos)
+        header = tr.struct()
+        page_type = header[1]
+        raw_len, comp_len = header[2], header[3]
+        body = bytes(buf[tr.pos : tr.pos + comp_len])
+        pos = tr.pos + comp_len
+
+        if page_type == 2:  # dictionary page
+            dh = header[7]
+            data = _decompress(body, codec, raw_len)
+            dictionary = _decode_plain(data, dh[1], col)
+            continue
+        if page_type == 0:  # data page v1
+            dh = header[5]
+            n_page, enc = dh[1], dh[2]
+            data = _decompress(body, codec, raw_len)
+            dpos = 0
+            if col.optional:
+                (blen,) = struct.unpack_from("<I", data, 0)
+                levels = rle.decode(data[4 : 4 + blen], 1, n_page)
+                validity = levels.astype(bool)
+                dpos = 4 + blen
+            else:
+                validity = np.ones(n_page, dtype=bool)
+            n_vals = int(validity.sum())
+            kind, vals = _decode_values(
+                data[dpos:], enc, n_vals, col, dictionary
+            )
+        elif page_type == 3:  # data page v2
+            dh = header[8]
+            n_page, n_nulls, enc = dh[1], dh[2], dh[4]
+            def_len, rep_len = dh[5], dh[6]
+            # flat columns have max_rep=0, but some writers still emit a
+            # (vacuously all-zero) rep-level stream — skip those bytes
+            levels_raw = bytes(body[: def_len + rep_len])
+            values_raw = body[def_len + rep_len :]
+            if dh.get(7, True) and codec:
+                values_raw = _decompress(
+                    values_raw, codec, raw_len - def_len - rep_len
+                )
+            if col.optional and def_len:
+                levels = rle.decode(levels_raw[rep_len:], 1, n_page)
+                validity = levels.astype(bool)
+            else:
+                validity = np.ones(n_page, dtype=bool)
+            n_vals = n_page - n_nulls
+            kind, vals = _decode_values(values_raw, enc, n_vals, col, dictionary)
+        elif page_type == 1:  # index page: skip
+            continue
+        else:
+            raise WireFormatError(f"unsupported page type {page_type}")
+
+        seen += n_page
+        validity_parts.append(validity)
+        if kind == "idx":
+            dense_parts.append(("idx", vals))
+        else:
+            dense_parts.append(("plain", _dense_to_arrow(vals, col, ty)))
+
+    # materialize: dictionary indexes -> take from decoded dict values
+    dict_arrow = None
+    if dictionary is not None:
+        dict_arrow = _dense_to_arrow(dictionary, col, ty)
+    chunks = []
+    for kind, part in dense_parts:
+        if kind == "idx":
+            chunks.append(dict_arrow.take(pa.array(part)))
+        else:
+            chunks.append(part)
+    dense = (
+        pa.concat_arrays(chunks)
+        if len(chunks) != 1
+        else chunks[0]
+    )
+    validity = (
+        np.concatenate(validity_parts)
+        if len(validity_parts) != 1
+        else validity_parts[0]
+    )
+    return _with_nulls(dense, validity)
+
+
+def read_metadata(path: str) -> dict:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if raw[:4] != b"PAR1" or raw[-4:] != b"PAR1":
+        raise WireFormatError("not a parquet file (bad magic)")
+    (flen,) = struct.unpack_from("<I", raw, len(raw) - 8)
+    footer = raw[len(raw) - 8 - flen : len(raw) - 8]
+    return {"file": raw, "meta": _TR(memoryview(footer)).struct()}
+
+
+def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Read a flat-schema parquet file entirely with our own decoders."""
+    parsed = read_metadata(path)
+    raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    schema_els = meta[2]
+    root = schema_els[0]
+    if root.get(5, 0) != len(schema_els) - 1:
+        raise WireFormatError("nested schemas not supported by the wire reader")
+    cols = [_Column(el) for el in schema_els[1:]]
+    for el in schema_els[1:]:
+        if el.get(5):
+            raise WireFormatError("nested schemas not supported by the wire reader")
+    by_name = {c.name: c for c in cols}
+    want = columns or [c.name for c in cols]
+
+    arrays: dict[str, list[pa.Array]] = {n: [] for n in want}
+    for rg in meta.get(4, []):
+        n_rows = rg[3]
+        for cc in rg[1]:
+            cmeta = cc[3]
+            name = b".".join(cmeta[3]).decode()
+            if name not in by_name or name not in arrays:
+                continue
+            arrays[name].append(
+                _read_column_chunk(raw, cmeta, by_name[name], n_rows)
+            )
+    out = {}
+    for n in want:
+        ty = by_name[n].arrow_type()
+        parts = arrays[n] or [pa.array([], type=ty)]
+        out[n] = pa.chunked_array(parts)
+    return pa.table(out)

@@ -311,6 +311,19 @@ def q_encode_decode_lineitem(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "lineitem"))
 
 
+def q_parquet_native_read(sf_dir):
+    """Wire-level parquet READER (file_.go / column.go:541-690 parity):
+    lineitem.parquet — written by pyarrow — parsed and decoded entirely
+    by our own thrift reader + page decoders (codecs/parquet_wire_read),
+    no pyarrow parquet in the loop. Oracle reads the same file with
+    DuckDB; value-identical output proves the decoders consume foreign
+    parquet wire bytes directly (the same corpus-level proof as the
+    reference's golden-file suite, file_test.go:13-30)."""
+    from ..codecs.parquet_wire_read import read_table
+
+    return read_table(f"{sf_dir}/lineitem.parquet")
+
+
 def q_parquet_wire_roundtrip(sf_dir):
     """Wire-level parquet interop (writer.go:568-692 parity at the BYTE
     level): lineitem -> real .parquet files whose pages are produced by
@@ -682,6 +695,7 @@ QUERIES = {
     "encode_decode_events": q_encode_decode_events,
     "encode_decode_lineitem": q_encode_decode_lineitem,
     "parquet_wire_roundtrip": q_parquet_wire_roundtrip,
+    "parquet_native_read": q_parquet_native_read,
     "encode_decode_embeddings": q_encode_decode_embeddings,
     "encode_decode_orders": _mk_roundtrip("orders"),
     "encode_decode_customer": _mk_roundtrip("customer"),
@@ -792,6 +806,7 @@ ORACLES = {
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",
     "parquet_wire_roundtrip": "SELECT * FROM lineitem",
+    "parquet_native_read": "SELECT * FROM lineitem",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
     "encode_decode_customer": "SELECT * FROM customer",
