@@ -164,10 +164,15 @@ _ENCODING_IDS = {v: k for k, v in ENCODING_NAMES.items()}
 
 
 def supports_schema(schema: pa.Schema) -> bool:
-    """True when every column is a flat primitive the wire writer emits."""
+    """True when every column is a flat primitive or a single-level list
+    of primitives (the shapes the wire writer emits)."""
     try:
         for field in schema:
-            _ColType(field.type)
+            ty = field.type
+            if pa.types.is_list(ty) or pa.types.is_large_list(ty):
+                _ColType(ty.value_type)
+            else:
+                _ColType(ty)
         return True
     except ValueError:
         return False
@@ -188,6 +193,10 @@ class _Logical:
     def timestamp(unit_field: int, utc: bool) -> bytes:
         unit = ts([(unit_field, "struct", ts([]))])
         return ts([(8, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
+
+    @staticmethod
+    def list_() -> bytes:
+        return ts([(3, "struct", ts([]))])
 
     @staticmethod
     def decimal(scale: int, precision: int) -> bytes:
@@ -557,6 +566,129 @@ def _write_column_chunk(
     return res
 
 
+def _list_levels(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+    """(rep, def, n_dense) for the standard 3-level list layout
+    (optional list group / repeated / optional element):
+    def 0 = null list, 1 = empty list, 2 = null element, 3 = value;
+    rep 0 = row start, 1 = continuation. n_dense counts def==3 entries
+    (the values actually stored)."""
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, np.uint8), np.empty(0, np.uint8), 0
+    offs = np.asarray(arr.offsets, dtype=np.int64)
+    valid = np.ones(n, dtype=bool)
+    if arr.null_count:
+        valid = ~np.asarray(pc.is_null(arr))
+    counts = np.where(valid, offs[1:] - offs[:-1], 0)
+    entries = np.where(counts > 0, counts, 1)
+    total = int(entries.sum())
+    starts = np.cumsum(entries) - entries
+    rep = np.ones(total, dtype=np.uint8)
+    rep[starts] = 0
+    flat = arr.flatten()  # elements of valid rows, in row order
+    elem_valid = np.ones(len(flat), dtype=bool)
+    if flat.null_count:
+        elem_valid = ~np.asarray(pc.is_null(flat))
+    deff = np.empty(total, dtype=np.uint8)
+    elem_mask = np.ones(total, dtype=bool)
+    single = starts[counts == 0]
+    elem_mask[single] = False
+    deff[elem_mask] = 2 + elem_valid
+    deff[starts[~valid]] = 0
+    deff[starts[valid & (counts == 0)]] = 1
+    return rep, deff, int(elem_valid.sum())
+
+
+def _write_list_column_chunk(
+    out,
+    arr: pa.Array,
+    ct: _ColType,
+    compression: str | None,
+    encoding: str | None,
+    page_rows: int,
+) -> _ColumnChunkResult:
+    """Column chunk for a single-level list column: rep + def level
+    streams (RLE, 4-byte length prefix) ahead of the element values,
+    which use the same encodings as flat columns (the element array is
+    what gets encoded — node.go:393-415's shredding at wire level)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    res = _ColumnChunkResult()
+    res.total_raw = res.total_comp = 0
+    res.dict_page_offset = None
+    res.pages = 0
+    res.num_values = 0
+
+    dense = arr.flatten()
+    if dense.null_count:
+        dense = dense.drop_null()
+
+    if encoding is not None:
+        enc = _ENCODING_IDS[encoding]
+        dict_vals = dict_idx = None
+        if enc == E_RLE_DICTIONARY:
+            denc = pc.dictionary_encode(dense)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            dict_vals, dict_idx = denc.dictionary, denc.indices
+    else:
+        enc, dict_vals, dict_idx = _select_encoding(dense, ct, compression)
+
+    def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
+        offset = out.tell()
+        comp = _compress_page(raw, compression)
+        header = _page_header(
+            kind, len(raw), len(comp), _crc32_signed(comp), num_values, page_enc
+        )
+        out.write(header)
+        out.write(comp)
+        res.total_raw += len(header) + len(raw)
+        res.total_comp += len(header) + len(comp)
+        res.pages += 1
+        return offset
+
+    if enc == E_RLE_DICTIONARY:
+        dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
+        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+        width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
+        idx_np = dict_idx.to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    res.data_page_offset = None
+    n = len(arr)
+    cursor = 0
+    for start in range(0, max(n, 1), page_rows):
+        page = arr.slice(start, page_rows) if n else arr
+        rep, deff, n_dense = _list_levels(page)
+        rep_body = rle.encode(rep.astype(np.uint64), 1)
+        def_body = rle.encode(deff.astype(np.uint64), 2)
+        parts = [
+            struct.pack("<I", len(rep_body)) + rep_body,
+            struct.pack("<I", len(def_body)) + def_body,
+        ]
+        if enc == E_RLE_DICTIONARY:
+            parts.append(
+                bytes([width]) + rle.encode(idx_np[cursor : cursor + n_dense], width)
+            )
+        else:
+            parts.append(
+                _encode_values(dense.slice(cursor, n_dense), enc, ct)
+            )
+        cursor += n_dense
+        off = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
+        if res.data_page_offset is None:
+            res.data_page_offset = off
+        res.num_values += len(rep)
+        if n == 0:
+            break
+
+    encodings = [enc, E_RLE]
+    if enc == E_RLE_DICTIONARY:
+        encodings.append(E_PLAIN)
+    res.encodings = sorted(set(encodings))
+    res.value_encoding = enc
+    return res
+
+
 def write_table(
     table: pa.Table,
     path: str,
@@ -571,9 +703,15 @@ def write_table(
     ENCODING_NAMES values); unlisted columns auto-select.
     Returns {"rows", "bytes", "encodings": {col: name}}.
     """
-    cols = [(name, _ColType(table.schema.field(name).type)) for name in table.column_names]
+    cols = []
+    for name in table.column_names:
+        ty = table.schema.field(name).type
+        if pa.types.is_list(ty) or pa.types.is_large_list(ty):
+            cols.append((name, "list", _ColType(ty.value_type)))
+        else:
+            cols.append((name, "flat", _ColType(ty)))
     optional = {
-        name: bool(table.column(name).null_count) for name, _ in cols
+        name: bool(table.column(name).null_count) for name, _, _ in cols
     }
     chosen: dict[str, str] = {}
     rows_per_group = rows_per_group or max(1, table.num_rows) if table.num_rows else 1
@@ -586,25 +724,37 @@ def write_table(
             g = table.slice(g_start, rows_per_group)
             col_chunks = []
             total_bytes = 0
-            for name, ct in cols:
+            for name, shape, ct in cols:
                 arr = g.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                r = _write_column_chunk(
-                    out,
-                    arr,
-                    ct,
-                    optional[name],
-                    compression,
-                    (encodings or {}).get(name),
-                    page_rows,
-                )
+                if shape == "list":
+                    r = _write_list_column_chunk(
+                        out,
+                        arr,
+                        ct,
+                        compression,
+                        (encodings or {}).get(name),
+                        page_rows,
+                    )
+                    path_in_schema = [name, "list", "element"]
+                else:
+                    r = _write_column_chunk(
+                        out,
+                        arr,
+                        ct,
+                        optional[name],
+                        compression,
+                        (encodings or {}).get(name),
+                        page_rows,
+                    )
+                    path_in_schema = [name]
                 chosen[name] = ENCODING_NAMES[r.value_encoding]
                 meta = ts(
                     [
                         (1, "i32", ct.physical),
                         (2, "list", tlist("i32", r.encodings)),
-                        (3, "list", tlist("bin", [name])),
+                        (3, "list", tlist("bin", path_in_schema)),
                         (4, "i32", _COMPRESSION_IDS[compression]),
                         (5, "i64", r.num_values),
                         (6, "i64", r.total_raw),
@@ -635,9 +785,26 @@ def write_table(
                 break
 
         root = ts([(4, "bin", b"schema"), (5, "i32", len(cols))])
-        schema_elems = [root] + [
-            ct.schema_element(name, optional[name]) for name, ct in cols
-        ]
+        schema_elems = [root]
+        for name, shape, ct in cols:
+            if shape == "list":
+                schema_elems.append(
+                    ts(
+                        [
+                            (3, "i32", _OPTIONAL),
+                            (4, "bin", name),
+                            (5, "i32", 1),
+                            (6, "i32", 3),  # ConvertedType LIST
+                            (10, "struct", _Logical.list_()),
+                        ]
+                    )
+                )
+                schema_elems.append(
+                    ts([(3, "i32", 2), (4, "bin", b"list"), (5, "i32", 1)])
+                )
+                schema_elems.append(ct.schema_element("element", True))
+            else:
+                schema_elems.append(ct.schema_element(name, optional[name]))
         footer = ts(
             [
                 (1, "i32", 1),

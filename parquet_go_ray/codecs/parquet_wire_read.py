@@ -150,6 +150,8 @@ class _Column:
         if p == _T_BOOLEAN:
             return pa.bool_()
         if p == _T_INT32:
+            if 11 in lt:  # LogicalType NULL/UNKNOWN
+                return pa.null()
             if c == 5 or 5 in lt:
                 d = lt.get(5, {})
                 return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
@@ -258,6 +260,9 @@ def _decode_values(data: bytes, enc: int, n: int, col: _Column, dictionary):
 def _dense_to_arrow(vals, col: _Column, ty: pa.DataType) -> pa.Array:
     """Dense decoded values -> arrow array of the column's final type."""
     p = col.ptype
+    if pa.types.is_null(ty):
+        n = len(vals[1]) - 1 if isinstance(vals, tuple) else len(vals)
+        return pa.nulls(n)
     if isinstance(vals, tuple):  # byte array (data, offsets)
         data, offsets = vals
         n = len(offsets) - 1
@@ -327,7 +332,14 @@ def _with_nulls(dense: pa.Array, validity: np.ndarray) -> pa.Array:
     return dense.take(take)
 
 
-def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array:
+def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
+    col: _Column = desc["col"]
+    is_list = desc["kind"] == "list"
+    if is_list:
+        outer_opt, elem_opt = desc["outer_opt"], desc["elem_opt"]
+        max_def = (1 if outer_opt else 0) + 1 + (1 if elem_opt else 0)
+        d_empty = 1 if outer_opt else 0
+        wd = max(1, max_def.bit_length())
     codec = meta.get(4, 0)
     total_values = meta[5]
     offs = [meta[9]]
@@ -342,6 +354,8 @@ def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array
     seen = 0
     dense_parts: list = []
     validity_parts: list[np.ndarray] = []
+    rep_parts: list[np.ndarray] = []
+    def_parts: list[np.ndarray] = []
     while seen < total_values:
         tr = _TR(buf, pos)
         header = tr.struct()
@@ -360,14 +374,29 @@ def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array
             n_page, enc = dh[1], dh[2]
             data = _decompress(body, codec, raw_len)
             dpos = 0
-            if col.optional:
+            if is_list:
+                (rlen,) = struct.unpack_from("<I", data, 0)
+                rep = rle.decode(data[4 : 4 + rlen], 1, n_page).astype(np.uint8)
+                dpos = 4 + rlen
+                (blen,) = struct.unpack_from("<I", data, dpos)
+                deff = rle.decode(
+                    data[dpos + 4 : dpos + 4 + blen], wd, n_page
+                ).astype(np.uint8)
+                dpos += 4 + blen
+                n_vals = int((deff == max_def).sum())
+                rep_parts.append(rep)
+                def_parts.append(deff)
+            elif col.optional:
                 (blen,) = struct.unpack_from("<I", data, 0)
                 levels = rle.decode(data[4 : 4 + blen], 1, n_page)
                 validity = levels.astype(bool)
                 dpos = 4 + blen
+                n_vals = int(validity.sum())
+                validity_parts.append(validity)
             else:
                 validity = np.ones(n_page, dtype=bool)
-            n_vals = int(validity.sum())
+                n_vals = n_page
+                validity_parts.append(validity)
             kind, vals = _decode_values(
                 data[dpos:], enc, n_vals, col, dictionary
             )
@@ -383,12 +412,21 @@ def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array
                 values_raw = _decompress(
                     values_raw, codec, raw_len - def_len - rep_len
                 )
-            if col.optional and def_len:
+            if is_list:
+                rep = rle.decode(levels_raw[:rep_len], 1, n_page).astype(np.uint8)
+                deff = rle.decode(levels_raw[rep_len:], wd, n_page).astype(np.uint8)
+                n_vals = int((deff == max_def).sum())
+                rep_parts.append(rep)
+                def_parts.append(deff)
+            elif col.optional and def_len:
                 levels = rle.decode(levels_raw[rep_len:], 1, n_page)
                 validity = levels.astype(bool)
+                n_vals = n_page - n_nulls
+                validity_parts.append(validity)
             else:
                 validity = np.ones(n_page, dtype=bool)
-            n_vals = n_page - n_nulls
+                n_vals = n_page - n_nulls
+                validity_parts.append(validity)
             kind, vals = _decode_values(values_raw, enc, n_vals, col, dictionary)
         elif page_type == 1:  # index page: skip
             continue
@@ -396,7 +434,6 @@ def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array
             raise WireFormatError(f"unsupported page type {page_type}")
 
         seen += n_page
-        validity_parts.append(validity)
         if kind == "idx":
             dense_parts.append(("idx", vals))
         else:
@@ -415,14 +452,48 @@ def _read_column_chunk(buf, meta: dict, col: _Column, num_rows: int) -> pa.Array
     dense = (
         pa.concat_arrays(chunks)
         if len(chunks) != 1
-        else chunks[0]
+        else (chunks[0] if chunks else pa.array([], type=ty))
     )
-    validity = (
-        np.concatenate(validity_parts)
-        if len(validity_parts) != 1
-        else validity_parts[0]
+    if not is_list:
+        if not validity_parts:
+            return dense
+        validity = (
+            np.concatenate(validity_parts)
+            if len(validity_parts) != 1
+            else validity_parts[0]
+        )
+        return _with_nulls(dense, validity)
+    if not rep_parts:
+        return pa.array([], type=pa.list_(ty))
+
+    # list reconstruction from rep/def levels (column.go:541-690 /
+    # node.go:393-415 semantics): rep==0 starts a row; def distinguishes
+    # null list / empty list / null element / value
+    rep = np.concatenate(rep_parts) if len(rep_parts) != 1 else rep_parts[0]
+    deff = np.concatenate(def_parts) if len(def_parts) != 1 else def_parts[0]
+    starts = np.nonzero(rep == 0)[0]
+    n_rows_chunk = len(starts)
+    is_elem = deff > d_empty
+    counts = (
+        np.add.reduceat(is_elem.astype(np.int64), starts)
+        if n_rows_chunk
+        else np.empty(0, dtype=np.int64)
     )
-    return _with_nulls(dense, validity)
+    offsets = np.zeros(n_rows_chunk + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    elem_valid = deff[is_elem] == max_def
+    child = _with_nulls(dense, elem_valid)
+    vbuf = None
+    if outer_opt:
+        row_valid = deff[starts] >= d_empty
+        if not row_valid.all():
+            vbuf = pa.py_buffer(np.packbits(row_valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.list_(child.type),
+        n_rows_chunk,
+        [vbuf, pa.py_buffer(offsets.astype(np.int32).tobytes())],
+        children=[child],
+    )
 
 
 def read_metadata(path: str) -> dict:
@@ -435,35 +506,102 @@ def read_metadata(path: str) -> dict:
     return {"file": raw, "meta": _TR(memoryview(footer)).struct()}
 
 
+def _parse_schema(els: list[dict]) -> list[dict]:
+    """Schema elements -> column descriptors. Supports flat primitives
+    and single-level lists (3-level standard layout or 2-level legacy
+    `repeated <primitive>`); deeper nesting raises."""
+    out = []
+    i = 1
+    n_root_children = els[0].get(5, 0)
+    for _ in range(n_root_children):
+        el = els[i]
+        i += 1
+        nchild = el.get(5, 0)
+        name = el[4].decode()
+        if nchild == 0:
+            if el.get(3) == 2:  # repeated primitive directly under root
+                out.append(
+                    {
+                        "kind": "list",
+                        "name": name,
+                        "col": _Column(el),
+                        "outer_opt": False,
+                        "elem_opt": False,
+                        "path": name,
+                    }
+                )
+            else:
+                out.append(
+                    {"kind": "flat", "name": name, "col": _Column(el), "path": name}
+                )
+            continue
+        if nchild != 1:
+            raise WireFormatError("struct schemas not supported by the wire reader")
+        outer_opt = el.get(3, 0) == 1
+        mid = els[i]
+        i += 1
+        if mid.get(3) != 2:
+            raise WireFormatError("nested groups not supported by the wire reader")
+        if mid.get(5, 0) == 0:
+            # 2-level legacy: the repeated node IS the element
+            out.append(
+                {
+                    "kind": "list",
+                    "name": name,
+                    "col": _Column(mid),
+                    "outer_opt": outer_opt,
+                    "elem_opt": False,
+                    "path": f"{name}.{mid[4].decode()}",
+                }
+            )
+            continue
+        if mid.get(5) != 1:
+            raise WireFormatError("nested lists not supported by the wire reader")
+        leaf = els[i]
+        i += 1
+        if leaf.get(5, 0):
+            raise WireFormatError("nested lists not supported by the wire reader")
+        out.append(
+            {
+                "kind": "list",
+                "name": name,
+                "col": _Column(leaf),
+                "outer_opt": outer_opt,
+                "elem_opt": leaf.get(3, 0) == 1,
+                "path": f"{name}.{mid[4].decode()}.{leaf[4].decode()}",
+            }
+        )
+    if i != len(els):
+        raise WireFormatError("nested schemas not supported by the wire reader")
+    return out
+
+
 def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a flat-schema parquet file entirely with our own decoders."""
+    """Read a parquet file (flat primitives + single-level lists)
+    entirely with our own decoders."""
     parsed = read_metadata(path)
     raw, meta = memoryview(parsed["file"]), parsed["meta"]
-    schema_els = meta[2]
-    root = schema_els[0]
-    if root.get(5, 0) != len(schema_els) - 1:
-        raise WireFormatError("nested schemas not supported by the wire reader")
-    cols = [_Column(el) for el in schema_els[1:]]
-    for el in schema_els[1:]:
-        if el.get(5):
-            raise WireFormatError("nested schemas not supported by the wire reader")
-    by_name = {c.name: c for c in cols}
-    want = columns or [c.name for c in cols]
+    descs = _parse_schema(meta[2])
+    by_path = {d["path"]: d for d in descs}
+    by_name = {d["name"]: d for d in descs}
+    want = columns or [d["name"] for d in descs]
 
     arrays: dict[str, list[pa.Array]] = {n: [] for n in want}
     for rg in meta.get(4, []):
         n_rows = rg[3]
         for cc in rg[1]:
             cmeta = cc[3]
-            name = b".".join(cmeta[3]).decode()
-            if name not in by_name or name not in arrays:
+            pth = b".".join(cmeta[3]).decode()
+            d = by_path.get(pth)
+            if d is None or d["name"] not in arrays:
                 continue
-            arrays[name].append(
-                _read_column_chunk(raw, cmeta, by_name[name], n_rows)
-            )
+            arrays[d["name"]].append(_read_column_chunk(raw, cmeta, d, n_rows))
     out = {}
     for n in want:
-        ty = by_name[n].arrow_type()
+        d = by_name[n]
+        ty = d["col"].arrow_type()
+        if d["kind"] == "list":
+            ty = pa.list_(ty)
         parts = arrays[n] or [pa.array([], type=ty)]
         out[n] = pa.chunked_array(parts)
     return pa.table(out)

@@ -324,6 +324,23 @@ def q_parquet_native_read(sf_dir):
     return read_table(f"{sf_dir}/lineitem.parquet")
 
 
+def q_parquet_wire_lists(sf_dir):
+    """Wire-level rep/def level shredding for list columns
+    (node.go:393-415 at the wire): embeddings (list<float>) exported as
+    real parquet via our writer — 3-level schema, RLE rep/def streams,
+    element values through the normal encoders — then read back by
+    pyarrow's reader. Oracle reads the source directly."""
+    import tempfile
+    from pathlib import Path
+
+    from .export import export_parquet_job
+
+    out = tempfile.mkdtemp(prefix="pgr_wire_l_")
+    export_parquet_job([f"{sf_dir}/embeddings.parquet"], out, resume=False)
+    files = sorted(str(p) for p in Path(out).glob("*.parquet"))
+    return ray.data.read_parquet(files)
+
+
 def q_parquet_wire_roundtrip(sf_dir):
     """Wire-level parquet interop (writer.go:568-692 parity at the BYTE
     level): lineitem -> real .parquet files whose pages are produced by
@@ -696,6 +713,7 @@ QUERIES = {
     "encode_decode_lineitem": q_encode_decode_lineitem,
     "parquet_wire_roundtrip": q_parquet_wire_roundtrip,
     "parquet_native_read": q_parquet_native_read,
+    "parquet_wire_lists": q_parquet_wire_lists,
     "encode_decode_embeddings": q_encode_decode_embeddings,
     "encode_decode_orders": _mk_roundtrip("orders"),
     "encode_decode_customer": _mk_roundtrip("customer"),
@@ -807,6 +825,7 @@ ORACLES = {
     "encode_decode_lineitem": "SELECT * FROM lineitem",
     "parquet_wire_roundtrip": "SELECT * FROM lineitem",
     "parquet_native_read": "SELECT * FROM lineitem",
+    "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
     "encode_decode_customer": "SELECT * FROM customer",

@@ -161,7 +161,13 @@ def test_extended_types(tmp_path):
 
 
 def test_rejects_unsupported(tmp_path):
-    nested = pa.table({"l": pa.array([[1, 2], [3]], type=pa.list_(pa.int64()))})
+    nested = pa.table(
+        {
+            "s": pa.array(
+                [{"a": 1}, {"a": 2}], type=pa.struct([("a", pa.int64())])
+            )
+        }
+    )
     with pytest.raises(ValueError):
         W.write_table(nested, str(tmp_path / "n.parquet"))
     flat = pa.table({"x": pa.array([1, 2], type=pa.int64())})
@@ -306,3 +312,74 @@ def test_wire_reader_projection_and_errors(tmp_path):
         f.write(b"not parquet at all")
     with pytest.raises(R.WireFormatError):
         R.read_table(bad)
+
+
+# ----------------------------------------------------------- list columns
+
+
+def _list_table(n=500):
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "emb": pa.array(
+                [
+                    None
+                    if i % 17 == 0
+                    else (
+                        []
+                        if i % 13 == 0
+                        else [float(x) if x % 5 else None for x in range(i % 7 + 1)]
+                    )
+                    for i in range(n)
+                ],
+                type=pa.list_(pa.float32()),
+            ),
+            "tags": pa.array(
+                [[f"t{j}" for j in range(i % 4)] for i in range(n)],
+                type=pa.list_(pa.string()),
+            ),
+        }
+    )
+
+
+@pytest.mark.parametrize("comp", [None, "zstd"])
+def test_list_columns_pyarrow_roundtrip(tmp_path, comp):
+    _assert_roundtrip(
+        _list_table(), str(tmp_path / "l.parquet"), compression=comp, page_rows=120
+    )
+
+
+def test_list_columns_self_roundtrip(tmp_path):
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    t = _list_table()
+    p = str(tmp_path / "l2.parquet")
+    W.write_table(t, p, compression="snappy", page_rows=77, rows_per_group=200)
+    back = R.read_table(p)
+    for col in t.column_names:
+        a = t.column(col).combine_chunks()
+        b = back.column(col).combine_chunks().cast(a.type)
+        assert a.equals(b), col
+
+
+def test_embeddings_table_wire_both_ways(tmp_path):
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    ref = pq.read_table(src)
+    # foreign (pyarrow-written) file through our reader
+    ours = R.read_table(src)
+    for col in ref.column_names:
+        a = ref.column(col).combine_chunks()
+        b = ours.column(col).combine_chunks()
+        if not b.type.equals(a.type):
+            b = b.cast(a.type)
+        assert a.equals(b), col
+    # our writer -> pyarrow
+    p = str(tmp_path / "e.parquet")
+    W.write_table(ref, p, compression="zstd")
+    back = pq.read_table(p)
+    for col in ref.column_names:
+        a = ref.column(col).combine_chunks()
+        b = back.column(col).combine_chunks().cast(a.type)
+        assert a.equals(b), col
