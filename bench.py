@@ -253,8 +253,10 @@ def run_scaling() -> dict:
         # let the previous leg's Ray runtime tear down completely before
         # the next leg starts: lingering raylet/worker processes from a
         # just-exited session otherwise steal CPU from the next session
+        # self-safe patterns: must not match a parent shell whose
+        # command line quotes these very strings
         subprocess.run(
-            ["pkill", "-9", "-f", "raylet|gcs_server|ray::"],
+            ["pkill", "-9", "-f", "rayle[t]|gcs_serve[r]|ray::[A-Z]"],
             capture_output=True,
         )
         time.sleep(5)

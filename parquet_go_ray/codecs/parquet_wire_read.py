@@ -335,10 +335,14 @@ def _with_nulls(dense: pa.Array, validity: np.ndarray) -> pa.Array:
 def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
     col: _Column = desc["col"]
     is_list = desc["kind"] == "list"
+    is_nested = desc["kind"] == "nested"
     if is_list:
         outer_opt, elem_opt = desc["outer_opt"], desc["elem_opt"]
         max_def = (1 if outer_opt else 0) + 1 + (1 if elem_opt else 0)
         d_empty = 1 if outer_opt else 0
+        wd = max(1, max_def.bit_length())
+    elif is_nested:
+        max_def = desc["max_def"]
         wd = max(1, max_def.bit_length())
     codec = meta.get(4, 0)
     total_values = meta[5]
@@ -386,6 +390,14 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
                 n_vals = int((deff == max_def).sum())
                 rep_parts.append(rep)
                 def_parts.append(deff)
+            elif is_nested and max_def > 0:
+                (blen,) = struct.unpack_from("<I", data, 0)
+                deff = rle.decode(data[4 : 4 + blen], wd, n_page).astype(np.uint8)
+                dpos = 4 + blen
+                validity = deff == max_def
+                n_vals = int(validity.sum())
+                validity_parts.append(validity)
+                def_parts.append(deff)
             elif col.optional:
                 (blen,) = struct.unpack_from("<I", data, 0)
                 levels = rle.decode(data[4 : 4 + blen], 1, n_page)
@@ -397,6 +409,8 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
                 validity = np.ones(n_page, dtype=bool)
                 n_vals = n_page
                 validity_parts.append(validity)
+                if is_nested:
+                    def_parts.append(np.zeros(n_page, dtype=np.uint8))
             kind, vals = _decode_values(
                 data[dpos:], enc, n_vals, col, dictionary
             )
@@ -418,6 +432,12 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
                 n_vals = int((deff == max_def).sum())
                 rep_parts.append(rep)
                 def_parts.append(deff)
+            elif is_nested and max_def > 0 and def_len:
+                deff = rle.decode(levels_raw[rep_len:], wd, n_page).astype(np.uint8)
+                validity = deff == max_def
+                n_vals = int(validity.sum())
+                validity_parts.append(validity)
+                def_parts.append(deff)
             elif col.optional and def_len:
                 levels = rle.decode(levels_raw[rep_len:], 1, n_page)
                 validity = levels.astype(bool)
@@ -427,6 +447,8 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
                 validity = np.ones(n_page, dtype=bool)
                 n_vals = n_page - n_nulls
                 validity_parts.append(validity)
+                if is_nested:
+                    def_parts.append(np.zeros(n_page, dtype=np.uint8))
             kind, vals = _decode_values(values_raw, enc, n_vals, col, dictionary)
         elif page_type == 1:  # index page: skip
             continue
@@ -454,6 +476,16 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
         if len(chunks) != 1
         else (chunks[0] if chunks else pa.array([], type=ty))
     )
+    if is_nested:
+        validity = (
+            np.concatenate(validity_parts)
+            if validity_parts
+            else np.empty(0, dtype=bool)
+        )
+        defs = (
+            np.concatenate(def_parts) if def_parts else np.empty(0, dtype=np.uint8)
+        )
+        return _with_nulls(dense, validity), defs
     if not is_list:
         if not validity_parts:
             return dense
@@ -506,20 +538,39 @@ def read_metadata(path: str) -> dict:
     return {"file": raw, "meta": _TR(memoryview(footer)).struct()}
 
 
+def _schema_tree(els: list[dict], i: int):
+    el = els[i]
+    i += 1
+    children = []
+    for _ in range(el.get(5, 0)):
+        child, i = _schema_tree(els, i)
+        children.append(child)
+    return {"el": el, "children": children}, i
+
+
+def _is_list_group(node: dict) -> bool:
+    el = node["el"]
+    return (
+        bool(node["children"])
+        and len(node["children"]) == 1
+        and node["children"][0]["el"].get(3) == 2
+    )
+
+
 def _parse_schema(els: list[dict]) -> list[dict]:
-    """Schema elements -> column descriptors. Supports flat primitives
-    and single-level lists (3-level standard layout or 2-level legacy
-    `repeated <primitive>`); deeper nesting raises."""
+    """Schema elements -> top-level column descriptors. Supports flat
+    primitives, single-level lists (3-level standard, 2-level legacy,
+    bare `repeated <primitive>`), and arbitrarily nested NON-repeated
+    structs; repetition below the top level raises."""
+    root, end = _schema_tree(els, 0)
+    if end != len(els):
+        raise WireFormatError("malformed schema tree")
     out = []
-    i = 1
-    n_root_children = els[0].get(5, 0)
-    for _ in range(n_root_children):
-        el = els[i]
-        i += 1
-        nchild = el.get(5, 0)
+    for node in root["children"]:
+        el = node["el"]
         name = el[4].decode()
-        if nchild == 0:
-            if el.get(3) == 2:  # repeated primitive directly under root
+        if not node["children"]:
+            if el.get(3) == 2:  # bare repeated primitive under root
                 out.append(
                     {
                         "kind": "list",
@@ -535,73 +586,151 @@ def _parse_schema(els: list[dict]) -> list[dict]:
                     {"kind": "flat", "name": name, "col": _Column(el), "path": name}
                 )
             continue
-        if nchild != 1:
-            raise WireFormatError("struct schemas not supported by the wire reader")
-        outer_opt = el.get(3, 0) == 1
-        mid = els[i]
-        i += 1
-        if mid.get(3) != 2:
-            raise WireFormatError("nested groups not supported by the wire reader")
-        if mid.get(5, 0) == 0:
-            # 2-level legacy: the repeated node IS the element
+        if _is_list_group(node):
+            mid = node["children"][0]
+            outer_opt = el.get(3, 0) == 1
+            if not mid["children"]:
+                out.append(
+                    {
+                        "kind": "list",
+                        "name": name,
+                        "col": _Column(mid["el"]),
+                        "outer_opt": outer_opt,
+                        "elem_opt": False,
+                        "path": f"{name}.{mid['el'][4].decode()}",
+                    }
+                )
+                continue
+            if len(mid["children"]) != 1 or mid["children"][0]["children"]:
+                raise WireFormatError("nested lists not supported by the wire reader")
+            leaf = mid["children"][0]["el"]
             out.append(
                 {
                     "kind": "list",
                     "name": name,
-                    "col": _Column(mid),
+                    "col": _Column(leaf),
                     "outer_opt": outer_opt,
-                    "elem_opt": False,
-                    "path": f"{name}.{mid[4].decode()}",
+                    "elem_opt": leaf.get(3, 0) == 1,
+                    "path": f"{name}.{mid['el'][4].decode()}.{leaf[4].decode()}",
                 }
             )
             continue
-        if mid.get(5) != 1:
-            raise WireFormatError("nested lists not supported by the wire reader")
-        leaf = els[i]
-        i += 1
-        if leaf.get(5, 0):
-            raise WireFormatError("nested lists not supported by the wire reader")
+        # non-repeated group subtree -> struct column
+        leaves: list[dict] = []
+
+        def walk(nd: dict, prefix: str, def_level: int) -> dict:
+            e = nd["el"]
+            nm = e[4].decode()
+            p = f"{prefix}.{nm}" if prefix else nm
+            if e.get(3) == 2:
+                raise WireFormatError(
+                    "repeated fields inside structs not supported by the wire reader"
+                )
+            opt = e.get(3, 0) == 1
+            dl = def_level + (1 if opt else 0)
+            if nd["children"]:
+                return {
+                    "group": True,
+                    "name": nm,
+                    "optional": opt,
+                    "def_level": dl,
+                    "children": [walk(c, p, dl) for c in nd["children"]],
+                }
+            leaf = {"kind": "nested", "col": _Column(e), "path": p, "max_def": dl}
+            leaves.append(leaf)
+            return {"group": False, "name": nm, "leaf": leaf, "optional": opt}
+
+        tree = walk(node, "", 0)
         out.append(
-            {
-                "kind": "list",
-                "name": name,
-                "col": _Column(leaf),
-                "outer_opt": outer_opt,
-                "elem_opt": leaf.get(3, 0) == 1,
-                "path": f"{name}.{mid[4].decode()}.{leaf[4].decode()}",
-            }
+            {"kind": "struct", "name": name, "tree": tree, "leaves": leaves}
         )
-    if i != len(els):
-        raise WireFormatError("nested schemas not supported by the wire reader")
     return out
 
 
+def _first_leaf(node: dict) -> dict:
+    while node["group"]:
+        node = node["children"][0]
+    return node["leaf"]
+
+
+def _assemble_struct(node: dict, data: dict) -> pa.Array:
+    """Rebuild a struct column from its leaves' (array, def levels),
+    preserving per-field nullability from the schema repetitions."""
+    if not node["group"]:
+        return data[node["leaf"]["path"]][0]
+    children = [_assemble_struct(c, data) for c in node["children"]]
+    fields = [
+        pa.field(c["name"], child.type, nullable=c.get("optional", True))
+        for c, child in zip(node["children"], children)
+    ]
+    n = len(children[0]) if children else 0
+    vbuf = None
+    if node["optional"]:
+        defs = data[_first_leaf(node)["path"]][1]
+        valid = defs >= node["def_level"]
+        if not valid.all():
+            vbuf = pa.py_buffer(np.packbits(valid, bitorder="little").tobytes())
+    return pa.Array.from_buffers(
+        pa.struct(fields), n, [vbuf], children=children
+    )
+
+
+def _entry_type(d: dict) -> pa.DataType:
+    if d["kind"] == "struct":
+
+        def t(node):
+            if not node["group"]:
+                return node["leaf"]["col"].arrow_type()
+            return pa.struct(
+                [
+                    pa.field(c["name"], t(c), nullable=c.get("optional", True))
+                    for c in node["children"]
+                ]
+            )
+
+        return t(d["tree"])
+    ty = d["col"].arrow_type()
+    return pa.list_(ty) if d["kind"] == "list" else ty
+
+
 def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a parquet file (flat primitives + single-level lists)
-    entirely with our own decoders."""
+    """Read a parquet file (flat primitives, single-level lists,
+    non-repeated structs) entirely with our own decoders."""
     parsed = read_metadata(path)
     raw, meta = memoryview(parsed["file"]), parsed["meta"]
     descs = _parse_schema(meta[2])
-    by_path = {d["path"]: d for d in descs}
     by_name = {d["name"]: d for d in descs}
     want = columns or [d["name"] for d in descs]
+    by_path: dict[str, tuple[str, dict]] = {}
+    for d in descs:
+        if d["kind"] == "struct":
+            for leaf in d["leaves"]:
+                by_path[leaf["path"]] = (d["name"], leaf)
+        else:
+            by_path[d["path"]] = (d["name"], d)
 
     arrays: dict[str, list[pa.Array]] = {n: [] for n in want}
     for rg in meta.get(4, []):
         n_rows = rg[3]
+        rg_leaf_data: dict[str, tuple] = {}
         for cc in rg[1]:
             cmeta = cc[3]
             pth = b".".join(cmeta[3]).decode()
-            d = by_path.get(pth)
-            if d is None or d["name"] not in arrays:
+            ent = by_path.get(pth)
+            if ent is None or ent[0] not in arrays:
                 continue
-            arrays[d["name"]].append(_read_column_chunk(raw, cmeta, d, n_rows))
+            top, d = ent
+            res = _read_column_chunk(raw, cmeta, d, n_rows)
+            if d["kind"] == "nested":
+                rg_leaf_data[pth] = res
+            else:
+                arrays[top].append(res)
+        for n in want:
+            d = by_name[n]
+            if d["kind"] == "struct" and rg_leaf_data:
+                arrays[n].append(_assemble_struct(d["tree"], rg_leaf_data))
     out = {}
     for n in want:
-        d = by_name[n]
-        ty = d["col"].arrow_type()
-        if d["kind"] == "list":
-            ty = pa.list_(ty)
-        parts = arrays[n] or [pa.array([], type=ty)]
+        parts = arrays[n] or [pa.array([], type=_entry_type(by_name[n]))]
         out[n] = pa.chunked_array(parts)
     return pa.table(out)

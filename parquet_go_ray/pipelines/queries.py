@@ -314,14 +314,15 @@ def q_encode_decode_lineitem(sf_dir):
 def q_parquet_native_read(sf_dir):
     """Wire-level parquet READER (file_.go / column.go:541-690 parity):
     lineitem.parquet — written by pyarrow — parsed and decoded entirely
-    by our own thrift reader + page decoders (codecs/parquet_wire_read),
-    no pyarrow parquet in the loop. Oracle reads the same file with
-    DuckDB; value-identical output proves the decoders consume foreign
-    parquet wire bytes directly (the same corpus-level proof as the
-    reference's golden-file suite, file_test.go:13-30)."""
-    from ..codecs.parquet_wire_read import read_table
+    by our own thrift reader + page decoders (codecs/parquet_wire_read)
+    as a distributed Ray Data source (one task per file), no pyarrow
+    parquet in the loop. Oracle reads the same file with DuckDB;
+    value-identical output proves the decoders consume foreign parquet
+    wire bytes directly (the same corpus-level proof as the reference's
+    golden-file suite, file_test.go:13-30)."""
+    from ..sources.wire import read_parquet_native
 
-    return read_table(f"{sf_dir}/lineitem.parquet")
+    return read_parquet_native([f"{sf_dir}/lineitem.parquet"])
 
 
 def q_parquet_wire_lists(sf_dir):

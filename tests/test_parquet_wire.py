@@ -279,7 +279,7 @@ def test_wire_reader_golden_corpus():
                 b = b.cast(a.type)
             assert a.equals(b), (Path(path).name, col)
         ok += 1
-    assert ok >= 25, ok
+    assert ok >= 30, ok
 
 
 def test_wire_reader_self_roundtrip(tmp_path):
@@ -383,3 +383,21 @@ def test_embeddings_table_wire_both_ways(tmp_path):
         a = ref.column(col).combine_chunks()
         b = back.column(col).combine_chunks().cast(a.type)
         assert a.equals(b), col
+
+
+def test_wire_reader_structs():
+    """Non-repeated struct columns (arbitrary nesting depth) reassemble
+    from leaf def levels with exact per-field nullability — verified on
+    the reference's struct-bearing golden files."""
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    for name in ("nulls.snappy", "nested_structs.rust"):
+        path = f"/root/reference/testdata/{name}.parquet"
+        ref = pq.read_table(path)
+        ours = R.read_table(path)
+        for col in ref.column_names:
+            a = ref.column(col).combine_chunks()
+            b = ours.column(col).combine_chunks()
+            if not b.type.equals(a.type):
+                b = b.cast(a.type)
+            assert a.equals(b), (name, col)
