@@ -336,11 +336,19 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
     col: _Column = desc["col"]
     is_list = desc["kind"] == "list"
     is_nested = desc["kind"] == "nested"
+    is_gen = desc["kind"] == "general"
+    wr = 1
     if is_list:
         outer_opt, elem_opt = desc["outer_opt"], desc["elem_opt"]
         max_def = (1 if outer_opt else 0) + 1 + (1 if elem_opt else 0)
+        max_rep = 1
         d_empty = 1 if outer_opt else 0
         wd = max(1, max_def.bit_length())
+    elif is_gen:
+        max_def, max_rep = desc["max_def"], desc["max_rep"]
+        wd = max(1, max_def.bit_length())
+        wr = max(1, max_rep.bit_length())
+        is_list = True  # share the level-parsing branches below
     elif is_nested:
         max_def = desc["max_def"]
         wd = max(1, max_def.bit_length())
@@ -379,14 +387,20 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
             data = _decompress(body, codec, raw_len)
             dpos = 0
             if is_list:
-                (rlen,) = struct.unpack_from("<I", data, 0)
-                rep = rle.decode(data[4 : 4 + rlen], 1, n_page).astype(np.uint8)
-                dpos = 4 + rlen
-                (blen,) = struct.unpack_from("<I", data, dpos)
-                deff = rle.decode(
-                    data[dpos + 4 : dpos + 4 + blen], wd, n_page
-                ).astype(np.uint8)
-                dpos += 4 + blen
+                if max_rep > 0:
+                    (rlen,) = struct.unpack_from("<I", data, 0)
+                    rep = rle.decode(data[4 : 4 + rlen], wr, n_page).astype(np.uint8)
+                    dpos = 4 + rlen
+                else:
+                    rep = np.zeros(n_page, dtype=np.uint8)
+                if max_def > 0:
+                    (blen,) = struct.unpack_from("<I", data, dpos)
+                    deff = rle.decode(
+                        data[dpos + 4 : dpos + 4 + blen], wd, n_page
+                    ).astype(np.uint8)
+                    dpos += 4 + blen
+                else:
+                    deff = np.zeros(n_page, dtype=np.uint8)
                 n_vals = int((deff == max_def).sum())
                 rep_parts.append(rep)
                 def_parts.append(deff)
@@ -427,8 +441,16 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
                     values_raw, codec, raw_len - def_len - rep_len
                 )
             if is_list:
-                rep = rle.decode(levels_raw[:rep_len], 1, n_page).astype(np.uint8)
-                deff = rle.decode(levels_raw[rep_len:], wd, n_page).astype(np.uint8)
+                rep = (
+                    rle.decode(levels_raw[:rep_len], wr, n_page).astype(np.uint8)
+                    if rep_len
+                    else np.zeros(n_page, dtype=np.uint8)
+                )
+                deff = (
+                    rle.decode(levels_raw[rep_len:], wd, n_page).astype(np.uint8)
+                    if def_len
+                    else np.zeros(n_page, dtype=np.uint8)
+                )
                 n_vals = int((deff == max_def).sum())
                 rep_parts.append(rep)
                 def_parts.append(deff)
@@ -486,6 +508,14 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
             np.concatenate(def_parts) if def_parts else np.empty(0, dtype=np.uint8)
         )
         return _with_nulls(dense, validity), defs
+    if is_gen:
+        rep = (
+            np.concatenate(rep_parts) if rep_parts else np.empty(0, dtype=np.uint8)
+        )
+        defs = (
+            np.concatenate(def_parts) if def_parts else np.empty(0, dtype=np.uint8)
+        )
+        return dense, rep, defs
     if not is_list:
         if not validity_parts:
             return dense
@@ -567,84 +597,218 @@ def _parse_schema(els: list[dict]) -> list[dict]:
         raise WireFormatError("malformed schema tree")
     out = []
     for node in root["children"]:
-        el = node["el"]
-        name = el[4].decode()
-        if not node["children"]:
-            if el.get(3) == 2:  # bare repeated primitive under root
-                out.append(
-                    {
-                        "kind": "list",
-                        "name": name,
-                        "col": _Column(el),
-                        "outer_opt": False,
-                        "elem_opt": False,
-                        "path": name,
-                    }
-                )
-            else:
-                out.append(
-                    {"kind": "flat", "name": name, "col": _Column(el), "path": name}
-                )
-            continue
-        if _is_list_group(node):
-            mid = node["children"][0]
-            outer_opt = el.get(3, 0) == 1
-            if not mid["children"]:
-                out.append(
-                    {
-                        "kind": "list",
-                        "name": name,
-                        "col": _Column(mid["el"]),
-                        "outer_opt": outer_opt,
-                        "elem_opt": False,
-                        "path": f"{name}.{mid['el'][4].decode()}",
-                    }
-                )
-                continue
-            if len(mid["children"]) != 1 or mid["children"][0]["children"]:
-                raise WireFormatError("nested lists not supported by the wire reader")
-            leaf = mid["children"][0]["el"]
-            out.append(
-                {
-                    "kind": "list",
-                    "name": name,
-                    "col": _Column(leaf),
-                    "outer_opt": outer_opt,
-                    "elem_opt": leaf.get(3, 0) == 1,
-                    "path": f"{name}.{mid['el'][4].decode()}.{leaf[4].decode()}",
-                }
-            )
-            continue
-        # non-repeated group subtree -> struct column
-        leaves: list[dict] = []
-
-        def walk(nd: dict, prefix: str, def_level: int) -> dict:
-            e = nd["el"]
-            nm = e[4].decode()
-            p = f"{prefix}.{nm}" if prefix else nm
-            if e.get(3) == 2:
-                raise WireFormatError(
-                    "repeated fields inside structs not supported by the wire reader"
-                )
-            opt = e.get(3, 0) == 1
-            dl = def_level + (1 if opt else 0)
-            if nd["children"]:
-                return {
-                    "group": True,
-                    "name": nm,
-                    "optional": opt,
-                    "def_level": dl,
-                    "children": [walk(c, p, dl) for c in nd["children"]],
-                }
-            leaf = {"kind": "nested", "col": _Column(e), "path": p, "max_def": dl}
-            leaves.append(leaf)
-            return {"group": False, "name": nm, "leaf": leaf, "optional": opt}
-
-        tree = walk(node, "", 0)
-        out.append(
-            {"kind": "struct", "name": name, "tree": tree, "leaves": leaves}
-        )
+        try:
+            out.append(_classify_column(node))
+        except WireFormatError:
+            # anything beyond the fast shapes: full Dremel assembly
+            out.append(_dremel_entry(node))
     return out
+
+
+def _classify_column(node: dict) -> dict:
+    el = node["el"]
+    name = el[4].decode()
+    if not node["children"]:
+        if el.get(3) == 2:  # bare repeated primitive under root
+            return {
+                "kind": "list",
+                "name": name,
+                "col": _Column(el),
+                "outer_opt": False,
+                "elem_opt": False,
+                "path": name,
+            }
+        return {"kind": "flat", "name": name, "col": _Column(el), "path": name}
+    if _is_list_group(node):
+        mid = node["children"][0]
+        outer_opt = el.get(3, 0) == 1
+        if not mid["children"]:
+            return {
+                "kind": "list",
+                "name": name,
+                "col": _Column(mid["el"]),
+                "outer_opt": outer_opt,
+                "elem_opt": False,
+                "path": f"{name}.{mid['el'][4].decode()}",
+            }
+        if len(mid["children"]) != 1 or mid["children"][0]["children"]:
+            raise WireFormatError("nested lists: use the Dremel path")
+        leaf = mid["children"][0]["el"]
+        return {
+            "kind": "list",
+            "name": name,
+            "col": _Column(leaf),
+            "outer_opt": outer_opt,
+            "elem_opt": leaf.get(3, 0) == 1,
+            "path": f"{name}.{mid['el'][4].decode()}.{leaf[4].decode()}",
+        }
+    # non-repeated group subtree -> struct column
+    leaves: list[dict] = []
+
+    def walk(nd: dict, prefix: str, def_level: int) -> dict:
+        e = nd["el"]
+        nm = e[4].decode()
+        p = f"{prefix}.{nm}" if prefix else nm
+        if e.get(3) == 2:
+            raise WireFormatError("repeated inside struct: use the Dremel path")
+        opt = e.get(3, 0) == 1
+        dl = def_level + (1 if opt else 0)
+        if nd["children"]:
+            return {
+                "group": True,
+                "name": nm,
+                "optional": opt,
+                "def_level": dl,
+                "children": [walk(c, p, dl) for c in nd["children"]],
+            }
+        leaf = {"kind": "nested", "col": _Column(e), "path": p, "max_def": dl}
+        leaves.append(leaf)
+        return {"group": False, "name": nm, "leaf": leaf, "optional": opt}
+
+    tree = walk(node, "", 0)
+    return {"kind": "struct", "name": name, "tree": tree, "leaves": leaves}
+
+
+def _dremel_entry(node: dict) -> dict:
+    """General descriptor for a top-level column subtree with arbitrary
+    non-flat nesting — full Dremel record shredding/assembly (the
+    algorithm behind the reference's schema/column layers,
+    schema.go:216-280 / column.go:541-690)."""
+    leaves: list[dict] = []
+
+    def walk(nd: dict, prefix: str, d: int, r: int) -> dict:
+        e = nd["el"]
+        nm = e[4].decode()
+        p = f"{prefix}.{nm}" if prefix else nm
+        reptn = e.get(3, 0)
+        dd = d + (1 if reptn in (1, 2) else 0)
+        rr = r + (1 if reptn == 2 else 0)
+        info = {
+            "name": nm,
+            "reptn": reptn,
+            "d": dd,
+            "r": rr,
+            "path": p,
+            "converted": e.get(6),
+            "logical": e.get(10) or {},
+            "children": None,
+        }
+        if nd["children"]:
+            info["children"] = [walk(c, p, dd, rr) for c in nd["children"]]
+        else:
+            leaf = {
+                "kind": "general",
+                "col": _Column(e),
+                "path": p,
+                "max_def": dd,
+                "max_rep": rr,
+            }
+            info["leaf"] = leaf
+            leaves.append(leaf)
+        return info
+
+    tree = walk(node, "", 0, 0)
+
+    # LIST-annotated groups: the repeated mid group is transparent (its
+    # single child is the element) unless the legacy naming rules say
+    # the mid group itself is a one-field struct element
+    def mark(info: dict) -> None:
+        if info["children"] is None:
+            return
+        is_list_wrap = info["converted"] == 3 or 3 in info["logical"]
+        if is_list_wrap and len(info["children"]) == 1:
+            mid = info["children"][0]
+            if (
+                mid["reptn"] == 2
+                and mid["children"] is not None
+                and len(mid["children"]) == 1
+                and mid["name"] != "array"
+                and not mid["name"].endswith("_tuple")
+            ):
+                mid["transparent"] = True
+        for c in info["children"]:
+            mark(c)
+
+    mark(tree)
+    return {
+        "kind": "dremel",
+        "name": node["el"][4].decode(),
+        "tree": tree,
+        "leaves": leaves,
+    }
+
+
+def _mask_nulls(arr: pa.Array, valid: np.ndarray) -> pa.Array:
+    idx = pa.array(np.arange(len(arr), dtype=np.int64), mask=~valid)
+    return arr.take(idx)
+
+
+def _collapse(content: pa.Array, rep, deff, r_n: int, d_n: int):
+    """One repeated level: entries -> ListArray over parent slots."""
+    starts = np.nonzero(rep < r_n)[0]
+    is_elem = deff >= d_n
+    counts = (
+        np.add.reduceat(is_elem.astype(np.int64), starts)
+        if len(starts)
+        else np.empty(0, dtype=np.int64)
+    )
+    offsets = np.zeros(len(starts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=offsets[1:])
+    if is_elem.all():
+        elements = content
+    else:
+        elements = content.take(
+            pa.array(np.nonzero(is_elem)[0], type=pa.int64())
+        )
+    lst = pa.ListArray.from_arrays(
+        pa.array(offsets.astype(np.int32)), elements
+    )
+    return lst, rep[starts], deff[starts]
+
+
+def _list_to_map(lst: pa.ListArray) -> pa.Array:
+    st = lst.values
+    return pa.MapArray.from_arrays(lst.offsets, st.field(0), st.field(1))
+
+
+def _dremel_assemble(info: dict, data: dict):
+    """Assemble one node's value, aligned to its parent-context slots.
+    Returns (array, rep-projection, def-projection)."""
+    if info["children"] is None:
+        dense, rep, deff = data[info["path"]]
+        out = _with_nulls(dense, deff == info["leaf"]["max_def"])
+    else:
+        built = [_dremel_assemble(c, data) for c in info["children"]]
+        arrs = [b[0] for b in built]
+        rep, deff = built[0][1], built[0][2]
+        is_list_wrap = info["converted"] == 3 or 3 in info["logical"]
+        is_map_wrap = info["converted"] in (1, 2) or 2 in info["logical"]
+        if (
+            len(info["children"]) == 1
+            and info["children"][0]["reptn"] == 2
+            and (is_list_wrap or is_map_wrap)
+        ):
+            out = arrs[0]  # transparent LIST/MAP wrapper
+            if is_map_wrap:
+                out = _list_to_map(out)
+        elif info.get("transparent"):
+            out = arrs[0]
+        else:
+            fields = [
+                pa.field(c["name"], a.type, nullable=c["reptn"] == 1)
+                for c, a in zip(info["children"], arrs)
+            ]
+            n = len(arrs[0]) if arrs else 0
+            out = pa.Array.from_buffers(
+                pa.struct(fields), n, [None], children=arrs
+            )
+    if info["reptn"] == 1:
+        valid = deff >= info["d"]
+        if not valid.all():
+            out = _mask_nulls(out, valid)
+    if info["reptn"] == 2:
+        out, rep, deff = _collapse(out, rep, deff, info["r"], info["d"])
+    return out, rep, deff
 
 
 def _first_leaf(node: dict) -> dict:
@@ -676,6 +840,36 @@ def _assemble_struct(node: dict, data: dict) -> pa.Array:
 
 
 def _entry_type(d: dict) -> pa.DataType:
+    if d["kind"] == "dremel":
+
+        def t(info):
+            if info["children"] is None:
+                base = info["leaf"]["col"].arrow_type()
+            else:
+                is_list_wrap = info["converted"] == 3 or 3 in info["logical"]
+                is_map_wrap = info["converted"] in (1, 2) or 2 in info["logical"]
+                single_rep = (
+                    len(info["children"]) == 1
+                    and info["children"][0]["reptn"] == 2
+                )
+                if single_rep and is_map_wrap:
+                    kv = info["children"][0]
+                    base = pa.map_(t(kv["children"][0]), t(kv["children"][1]))
+                    return base  # map wrapper consumes the repetition
+                if (single_rep and is_list_wrap) or info.get("transparent"):
+                    base = t(info["children"][0])
+                else:
+                    base = pa.struct(
+                        [
+                            pa.field(c["name"], t(c), nullable=c["reptn"] == 1)
+                            for c in info["children"]
+                        ]
+                    )
+            if info["reptn"] == 2:
+                base = pa.list_(base)
+            return base
+
+        return t(d["tree"])
     if d["kind"] == "struct":
 
         def t(node):
@@ -703,7 +897,7 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
     want = columns or [d["name"] for d in descs]
     by_path: dict[str, tuple[str, dict]] = {}
     for d in descs:
-        if d["kind"] == "struct":
+        if d["kind"] in ("struct", "dremel"):
             for leaf in d["leaves"]:
                 by_path[leaf["path"]] = (d["name"], leaf)
         else:
@@ -721,7 +915,7 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
                 continue
             top, d = ent
             res = _read_column_chunk(raw, cmeta, d, n_rows)
-            if d["kind"] == "nested":
+            if d["kind"] in ("nested", "general"):
                 rg_leaf_data[pth] = res
             else:
                 arrays[top].append(res)
@@ -729,6 +923,9 @@ def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
             d = by_name[n]
             if d["kind"] == "struct" and rg_leaf_data:
                 arrays[n].append(_assemble_struct(d["tree"], rg_leaf_data))
+            elif d["kind"] == "dremel" and rg_leaf_data:
+                arr, _, _ = _dremel_assemble(d["tree"], rg_leaf_data)
+                arrays[n].append(arr)
     out = {}
     for n in want:
         parts = arrays[n] or [pa.array([], type=_entry_type(by_name[n]))]
