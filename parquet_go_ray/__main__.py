@@ -85,8 +85,8 @@ def cmd_export(args) -> int:
         unsupported = sorted(set(files) - set(flat))
         if unsupported:
             print(
-                f"skipping {len(unsupported)} file(s) with nested columns "
-                f"(wire export is flat-primitive only): "
+                f"skipping {len(unsupported)} file(s) with unsupported column types "
+                f"(e.g. null-typed columns): "
                 + ", ".join(Path(f).name for f in unsupported),
                 file=sys.stderr,
             )

@@ -164,17 +164,13 @@ _ENCODING_IDS = {v: k for k, v in ENCODING_NAMES.items()}
 
 
 def supports_schema(schema: pa.Schema) -> bool:
-    """True when every column is a flat primitive or a single-level list
-    of primitives (the shapes the wire writer emits)."""
+    """True when every column is a shape the wire writer emits: flat
+    primitives, lists, structs, maps, and their nestings."""
     try:
         for field in schema:
-            ty = field.type
-            if pa.types.is_list(ty) or pa.types.is_large_list(ty):
-                _ColType(ty.value_type)
-            else:
-                _ColType(ty)
+            _build_wnode(field.name, field.type, field.nullable)
         return True
-    except ValueError:
+    except (ValueError, KeyError):
         return False
 
 
@@ -566,6 +562,261 @@ def _write_column_chunk(
     return res
 
 
+# ---------------------------------------------------------------------------
+# general Dremel shredding (struct / map / nested list columns)
+
+
+class _WNode:
+    """Schema node for general nested emission."""
+
+    __slots__ = ("kind", "name", "optional", "ct", "children", "arrow")
+
+    def __init__(self, kind, name, optional, ct=None, children=None, arrow=None):
+        self.kind = kind  # leaf | struct | list | map
+        self.name = name
+        self.optional = optional
+        self.ct = ct
+        self.children = children or []
+        self.arrow = arrow
+
+
+def _build_wnode(name: str, ty: pa.DataType, nullable: bool) -> _WNode:
+    if pa.types.is_struct(ty):
+        kids = [
+            _build_wnode(f.name, f.type, f.nullable) for f in ty
+        ]
+        return _WNode("struct", name, nullable, children=kids, arrow=ty)
+    if pa.types.is_list(ty) or pa.types.is_large_list(ty):
+        f = ty.value_field
+        return _WNode(
+            "list",
+            name,
+            nullable,
+            children=[_build_wnode("element", f.type, f.nullable)],
+            arrow=ty,
+        )
+    if pa.types.is_map(ty):
+        return _WNode(
+            "map",
+            name,
+            nullable,
+            children=[
+                _build_wnode("key", ty.key_type, False),
+                _build_wnode("value", ty.item_field.type, ty.item_field.nullable),
+            ],
+            arrow=ty,
+        )
+    return _WNode("leaf", name, nullable, ct=_ColType(ty), arrow=ty)
+
+
+def _wnode_schema_elems(node: _WNode, out: list) -> None:
+    opt = _OPTIONAL if node.optional else _REQUIRED
+    if node.kind == "leaf":
+        out.append(node.ct.schema_element(node.name, node.optional))
+        return
+    if node.kind == "struct":
+        out.append(
+            ts([(3, "i32", opt), (4, "bin", node.name), (5, "i32", len(node.children))])
+        )
+        for c in node.children:
+            _wnode_schema_elems(c, out)
+        return
+    if node.kind == "list":
+        out.append(
+            ts(
+                [
+                    (3, "i32", opt),
+                    (4, "bin", node.name),
+                    (5, "i32", 1),
+                    (6, "i32", 3),
+                    (10, "struct", _Logical.list_()),
+                ]
+            )
+        )
+        out.append(ts([(3, "i32", 2), (4, "bin", b"list"), (5, "i32", 1)]))
+        _wnode_schema_elems(node.children[0], out)
+        return
+    # map
+    out.append(
+        ts(
+            [
+                (3, "i32", opt),
+                (4, "bin", node.name),
+                (5, "i32", 1),
+                (6, "i32", 1),  # ConvertedType MAP
+                (10, "struct", ts([(2, "struct", ts([]))])),  # LogicalType MAP
+            ]
+        )
+    )
+    out.append(ts([(3, "i32", 2), (4, "bin", b"key_value"), (5, "i32", 2)]))
+    _wnode_schema_elems(node.children[0], out)
+    _wnode_schema_elems(node.children[1], out)
+
+
+def _shred(arr: pa.Array, node: _WNode) -> list[dict]:
+    """Dremel level generation: walk the value tree, expanding entries
+    at each repeated level; returns per-leaf dicts with (path, ct,
+    rep, def, dense, max_def, max_rep). The mirror of the reader's
+    assembler (node.go:393-415 / column_buffer.go:421-450 semantics)."""
+    out: list[dict] = []
+    n = len(arr)
+
+    def valid_mask(a: pa.Array) -> np.ndarray:
+        if a.null_count == 0:
+            return np.ones(len(a), dtype=bool)
+        return ~np.asarray(pc.is_null(a))
+
+    def walk(a, nd: _WNode, path, index, rep, deff, live, d, r):
+        if nd.optional:
+            d2 = d + 1
+            av = valid_mask(a)
+            valid = np.zeros(len(index), dtype=bool)
+            valid[live] = av[index[live]]
+            newlive = live & valid
+            deff = deff.copy()
+            deff[newlive] += 1
+            live = newlive
+        else:
+            d2 = d
+        p = f"{path}.{nd.name}" if path else nd.name
+        if nd.kind == "leaf":
+            idx = index[live]
+            dense = a.take(pa.array(idx, type=pa.int64())) if len(idx) else a.slice(0, 0)
+            out.append(
+                {
+                    "path": p,
+                    "names": p.split("."),
+                    "ct": nd.ct,
+                    "rep": rep,
+                    "def": deff,
+                    "dense": dense,
+                    "max_def": d2,
+                    "max_rep": r,
+                }
+            )
+            return
+        if nd.kind == "struct":
+            for i, c in enumerate(nd.children):
+                walk(a.field(i), c, p, index, rep, deff, live, d2, r)
+            return
+        # list / map: one repeated level
+        r2 = r + 1
+        d3 = d2 + 1
+        offsets = np.asarray(a.offsets, dtype=np.int64)
+        counts = np.zeros(len(index), dtype=np.int64)
+        counts[live] = offsets[index[live] + 1] - offsets[index[live]]
+        live_exp = live & (counts > 0)
+        entries_per = np.where(live_exp, counts, 1)
+        total = int(entries_per.sum())
+        starts = np.cumsum(entries_per) - entries_per
+        new_rep = np.full(total, r2, dtype=np.uint8)
+        new_rep[starts] = rep
+        new_def = np.repeat(deff, entries_per)
+        exp_mask = np.repeat(live_exp, entries_per)
+        new_def[exp_mask] = d3
+        new_live = exp_mask
+        base = np.repeat(np.where(live_exp, offsets[index] if len(index) else 0, 0), entries_per)
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, entries_per)
+        new_index = base + within
+        mid = f"{p}.list" if nd.kind == "list" else f"{p}.key_value"
+        if nd.kind == "list":
+            walk(
+                a.values, nd.children[0], mid, new_index, new_rep, new_def,
+                new_live, d3, r2,
+            )
+        else:
+            walk(a.keys, nd.children[0], mid, new_index, new_rep, new_def, new_live, d3, r2)
+            walk(a.items, nd.children[1], mid, new_index, new_rep, new_def, new_live, d3, r2)
+
+    index0 = np.arange(n, dtype=np.int64)
+    walk(
+        arr,
+        node,
+        "",
+        index0,
+        np.zeros(n, dtype=np.uint8),
+        np.zeros(n, dtype=np.uint8),
+        np.ones(n, dtype=bool),
+        0,
+        0,
+    )
+    return out
+
+
+def _write_general_column_chunk(
+    out,
+    leaf: dict,
+    compression: str | None,
+    encoding: str | None,
+) -> _ColumnChunkResult:
+    """One column chunk for a shredded nested leaf: a single data page
+    carrying RLE rep/def streams at schema-derived widths, then the
+    dense element values through the normal encodings."""
+    ct: _ColType = leaf["ct"]
+    dense: pa.Array = leaf["dense"]
+    if dense.null_count:
+        dense = dense.drop_null()
+    rep, deff = leaf["rep"], leaf["def"]
+    max_def, max_rep = leaf["max_def"], leaf["max_rep"]
+    res = _ColumnChunkResult()
+    res.total_raw = res.total_comp = 0
+    res.dict_page_offset = None
+    res.pages = 0
+    res.num_values = len(rep)
+
+    if encoding is not None:
+        enc = _ENCODING_IDS[encoding]
+        dict_vals = dict_idx = None
+        if enc == E_RLE_DICTIONARY:
+            denc = pc.dictionary_encode(dense)
+            if isinstance(denc, pa.ChunkedArray):
+                denc = denc.combine_chunks()
+            dict_vals, dict_idx = denc.dictionary, denc.indices
+    else:
+        enc, dict_vals, dict_idx = _select_encoding(dense, ct, compression)
+
+    def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
+        offset = out.tell()
+        comp = _compress_page(raw, compression)
+        header = _page_header(
+            kind, len(raw), len(comp), _crc32_signed(comp), num_values, page_enc
+        )
+        out.write(header)
+        out.write(comp)
+        res.total_raw += len(header) + len(raw)
+        res.total_comp += len(header) + len(comp)
+        res.pages += 1
+        return offset
+
+    if enc == E_RLE_DICTIONARY:
+        dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
+        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+
+    parts = []
+    if max_rep > 0:
+        wr = max(1, max_rep.bit_length())
+        body = rle.encode(rep.astype(np.uint64), wr)
+        parts.append(struct.pack("<I", len(body)) + body)
+    if max_def > 0:
+        wd = max(1, max_def.bit_length())
+        body = rle.encode(deff.astype(np.uint64), wd)
+        parts.append(struct.pack("<I", len(body)) + body)
+    if enc == E_RLE_DICTIONARY:
+        width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
+        idx_np = dict_idx.to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts.append(bytes([width]) + rle.encode(idx_np, width))
+    else:
+        parts.append(_encode_values(dense, enc, ct))
+    res.data_page_offset = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
+
+    encodings = [enc, E_RLE]
+    if enc == E_RLE_DICTIONARY:
+        encodings.append(E_PLAIN)
+    res.encodings = sorted(set(encodings))
+    res.value_encoding = enc
+    return res
+
+
 def _list_levels(arr: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
     """(rep, def, n_dense) for the standard 3-level list layout
     (optional list group / repeated / optional element):
@@ -705,11 +956,18 @@ def write_table(
     """
     cols = []
     for name in table.column_names:
-        ty = table.schema.field(name).type
+        field = table.schema.field(name)
+        ty = field.type
         if pa.types.is_list(ty) or pa.types.is_large_list(ty):
-            cols.append((name, "list", _ColType(ty.value_type)))
-        else:
+            try:
+                cols.append((name, "list", _ColType(ty.value_type)))
+                continue
+            except ValueError:
+                pass  # nested element type -> general shredding
+        elif not (pa.types.is_struct(ty) or pa.types.is_map(ty)):
             cols.append((name, "flat", _ColType(ty)))
+            continue
+        cols.append((name, "general", _build_wnode(name, ty, field.nullable)))
     optional = {
         name: bool(table.column(name).null_count) for name, _, _ in cols
     }
@@ -728,7 +986,19 @@ def write_table(
                 arr = g.column(name)
                 if isinstance(arr, pa.ChunkedArray):
                     arr = arr.combine_chunks()
-                if shape == "list":
+                if shape == "general":
+                    results = [
+                        (
+                            leaf["ct"],
+                            leaf["names"],
+                            _write_general_column_chunk(
+                                out, leaf, compression, (encodings or {}).get(name)
+                            ),
+                        )
+                        for leaf in _shred(arr, ct)  # ct is the _WNode here
+                    ]
+                    chosen[name] = ENCODING_NAMES[results[0][2].value_encoding]
+                elif shape == "list":
                     r = _write_list_column_chunk(
                         out,
                         arr,
@@ -737,7 +1007,8 @@ def write_table(
                         (encodings or {}).get(name),
                         page_rows,
                     )
-                    path_in_schema = [name, "list", "element"]
+                    results = [(ct, [name, "list", "element"], r)]
+                    chosen[name] = ENCODING_NAMES[r.value_encoding]
                 else:
                     r = _write_column_chunk(
                         out,
@@ -748,30 +1019,31 @@ def write_table(
                         (encodings or {}).get(name),
                         page_rows,
                     )
-                    path_in_schema = [name]
-                chosen[name] = ENCODING_NAMES[r.value_encoding]
-                meta = ts(
-                    [
-                        (1, "i32", ct.physical),
-                        (2, "list", tlist("i32", r.encodings)),
-                        (3, "list", tlist("bin", path_in_schema)),
-                        (4, "i32", _COMPRESSION_IDS[compression]),
-                        (5, "i64", r.num_values),
-                        (6, "i64", r.total_raw),
-                        (7, "i64", r.total_comp),
-                        (9, "i64", r.data_page_offset),
-                        (11, "i64", r.dict_page_offset),
-                    ]
-                )
-                first_off = (
-                    r.dict_page_offset
-                    if r.dict_page_offset is not None
-                    else r.data_page_offset
-                )
-                col_chunks.append(
-                    ts([(2, "i64", first_off), (3, "struct", meta)])
-                )
-                total_bytes += r.total_comp
+                    results = [(ct, [name], r)]
+                    chosen[name] = ENCODING_NAMES[r.value_encoding]
+                for leaf_ct, path_in_schema, r in results:
+                    meta = ts(
+                        [
+                            (1, "i32", leaf_ct.physical),
+                            (2, "list", tlist("i32", r.encodings)),
+                            (3, "list", tlist("bin", path_in_schema)),
+                            (4, "i32", _COMPRESSION_IDS[compression]),
+                            (5, "i64", r.num_values),
+                            (6, "i64", r.total_raw),
+                            (7, "i64", r.total_comp),
+                            (9, "i64", r.data_page_offset),
+                            (11, "i64", r.dict_page_offset),
+                        ]
+                    )
+                    first_off = (
+                        r.dict_page_offset
+                        if r.dict_page_offset is not None
+                        else r.data_page_offset
+                    )
+                    col_chunks.append(
+                        ts([(2, "i64", first_off), (3, "struct", meta)])
+                    )
+                    total_bytes += r.total_comp
             row_groups.append(
                 ts(
                     [
@@ -787,7 +1059,9 @@ def write_table(
         root = ts([(4, "bin", b"schema"), (5, "i32", len(cols))])
         schema_elems = [root]
         for name, shape, ct in cols:
-            if shape == "list":
+            if shape == "general":
+                _wnode_schema_elems(ct, schema_elems)
+            elif shape == "list":
                 schema_elems.append(
                     ts(
                         [
