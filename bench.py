@@ -169,6 +169,11 @@ def run_bench() -> dict:
     from parquet_go_ray.pipelines.export import export_parquet_job
 
     out5 = f"{out_root}/bench_export_wire_sf{sf:g}_{ncpu}"
+    # warm the wire-writer import/selection path on EVERY worker so the
+    # timed run measures steady-state encode (same policy as the
+    # headline's warm-up)
+    shutil.rmtree(out5, ignore_errors=True)
+    export_parquet_job(files, out5, compression="zstd", resume=False)
     shutil.rmtree(out5, ignore_errors=True)
     t0 = time.time()
     s5 = export_parquet_job(files, out5, compression="zstd", resume=False)
