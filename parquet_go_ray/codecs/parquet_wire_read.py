@@ -493,11 +493,12 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
             chunks.append(dict_arrow.take(pa.array(part)))
         else:
             chunks.append(part)
-    dense = (
-        pa.concat_arrays(chunks)
-        if len(chunks) != 1
-        else (chunks[0] if chunks else pa.array([], type=ty))
-    )
+    if not chunks:
+        dense = pa.array([], type=ty)
+    elif len(chunks) == 1:
+        dense = chunks[0]
+    else:
+        dense = pa.concat_arrays(chunks)
     if is_nested:
         validity = (
             np.concatenate(validity_parts)

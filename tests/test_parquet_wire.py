@@ -503,3 +503,79 @@ def test_wire_full_stack_over_corpus(tmp_path):
             assert a.equals(b), (Path(path).name, col)
         ok += 1
     assert ok >= 35, ok
+
+
+# ------------------------------------------------------------- fuzzing
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_PRIMS = [
+    (pa.int64(), hst.integers(-(2**60), 2**60)),
+    (pa.int32(), hst.integers(-(2**31), 2**31 - 1)),
+    (pa.float64(), hst.floats(allow_nan=False, allow_infinity=True, width=64)),
+    (pa.string(), hst.text(max_size=12)),
+    (pa.bool_(), hst.booleans()),
+]
+
+
+def _ty_strategy(depth: int):
+    prim = hst.sampled_from(_PRIMS)
+    if depth == 0:
+        return prim
+    sub = _ty_strategy(depth - 1)
+
+    def mk_list(tv):
+        ty, vs = tv
+        return (
+            pa.list_(ty),
+            hst.lists(hst.one_of(hst.none(), vs), max_size=4),
+        )
+
+    def mk_struct(tvs):
+        fields = [(f"f{i}", tv[0]) for i, tv in enumerate(tvs)]
+        return (
+            pa.struct(fields),
+            hst.fixed_dictionaries(
+                {f"f{i}": hst.one_of(hst.none(), tv[1]) for i, tv in enumerate(tvs)}
+            ),
+        )
+
+    def mk_map(tv):
+        ty, vs = tv
+        return (
+            pa.map_(pa.string(), ty),
+            hst.dictionaries(
+                hst.text(max_size=6), hst.one_of(hst.none(), vs), max_size=3
+            ),
+        )
+
+    return hst.one_of(
+        prim,
+        sub.map(mk_list),
+        hst.lists(sub, min_size=1, max_size=3).map(mk_struct),
+        sub.map(mk_map),
+    )
+
+
+@given(data=hst.data())
+@settings(max_examples=30, deadline=None)
+def test_wire_fuzz_nested_roundtrip(data):
+    """Random nested schema + values: our writer -> pyarrow reader AND
+    our writer -> our reader, value-identical both ways."""
+    import tempfile
+
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    ty, vs = data.draw(_ty_strategy(2))
+    rows = data.draw(hst.lists(hst.one_of(hst.none(), vs), max_size=40))
+    arr = pa.array(rows, type=ty)
+    t = pa.table({"c": arr})
+    with tempfile.NamedTemporaryFile(suffix=".parquet") as f:
+        W.write_table(t, f.name, rows_per_group=17)
+        a = t.column("c").combine_chunks()
+        for back in (pq.read_table(f.name), R.read_table(f.name)):
+            b = back.column("c").combine_chunks()
+            if not b.type.equals(a.type):
+                b = b.cast(a.type)
+            assert a.equals(b), (ty, rows[:3], b[:3])
