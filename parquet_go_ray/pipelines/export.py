@@ -39,7 +39,10 @@ class _WireExporter:
         output_dir: str,
         compression: str | None = None,
         encodings: dict[str, str] | None = None,
-        rows_per_group: int | None = None,
+        # bounded row groups: flat/list columns page-slice internally,
+        # but nested (Dremel-shredded) leaves write one page per row
+        # group — a bounded group caps page size for every column kind
+        rows_per_group: int | None = 65536,
         page_rows: int = 8192,
         resume: bool = True,
     ):
@@ -109,7 +112,7 @@ def export_parquet_job(
     output_dir: str,
     compression: str | None = None,
     encodings: dict[str, str] | None = None,
-    rows_per_group: int | None = None,
+    rows_per_group: int | None = 65536,
     page_rows: int = 8192,
     resume: bool = True,
     columns: list[str] | None = None,
