@@ -55,16 +55,46 @@ def encode_byte_array(data: bytes, offsets: np.ndarray) -> bytes:
     return out.tobytes()
 
 
+def _native():
+    from . import native
+
+    return native.load("_plain_native.c")
+
+
 def decode_byte_array(buf: bytes, n: int) -> tuple[bytes, np.ndarray]:
-    """Inverse of encode_byte_array -> (data, offsets[int64, n+1])."""
+    """Inverse of encode_byte_array -> (data, offsets[int64, n+1]).
+
+    The length words sit at positions that depend on every previous
+    length, so the scan is sequential — a C hot loop when a compiler is
+    available (the _fsst_native pattern), a Python walk otherwise."""
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    if n == 0:
+        return b"", offsets
+    lib = _native()
+    if lib is not None:
+        import ctypes
+
+        buf = bytes(buf) if not isinstance(buf, bytes) else buf
+        fn = lib.plain_ba_offsets
+        fn.restype = ctypes.c_long
+        rc = fn(
+            buf,
+            ctypes.c_long(len(buf)),
+            ctypes.c_long(n),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        )
+        if rc < 0:
+            raise ValueError("PLAIN byte-array payload truncated")
+        out = np.empty(int(offsets[-1]), dtype=np.uint8)
+        lib.plain_ba_compact(
+            buf,
+            ctypes.c_long(n),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        )
+        return out.tobytes(), offsets
     raw = np.frombuffer(buf, dtype=np.uint8)
     lengths = np.empty(n, dtype=np.int64)
-    offsets = np.zeros(n + 1, dtype=np.int64)
-    # lengths are at positions that depend on previous lengths -> resolve
-    # with a scan over records; n is bounded by chunk size so a loop over
-    # length words only (not value bytes) is fine, but we can vectorize:
-    # pos_{i+1} = pos_i + 4 + len_i. Do it with a small Python loop over a
-    # memoryview of the 4-byte words (cheap: one int per record).
     pos = 0
     mv = raw.view(np.uint8)
     for i in range(n):
