@@ -10,7 +10,6 @@
 
 from __future__ import annotations
 
-from ..util import autoscale_concurrency
 
 import numpy as np
 import pandas as pd
@@ -37,25 +36,25 @@ def brute_force_topk(
     q = q / np.linalg.norm(q)
     q_ref = ray.put(q)
 
-    class PartialTopK:
-        def __init__(self):
-            self.q = ray.get(q_ref)
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # broadcast read: ray.get on a shared q_ref is a zero-copy
+        # object-store lookup per task — the query matrix ships ONCE
+        # per node, never per batch. Stateless task form (no actor
+        # pool): elastic scheduling, no pool-startup latency — there is
+        # no per-partition state to hold for an exact matmul.
+        qv = ray.get(q_ref)
+        m = _to_matrix(batch[vec_col])
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ qv) / np.maximum(norms, 1e-12)
+        order = np.lexsort((batch[id_col].to_numpy(), -cos))[:k]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[order],
+                "cos": cos[order],
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            m = _to_matrix(batch[vec_col])
-            norms = np.linalg.norm(m, axis=1)
-            cos = (m @ self.q) / np.maximum(norms, 1e-12)
-            order = np.lexsort((batch[id_col].to_numpy(), -cos))[:k]
-            return pd.DataFrame(
-                {
-                    id_col: batch[id_col].to_numpy()[order],
-                    "cos": cos[order],
-                }
-            )
-
-    partials = ds.map_batches(
-        PartialTopK, batch_format="pandas", concurrency=autoscale_concurrency()
-    ).to_pandas()
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
     order = np.lexsort((partials[id_col].to_numpy(), -partials["cos"].to_numpy()))[:k]
     out = partials.iloc[order].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
