@@ -469,6 +469,55 @@ def _crc32_signed(data: bytes) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
+def _stat_value(scalar: pa.Scalar, ct: _ColType) -> bytes | None:
+    """One bound as parquet's plain single-value encoding, or None when
+    the type's wire stats are skipped (FLBA/decimal/unsigned orderings,
+    oversized byte-array bounds)."""
+    p = ct.physical
+    if scalar.as_py() is None:
+        return None
+    if ct.converted in (11, 12, 13, 14):  # unsigned orderings: skip
+        return None
+    if p == T_BOOLEAN:
+        return b"\x01" if scalar.as_py() else b"\x00"
+    if p == T_INT32:
+        return struct.pack("<i", scalar.cast(pa.int32()).as_py())
+    if p == T_INT64:
+        return struct.pack("<q", scalar.cast(pa.int64()).as_py())
+    if p == T_FLOAT:
+        return struct.pack("<f", scalar.as_py())
+    if p == T_DOUBLE:
+        return struct.pack("<d", scalar.as_py())
+    if p == T_BYTE_ARRAY:
+        v = scalar.as_py()
+        raw = v.encode() if isinstance(v, str) else v
+        return raw if len(raw) <= 64 else None
+    return None
+
+
+def _stats_blob(nn: pa.Array, ct: _ColType, null_count: int) -> bytes:
+    """ColumnMetaData.statistics: null_count always; exact
+    min_value/max_value when the type supports wire-order bounds (the
+    chunk store's lineage stats handle truncation semantics; wire stats
+    stay exact-only so external readers can prune row groups safely).
+    `nn` must be null-free (the chunk's stored values)."""
+    fields: list = [(3, "i64", null_count)]
+    if len(nn) and ct.physical != T_FLBA:
+        # skip the min/max scan when byte-array values are huge (html):
+        # the comparison pass costs real time and the bounds would be
+        # dropped for exceeding 64 bytes anyway
+        if ct.physical != T_BYTE_ARRAY or nn.nbytes // max(1, len(nn)) <= 256:
+            try:
+                mm = pc.min_max(nn)
+                lo = _stat_value(mm["min"], ct)
+                hi = _stat_value(mm["max"], ct)
+                if lo is not None and hi is not None:
+                    fields += [(5, "bin", hi), (6, "bin", lo)]
+            except Exception:
+                pass
+    return ts(fields)
+
+
 class _ColumnChunkResult:
     __slots__ = (
         "pages",
@@ -479,7 +528,11 @@ class _ColumnChunkResult:
         "total_raw",
         "total_comp",
         "num_values",
+        "stats",
     )
+
+    def __init__(self):
+        self.stats = None
 
 
 def _write_column_chunk(
@@ -507,6 +560,9 @@ def _write_column_chunk(
             dict_vals, dict_idx = denc.dictionary, denc.indices
     else:
         enc, dict_vals, dict_idx = _select_encoding(arr, ct, compression)
+    res.stats = _stats_blob(
+        arr.drop_null() if arr.null_count else arr, ct, arr.null_count
+    )
 
     def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
         offset = out.tell()
@@ -809,6 +865,7 @@ def _write_general_column_chunk(
         parts.append(_encode_values(dense, enc, ct))
     res.data_page_offset = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
 
+    res.stats = _stats_blob(dense, ct, res.num_values - len(dense))
     encodings = [enc, E_RLE]
     if enc == E_RLE_DICTIONARY:
         encodings.append(E_PLAIN)
@@ -932,6 +989,7 @@ def _write_list_column_chunk(
         if n == 0:
             break
 
+    res.stats = _stats_blob(dense, ct, res.num_values - len(dense))
     encodings = [enc, E_RLE]
     if enc == E_RLE_DICTIONARY:
         encodings.append(E_PLAIN)
@@ -977,6 +1035,7 @@ def write_table(
     with open(path, "wb") as out:
         out.write(b"PAR1")
         row_groups = []
+        n_leaves = 0
         nrows_total = table.num_rows
         for g_start in range(0, max(nrows_total, 1), rows_per_group):
             g = table.slice(g_start, rows_per_group)
@@ -1033,6 +1092,7 @@ def write_table(
                             (7, "i64", r.total_comp),
                             (9, "i64", r.data_page_offset),
                             (11, "i64", r.dict_page_offset),
+                            (12, "struct", r.stats),
                         ]
                     )
                     first_off = (
@@ -1044,6 +1104,7 @@ def write_table(
                         ts([(2, "i64", first_off), (3, "struct", meta)])
                     )
                     total_bytes += r.total_comp
+            n_leaves = len(col_chunks)
             row_groups.append(
                 ts(
                     [
@@ -1079,6 +1140,9 @@ def write_table(
                 schema_elems.append(ct.schema_element("element", True))
             else:
                 schema_elems.append(ct.schema_element(name, optional[name]))
+        # column_orders (TypeDefinedOrder per leaf): without this,
+        # readers must distrust min_value/max_value in statistics
+        type_order = ts([(1, "struct", ts([]))])
         footer = ts(
             [
                 (1, "i32", 1),
@@ -1086,6 +1150,7 @@ def write_table(
                 (3, "i64", nrows_total),
                 (4, "list", tlist("struct", row_groups)),
                 (6, "bin", b"parquet_go_ray wire writer"),
+                (7, "list", tlist("struct", [type_order] * n_leaves)),
             ]
         )
         out.write(footer)

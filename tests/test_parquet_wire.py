@@ -178,6 +178,10 @@ def test_crc_and_sizes_in_metadata(tmp_path):
         c = md.column(i)
         assert c.total_compressed_size > 0
         assert c.total_uncompressed_size > 0
+        assert c.statistics is not None and c.statistics.null_count is not None
+    # min/max bounds usable by external readers (column_orders present)
+    s = md.column(1).statistics  # i64 column of _mixed_table
+    assert s.has_min_max and s.min == 0 and s.max == 199
     # pyarrow verifies page CRCs when asked
     r = pq.ParquetFile(path, page_checksum_verification=True).read()
     assert r.num_rows == t.num_rows
