@@ -193,22 +193,23 @@ def q_agg_pricing(sf_dir):
         )
         return g
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "l_returnflag": [g["l_returnflag"].iloc[0]],
-                "l_linestatus": [g["l_linestatus"].iloc[0]],
-                "sum_qty": [round(float(g["sum_qty"].sum()), 2)],
-                "sum_price": [round(float(g["sum_price"].sum()), 2)],
-                "n": [int(g["n"].sum())],
-            }
-        )
-
-    return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .map_groups(final, batch_format="pandas")
+    # final reduction on the driver, NOT a groupby shuffle: the group
+    # space is bounded by the key domain (returnflag x linestatus = 6),
+    # so the partials are O(groups x blocks) tiny rows at ANY data
+    # scale — collecting them costs less than an all-to-all exchange.
+    # (Unbounded-key aggregations like windowed_counts keep the
+    # distributed groupby.)
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    g = (
+        parts.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+        .agg(sum_qty=("sum_qty", "sum"), sum_price=("sum_price", "sum"), n=("n", "sum"))
+        .sort_values(["l_returnflag", "l_linestatus"])
+        .reset_index(drop=True)
     )
+    g["sum_qty"] = g["sum_qty"].astype(float).round(2)
+    g["sum_price"] = g["sum_price"].astype(float).round(2)
+    g["n"] = g["n"].astype("int64")
+    return g
 
 
 def q_session_windows(sf_dir):
