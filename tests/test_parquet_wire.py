@@ -583,3 +583,27 @@ def test_wire_fuzz_nested_roundtrip(data):
             if not b.type.equals(a.type):
                 b = b.cast(a.type)
             assert a.equals(b), (ty, rows[:3], b[:3])
+
+
+def test_wire_reader_duckdb_written_files(tmp_path):
+    """Third independent writer: files produced by DuckDB's parquet
+    writer decode byte-identically through our reader (pyarrow and the
+    golden corpus being the other two sources)."""
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    con = duckdb.connect()
+    for table in ("lineitem", "documents"):
+        for comp in ("SNAPPY", "ZSTD", "UNCOMPRESSED"):
+            p = str(tmp_path / f"{table}_{comp}.parquet")
+            con.sql(
+                f"COPY (SELECT * FROM '/root/testdata/sf0.001/{table}.parquet') "
+                f"TO '{p}' (FORMAT PARQUET, COMPRESSION {comp})"
+            )
+            ref = pq.read_table(p)
+            ours = R.read_table(p)
+            for col in ref.column_names:
+                a = ref.column(col).combine_chunks()
+                b = ours.column(col).combine_chunks()
+                if not b.type.equals(a.type):
+                    b = b.cast(a.type)
+                assert a.equals(b), (table, comp, col)
