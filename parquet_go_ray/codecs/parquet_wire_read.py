@@ -569,6 +569,27 @@ def read_metadata(path: str) -> dict:
     return {"file": raw, "meta": _TR(memoryview(footer)).struct()}
 
 
+def read_footer(path: str) -> dict:
+    """Parse ONLY the footer (tail read, no full-file load): the cheap
+    metadata probe for planning row-group-granular distributed reads."""
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        f.seek(max(0, size - 8))
+        tail = f.read(8)
+        if tail[-4:] != b"PAR1":
+            raise WireFormatError("not a parquet file (bad magic)")
+        (flen,) = struct.unpack_from("<I", tail, 0)
+        f.seek(size - 8 - flen)
+        footer = f.read(flen)
+    return _TR(memoryview(footer)).struct()
+
+
+def num_row_groups(path: str) -> int:
+    return len(read_footer(path).get(4, []))
+
+
 def _schema_tree(els: list[dict], i: int):
     el = els[i]
     i += 1
@@ -888,11 +909,20 @@ def _entry_type(d: dict) -> pa.DataType:
     return pa.list_(ty) if d["kind"] == "list" else ty
 
 
-def read_table(path: str, columns: list[str] | None = None) -> pa.Table:
-    """Read a parquet file (flat primitives, single-level lists,
-    non-repeated structs) entirely with our own decoders."""
+def read_table(
+    path: str,
+    columns: list[str] | None = None,
+    row_groups: list[int] | None = None,
+) -> pa.Table:
+    """Read a parquet file (any schema the Dremel assembler covers)
+    entirely with our own decoders; `row_groups` selects a subset for
+    distributed row-group-granular reads."""
     parsed = read_metadata(path)
     raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    if row_groups is not None:
+        groups = meta.get(4, [])
+        meta = dict(meta)
+        meta[4] = [groups[i] for i in row_groups]
     descs = _parse_schema(meta[2])
     by_name = {d["name"]: d for d in descs}
     want = columns or [d["name"] for d in descs]

@@ -4,12 +4,11 @@
 Ray tasks, each parsed and decoded entirely by
 codecs/parquet_wire_read (no pyarrow parquet in the loop) — the
 Ray-native shape of the reference's file reader (file_.go /
-reader.go): one task per file, streaming blocks, column projection
-pushed into the page reads.
-
-At scale the unit of parallelism is the file (shards >> cores in a
-real corpus); row-group-level splitting inside one file is the chunk
-engine's job, not this interop reader's.
+reader.go). Planning is ROW-GROUP granular: the driver reads only
+each file's footer (a tail read, ~KBs against TB-scale data) and
+fans one task out per row group, so a few huge files still saturate
+the cluster; single-row-group shards degrade to one task per file.
+Column projection pushes into the page reads.
 """
 
 from __future__ import annotations
@@ -21,22 +20,39 @@ import ray.data
 
 
 def read_parquet_native(
-    paths: list[str], columns: list[str] | None = None
+    paths: list[str],
+    columns: list[str] | None = None,
+    row_group_granular: bool = True,
 ) -> ray.data.Dataset:
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
 
+    items = []
+    if row_group_granular:
+        from ..codecs.parquet_wire_read import num_row_groups
+
+        for p in paths:
+            n = num_row_groups(p)
+            if n <= 1:
+                items.append({"path": p, "rg": -1})
+            else:
+                items.extend({"path": p, "rg": g} for g in range(n))
+    else:
+        items = [{"path": p, "rg": -1} for p in paths]
+
     def load(batch: pa.Table) -> pa.Table:
         from ..codecs.parquet_wire_read import read_table
 
         tables = [
-            read_table(p, columns=columns)
-            for p in batch.column("path").to_pylist()
+            read_table(
+                p, columns=columns, row_groups=None if rg < 0 else [rg]
+            )
+            for p, rg in zip(
+                batch.column("path").to_pylist(), batch.column("rg").to_pylist()
+            )
         ]
         return pa.concat_tables(tables, promote_options="default")
 
-    ds = ray.data.from_items(
-        [{"path": p} for p in paths], override_num_blocks=len(paths)
-    )
+    ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
     return ds.map_batches(load, batch_format="pyarrow", batch_size=None)

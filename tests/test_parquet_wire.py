@@ -607,3 +607,24 @@ def test_wire_reader_duckdb_written_files(tmp_path):
                 if not b.type.equals(a.type):
                     b = b.cast(a.type)
                 assert a.equals(b), (table, comp, col)
+
+
+def test_native_read_row_group_granular(ray_session, tmp_path):
+    """read_parquet_native plans one task per ROW GROUP (footer-only
+    probe on the driver), so a single huge file still fans out; the
+    distributed result is value-identical to the source."""
+    import ray.data
+
+    from parquet_go_ray.codecs.parquet_wire_read import num_row_groups
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+    from parquet_go_ray.sources.wire import read_parquet_native
+
+    src_path = "/root/testdata/sf0.001/lineitem.parquet"
+    t = pq.read_table(src_path)
+    p = str(tmp_path / "multi_rg.parquet")
+    W.write_table(t, p, rows_per_group=1100, compression="snappy")
+    assert num_row_groups(p) >= 5
+    res = verify_roundtrip(
+        ray.data.read_parquet(src_path), read_parquet_native([p])
+    )
+    assert res["ok"], res
