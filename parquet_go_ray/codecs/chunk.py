@@ -9,7 +9,7 @@ and a CRC32.
 
 Layout (little-endian):
 
-    magic   "RC1\\0"                      4 bytes
+    magic   "RC" + format_version + "\\0"  4 bytes
     codec   u8   | ptype u8 | flags u8 | flba_width u8
     n       u32  | n_null u32
     type_len u32 | validity_len u32 | payload_len u32
@@ -35,7 +35,11 @@ from . import bytestreamsplit as bss
 from . import delta, dictionary, fsst, plain, rle
 from . import registry as R
 
-MAGIC = b"RC1\0"
+# byte 2 embeds the wire FORMAT_VERSION so a chunk written at any other
+# version is rejected up front (the CRC covers encoded bytes, so a
+# mis-versioned decode would otherwise pass the checksum and silently
+# misdecode — e.g. the v5->v6 delta-framing change)
+MAGIC = b"RC" + bytes([R.FORMAT_VERSION]) + b"\0"
 _HDR = struct.Struct("<4sBBBBIIIII")
 
 
@@ -545,6 +549,12 @@ def decode_array(buf: bytes, shared_dict: pa.Array | None = None) -> pa.Array:
         type_len, validity_len, payload_len,
     ) = _HDR.unpack_from(buf, 0)
     if magic != MAGIC:
+        if magic[:2] == b"RC" and magic[3:4] == b"\0":
+            raise ChunkError(
+                f"chunk written at format version {magic[2]} "
+                f"(0x31='1' means a legacy pre-versioned store); this build "
+                f"decodes only version {R.FORMAT_VERSION} — re-encode the store"
+            )
         raise ChunkError("bad magic")
     pos = _HDR.size
     (crc_stored,) = struct.unpack_from("<I", buf, pos + type_len + validity_len + payload_len)

@@ -1026,8 +1026,15 @@ def write_table(
             cols.append((name, "flat", _ColType(ty)))
             continue
         cols.append((name, "general", _build_wnode(name, ty, field.nullable)))
+    # optionality comes from the Arrow field's declared nullability, not
+    # from observed nulls: a multi-shard export must emit a consistent
+    # REQUIRED/OPTIONAL schema for every shard of the same logical column
+    # (a shard that happens to contain no nulls is still OPTIONAL)
     optional = {
-        name: bool(table.column(name).null_count) for name, _, _ in cols
+        name: bool(
+            table.schema.field(name).nullable or table.column(name).null_count
+        )
+        for name, _, _ in cols
     }
     chosen: dict[str, str] = {}
     rows_per_group = rows_per_group or max(1, table.num_rows) if table.num_rows else 1

@@ -280,6 +280,9 @@ def decode_dataset(
     reads chunk files with a parquet row filter on the `column` field, so
     only the requested columns' payloads are read and decoded (the
     reference's selected-columns page read, column.go:541-690)."""
+    from ..state import manifest
+
+    manifest.check_format_version(encoded_dir, "decode")
     files = chunk_files(encoded_dir)
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {encoded_dir}")

@@ -39,6 +39,7 @@ import ray.data
 # per-worker, per-language codec-selection caches for lang_salted mode
 _SALTED_CACHES: dict[str, dict] = {}
 
+from ..codecs.registry import FORMAT_VERSION as _FORMAT_VERSION
 from ..stages.encode import ChunkEncoder, encode_table, lineage_of, write_chunk_file
 from ..state import manifest
 
@@ -96,7 +97,24 @@ def encode_job(
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)
     input_files = sorted(input_files)
+    if resume:
+        # refuse to mix chunk formats in one store (ADVICE r2): a store
+        # written at another FORMAT_VERSION must not be extended
+        manifest.check_format_version(output_dir, "resume into")
     done = manifest.completed_shards(output_dir) if resume else set()
+    # job meta (incl. format_version) goes down BEFORE any chunk is
+    # written so even a crashed run leaves a version-stamped store
+    manifest.write_job_meta(
+        output_dir,
+        {
+            "mode": mode,
+            "compression": compression,
+            "rows_per_chunk": rows_per_chunk,
+            "salts": salts,
+            "input_files": len(input_files),
+            "format_version": _FORMAT_VERSION,
+        },
+    )
 
     if mode == "direct":
         pending = [f for f in input_files if Path(f).stem not in done]
@@ -281,16 +299,6 @@ def encode_job(
         for shard, grp in incomplete.groupby("shard"):
             parts = [_table_from_ipc(b) for b in grp["lineage_ipc"]]
             manifest.record_shard_table(output_dir, shard, pa.concat_tables(parts))
-    manifest.write_job_meta(
-        output_dir,
-        {
-            "mode": mode,
-            "compression": compression,
-            "rows_per_chunk": rows_per_chunk,
-            "salts": salts,
-            "input_files": len(input_files),
-        },
-    )
     sec = time.time() - t0
     return {
         "rows": int(summary["rows"].sum()) if len(summary) else 0,

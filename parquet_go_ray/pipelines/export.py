@@ -23,11 +23,28 @@ import ray.data
 SUMMARY_SCHEMA = pa.schema(
     [
         pa.field("shard", pa.string()),
+        pa.field("file", pa.string()),
         pa.field("rows", pa.int64()),
         pa.field("bytes", pa.int64()),
         pa.field("skipped", pa.bool_()),
     ]
 )
+
+
+def _reconcile_outputs(output_dir: str, summary) -> int:
+    """Delete .parquet files in `output_dir` not produced (or skipped) by
+    THIS run. Split-block shards carry content-hash-derived names; if Ray
+    batches blocks differently on a rerun, a prior run's differently-named
+    files would otherwise remain alongside the new ones and duplicate
+    rows. At successful completion the summary covers every current input
+    row exactly once, so anything else in the directory is stale."""
+    expected = set(summary["file"]) if len(summary) else set()
+    removed = 0
+    for p in Path(output_dir).glob("*.parquet"):
+        if p.name not in expected:
+            p.unlink()
+            removed += 1
+    return removed
 
 
 class _WireExporter:
@@ -81,7 +98,13 @@ class _WireExporter:
             path = out / f"{shard}.parquet"
             if self.resume and path.exists():
                 rows.append(
-                    {"shard": shard, "rows": group.num_rows, "bytes": 0, "skipped": True}
+                    {
+                        "shard": shard,
+                        "file": path.name,
+                        "rows": group.num_rows,
+                        "bytes": 0,
+                        "skipped": True,
+                    }
                 )
                 continue
             tmp = str(path) + f".tmp{os.getpid()}"
@@ -97,6 +120,7 @@ class _WireExporter:
             rows.append(
                 {
                     "shard": shard,
+                    "file": path.name,
                     "rows": info["rows"],
                     "bytes": info["bytes"],
                     "skipped": False,
@@ -139,11 +163,13 @@ def export_parquet_job(
     summary = ds.map_batches(
         exporter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
+    stale = _reconcile_outputs(output_dir, summary)
     return {
         "rows": int(summary["rows"].sum()) if len(summary) else 0,
         "bytes": int(summary["bytes"].sum()) if len(summary) else 0,
         "files": int((~summary["skipped"]).sum()) if len(summary) else 0,
         "files_skipped": int(summary["skipped"].sum()) if len(summary) else 0,
+        "files_stale_removed": stale,
         "sec": time.time() - t0,
     }
 
@@ -164,9 +190,11 @@ def export_store(
     summary = ds.map_batches(
         exporter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
     ).to_pandas()
+    stale = _reconcile_outputs(output_dir, summary)
     return {
         "rows": int(summary["rows"].sum()) if len(summary) else 0,
         "bytes": int(summary["bytes"].sum()) if len(summary) else 0,
         "files": int((~summary["skipped"]).sum()) if len(summary) else 0,
+        "files_stale_removed": stale,
         "sec": time.time() - t0,
     }

@@ -99,42 +99,49 @@ def merge_sorted_iter(
         for s in streams
     ]
 
-    def key_tuple(batch: pa.Table, i: int):
-        return tuple(batch.column(k)[i].as_py() for k in keys)
+    import bisect
+
+    def batch_keys(batch: pa.Table) -> list[tuple]:
+        # one key list per batch, built column-wise (no per-row .as_py());
+        # nulls map to (True, sentinel) so they compare deterministically
+        # (nulls-last) instead of raising TypeError against non-null keys
+        cols = [batch.column(k).to_pylist() for k in keys]
+        return [
+            tuple((v is None, 0 if v is None else v) for v in row)
+            for row in zip(*cols)
+        ]
 
     def next_nonempty(it):
         for batch in it:
             if batch.num_rows:
-                return batch
-        return None
+                return batch, batch_keys(batch)
+        return None, None
 
-    heap = []  # (key, stream_idx, row_idx, batch, iterator)
+    heap = []  # (key, stream_idx, row_idx, batch, keys_list, iterator)
     for si, it in enumerate(iters):
-        batch = next_nonempty(it)
+        batch, bkeys = next_nonempty(it)
         if batch is not None:
-            heapq.heappush(heap, (key_tuple(batch, 0), si, 0, batch, it))
+            heapq.heappush(heap, (bkeys[0], si, 0, batch, bkeys, it))
 
     out_rows: list[pa.Table] = []
     n_out = 0
     while heap:
-        key, si, ri, batch, it = heapq.heappop(heap)
+        key, si, ri, batch, bkeys, it = heapq.heappop(heap)
         # take the whole run of rows from this batch that stay <= the
-        # next heap head (vectorized run detection, not row-at-a-time)
+        # next heap head: binary search on the batch's precomputed key
+        # list — O(log batch) per run, not a per-row python scan
         if heap:
-            nxt = heap[0][0]
-            hi = ri + 1
-            while hi < batch.num_rows and key_tuple(batch, hi) <= nxt:
-                hi += 1
+            hi = bisect.bisect_right(bkeys, heap[0][0], lo=ri + 1)
         else:
             hi = batch.num_rows
         out_rows.append(batch.slice(ri, hi - ri))
         n_out += hi - ri
         if hi < batch.num_rows:
-            heapq.heappush(heap, (key_tuple(batch, hi), si, hi, batch, it))
+            heapq.heappush(heap, (bkeys[hi], si, hi, batch, bkeys, it))
         else:
-            nb = next_nonempty(it)
+            nb, nk = next_nonempty(it)
             if nb is not None:
-                heapq.heappush(heap, (key_tuple(nb, 0), si, 0, nb, it))
+                heapq.heappush(heap, (nk[0], si, 0, nb, nk, it))
         if n_out >= batch_size:
             yield pa.concat_tables(out_rows)
             out_rows, n_out = [], 0

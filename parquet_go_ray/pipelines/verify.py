@@ -89,13 +89,19 @@ def _column_hash(arr: pa.Array) -> np.ndarray:
         filled = arr.fill_null(False) if validity is not None else arr
         h = _splitmix(filled.to_numpy(zero_copy_only=False).astype(np.uint64))
     elif pa.types.is_timestamp(ty) or pa.types.is_int64(ty) or pa.types.is_uint64(ty):
-        v = arr.view(pa.int64()) if pa.types.is_timestamp(ty) else arr
-        x = v.to_numpy(zero_copy_only=False)
-        h = _splitmix(np.nan_to_num(x).astype(np.int64).view(np.uint64))
+        # fill nulls on the Arrow side BEFORE to_numpy: a nullable int64
+        # would otherwise round-trip through float64 (NaN for nulls) and
+        # round |v| > 2^53 values, hashing distinct values equal
+        v = arr if pa.types.is_int64(ty) else arr.view(pa.int64())
+        if validity is not None:
+            v = v.fill_null(0)
+        h = _splitmix(v.to_numpy(zero_copy_only=False).view(np.uint64))
     elif pa.types.is_integer(ty) or pa.types.is_date32(ty):
         v = arr.view(pa.int32()) if pa.types.is_date32(ty) else arr
+        if validity is not None:
+            v = v.fill_null(0)
         x = v.to_numpy(zero_copy_only=False)
-        h = _splitmix(np.nan_to_num(x).astype(np.int64).view(np.uint64))
+        h = _splitmix(x.astype(np.int64).view(np.uint64))
     elif pa.types.is_float64(ty) or pa.types.is_float32(ty):
         x = arr.to_numpy(zero_copy_only=False).astype(np.float64)
         h = _splitmix(x.view(np.uint64))

@@ -121,6 +121,33 @@ def write_job_meta(output_dir: str, meta: dict) -> None:
     os.replace(tmp, d / "_job.json")
 
 
+def load_job_meta(output_dir: str) -> dict | None:
+    p = manifest_dir(output_dir) / "_job.json"
+    if not p.exists():
+        return None
+    return json.loads(p.read_text())
+
+
+def check_format_version(output_dir: str, context: str) -> None:
+    """Refuse to mix chunk files written at a different FORMAT_VERSION
+    into one store: a resumed or decoded store must match the running
+    build (the chunk CRC covers encoded bytes, so a mis-versioned decode
+    can pass the checksum yet misdecode — e.g. the v5->v6 delta-framing
+    change)."""
+    from ..codecs.registry import FORMAT_VERSION
+
+    meta = load_job_meta(output_dir)
+    if meta is None:
+        return
+    stored = meta.get("format_version")
+    if stored is not None and stored != FORMAT_VERSION:
+        raise ValueError(
+            f"cannot {context} store {output_dir!r}: written at chunk format "
+            f"version {stored}, this build is version {FORMAT_VERSION} — "
+            f"re-encode into a fresh output dir"
+        )
+
+
 def codec_histogram(output_dir: str) -> dict[str, int]:
     """codec name -> chunk-column count, aggregated over all manifests."""
     hist: dict[str, int] = {}
