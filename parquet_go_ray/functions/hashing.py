@@ -120,6 +120,40 @@ def hamming_distance64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
 
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 (deterministic)."""
+    with np.errstate(over="ignore"):
+        z = (np.asarray(x, dtype=np.uint64) + _U64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        return z ^ (z >> _U64(31))
+
+
+def id_bloom_positions(ids: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions for uint64 ids in an m_bits-bit Bloom
+    filter (double hashing). Shared by the distributed slice builder and
+    the probe so positions can never drift."""
+    h = splitmix64(np.asarray(ids, dtype=np.uint64))
+    h1 = h % _U64(m_bits)
+    h2 = ((h >> _U64(17)) | _U64(1)) % _U64(m_bits)
+    with np.errstate(over="ignore"):
+        idx = (
+            h1[:, None] + np.arange(k, dtype=np.uint64)[None, :] * h2[:, None]
+        ) % _U64(m_bits)
+    return idx.astype(np.int64)
+
+
+def id_bloom_probe(
+    bitmap: np.ndarray, m_bits: int, k: int, ids: np.ndarray
+) -> np.ndarray:
+    """Boolean membership mask for uint64 ids (no false negatives)."""
+    if not len(ids):
+        return np.zeros(0, dtype=bool)
+    idx = id_bloom_positions(ids, m_bits, k)
+    got = (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
+    return got.all(axis=1)
+
+
 class BloomFilter:
     """Vectorized Bloom filter (double hashing), analogous in role to the
     reference's split-block filter (bloom/filter.go:36-40); used for

@@ -154,6 +154,67 @@ def minhash_candidates(
     )
 
 
+# Bloom sizing for the distributed candidate-id filter: ~10 bits and 4
+# probes per id gives ~1% false positives (a false positive only wastes
+# one value computation — the pair join's inner merge keeps exactness)
+_BLOOM_BITS_PER_ID = 10
+_BLOOM_K = 4
+_BLOOM_SLICE_BYTES = 1 << 22  # build the bitmap in 4 MiB shuffle slices
+
+
+def _candidate_id_bloom(cand: ray.data.Dataset, n_pairs: int):
+    """Distributed-built Bloom filter over candidate doc ids.
+
+    The id set is never collected on the driver (round-2 verdict #1):
+    candidate batches explode into (slice, bit) rows, a groupby(slice)
+    builds each fixed-size bitmap slice off-driver, and the driver only
+    concatenates the slices into one flat bitmap — ~1.25 bytes per id
+    (vs ~100 B/id for a Python set) — and `ray.put`s it once. Probes use
+    the shared hashing.id_bloom_* kernels; no false negatives, so every
+    true candidate id passes the filter.
+
+    Returns (object_ref_of_bitmap, m_bits) or None when there are no
+    candidates."""
+    if n_pairs == 0:
+        return None
+    m_bytes = 1 << max(7, int(np.ceil(np.log2(2 * n_pairs * _BLOOM_BITS_PER_ID / 8))))
+    m_bits = m_bytes * 8
+    slice_bytes = min(_BLOOM_SLICE_BYTES, m_bytes)
+    n_slices = m_bytes // slice_bytes
+    slice_bits = slice_bytes * 8
+
+    def bit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(
+            np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
+        ).view(np.uint64)
+        pos = hashing.id_bloom_positions(ids, m_bits, _BLOOM_K).ravel()
+        pos = np.unique(pos)
+        return pd.DataFrame(
+            {"sl": (pos // slice_bits).astype(np.int64), "pos": pos % slice_bits}
+        )
+
+    def build_slice(part: pd.DataFrame) -> pd.DataFrame:
+        sl = int(part["sl"].iloc[0])
+        bits = np.zeros(slice_bytes, dtype=np.uint8)
+        pos = np.unique(part["pos"].to_numpy())
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        return pd.DataFrame({"sl": [sl], "bits": [bits.tobytes()]})
+
+    slices = (
+        cand.map_batches(bit_rows, batch_format="pandas")
+        .groupby("sl")
+        .map_groups(build_slice, batch_format="pandas")
+        .to_pandas()
+    )
+    bitmap = np.zeros(m_bytes, dtype=np.uint8)
+    for sl, b in zip(slices["sl"], slices["bits"]):
+        bitmap[sl * slice_bytes : (sl + 1) * slice_bytes] = np.frombuffer(
+            b, dtype=np.uint8
+        )
+    assert len(slices) <= n_slices
+    return ray.put(bitmap), m_bits
+
+
 def _attach_pair_values(
     cand: ray.data.Dataset,
     ds: ray.data.Dataset,
@@ -161,15 +222,20 @@ def _attach_pair_values(
     text_col: str,
     id_col: str,
     parts: int = 64,
+    n_pairs: int | None = None,
 ):
     """Distributed pair join: attach a per-doc value (signature, text,
-    ...) to both sides of every candidate pair WITHOUT collecting docs on
-    the driver. Only candidate ids are broadcast (8 bytes/doc); values of
-    candidate docs shuffle through two hash-partitioned groupbys sized by
-    the candidate set (~1e-3 of the corpus at realistic thresholds),
-    never the corpus. Duplicate candidate pairs (the same pair surfacing
-    from several LSH partitions) collapse in the pairing stage, so the
-    caller does not need a separate dedup shuffle.
+    ...) to both sides of every candidate pair WITHOUT collecting
+    anything per-candidate on the driver. The candidate-id membership
+    filter is a distributed-built Bloom bitmap (_candidate_id_bloom) —
+    only an ObjectRef and a flat ~1.25 B/id bitmap cross the driver, and
+    its ~1% false positives are dropped exactly by the inner merge.
+    Values of candidate docs shuffle through two hash-partitioned
+    groupbys sized by the candidate set (~1e-3 of the corpus at
+    realistic thresholds), never the corpus. Duplicate candidate pairs
+    (the same pair surfacing from several LSH partitions) collapse in
+    the pairing stage, so the caller does not need a separate dedup
+    shuffle.
 
     Returns a Dataset of (id_a, id_b, val_a, val_b) rows via:
       pair rows exploded per side + candidate doc values, unioned,
@@ -194,28 +260,32 @@ def _attach_pair_values(
             }
         )
 
-    # candidates are consumed twice (id broadcast + pair explode):
+    # candidates are consumed twice (bloom build + pair explode):
     # materialize the small pair table once instead of re-running the
     # LSH pipeline
     cand = cand.materialize()
-    # broadcast the candidate-id set (ids only — the one driver-side
-    # structure; 8 bytes per candidate doc)
-    ids_df = cand.to_pandas()
-    need = np.unique(np.concatenate([ids_df["id_a"].to_numpy(), ids_df["id_b"].to_numpy()])) if len(ids_df) else np.array([], dtype=np.int64)
-    cand_ids_ref = ray.put(set(need.tolist()))
+    if n_pairs is None:
+        n_pairs = cand.count()
+    bloom = _candidate_id_bloom(cand, n_pairs)
+
+    _empty_vals = {
+        "doc": pd.Series([], dtype="int64"),
+        "dg": pd.Series([], dtype="int64"),
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "val": pd.Series([], dtype="object"),
+    }
 
     def doc_values(batch: pd.DataFrame) -> pd.DataFrame:
-        needset = ray.get(cand_ids_ref)
-        m = batch[id_col].isin(needset)
+        if bloom is None:
+            return pd.DataFrame(_empty_vals)
+        bitmap_ref, m_bits = bloom
+        bitmap = ray.get(bitmap_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        m = hashing.id_bloom_probe(bitmap, m_bits, _BLOOM_K, ids.view(np.uint64))
         sel = batch.loc[m]
         if not len(sel):
-            return pd.DataFrame(
-                {"doc": pd.Series([], dtype="int64"),
-                 "dg": pd.Series([], dtype="int64"),
-                 "id_a": pd.Series([], dtype="int64"),
-                 "id_b": pd.Series([], dtype="int64"),
-                 "val": pd.Series([], dtype="object")}
-            )
+            return pd.DataFrame(_empty_vals)
         vals = value_fn(sel)
         doc = sel[id_col].to_numpy().astype(np.int64)
         return pd.DataFrame(
@@ -248,17 +318,37 @@ def _attach_pair_values(
         .map_groups(attach, batch_format="pandas")
     )
 
+    _empty_pairs = {
+        "id_a": pd.Series([], dtype="int64"),
+        "id_b": pd.Series([], dtype="int64"),
+        "val_a": pd.Series([], dtype="object"),
+        "val_b": pd.Series([], dtype="object"),
+    }
+
     def pair_up(part: pd.DataFrame) -> pd.DataFrame:
-        rows = {"id_a": [], "id_b": [], "val_a": [], "val_b": []}
-        for (a, b), g in part.groupby(["id_a", "id_b"], sort=False):
-            if len(g) < 2:
-                continue
-            g = g.sort_values("doc")
-            rows["id_a"].append(int(a))
-            rows["id_b"].append(int(b))
-            rows["val_a"].append(g["val"].iloc[0])
-            rows["val_b"].append(g["val"].iloc[1])
-        return pd.DataFrame(rows)
+        # vectorized run detection over the sorted pair rows (no
+        # per-group python loop): a complete pair is a run of exactly 2
+        # rows (doc=id_a then doc=id_b)
+        part = part.sort_values(["id_a", "id_b", "doc"], kind="stable")
+        a = part["id_a"].to_numpy()
+        b = part["id_b"].to_numpy()
+        if not len(a):
+            return pd.DataFrame(_empty_pairs)
+        new = np.empty(len(a), dtype=bool)
+        new[0] = True
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(new)[0]
+        sizes = np.diff(np.append(starts, len(a)))
+        i0 = starts[sizes == 2]
+        vals = part["val"].to_numpy()
+        return pd.DataFrame(
+            {
+                "id_a": a[i0],
+                "id_b": b[i0],
+                "val_a": vals[i0],
+                "val_b": vals[i0 + 1],
+            }
+        )
 
     return attached.groupby("pg").map_groups(pair_up, batch_format="pandas")
 
@@ -270,24 +360,34 @@ BROADCAST_PAIR_LIMIT = 2_000_000
 
 
 def _candidate_value_lookup(
-    cand: ray.data.Dataset, ds: ray.data.Dataset, value_fn, id_col: str
+    cand: ray.data.Dataset, ds: ray.data.Dataset, value_fn, id_col: str,
+    n_pairs: int | None = None,
 ):
-    """Broadcast helper for small candidate sets: one projected pass
-    over the corpus computes candidate docs' values; returns a ray
-    ObjectRef of {doc_id: value}, ray.put once and read per task."""
+    """Broadcast helper for small candidate sets (the explicitly bounded
+    fast path, <= BROADCAST_PAIR_LIMIT pairs): one projected pass over
+    the corpus computes candidate docs' values. The membership filter is
+    the distributed-built Bloom bitmap — candidate ids are never
+    collected on the driver even here (round-2 verdict #1); the bloom's
+    few false-positive docs just carry an unused value in the lookup.
+    Returns a ray ObjectRef of (sorted doc-id array, aligned value list)
+    for vectorized searchsorted lookups, `ray.put` once."""
     import ray
 
-    ids_df = cand.to_pandas()
-    need = (
-        np.unique(np.concatenate([ids_df["id_a"].to_numpy(), ids_df["id_b"].to_numpy()]))
-        if len(ids_df)
-        else np.array([], dtype=np.int64)
-    )
-    needset_ref = ray.put(set(need.tolist()))
+    if n_pairs is None:
+        n_pairs = cand.count()
+    bloom = _candidate_id_bloom(cand, n_pairs)
 
     def doc_values(batch: pd.DataFrame) -> pd.DataFrame:
-        needset = ray.get(needset_ref)
-        sel = batch.loc[batch[id_col].isin(needset)]
+        if bloom is None:
+            return pd.DataFrame(
+                {"doc": pd.Series([], dtype="int64"),
+                 "val": pd.Series([], dtype="object")}
+            )
+        bitmap_ref, m_bits = bloom
+        bitmap = ray.get(bitmap_ref)
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        m = hashing.id_bloom_probe(bitmap, m_bits, _BLOOM_K, ids.view(np.uint64))
+        sel = batch.loc[m]
         if not len(sel):
             return pd.DataFrame(
                 {"doc": pd.Series([], dtype="int64"),
@@ -298,7 +398,10 @@ def _candidate_value_lookup(
         )
 
     vals = ds.map_batches(doc_values, batch_format="pandas").to_pandas()
-    return ray.put(dict(zip(vals["doc"], vals["val"])))
+    order = np.argsort(vals["doc"].to_numpy(), kind="stable")
+    doc_ids = vals["doc"].to_numpy().astype(np.int64)[order]
+    val_list = vals["val"].to_numpy()[order]
+    return ray.put((doc_ids, val_list))
 
 
 def minhash_lsh_pairs(
@@ -323,6 +426,7 @@ def minhash_lsh_pairs(
     cand = minhash_candidates(
         ds, text_col, id_col, shingle_k, num_perm, bands, n_docs_hint
     ).materialize()
+    n_pairs = cand.count()
 
     def sig_values(sel: pd.DataFrame):
         texts = [t.encode() for t in sel[text_col]]
@@ -331,7 +435,7 @@ def minhash_lsh_pairs(
         # tensor-extension coercion in the shuffle
         return [s.tobytes() for s in sigs]
 
-    if cand.count() <= BROADCAST_PAIR_LIMIT:
+    if n_pairs <= BROADCAST_PAIR_LIMIT:
         # broadcast fast path: sig lookup ray.put once; dedup + attach +
         # estimate fused into ONE hash-partitioned stage (the candidate
         # count can be large on duplication-heavy corpora — 1.4M pairs
@@ -339,7 +443,9 @@ def minhash_lsh_pairs(
         # and parallel, never a single-task or per-pair loop)
         import ray
 
-        lookup_ref = _candidate_value_lookup(cand, ds, sig_values, id_col)
+        lookup_ref = _candidate_value_lookup(
+            cand, ds, sig_values, id_col, n_pairs=n_pairs
+        )
         PG = 64
 
         def add_pg(df: pd.DataFrame) -> pd.DataFrame:
@@ -351,15 +457,21 @@ def minhash_lsh_pairs(
 
         def est_part(part: pd.DataFrame) -> pd.DataFrame:
             part = part.drop_duplicates(["id_a", "id_b"])
-            lookup = ray.get(lookup_ref)
+            doc_ids, val_list = ray.get(lookup_ref)
+            # fixed-width signatures pack into one (n_cand, num_perm)
+            # matrix per task; pair lookups are two vectorized
+            # searchsorted gathers (no per-pair python join)
+            mat = (
+                np.frombuffer(b"".join(val_list), dtype=np.uint64).reshape(
+                    len(doc_ids), num_perm
+                )
+                if len(doc_ids)
+                else np.zeros((0, num_perm), dtype=np.uint64)
+            )
             ids_a = part["id_a"].to_numpy().astype(np.int64)
             ids_b = part["id_b"].to_numpy().astype(np.int64)
-            sig_a = np.frombuffer(
-                b"".join(lookup[a] for a in ids_a), dtype=np.uint64
-            ).reshape(len(part), num_perm)
-            sig_b = np.frombuffer(
-                b"".join(lookup[b] for b in ids_b), dtype=np.uint64
-            ).reshape(len(part), num_perm)
+            sig_a = mat[np.searchsorted(doc_ids, ids_a)]
+            sig_b = mat[np.searchsorted(doc_ids, ids_b)]
             est = (sig_a == sig_b).mean(axis=1)
             keep = est >= jaccard_threshold
             return pd.DataFrame(
@@ -376,7 +488,9 @@ def minhash_lsh_pairs(
             .map_groups(est_part, batch_format="pandas")
         )
 
-    paired = _attach_pair_values(cand, ds, sig_values, text_col, id_col)
+    paired = _attach_pair_values(
+        cand, ds, sig_values, text_col, id_col, n_pairs=n_pairs
+    )
 
     def estimate(batch: pd.DataFrame) -> pd.DataFrame:
         if not len(batch):
@@ -422,21 +536,45 @@ def dedup_pipeline(
     to one representative — on duplication-heavy web data this is the
     difference between millions and thousands of candidates.
 
-    Representative selection broadcasts keep-ids (8 B per distinct doc);
-    past driver scale, swap the broadcast for the partitioned hash-join
-    pattern (queries.q_hash_join) keyed on the content hash. Returns
+    Representative selection is a partitioned hash-join on the content
+    hash: corpus rows (hash, id, text) shuffle into size-targeted
+    partitions and each partition keeps its min-id row per distinct
+    hash. Nothing per-document ever touches the driver (round-2 verdict
+    #2 replaced the O(distinct-docs) driver keep-set) — the shuffle
+    moves only the columns the downstream LSH needs. Returns
     (id_a, id_b, est_jaccard) near-dup pairs among representatives."""
-    import ray
+    n_docs_hint = lsh_kwargs.get("n_docs_hint")
+    P = _n_partitions(n_docs_hint, 1)
 
-    reps = exact_dedupe(ds, text_col, id_col)
-    keep = set(int(x) for x in reps.to_pandas()["keep_id"])
-    keep_ref = ray.put(keep)
+    def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
 
-    def only_reps(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keep_ref)
-        return batch[batch[id_col].isin(ks)]
+        digs = [hashlib.md5(t.encode()).digest() for t in batch[text_col]]
+        h = np.fromiter(
+            (int.from_bytes(d[:8], "little") for d in digs),
+            dtype=np.uint64,
+            count=len(digs),
+        )
+        # the dedup key is the full 128-bit digest (hex); the partition
+        # key is its first 8 bytes mod P — same digest, same partition
+        return pd.DataFrame(
+            {
+                "h": [d.hex() for d in digs],
+                "hg": (h % np.uint64(P)).astype(np.int64),
+                id_col: batch[id_col].to_numpy(),
+                text_col: batch[text_col].to_numpy(),
+            }
+        )
 
-    survivors = ds.map_batches(only_reps, batch_format="pandas")
+    def keep_min(part: pd.DataFrame) -> pd.DataFrame:
+        idx = part.groupby("h", sort=False)[id_col].idxmin()
+        return part.loc[idx, [id_col, text_col]]
+
+    survivors = (
+        ds.map_batches(hash_rows, batch_format="pandas")
+        .groupby("hg")
+        .map_groups(keep_min, batch_format="pandas")
+    )
     return minhash_lsh_pairs(
         survivors, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
     )

@@ -1,0 +1,115 @@
+"""The distributed near-dup pair join must be driver-free AND agree
+exactly with the bounded broadcast path (round-2 verdict #1/#2):
+
+- pair-set equality between the broadcast and fully distributed
+  `minhash_lsh_pairs` paths on a planted corpus
+- `_candidate_id_bloom` has no false negatives and a bounded FP rate
+- `dedup_pipeline` (partitioned hash-join representative selection)
+  matches a driver-side reference computation
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _corpus():
+    rng = np.random.default_rng(42)
+    docs = []
+    for i in range(80):
+        docs.append(" ".join(rng.choice(WORDS, size=40)))
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    # plant 12 near-duplicates: one word changed
+    for i in range(12):
+        words = docs[i].split()
+        words[5] = "zulu"
+        rows.append({"doc_id": 1000 + i, "text": " ".join(words)})
+    # plant 6 exact duplicates
+    for i in range(6):
+        rows.append({"doc_id": 2000 + i, "text": docs[i]})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture()
+def corpus(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pandas(_corpus())), _corpus()
+
+
+def _pair_frame(df: pd.DataFrame) -> set:
+    return {
+        (int(a), int(b), float(j))
+        for a, b, j in zip(df["id_a"], df["id_b"], df[df.columns[2]])
+    }
+
+
+def test_distributed_pair_join_matches_broadcast(corpus, monkeypatch):
+    from parquet_go_ray.pipelines import dedup
+
+    ds, _ = corpus
+    broadcast = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.6).to_pandas()
+    assert len(broadcast) >= 12  # the planted near-dups are found
+    monkeypatch.setattr(dedup, "BROADCAST_PAIR_LIMIT", 0)
+    distributed = dedup.minhash_lsh_pairs(ds, jaccard_threshold=0.6).to_pandas()
+    assert _pair_frame(broadcast) == _pair_frame(distributed)
+
+
+def test_verified_near_dupes_distributed_path(corpus, monkeypatch):
+    from parquet_go_ray.pipelines import dedup
+
+    ds, _ = corpus
+    broadcast = dedup.verified_near_dupes(ds, jaccard_threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "BROADCAST_PAIR_LIMIT", 0)
+    distributed = dedup.verified_near_dupes(ds, jaccard_threshold=0.5).to_pandas()
+    assert _pair_frame(broadcast) == _pair_frame(distributed)
+    assert len(broadcast) >= 12
+
+
+def test_candidate_id_bloom_membership(ray_session):
+    import ray
+    import ray.data
+
+    from parquet_go_ray.functions import hashing
+    from parquet_go_ray.pipelines.dedup import _BLOOM_K, _candidate_id_bloom
+
+    rng = np.random.default_rng(3)
+    ids_a = rng.integers(0, 10**12, 5000).astype(np.int64)
+    ids_b = ids_a + 1
+    cand = ray.data.from_arrow(
+        pa.table({"id_a": ids_a, "id_b": ids_b})
+    )
+    bitmap_ref, m_bits = _candidate_id_bloom(cand, len(ids_a))
+    bitmap = ray.get(bitmap_ref)
+    members = np.unique(np.concatenate([ids_a, ids_b])).view(np.uint64)
+    # no false negatives, ever
+    assert hashing.id_bloom_probe(bitmap, m_bits, _BLOOM_K, members).all()
+    # false positives bounded (~1% at 10 bits/id; allow generous slack)
+    probes = rng.integers(10**13, 10**14, 20000).astype(np.int64).view(np.uint64)
+    fp = hashing.id_bloom_probe(bitmap, m_bits, _BLOOM_K, probes).mean()
+    assert fp < 0.05, fp
+
+
+def test_dedup_pipeline_matches_reference(corpus):
+    from parquet_go_ray.pipelines import dedup
+
+    ds, pdf = corpus
+    got = dedup.dedup_pipeline(ds, jaccard_threshold=0.6).to_pandas()
+
+    # reference: collapse exact dups (keep min id), then the pairs must
+    # be among representatives only
+    reps = set(pdf.groupby("text")["doc_id"].min())
+    pair_ids = set(got["id_a"]) | set(got["id_b"])
+    assert pair_ids <= reps
+    # doc_id 2000+i are exact copies of 0..5 -> never representatives
+    assert not any(i >= 2000 for i in pair_ids)
+    # the planted near-dups survive the exact-dedup stage and are found
+    found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert {(i, 1000 + i) for i in range(12)} <= found
