@@ -414,14 +414,22 @@ def _mk_roundtrip(table):
     return q
 
 
+# one partitioned-join bucket targets this many rows of the BIG side, so
+# per-task memory stays bounded as the data grows (round-2 verdict #3
+# replaced the fixed 16-bucket fan-out)
+JOIN_BUCKET_TARGET_ROWS = 250_000
+
+
 def q_hash_join(sf_dir):
     """Partitioned hash join (both sides large — the guide's explicit
     bucket pattern): bucket = custkey % B on both sides, groupby(bucket),
     pandas merge within each bucket. No broadcast; only matching buckets
-    co-locate."""
-    B = 16
+    co-locate. B is sized from the big side's row count (a metadata-only
+    Dataset.count() on parquet), so one map_groups call materializes
+    ~JOIN_BUCKET_TARGET_ROWS rows regardless of scale."""
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    B = max(16, -(-orders.count() // JOIN_BUCKET_TARGET_ROWS))
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -458,6 +466,32 @@ def q_hash_join(sf_dir):
         return out[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]]
 
     return both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+
+
+def q_hash_join_broadcast(sf_dir):
+    """Broadcast small-side join (the common dimension-table case): the
+    customer side is `ray.put` once as a pandas lookup and merged inside
+    each orders batch — the big side never shuffles at all. Use this
+    form whenever the small side fits in a worker's heap; the
+    partitioned q_hash_join is the fallback when both sides are large."""
+    import ray as _ray
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust_df = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .drop_duplicates("c_custkey")
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    cust_ref = _ray.put(cust_df)
+
+    def join_batch(df: pd.DataFrame) -> pd.DataFrame:
+        small = _ray.get(cust_ref)
+        out = df.merge(small, on="o_custkey", how="inner")
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out[["o_orderkey", "o_custkey", "o_totalprice", "c_name"]]
+
+    return orders.map_batches(join_batch, batch_format="pandas")
 
 
 def q_json_props_extract(sf_dir):
@@ -725,6 +759,7 @@ QUERIES = {
     "encode_decode_region": _mk_roundtrip("region"),
     "encode_decode_nested": q_encode_decode_nested,
     "hash_join": q_hash_join,
+    "hash_join_broadcast": q_hash_join_broadcast,
     "json_props_extract": q_json_props_extract,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -839,6 +874,10 @@ ORACLES = {
         "SELECT event_id, event_type, value, user_id FROM events"
     ),
     "hash_join": (
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
+        "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "hash_join_broadcast": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
     ),

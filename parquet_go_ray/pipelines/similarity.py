@@ -140,8 +140,19 @@ def lsh_near_pairs(
     cos_threshold: float = 0.9,
     seed: int = 5,
     dim: int | None = None,
+    n_vecs_hint: int | None = None,
 ) -> ray.data.Dataset:
-    """Near-duplicate embedding pairs via random-hyperplane LSH buckets."""
+    """Near-duplicate embedding pairs via random-hyperplane LSH buckets.
+
+    Same shuffle discipline as the text MinHash path (round-2 verdict
+    #4): only (bucket, id) rows ride the groupby — 16 bytes/row, never
+    the embedding payload — buckets are hash-partitioned with a
+    size-targeted partition count, a degenerate bucket (e.g. near-zero
+    vectors all hashing to one key) is capped at MAX_BUCKET instead of
+    exploding into O(b^2) pairs and an O(b^2) cosine matrix in one task,
+    and vectors are attached only to SURVIVING candidate pairs by the
+    distributed pair join before the exact-cosine verify."""
+    from .dedup import MAX_BUCKET, _attach_pair_values, _n_partitions
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         m = _to_matrix(batch[vec_col])
@@ -152,40 +163,72 @@ def lsh_near_pairs(
         for b in range(n_planes):
             bucket = bucket * 2 + bits[:, b]
         return pd.DataFrame(
-            {
-                "bucket": bucket,
-                id_col: batch[id_col].to_numpy(),
-                "vec": list(m),
-            }
+            {"bucket": bucket, id_col: batch[id_col].to_numpy()}
         )
 
-    def pairs_in_bucket(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
-            {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+    P = _n_partitions(n_vecs_hint, 1)
+
+    def add_part(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        b = df["bucket"].to_numpy().view(np.uint64)
+        df["pt"] = ((b * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(P)).astype(
+            np.int64
         )
-        if len(group) < 2:
-            return empty
-        ids = group[id_col].to_numpy()
-        m = np.stack(group["vec"].to_numpy())
-        order = np.argsort(ids)
-        ids, m = ids[order], m[order]
-        norms = np.linalg.norm(m, axis=1, keepdims=True)
-        mn = m / np.maximum(norms, 1e-12)
-        cos = mn @ mn.T
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = cos[ia, ib] >= cos_threshold
-        if not keep.any():
-            return empty
+        return df
+
+    _empty_cand = {"id_a": "int64", "id_b": "int64"}
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _b, group in part.groupby("bucket", sort=False):
+            n = len(group)
+            if n < 2 or n > MAX_BUCKET:
+                continue
+            ids = np.sort(group[id_col].to_numpy())
+            ia, ib = np.triu_indices(n, k=1)
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": ids[ia].astype(np.int64), "id_b": ids[ib].astype(np.int64)}
+                )
+            )
+        if not outs:
+            return pd.DataFrame({k: [] for k in _empty_cand}).astype(_empty_cand)
+        return pd.concat(outs).drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
+    cand = (
+        ds.map_batches(bucketize, batch_format="pandas")
+        .map_batches(add_part, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+
+    def vec_values(sel: pd.DataFrame):
+        m = _to_matrix(sel[vec_col])
+        return [row.tobytes() for row in m]
+
+    paired = _attach_pair_values(cand, ds, vec_values, vec_col, id_col)
+
+    _empty_out = {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+
+    def exact_cos(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return pd.DataFrame({k: [] for k in _empty_out}).astype(_empty_out)
+        va = np.frombuffer(b"".join(batch["val_a"]), dtype=np.float64).reshape(
+            len(batch), -1
+        )
+        vb = np.frombuffer(b"".join(batch["val_b"]), dtype=np.float64).reshape(
+            len(batch), -1
+        )
+        na = np.maximum(np.linalg.norm(va, axis=1), 1e-12)
+        nb = np.maximum(np.linalg.norm(vb, axis=1), 1e-12)
+        cos = (va * vb).sum(axis=1) / (na * nb)
+        keep = cos >= cos_threshold
         return pd.DataFrame(
             {
-                "id_a": ids[ia[keep]].astype(np.int64),
-                "id_b": ids[ib[keep]].astype(np.int64),
-                "cos": np.round(cos[ia, ib][keep], 4),
+                "id_a": batch["id_a"].to_numpy()[keep].astype(np.int64),
+                "id_b": batch["id_b"].to_numpy()[keep].astype(np.int64),
+                "cos": np.round(cos[keep], 4),
             }
         )
 
-    return (
-        ds.map_batches(bucketize, batch_format="pandas")
-        .groupby("bucket")
-        .map_groups(pairs_in_bucket, batch_format="pandas")
-    )
+    return paired.map_batches(exact_cos, batch_format="pandas")
