@@ -664,17 +664,31 @@ def q_embedding_topk(sf_dir):
     return similarity.brute_force_topk(_read(sf_dir, "embeddings"), np.array(q), k=10)
 
 
+def _ivf_store(sf_dir: str) -> str:
+    """Cluster-partitioned embedding store (once per sf_dir): one
+    parquet shard per centroid cell, so probes prune the READ, not just
+    the compute (round-2 verdict #5)."""
+    import hashlib
+    import os
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_ivfstore_{key}"
+    if not os.path.exists(f"{out}/_ivf_meta.json"):
+        similarity.build_ivf_store(_read(sf_dir, "embeddings"), out)
+    return out
+
+
 def q_embedding_topk_ivf(sf_dir):
-    """IVF approximate nearest neighbours (rows-only: approximate)."""
+    """IVF approximate nearest neighbours over the cluster-partitioned
+    store — only probed cells' shards are opened (rows-only gate:
+    approximate)."""
     import duckdb
 
     q = duckdb.sql(
         f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
         "ORDER BY vec_id LIMIT 1"
     ).fetchone()[0]
-    return similarity.ivf_topk(
-        _read(sf_dir, "embeddings"), np.array(q), k=10, n_probe=8
-    )
+    return similarity.ivf_topk_store(_ivf_store(sf_dir), np.array(q), k=10, n_probe=8)
 
 
 def q_embedding_near_pairs(sf_dir):

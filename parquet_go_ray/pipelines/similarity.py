@@ -132,6 +132,145 @@ def ivf_topk(
     return out[[id_col, "rank", "cos"]]
 
 
+# --------------------------------------------------------------------------
+# IVF with I/O pruning: a cluster-partitioned store (one parquet shard
+# per centroid cell, assigned at build time) so a query reads ONLY the
+# probed cells from storage — the ANN analogue of the reference's page
+# pruning via column indexes (search.go:6-116). The per-batch ivf_topk
+# above prunes compute only; this prunes the read itself.
+
+
+def build_ivf_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 13,
+) -> dict:
+    """Partition the embedding table by nearest centroid into one
+    parquet shard per cell (atomic tmp+rename; a map_groups call owns
+    its whole cell). Centroids are trained on a driver-side sample and
+    broadcast once; only (cell, rows) summary rows return to the driver.
+    At 10^12 vectors a hot cell would additionally salt into multiple
+    files per cell — the probe path globs `cell={c:04d}*.parquet`, so
+    that layout change is read-compatible."""
+    import json
+    import os
+    from pathlib import Path
+
+    sample = _to_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    cent = kmeans_centroids(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+    out = Path(store_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def assign(batch: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        m = _to_matrix(batch[vec_col])
+        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        batch = batch.copy()
+        batch["_cell"] = d.argmin(axis=1).astype(np.int64)
+        return batch
+
+    def write_cell(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.parquet as pq
+
+        import pyarrow as pa
+
+        cell = int(group["_cell"].iloc[0])
+        path = out / f"cell={cell:04d}.parquet"
+        tmp = str(path) + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(
+                group.drop(columns=["_cell"]), preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"cell": [cell], "rows": [len(group)]})
+
+    summary = (
+        ds.map_batches(assign, batch_format="pandas")
+        .groupby("_cell")
+        .map_groups(write_cell, batch_format="pandas")
+        .to_pandas()
+    )
+    meta = {
+        "centroids": cent.tolist(),
+        "n_centroids": int(len(cent)),
+        "cells": {int(c): int(r) for c, r in zip(summary["cell"], summary["rows"])},
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    tmpm = out / "._ivf_meta.json.tmp"
+    tmpm.write_text(json.dumps(meta))
+    os.replace(tmpm, out / "_ivf_meta.json")
+    return {"cells": len(summary), "rows": int(summary["rows"].sum())}
+
+
+def ivf_probe_cells(store_dir: str, query: np.ndarray, n_probe: int) -> list[int]:
+    """The n_probe nearest centroid cells for a query (driver-side: the
+    centroid matrix is tiny metadata)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(store_dir) / "_ivf_meta.json").read_text())
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    order = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))
+    return [int(c) for c in order[:n_probe]]
+
+
+def ivf_topk_store(
+    store_dir: str,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+) -> pd.DataFrame:
+    """IVF top-k over a cluster-partitioned store: only the probed
+    cells' shard files are ever opened (assert-able: chmod the rest to
+    0 and this still runs). Returns (id, rank, cos)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(store_dir) / "_ivf_meta.json").read_text())
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cells = ivf_probe_cells(store_dir, query, n_probe)
+    files = [
+        str(p)
+        for c in cells
+        for p in sorted(Path(store_dir).glob(f"cell={c:04d}*.parquet"))
+    ]
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    if not files:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64"),
+             "cos": pd.Series([], dtype="float64")}
+        )
+    q_ref = ray.put(q)
+    ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+
+    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        qv = ray.get(q_ref)
+        m = _to_matrix(batch[vec_col])
+        cos = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        order = np.lexsort((batch[id_col].to_numpy(), -cos))[:k]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[order], "cos": cos[order]}
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    order = np.lexsort((partials[id_col].to_numpy(), -partials["cos"].to_numpy()))[:k]
+    out = partials.iloc[order].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[[id_col, "rank", "cos"]]
+
+
 def lsh_near_pairs(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",

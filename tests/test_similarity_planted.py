@@ -94,3 +94,60 @@ def test_lsh_degenerate_bucket_bounded(ray_session):
         (n_degenerate + i, n_degenerate + 50 + i) for i in range(5)
     }
     assert len(planted_pairs & found) >= 4
+
+
+def test_ivf_store_prunes_io(ray_session, tmp_path):
+    """Non-probed cells are NEVER OPENED: chmod their shard files to 000
+    and the probe-path query must still succeed (a single open() of a
+    non-probed shard would raise PermissionError)."""
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivf_store,
+        brute_force_topk,
+        ivf_probe_cells,
+        ivf_topk_store,
+    )
+
+    rng = np.random.default_rng(23)
+    vecs = rng.standard_normal((2000, 16))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(2000), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    store = str(tmp_path / "ivf")
+    info = build_ivf_store(ds, store, n_centroids=8)
+    assert info["rows"] == 2000
+    assert info["cells"] >= 4  # spread over multiple cells
+
+    query = vecs[7]
+    probed = set(ivf_probe_cells(store, query, n_probe=3))
+    shards = sorted(Path(store).glob("cell=*.parquet"))
+    blocked = []
+    for p in shards:
+        cell = int(p.stem.split("=")[1])
+        if cell not in probed:
+            os.chmod(p, 0)
+            blocked.append(p)
+    assert blocked, "need at least one non-probed cell for the proof"
+    try:
+        out = ivf_topk_store(store, query, k=5, n_probe=3)
+    finally:
+        for p in blocked:
+            os.chmod(p, 0o644)
+    assert len(out) == 5
+    # the query's own vector lives in a probed cell and must be rank 1
+    assert int(out["vec_id"].iloc[0]) == 7
+    # with 3/8 cells probed, the approximate top-5 should largely agree
+    # with the exact answer
+    exact = brute_force_topk(ds, query, k=5)
+    assert len(set(out["vec_id"]) & set(exact["vec_id"])) >= 3
