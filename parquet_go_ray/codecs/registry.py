@@ -11,9 +11,11 @@ from __future__ import annotations
 # wire format version: bump on ANY chunk/codec/manifest layout change so
 # cached encoded stores are invalidated (a store written by version X
 # must be decoded by version X)
-FORMAT_VERSION = 6  # v6: delta codecs emit exact parquet wire form
-                    # (no framing around self-terminating delta blocks;
-                    # unneeded trailing miniblocks have no body)
+FORMAT_VERSION = 7  # v7: chunk-header magic embeds the format version
+                    # ("RC" + version byte + NUL); decode rejects any
+                    # other version instead of silently misdecoding.
+                    # (v6: delta codecs emit exact parquet wire form —
+                    # no framing around self-terminating delta blocks)
 
 # ---- codec ids (wire format: append-only) ----
 PLAIN = 0

@@ -129,18 +129,27 @@ def splitmix64(x: np.ndarray) -> np.ndarray:
         return z ^ (z >> _U64(31))
 
 
-def id_bloom_positions(ids: np.ndarray, m_bits: int, k: int) -> np.ndarray:
-    """(n, k) int64 bit positions for uint64 ids in an m_bits-bit Bloom
-    filter (double hashing). Shared by the distributed slice builder and
-    the probe so positions can never drift."""
-    h = splitmix64(np.asarray(ids, dtype=np.uint64))
-    h1 = h % _U64(m_bits)
-    h2 = ((h >> _U64(17)) | _U64(1)) % _U64(m_bits)
-    with np.errstate(over="ignore"):
-        idx = (
-            h1[:, None] + np.arange(k, dtype=np.uint64)[None, :] * h2[:, None]
-        ) % _U64(m_bits)
-    return idx.astype(np.int64)
+# blocked layout (the reference's split-block shape, bloom/block.go:17-28):
+# all k bits of one id land in a single 512-bit block, so the distributed
+# builder shuffles ONE (slice, hash) row per id instead of k position
+# rows, and a probe touches one cache line
+ID_BLOOM_BLOCK_BITS = 512
+
+
+def id_bloom_positions(hashes: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """(n, k) int64 bit positions for PRE-MIXED uint64 hashes in an
+    m_bits-bit blocked Bloom filter (m_bits a multiple of 512). Shared by
+    the distributed slice builder and the probe so positions can never
+    drift; callers mix raw ids with splitmix64 first."""
+    h = np.asarray(hashes, dtype=np.uint64)
+    n_blocks = m_bits // ID_BLOOM_BLOCK_BITS
+    base = (h % _U64(n_blocks)).astype(np.int64) * ID_BLOOM_BLOCK_BITS
+    offs = np.empty((len(h), k), dtype=np.int64)
+    for j in range(k):
+        offs[:, j] = ((h >> _U64(17 + 9 * j)) & _U64(ID_BLOOM_BLOCK_BITS - 1)).astype(
+            np.int64
+        )
+    return base[:, None] + offs
 
 
 def id_bloom_probe(
@@ -149,7 +158,7 @@ def id_bloom_probe(
     """Boolean membership mask for uint64 ids (no false negatives)."""
     if not len(ids):
         return np.zeros(0, dtype=bool)
-    idx = id_bloom_positions(ids, m_bits, k)
+    idx = id_bloom_positions(splitmix64(ids), m_bits, k)
     got = (bitmap[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1
     return got.all(axis=1)
 

@@ -159,7 +159,11 @@ def minhash_candidates(
 # one value computation — the pair join's inner merge keeps exactness)
 _BLOOM_BITS_PER_ID = 10
 _BLOOM_K = 4
-_BLOOM_SLICE_BYTES = 1 << 22  # build the bitmap in 4 MiB shuffle slices
+# bitmap slice granularity for the distributed build: small enough that
+# even a few-MB bloom builds on many tasks in parallel, large enough
+# that the slice count stays trivial at scale (a 2.5 GB bloom for 1e9
+# candidate ids is ~10k slices)
+_BLOOM_SLICE_BYTES = 1 << 18
 
 
 def _candidate_id_bloom(cand: ray.data.Dataset, n_pairs: int):
@@ -183,20 +187,27 @@ def _candidate_id_bloom(cand: ray.data.Dataset, n_pairs: int):
     n_slices = m_bytes // slice_bytes
     slice_bits = slice_bytes * 8
 
+    n_blocks = m_bits // hashing.ID_BLOOM_BLOCK_BITS
+    blocks_per_slice = slice_bits // hashing.ID_BLOOM_BLOCK_BITS
+
     def bit_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # blocked layout: ONE (slice, hash) row per id rides the shuffle
+        # (all k bits derive from the hash inside the builder) instead of
+        # k bit-position rows
         ids = np.unique(
             np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
         ).view(np.uint64)
-        pos = hashing.id_bloom_positions(ids, m_bits, _BLOOM_K).ravel()
-        pos = np.unique(pos)
-        return pd.DataFrame(
-            {"sl": (pos // slice_bits).astype(np.int64), "pos": pos % slice_bits}
+        h = hashing.splitmix64(ids)
+        sl = ((h % np.uint64(n_blocks)) // np.uint64(blocks_per_slice)).astype(
+            np.int64
         )
+        return pd.DataFrame({"sl": sl, "h": h.view(np.int64)})
 
     def build_slice(part: pd.DataFrame) -> pd.DataFrame:
         sl = int(part["sl"].iloc[0])
         bits = np.zeros(slice_bytes, dtype=np.uint8)
-        pos = np.unique(part["pos"].to_numpy())
+        h = np.unique(part["h"].to_numpy()).view(np.uint64)
+        pos = hashing.id_bloom_positions(h, m_bits, _BLOOM_K).ravel() - sl * slice_bits
         np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
         return pd.DataFrame({"sl": [sl], "bits": [bits.tobytes()]})
 
@@ -361,7 +372,7 @@ BROADCAST_PAIR_LIMIT = 2_000_000
 
 def _candidate_value_lookup(
     cand: ray.data.Dataset, ds: ray.data.Dataset, value_fn, id_col: str,
-    n_pairs: int | None = None,
+    n_pairs: int | None = None, bloom=None,
 ):
     """Broadcast helper for small candidate sets (the explicitly bounded
     fast path, <= BROADCAST_PAIR_LIMIT pairs): one projected pass over
@@ -375,7 +386,8 @@ def _candidate_value_lookup(
 
     if n_pairs is None:
         n_pairs = cand.count()
-    bloom = _candidate_id_bloom(cand, n_pairs)
+    if bloom is None:
+        bloom = _candidate_id_bloom(cand, n_pairs)
 
     def doc_values(batch: pd.DataFrame) -> pd.DataFrame:
         if bloom is None:

@@ -31,6 +31,24 @@ def _read(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
+def _read_split(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
+    """Read with enough blocks to parallelize CPU-heavy per-row kernels
+    (MinHash/SimHash/lang-id): read_parquet parallelism is capped at
+    files x row-groups, and the driver testdata ships single-row-group
+    files, so a hash stage would otherwise run as ONE task. Small inputs
+    repartition to ~2x cluster CPUs (a few-MB shuffle, repaid many times
+    over by the parallel kernel); inputs that already carry more row
+    groups than cores — every real 100 TB layout — skip the shuffle."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{table}.parquet"
+    target = 2 * max(4, int(ray.cluster_resources().get("CPU", 8)))
+    ds = ray.data.read_parquet(path, **kw)
+    if pq.read_metadata(path).num_row_groups < target:
+        ds = ds.repartition(target)
+    return ds
+
+
 # --------------------------------------------------------------- queries
 
 
@@ -623,31 +641,48 @@ def q_lang_id(sf_dir):
 # ---- dedup family (rows-only where not SQL-expressible)
 
 
+def _nrows(sf_dir: str, table: str) -> int:
+    """Row-count hint from parquet metadata (footer-only read)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(f"{sf_dir}/{table}.parquet").num_rows
+
+
 def q_minhash_lsh_pairs(sf_dir):
     return dedup.minhash_lsh_pairs(
-        _read(sf_dir, "documents"), jaccard_threshold=0.5
+        _read_split(sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        n_docs_hint=_nrows(sf_dir, "documents"),
     )
 
 
 def q_simhash_fingerprints(sf_dir):
-    return dedup.simhash_fingerprints(_read(sf_dir, "documents"))
+    return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
 
 def q_simhash_near_pairs(sf_dir):
     # banded multi-probe buckets + within-bucket vectorized Hamming;
     # every pair at distance <= 3 shares an intact 16-bit band
-    return dedup.simhash_near_pairs(_read(sf_dir, "documents"))
+    return dedup.simhash_near_pairs(
+        _read_split(sf_dir, "documents"), n_docs_hint=_nrows(sf_dir, "documents")
+    )
 
 
 def q_dedup_pipeline(sf_dir):
     # exact dedup -> MinHash-LSH near-dup pairs over representatives
     # (the standard training-corpus composition)
-    return dedup.dedup_pipeline(_read(sf_dir, "documents"), jaccard_threshold=0.5)
+    return dedup.dedup_pipeline(
+        _read_split(sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+    )
 
 
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
-        _read(sf_dir, "documents"), jaccard_threshold=0.5
+        _read_split(sf_dir, "documents"),
+        jaccard_threshold=0.5,
+        n_docs_hint=_nrows(sf_dir, "documents"),
     )
 
 
