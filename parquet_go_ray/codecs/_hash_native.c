@@ -14,3 +14,85 @@ void fnv1a_segments(const unsigned char *data, const long *offsets, long n,
         out[i] = h;
     }
 }
+
+/* Segmented XXH64 (seed 0) over variable-length byte slices — the hash
+ * the parquet split-block bloom filter specifies. One uint64 per
+ * [offsets[i], offsets[i+1]) segment. */
+#define P64_1 0x9E3779B185EBCA87ULL
+#define P64_2 0xC2B2AE3D27D4EB4FULL
+#define P64_3 0x165667B19E3779F9ULL
+#define P64_4 0x85EBCA77C2B2AE63ULL
+#define P64_5 0x27D4EB2F165667C5ULL
+
+static inline uint64_t rotl64(uint64_t x, int r) {
+    return (x << r) | (x >> (64 - r));
+}
+
+static inline uint64_t read64(const unsigned char *p) {
+    uint64_t v;
+    __builtin_memcpy(&v, p, 8);
+    return v;
+}
+
+static inline uint32_t read32(const unsigned char *p) {
+    uint32_t v;
+    __builtin_memcpy(&v, p, 4);
+    return v;
+}
+
+static inline uint64_t xxh_round(uint64_t acc, uint64_t x) {
+    acc += x * P64_2;
+    acc = rotl64(acc, 31);
+    return acc * P64_1;
+}
+
+static uint64_t xxh64(const unsigned char *p, long len) {
+    const unsigned char *end = p + len;
+    uint64_t h;
+    if (len >= 32) {
+        uint64_t v1 = P64_1 + P64_2, v2 = P64_2, v3 = 0, v4 = (uint64_t)0 - P64_1;
+        const unsigned char *limit = end - 32;
+        do {
+            v1 = xxh_round(v1, read64(p)); p += 8;
+            v2 = xxh_round(v2, read64(p)); p += 8;
+            v3 = xxh_round(v3, read64(p)); p += 8;
+            v4 = xxh_round(v4, read64(p)); p += 8;
+        } while (p <= limit);
+        h = rotl64(v1, 1) + rotl64(v2, 7) + rotl64(v3, 12) + rotl64(v4, 18);
+        h ^= xxh_round(0, v1); h = h * P64_1 + P64_4;
+        h ^= xxh_round(0, v2); h = h * P64_1 + P64_4;
+        h ^= xxh_round(0, v3); h = h * P64_1 + P64_4;
+        h ^= xxh_round(0, v4); h = h * P64_1 + P64_4;
+    } else {
+        h = P64_5;
+    }
+    h += (uint64_t)len;
+    while (p + 8 <= end) {
+        h ^= xxh_round(0, read64(p));
+        h = rotl64(h, 27) * P64_1 + P64_4;
+        p += 8;
+    }
+    if (p + 4 <= end) {
+        h ^= (uint64_t)read32(p) * P64_1;
+        h = rotl64(h, 23) * P64_2 + P64_3;
+        p += 4;
+    }
+    while (p < end) {
+        h ^= (uint64_t)(*p) * P64_5;
+        h = rotl64(h, 11) * P64_1;
+        p++;
+    }
+    h ^= h >> 33;
+    h *= P64_2;
+    h ^= h >> 29;
+    h *= P64_3;
+    h ^= h >> 32;
+    return h;
+}
+
+void xxhash64_segments(const unsigned char *data, const long *offsets, long n,
+                       uint64_t *out)
+{
+    for (long i = 0; i < n; i++)
+        out[i] = xxh64(data + offsets[i], offsets[i + 1] - offsets[i]);
+}

@@ -101,10 +101,14 @@ def ts(fields: list[tuple[int, str, object]]) -> bytes:
 
 
 def tlist(elem_kind: str, items: list) -> bytes:
-    """Serialize a thrift list. elem_kind: i32 | bin | struct."""
-    t = {"i32": _CT_I32, "i64": _CT_I64, "bin": _CT_BINARY, "struct": _CT_STRUCT}[
-        elem_kind
-    ]
+    """Serialize a thrift list. elem_kind: i32 | i64 | bin | bool | struct."""
+    t = {
+        "i32": _CT_I32,
+        "i64": _CT_I64,
+        "bin": _CT_BINARY,
+        "bool": _CT_TRUE,
+        "struct": _CT_STRUCT,
+    }[elem_kind]
     n = len(items)
     out = bytearray()
     if n < 15:
@@ -118,6 +122,8 @@ def tlist(elem_kind: str, items: list) -> bytes:
         elif elem_kind == "bin":
             raw = it if isinstance(it, bytes) else str(it).encode()
             out += _uvarint(len(raw)) + raw
+        elif elem_kind == "bool":
+            out.append(_CT_TRUE if it else _CT_FALSE)
         else:
             out += it
     return bytes(out)
@@ -529,10 +535,87 @@ class _ColumnChunkResult:
         "total_comp",
         "num_values",
         "stats",
+        "page_locations",  # (file offset, header+body size, first_row_index)
+        "page_stats",  # per data page: dict or None (no ColumnIndex then)
+        "bloom",  # SplitBlockFilter or None
     )
 
     def __init__(self):
         self.stats = None
+        self.page_locations = []
+        self.page_stats = []
+        self.bloom = None
+
+
+def _page_bounds(nn: pa.Array, ct: _ColType):
+    """Per-page ColumnIndex bounds: {lo, hi (plain bytes), lo_py, hi_py}
+    or None when the type/size rules skip stats (same rules as the
+    chunk-level statistics blob)."""
+    if not len(nn) or ct.physical == T_FLBA or ct.converted in (11, 12, 13, 14):
+        return None
+    if ct.physical == T_BYTE_ARRAY and nn.nbytes // max(1, len(nn)) > 256:
+        return None
+    try:
+        mm = pc.min_max(nn)
+        lo = _stat_value(mm["min"], ct)
+        hi = _stat_value(mm["max"], ct)
+        if lo is None or hi is None:
+            return None
+        return {"lo": lo, "hi": hi, "lo_py": mm["min"].as_py(), "hi_py": mm["max"].as_py()}
+    except Exception:
+        return None
+
+
+def _column_index_blob(res: _ColumnChunkResult) -> bytes | None:
+    """ColumnIndex thrift for one chunk (column_index.go:259-272 role):
+    per-page null_pages/min/max/null_counts + boundary_order. None when
+    any non-null page lacks bounds (indexes are optional per chunk)."""
+    if not res.page_stats or any(
+        ps is None for ps in res.page_stats
+    ):
+        return None
+    null_pages, mins, maxs, null_counts = [], [], [], []
+    seq = []
+    for ps in res.page_stats:
+        if ps["null_page"]:
+            null_pages.append(True)
+            mins.append(b"")
+            maxs.append(b"")
+        else:
+            null_pages.append(False)
+            mins.append(ps["lo"])
+            maxs.append(ps["hi"])
+            seq.append((ps["lo_py"], ps["hi_py"]))
+        null_counts.append(ps["null_count"])
+    boundary = 0  # UNORDERED
+    try:
+        if all(
+            a[0] <= b[0] and a[1] <= b[1] for a, b in zip(seq, seq[1:])
+        ):
+            boundary = 1  # ASCENDING
+        elif all(
+            a[0] >= b[0] and a[1] >= b[1] for a, b in zip(seq, seq[1:])
+        ):
+            boundary = 2  # DESCENDING
+    except TypeError:
+        pass
+    return ts(
+        [
+            (1, "list", tlist("bool", null_pages)),
+            (2, "list", tlist("bin", mins)),
+            (3, "list", tlist("bin", maxs)),
+            (4, "i32", boundary),
+            (5, "list", tlist("i64", null_counts)),
+        ]
+    )
+
+
+def _offset_index_blob(res: _ColumnChunkResult) -> bytes:
+    locs = [
+        ts([(1, "i64", off), (2, "i32", size), (3, "i64", first_row)])
+        for off, size, first_row in res.page_locations
+    ]
+    return ts([(1, "list", tlist("struct", locs))])
 
 
 def _write_column_chunk(
@@ -543,6 +626,8 @@ def _write_column_chunk(
     compression: str | None,
     encoding: str | None,
     page_rows: int,
+    page_version: int = 1,
+    want_bloom: bool = False,
 ) -> _ColumnChunkResult:
     res = _ColumnChunkResult()
     res.num_values = len(arr)
@@ -560,9 +645,12 @@ def _write_column_chunk(
             dict_vals, dict_idx = denc.dictionary, denc.indices
     else:
         enc, dict_vals, dict_idx = _select_encoding(arr, ct, compression)
-    res.stats = _stats_blob(
-        arr.drop_null() if arr.null_count else arr, ct, arr.null_count
-    )
+    nn_all = arr.drop_null() if arr.null_count else arr
+    res.stats = _stats_blob(nn_all, ct, arr.null_count)
+    if want_bloom:
+        from . import sbbf
+
+        res.bloom = sbbf.build_for_values(nn_all, ct.physical)
 
     def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
         offset = out.tell()
@@ -575,11 +663,49 @@ def _write_column_chunk(
         res.total_raw += len(header) + len(raw)
         res.total_comp += len(header) + len(comp)
         res.pages += 1
-        return offset
+        return offset, len(header) + len(comp)
+
+    def emit_v2(
+        levels: bytes, values_raw: bytes, num_values: int, num_nulls: int,
+        num_rows: int, page_enc: int,
+    ) -> tuple[int, int]:
+        # DataPage V2 (writer.go:365-370's modern layout): rep/def level
+        # streams stay uncompressed ahead of the (compressed) values
+        offset = out.tell()
+        comp_vals = _compress_page(values_raw, compression)
+        body = levels + comp_vals
+        inner = ts(
+            [
+                (1, "i32", num_values),
+                (2, "i32", num_nulls),
+                (3, "i32", num_rows),
+                (4, "i32", page_enc),
+                (5, "i32", len(levels)),  # definition_levels_byte_length
+                (6, "i32", 0),  # repetition_levels_byte_length (flat)
+                (7, "bool", bool(compression)),
+            ]
+        )
+        header = ts(
+            [
+                (1, "i32", 3),  # DATA_PAGE_V2
+                (2, "i32", len(levels) + len(values_raw)),
+                (3, "i32", len(body)),
+                (4, "i32", _crc32_signed(body)),
+                (8, "struct", inner),
+            ]
+        )
+        out.write(header)
+        out.write(body)
+        res.total_raw += len(header) + len(levels) + len(values_raw)
+        res.total_comp += len(header) + len(body)
+        res.pages += 1
+        return offset, len(header) + len(body)
 
     if enc == E_RLE_DICTIONARY:
         dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
-        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+        res.dict_page_offset, _ = emit(
+            _PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN
+        )
         source = dict_idx  # pages slice the index stream
         width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
     else:
@@ -590,21 +716,47 @@ def _write_column_chunk(
     for start in range(0, max(n, 1), page_rows):
         page = source.slice(start, page_rows) if n else source
         n_page = len(page)
-        parts = []
-        if optional:
-            validity = np.ones(n_page, dtype=bool)
-            if page.null_count:
-                validity = ~np.asarray(pc.is_null(page))
-            parts.append(_def_levels(validity))
+        validity = np.ones(n_page, dtype=bool)
+        if page.null_count:
+            validity = ~np.asarray(pc.is_null(page))
         values = page.drop_null() if page.null_count else page
         if enc == E_RLE_DICTIONARY:
             idx = values.to_numpy(zero_copy_only=False).astype(np.uint64)
-            parts.append(bytes([width]) + rle.encode(idx, width))
+            value_bytes = bytes([width]) + rle.encode(idx, width)
         else:
-            parts.append(_encode_values(values, enc, ct))
-        off = emit(_PAGE_DATA, b"".join(parts), n_page, enc)
+            value_bytes = _encode_values(values, enc, ct)
+        if page_version == 2:
+            levels = b""
+            if optional:
+                levels = rle.encode(validity.astype(np.uint64), 1)
+            off, size = emit_v2(
+                levels, value_bytes, n_page, n_page - len(values), n_page, enc
+            )
+        else:
+            parts = []
+            if optional:
+                parts.append(_def_levels(validity))
+            parts.append(value_bytes)
+            off, size = emit(_PAGE_DATA, b"".join(parts), n_page, enc)
         if res.data_page_offset is None:
             res.data_page_offset = off
+        res.page_locations.append((off, size, start if n else 0))
+        # per-page ColumnIndex stats come from the ORIGINAL values (the
+        # dict path's `page` holds indexes)
+        orig = arr.slice(start, page_rows) if n else arr
+        orig_nn = orig.drop_null() if orig.null_count else orig
+        if len(orig_nn) == 0:
+            res.page_stats.append(
+                {"null_page": True, "null_count": len(orig), "lo": b"", "hi": b"",
+                 "lo_py": None, "hi_py": None}
+            )
+        else:
+            b = _page_bounds(orig_nn, ct)
+            res.page_stats.append(
+                None
+                if b is None
+                else {"null_page": False, "null_count": orig.null_count, **b}
+            )
         if n == 0:
             break
 
@@ -831,7 +983,7 @@ def _write_general_column_chunk(
     else:
         enc, dict_vals, dict_idx = _select_encoding(dense, ct, compression)
 
-    def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
+    def emit(kind: int, raw: bytes, num_values: int, page_enc: int):
         offset = out.tell()
         comp = _compress_page(raw, compression)
         header = _page_header(
@@ -842,11 +994,11 @@ def _write_general_column_chunk(
         res.total_raw += len(header) + len(raw)
         res.total_comp += len(header) + len(comp)
         res.pages += 1
-        return offset
+        return offset, len(header) + len(comp)
 
     if enc == E_RLE_DICTIONARY:
         dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
-        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+        res.dict_page_offset, _ = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
 
     parts = []
     if max_rep > 0:
@@ -863,7 +1015,10 @@ def _write_general_column_chunk(
         parts.append(bytes([width]) + rle.encode(idx_np, width))
     else:
         parts.append(_encode_values(dense, enc, ct))
-    res.data_page_offset = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
+    res.data_page_offset, size = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
+    # nested leaves write one page per row group: offset index only
+    res.page_locations.append((res.data_page_offset, size, 0))
+    res.page_stats.append(None)
 
     res.stats = _stats_blob(dense, ct, res.num_values - len(dense))
     encodings = [enc, E_RLE]
@@ -942,7 +1097,7 @@ def _write_list_column_chunk(
     else:
         enc, dict_vals, dict_idx = _select_encoding(dense, ct, compression)
 
-    def emit(kind: int, raw: bytes, num_values: int, page_enc: int) -> int:
+    def emit(kind: int, raw: bytes, num_values: int, page_enc: int):
         offset = out.tell()
         comp = _compress_page(raw, compression)
         header = _page_header(
@@ -953,11 +1108,11 @@ def _write_list_column_chunk(
         res.total_raw += len(header) + len(raw)
         res.total_comp += len(header) + len(comp)
         res.pages += 1
-        return offset
+        return offset, len(header) + len(comp)
 
     if enc == E_RLE_DICTIONARY:
         dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
-        res.dict_page_offset = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
+        res.dict_page_offset, _ = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
         width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
         idx_np = dict_idx.to_numpy(zero_copy_only=False).astype(np.uint64)
 
@@ -982,9 +1137,11 @@ def _write_list_column_chunk(
                 _encode_values(dense.slice(cursor, n_dense), enc, ct)
             )
         cursor += n_dense
-        off = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
+        off, size = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
         if res.data_page_offset is None:
             res.data_page_offset = off
+        res.page_locations.append((off, size, start if n else 0))
+        res.page_stats.append(None)  # list leaves: offset index only
         res.num_values += len(rep)
         if n == 0:
             break
@@ -1005,11 +1162,24 @@ def write_table(
     rows_per_group: int | None = None,
     encodings: dict[str, str] | None = None,
     page_rows: int = 8192,
+    sorting_columns: list[tuple[str, bool, bool]] | None = None,
+    bloom_columns: tuple[str, ...] = (),
+    data_page_version: int = 1,
+    page_index: bool = True,
 ) -> dict:
     """Write `table` as a real parquet file at `path`.
 
     encodings: optional per-column forced encoding name (see
     ENCODING_NAMES values); unlisted columns auto-select.
+    sorting_columns: [(column, descending, nulls_first)] recorded in the
+    row-group metadata (sorting.go / row_group.go:80 parity) so readers
+    can exploit the order.
+    bloom_columns: flat columns that get a standard split-block bloom
+    filter sidecar (bloom.go:99-117), readable by any parquet reader.
+    data_page_version: 2 emits DataPage V2 for flat columns (uncompressed
+    level streams ahead of compressed values, writer.go:365-370 layout).
+    page_index: emit ColumnIndex/OffsetIndex structures in the footer
+    region (column_index.go:259-272, writer.go:1291-1330 parity).
     Returns {"rows", "bytes", "encodings": {col: name}}.
     """
     cols = []
@@ -1041,13 +1211,11 @@ def write_table(
 
     with open(path, "wb") as out:
         out.write(b"PAR1")
-        row_groups = []
-        n_leaves = 0
+        groups: list[dict] = []  # per group: {"leaves": [...], "rows": n}
         nrows_total = table.num_rows
         for g_start in range(0, max(nrows_total, 1), rows_per_group):
             g = table.slice(g_start, rows_per_group)
-            col_chunks = []
-            total_bytes = 0
+            leaves = []
             for name, shape, ct in cols:
                 arr = g.column(name)
                 if isinstance(arr, pa.ChunkedArray):
@@ -1084,45 +1252,121 @@ def write_table(
                         compression,
                         (encodings or {}).get(name),
                         page_rows,
+                        page_version=data_page_version,
+                        want_bloom=name in bloom_columns,
                     )
                     results = [(ct, [name], r)]
                     chosen[name] = ENCODING_NAMES[r.value_encoding]
                 for leaf_ct, path_in_schema, r in results:
-                    meta = ts(
+                    leaves.append(
+                        {"ct": leaf_ct, "names": path_in_schema, "res": r}
+                    )
+            groups.append({"leaves": leaves, "rows": g.num_rows})
+            if nrows_total == 0:
+                break
+
+        # bloom filters, then ColumnIndex / OffsetIndex blobs — all after
+        # the data pages, before the footer (writer.go:1291-1330 order)
+        for grp in groups:
+            for leaf in grp["leaves"]:
+                r = leaf["res"]
+                leaf["bloom_off"] = leaf["bloom_len"] = None
+                if r.bloom is not None:
+                    blob = r.bloom.serialize()
+                    leaf["bloom_off"] = out.tell()
+                    leaf["bloom_len"] = len(blob)
+                    out.write(blob)
+        for grp in groups:
+            for leaf in grp["leaves"]:
+                leaf["ci_off"] = leaf["ci_len"] = None
+                if page_index:
+                    blob = _column_index_blob(leaf["res"])
+                    if blob is not None:
+                        leaf["ci_off"] = out.tell()
+                        leaf["ci_len"] = len(blob)
+                        out.write(blob)
+        for grp in groups:
+            for leaf in grp["leaves"]:
+                leaf["oi_off"] = leaf["oi_len"] = None
+                if page_index and leaf["res"].page_locations:
+                    blob = _offset_index_blob(leaf["res"])
+                    leaf["oi_off"] = out.tell()
+                    leaf["oi_len"] = len(blob)
+                    out.write(blob)
+
+        # sorting_columns -> leaf ordinals (flat leaves only)
+        sort_blob = None
+        if sorting_columns and groups:
+            leaf_names = [
+                ".".join(leaf["names"]) for leaf in groups[0]["leaves"]
+            ]
+            scs = []
+            for col_name, descending, nulls_first in sorting_columns:
+                if col_name in leaf_names:
+                    scs.append(
+                        ts(
+                            [
+                                (1, "i32", leaf_names.index(col_name)),
+                                (2, "bool", descending),
+                                (3, "bool", nulls_first),
+                            ]
+                        )
+                    )
+            if scs:
+                sort_blob = tlist("struct", scs)
+
+        row_groups = []
+        n_leaves = 0
+        for grp in groups:
+            col_chunks = []
+            total_bytes = 0
+            for leaf in grp["leaves"]:
+                r = leaf["res"]
+                meta = ts(
+                    [
+                        (1, "i32", leaf["ct"].physical),
+                        (2, "list", tlist("i32", r.encodings)),
+                        (3, "list", tlist("bin", leaf["names"])),
+                        (4, "i32", _COMPRESSION_IDS[compression]),
+                        (5, "i64", r.num_values),
+                        (6, "i64", r.total_raw),
+                        (7, "i64", r.total_comp),
+                        (9, "i64", r.data_page_offset),
+                        (11, "i64", r.dict_page_offset),
+                        (12, "struct", r.stats),
+                        (14, "i64", leaf["bloom_off"]),
+                        (15, "i32", leaf["bloom_len"]),
+                    ]
+                )
+                first_off = (
+                    r.dict_page_offset
+                    if r.dict_page_offset is not None
+                    else r.data_page_offset
+                )
+                col_chunks.append(
+                    ts(
                         [
-                            (1, "i32", leaf_ct.physical),
-                            (2, "list", tlist("i32", r.encodings)),
-                            (3, "list", tlist("bin", path_in_schema)),
-                            (4, "i32", _COMPRESSION_IDS[compression]),
-                            (5, "i64", r.num_values),
-                            (6, "i64", r.total_raw),
-                            (7, "i64", r.total_comp),
-                            (9, "i64", r.data_page_offset),
-                            (11, "i64", r.dict_page_offset),
-                            (12, "struct", r.stats),
+                            (2, "i64", first_off),
+                            (3, "struct", meta),
+                            (4, "i64", leaf["oi_off"]),
+                            (5, "i32", leaf["oi_len"]),
+                            (6, "i64", leaf["ci_off"]),
+                            (7, "i32", leaf["ci_len"]),
                         ]
                     )
-                    first_off = (
-                        r.dict_page_offset
-                        if r.dict_page_offset is not None
-                        else r.data_page_offset
-                    )
-                    col_chunks.append(
-                        ts([(2, "i64", first_off), (3, "struct", meta)])
-                    )
-                    total_bytes += r.total_comp
+                )
+                total_bytes += r.total_comp
             n_leaves = len(col_chunks)
             row_groups.append(
                 ts(
                     [
                         (1, "list", tlist("struct", col_chunks)),
                         (2, "i64", total_bytes),
-                        (3, "i64", g.num_rows),
+                        (3, "i64", grp["rows"]),
+                        (4, "list", sort_blob),
                     ]
                 )
             )
-            if nrows_total == 0:
-                break
 
         root = ts([(4, "bin", b"schema"), (5, "i32", len(cols))])
         schema_elems = [root]

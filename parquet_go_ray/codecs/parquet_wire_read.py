@@ -109,6 +109,12 @@ class _TR:
             if n == 15:
                 n, self.pos = _uvarint(self.buf, self.pos)
             et = h & 0x0F
+            if et in (_CT_TRUE, _CT_FALSE):
+                # bool collection elements are one byte each (1=true),
+                # unlike field-header bools
+                vals = [self.buf[self.pos + i] == _CT_TRUE for i in range(n)]
+                self.pos += n
+                return vals
             return [self._value(et) for _ in range(n)]
         if t == _CT_STRUCT:
             return self.struct()
@@ -375,6 +381,8 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
         raw_len, comp_len = header[2], header[3]
         body = bytes(buf[tr.pos : tr.pos + comp_len])
         pos = tr.pos + comp_len
+        if page_type in (0, 3):
+            DECODE_COUNTERS["data_pages"] += 1
 
         if page_type == 2:  # dictionary page
             dh = header[7]
@@ -962,3 +970,320 @@ def read_table(
         parts = arrays[n] or [pa.array([], type=_entry_type(by_name[n]))]
         out[n] = pa.chunked_array(parts)
     return pa.table(out)
+
+
+# ---------------------------------------------------------------------------
+# page index (ColumnIndex / OffsetIndex), bloom filters, pruned reads
+
+# module-level decode counters so tests can prove page skipping:
+# every decoded data page increments "data_pages"
+DECODE_COUNTERS = {"data_pages": 0}
+
+
+def _plain_single(raw: bytes, col: _Column):
+    """Decode one ColumnIndex/Statistics bound (plain single value)."""
+    p = col.ptype
+    if p == _T_BOOLEAN:
+        return bool(raw[0])
+    if p == _T_INT32:
+        return struct.unpack("<i", raw)[0]
+    if p == _T_INT64:
+        return struct.unpack("<q", raw)[0]
+    if p == _T_FLOAT:
+        return struct.unpack("<f", raw)[0]
+    if p == _T_DOUBLE:
+        return struct.unpack("<d", raw)[0]
+    if p == _T_BYTE_ARRAY:
+        ty = col.arrow_type()
+        return raw.decode() if pa.types.is_string(ty) else raw
+    return raw
+
+
+def read_page_index(path: str) -> list[dict]:
+    """Per row group: {leaf_path: {"column_index": dict|None,
+    "offset_index": {"locations": [(offset, size, first_row)]}|None}}.
+    column_index: {"null_pages", "mins", "maxs", "boundary_order",
+    "null_counts"} with decoded py bound values."""
+    parsed = read_metadata(path)
+    raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    descs = _parse_schema(meta[2])
+    by_path: dict[str, _Column] = {}
+    for d in descs:
+        if d["kind"] in ("struct", "dremel"):
+            for leaf in d["leaves"]:
+                by_path[leaf["path"]] = leaf["col"]
+        else:
+            by_path[d["path"]] = d["col"]
+    out = []
+    for rg in meta.get(4, []):
+        entry: dict = {}
+        for cc in rg[1]:
+            cmeta = cc[3]
+            pth = b".".join(cmeta[3]).decode()
+            col = by_path.get(pth)
+            rec = {"column_index": None, "offset_index": None}
+            if cc.get(6) is not None and col is not None:
+                ci = _TR(raw, cc[6]).struct()
+                mins = [
+                    None if np_ else _plain_single(bytes(mv), col)
+                    for np_, mv in zip(ci[1], ci[2])
+                ]
+                maxs = [
+                    None if np_ else _plain_single(bytes(mv), col)
+                    for np_, mv in zip(ci[1], ci[3])
+                ]
+                rec["column_index"] = {
+                    "null_pages": ci[1],
+                    "mins": mins,
+                    "maxs": maxs,
+                    "boundary_order": ci.get(4, 0),
+                    "null_counts": ci.get(5),
+                }
+            if cc.get(4) is not None:
+                oi = _TR(raw, cc[4]).struct()
+                rec["offset_index"] = {
+                    "locations": [
+                        (loc[1], loc[2], loc[3]) for loc in oi[1]
+                    ]
+                }
+            entry[pth] = rec
+        out.append(entry)
+    return out
+
+
+def read_bloom_filters(path: str, column: str) -> list:
+    """Per row group: the column's split-block bloom filter (or None).
+    Works on ANY parquet file carrying standard SBBF sidecars — ours or
+    a foreign writer's (file.go:113-150 parity)."""
+    from .sbbf import SplitBlockFilter
+
+    parsed = read_metadata(path)
+    raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    out = []
+    for rg in meta.get(4, []):
+        f = None
+        for cc in rg[1]:
+            cmeta = cc[3]
+            pth = b".".join(cmeta[3]).decode()
+            if pth == column and cmeta.get(14) is not None:
+                f = SplitBlockFilter.deserialize(parsed["file"], cmeta[14])
+                break
+        out.append(f)
+    return out
+
+
+def bloom_may_contain(path: str, column: str, values) -> np.ndarray:
+    """Per-value: could this value appear anywhere in the file? ORs the
+    per-row-group probes; exact False means provably absent."""
+    from . import parquet_wire as W
+    from .sbbf import plain_segments, xxhash64
+
+    parsed = read_metadata(path)
+    descs = _parse_schema(parsed["meta"][2])
+    col = next(d["col"] for d in descs if d.get("path") == column)
+    arr = pa.array(values)
+    phys = {0: W.T_BOOLEAN, 1: W.T_INT32, 2: W.T_INT64, 4: W.T_FLOAT,
+            5: W.T_DOUBLE, 6: W.T_BYTE_ARRAY, 7: W.T_FLBA}[col.ptype]
+    data, offsets = plain_segments(arr, phys)
+    if data is None:
+        raise WireFormatError(f"no bloom hashing for physical type {col.ptype}")
+    h = xxhash64(data, offsets)
+    out = np.zeros(len(arr), dtype=bool)
+    any_filter = False
+    for f in read_bloom_filters(path, column):
+        if f is None:
+            out[:] = True  # a group without a filter may contain anything
+            continue
+        any_filter = True
+        out |= f.check_hashes(h)
+    if not any_filter:
+        return np.ones(len(arr), dtype=bool)
+    return out
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    if not ranges:
+        return []
+    ranges = sorted(ranges)
+    out = [list(ranges[0])]
+    for s, e in ranges[1:]:
+        if s <= out[-1][1]:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]
+
+
+def _read_flat_pages(buf, cmeta: dict, desc: dict, locations, keep_idx):
+    """Decode ONLY the selected data pages of a flat column chunk (the
+    page-skipping read path: search.go:6-116 over the ColumnIndex).
+    Returns (array, covered_starts, covered_counts by ROW)."""
+    col: _Column = desc["col"]
+    codec = cmeta.get(4, 0)
+    ty = col.arrow_type()
+    dictionary = None
+    if cmeta.get(11):
+        tr = _TR(buf, cmeta[11])
+        header = tr.struct()
+        body = bytes(buf[tr.pos : tr.pos + header[3]])
+        dictionary = _decode_plain(
+            _decompress(body, codec, header[2]), header[7][1], col
+        )
+    dict_arrow = (
+        _dense_to_arrow(dictionary, col, ty) if dictionary is not None else None
+    )
+    chunks, starts, counts = [], [], []
+    for i in keep_idx:
+        off, _size, first_row = locations[i]
+        tr = _TR(buf, off)
+        header = tr.struct()
+        body = bytes(buf[tr.pos : tr.pos + header[3]])
+        DECODE_COUNTERS["data_pages"] += 1
+        if header[1] == 0:  # v1
+            dh = header[5]
+            n_page, enc = dh[1], dh[2]
+            data = _decompress(body, codec, header[2])
+            dpos = 0
+            if col.optional:
+                (blen,) = struct.unpack_from("<I", data, 0)
+                validity = rle.decode(data[4 : 4 + blen], 1, n_page).astype(bool)
+                dpos = 4 + blen
+            else:
+                validity = np.ones(n_page, dtype=bool)
+            kind, vals = _decode_values(
+                data[dpos:], enc, int(validity.sum()), col, dictionary
+            )
+        elif header[1] == 3:  # v2
+            dh = header[8]
+            n_page, n_nulls, enc = dh[1], dh[2], dh[4]
+            def_len, rep_len = dh[5], dh[6]
+            levels_raw = bytes(body[: def_len + rep_len])
+            values_raw = body[def_len + rep_len :]
+            if dh.get(7, True) and codec:
+                values_raw = _decompress(
+                    values_raw, codec, header[2] - def_len - rep_len
+                )
+            if col.optional and def_len:
+                validity = rle.decode(levels_raw[rep_len:], 1, n_page).astype(bool)
+            else:
+                validity = np.ones(n_page, dtype=bool)
+            kind, vals = _decode_values(
+                values_raw, enc, n_page - n_nulls, col, dictionary
+            )
+        else:
+            raise WireFormatError(f"page-skip read hit page type {header[1]}")
+        dense = (
+            dict_arrow.take(pa.array(vals))
+            if kind == "idx"
+            else _dense_to_arrow(vals, col, ty)
+        )
+        arr = dense if validity.all() else _with_nulls(dense, validity)
+        chunks.append(arr)
+        starts.append(first_row)
+        counts.append(n_page)
+    if not chunks:
+        return pa.array([], type=ty), [], []
+    return (
+        pa.concat_arrays(chunks) if len(chunks) > 1 else chunks[0]
+    ), starts, counts
+
+
+def read_table_pruned(
+    path: str,
+    column: str,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+):
+    """Range-predicate read (lo <= column <= hi) that uses the file's
+    own ColumnIndex/OffsetIndex to decode only pages whose [min, max]
+    intersects the range (search.go:6-116 page pruning at wire level).
+    Residual exact filtering is applied, so the result equals a full
+    read + filter. Returns (table, info) with page-count evidence."""
+    parsed = read_metadata(path)
+    raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    descs = _parse_schema(meta[2])
+    want = columns or [d["name"] for d in descs]
+    by_name = {d["name"]: d for d in descs}
+    for n in want + [column]:
+        if by_name[n]["kind"] not in ("flat",):
+            raise WireFormatError("pruned read supports flat columns only")
+    index = read_page_index(path)
+    arrays: dict[str, list] = {n: [] for n in want}
+    info = {"pages_read": 0, "pages_total": 0, "row_groups_read": 0}
+    for gi, rg in enumerate(meta.get(4, [])):
+        n_rows = rg[3]
+        idx = index[gi]
+        by_path = {b".".join(cc[3][3]).decode(): cc for cc in rg[1]}
+        tgt = idx[column]
+        info["pages_total"] += sum(
+            len(idx[n]["offset_index"]["locations"])
+            for n in want
+            if idx[n]["offset_index"]
+        )
+        if tgt["column_index"] is None or tgt["offset_index"] is None:
+            keep = None  # no index: read every page of the group
+        else:
+            ci = tgt["column_index"]
+            locs = tgt["offset_index"]["locations"]
+            keep = [
+                i
+                for i in range(len(locs))
+                if not ci["null_pages"][i]
+                and ci["maxs"][i] >= lo
+                and ci["mins"][i] <= hi
+            ]
+        locs_t = tgt["offset_index"]["locations"] if tgt["offset_index"] else None
+        if keep is not None and not keep:
+            continue  # whole row group pruned
+        info["row_groups_read"] += 1
+        if keep is None or locs_t is None:
+            # fallback: full chunk decode for this group
+            for n in want:
+                arrays[n].append(
+                    _read_column_chunk(raw, by_path[n][3], by_name[n], n_rows)
+                )
+            continue
+        # target row ranges from kept pages
+        ranges = []
+        for i in keep:
+            start = locs_t[i][2]
+            end = locs_t[i + 1][2] if i + 1 < len(locs_t) else n_rows
+            ranges.append((start, end))
+        ranges = _merge_ranges(ranges)
+        for n in want:
+            oi = idx[n]["offset_index"]
+            locs = oi["locations"]
+            sel = []
+            for i, (off, size, first) in enumerate(locs):
+                end = locs[i + 1][2] if i + 1 < len(locs) else n_rows
+                if any(s < end and first < e for s, e in ranges):
+                    sel.append(i)
+            arr, starts, counts = _read_flat_pages(
+                raw, by_path[n][3], by_name[n], locs, sel
+            )
+            info["pages_read"] += len(sel)
+            # slice decoded coverage down to the exact target ranges
+            mask = np.zeros(len(arr), dtype=bool)
+            pos = 0
+            for st, cnt in zip(starts, counts):
+                for s, e in ranges:
+                    a = max(s, st)
+                    b = min(e, st + cnt)
+                    if a < b:
+                        mask[pos + (a - st) : pos + (b - st)] = True
+                pos += cnt
+            arrays[n].append(arr.filter(pa.array(mask)))
+    out = {}
+    for n in want:
+        parts = arrays[n] or [pa.array([], type=by_name[n]["col"].arrow_type())]
+        out[n] = pa.chunked_array(parts)
+    table = pa.table(out)
+    # residual exact filter
+    import pyarrow.compute as _pc
+
+    m = _pc.and_(
+        _pc.greater_equal(table.column(column), pa.scalar(lo)),
+        _pc.less_equal(table.column(column), pa.scalar(hi)),
+    )
+    return table.filter(m), info

@@ -62,6 +62,9 @@ class _WireExporter:
         rows_per_group: int | None = 65536,
         page_rows: int = 8192,
         resume: bool = True,
+        sorting_columns: list[tuple[str, bool, bool]] | None = None,
+        bloom_columns: tuple[str, ...] = (),
+        data_page_version: int = 1,
     ):
         self.output_dir = output_dir
         self.compression = compression
@@ -69,6 +72,9 @@ class _WireExporter:
         self.rows_per_group = rows_per_group
         self.page_rows = page_rows
         self.resume = resume
+        self.sorting_columns = sorting_columns
+        self.bloom_columns = bloom_columns
+        self.data_page_version = data_page_version
 
     @staticmethod
     def _is_whole_shard(source_path, n_rows: int) -> bool:
@@ -115,6 +121,9 @@ class _WireExporter:
                 rows_per_group=self.rows_per_group,
                 encodings=self.encodings,
                 page_rows=self.page_rows,
+                sorting_columns=self.sorting_columns,
+                bloom_columns=self.bloom_columns,
+                data_page_version=self.data_page_version,
             )
             os.replace(tmp, path)
             rows.append(
@@ -141,6 +150,9 @@ def export_parquet_job(
     resume: bool = True,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    sorting_columns: list[tuple[str, bool, bool]] | None = None,
+    bloom_columns: tuple[str, ...] = (),
+    data_page_version: int = 1,
 ) -> dict:
     """Export parquet shards through the wire writer; returns a summary."""
     t0 = time.time()
@@ -159,6 +171,9 @@ def export_parquet_job(
         rows_per_group=rows_per_group,
         page_rows=page_rows,
         resume=resume,
+        sorting_columns=sorting_columns,
+        bloom_columns=bloom_columns,
+        data_page_version=data_page_version,
     )
     summary = ds.map_batches(
         exporter, batch_format="pyarrow", batch_size=None, zero_copy_batch=True

@@ -570,6 +570,101 @@ def q_point_lookup_bloom(sf_dir):
     return point_lookup(_doc_store(sf_dir), "doc_id", [5, 105, 205])
 
 
+# ---- wire-level page index / bloom access paths
+
+
+def _wire_store(
+    sf_dir: str,
+    table: str,
+    sort_col: str | None = None,
+    bloom_cols: tuple[str, ...] = (),
+    page_rows: int = 1024,
+) -> str:
+    """Cached wire export (once per sf_dir+config) carrying page
+    indexes (+ optional sorting metadata / bloom sidecars)."""
+    import hashlib
+
+    from .export import export_parquet_job
+
+    key = hashlib.sha1(
+        f"{sf_dir}|{table}|{sort_col}|{bloom_cols}|{page_rows}".encode()
+    ).hexdigest()[:10]
+    out = f"/tmp/graft_wirestore_{key}"
+    export_parquet_job(
+        [f"{sf_dir}/{table}.parquet"],
+        out,
+        page_rows=page_rows,
+        sorting_columns=[(sort_col, False, False)] if sort_col else None,
+        bloom_columns=bloom_cols,
+        resume=True,
+    )
+    return out
+
+
+def q_wire_page_index_range(sf_dir):
+    """Range predicate over a sorted wire export, answered through the
+    file's own ColumnIndex/OffsetIndex: only pages whose [min, max]
+    intersects the range are decoded (search.go:6-116 pruning at wire
+    level; index write parity with writer.go:1291-1330). One Ray task
+    per exported file."""
+    import glob as _glob
+
+    store = _wire_store(sf_dir, "orders", sort_col="o_orderkey")
+    files = sorted(_glob.glob(f"{store}/*.parquet"))
+    lo, hi = 1000, 1999
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs import parquet_wire_read as R
+
+        outs = []
+        for path in batch["item"]:
+            tbl, _info = R.read_table_pruned(
+                path, "o_orderkey", lo, hi,
+                columns=["o_orderkey", "o_custkey", "o_totalprice"],
+            )
+            outs.append(tbl.to_pandas())
+        out = pd.concat(outs) if outs else pd.DataFrame(
+            {"o_orderkey": [], "o_custkey": [], "o_totalprice": []}
+        )
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        return out
+
+    ds = ray.data.from_items(files, override_num_blocks=len(files))
+    return ds.map_batches(prune, batch_format="pandas")
+
+
+def q_wire_bloom_lookup(sf_dir):
+    """Point lookup over a wire export with standard split-block bloom
+    sidecars (bloom.go:99-117 / bloom/block.go:17-28): files whose
+    filters exclude every probe key are never read beyond the footer."""
+    import glob as _glob
+
+    store = _wire_store(sf_dir, "documents", bloom_cols=("doc_id",))
+    files = sorted(_glob.glob(f"{store}/*.parquet"))
+    keys = [5, 105, 205, 99999999]
+
+    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
+        from ..codecs import parquet_wire_read as R
+
+        outs = []
+        for path in batch["item"]:
+            may = R.bloom_may_contain(path, "doc_id", keys)
+            if not may.any():
+                continue  # bloom-pruned: file never opened for data
+            tbl = R.read_table(path, columns=["doc_id", "n_chars"])
+            df = tbl.to_pandas()
+            outs.append(df[df["doc_id"].isin(keys)])
+        if not outs:
+            return pd.DataFrame(
+                {"doc_id": pd.Series([], dtype="int64"),
+                 "n_chars": pd.Series([], dtype="int64")}
+            )
+        return pd.concat(outs)
+
+    ds = ray.data.from_items(files, override_num_blocks=len(files))
+    return ds.map_batches(lookup, batch_format="pandas")
+
+
 # ---- text analysis
 
 
@@ -809,6 +904,8 @@ QUERIES = {
     "encode_decode_nested": q_encode_decode_nested,
     "hash_join": q_hash_join,
     "hash_join_broadcast": q_hash_join_broadcast,
+    "wire_page_index_range": q_wire_page_index_range,
+    "wire_bloom_lookup": q_wire_bloom_lookup,
     "json_props_extract": q_json_props_extract,
     "token_counts": q_token_counts,
     "quality_scores": q_quality_scores,
@@ -929,6 +1026,14 @@ ORACLES = {
     "hash_join_broadcast": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "wire_page_index_range": (
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice "
+        "FROM orders WHERE o_orderkey BETWEEN 1000 AND 1999"
+    ),
+    "wire_bloom_lookup": (
+        "SELECT doc_id, n_chars FROM documents "
+        "WHERE doc_id IN (5, 105, 205, 99999999)"
     ),
     "json_props_extract": (
         "SELECT event_id, CAST(coalesce(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), "

@@ -1,0 +1,154 @@
+"""Wire-level page index, split-block bloom filters, DataPage V2 and
+SortingColumns metadata (round-2 verdict #2/#3/#7).
+
+External-oracle checks use pyarrow (which exposes has_column_index /
+has_offset_index / sorting_columns) and known public XXH64 vectors;
+pyarrow 16 can neither write nor read parquet bloom filters, so the
+bloom cross-check is writer<->reader roundtrip + the hash vectors.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.codecs import parquet_wire_read as R
+from parquet_go_ray.codecs import sbbf
+from parquet_go_ray.codecs.parquet_wire import T_BYTE_ARRAY, write_table
+
+
+@pytest.fixture(scope="module")
+def indexed_file(tmp_path_factory):
+    n = 60000
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(n), type=pa.int64()),
+            "s": pa.array([f"row-{i:07d}" for i in range(n)]),
+            "v": pa.array(np.random.default_rng(5).standard_normal(n)),
+            "nul": pa.array(
+                [None if i % 3 else i for i in range(n)], type=pa.int64()
+            ),
+        }
+    )
+    p = str(tmp_path_factory.mktemp("wire") / "indexed.parquet")
+    write_table(
+        t,
+        p,
+        compression="zstd",
+        rows_per_group=20000,
+        page_rows=2048,
+        sorting_columns=[("k", False, False)],
+        bloom_columns=("s", "k"),
+    )
+    return p, t
+
+
+def test_pyarrow_sees_page_index_and_sorting(indexed_file):
+    p, t = indexed_file
+    f = pq.ParquetFile(p)
+    md = f.metadata
+    for rg in range(md.num_row_groups):
+        for c in range(md.num_columns):
+            col = md.row_group(rg).column(c)
+            assert col.has_offset_index
+        assert md.row_group(rg).column(0).has_column_index
+        sc = md.row_group(rg).sorting_columns
+        assert len(sc) == 1 and sc[0].column_index == 0
+        assert not sc[0].descending
+    # and the data still reads back identically through pyarrow
+    assert f.read().to_pydict() == t.to_pydict()
+
+
+def test_page_index_roundtrip_own_reader(indexed_file):
+    p, _t = indexed_file
+    idx = R.read_page_index(p)
+    assert len(idx) == 3  # row groups
+    ci = idx[0]["k"]["column_index"]
+    assert ci["boundary_order"] == 1  # ascending
+    assert ci["mins"][0] == 0 and ci["maxs"][0] == 2047
+    assert idx[0]["k"]["offset_index"]["locations"][1][2] == 2048
+    # the nullable column records per-page null counts
+    nci = idx[0]["nul"]["column_index"]
+    assert sum(nci["null_counts"]) == sum(1 for i in range(20000) if i % 3)
+
+
+def test_pruned_read_decodes_fewer_pages(indexed_file):
+    p, t = indexed_file
+    R.DECODE_COUNTERS["data_pages"] = 0
+    out, info = R.read_table_pruned(p, "k", 30000, 31000, columns=["k", "s"])
+    assert info["pages_read"] < info["pages_total"] // 5
+    assert R.DECODE_COUNTERS["data_pages"] == info["pages_read"]
+    assert info["row_groups_read"] == 1  # two groups pruned outright
+    exp = t.select(["k", "s"]).slice(30000, 1001)
+    assert out.sort_by("k").to_pydict() == exp.to_pydict()
+
+
+def test_pruned_read_matches_full_scan_on_unsorted(tmp_path):
+    # unsorted column: boundary_order UNORDERED, pruning still exact
+    rng = np.random.default_rng(9)
+    vals = rng.permutation(20000)
+    t = pa.table({"k": pa.array(vals, type=pa.int64())})
+    p = str(tmp_path / "u.parquet")
+    write_table(t, p, page_rows=1024)
+    idx = R.read_page_index(p)
+    assert idx[0]["k"]["column_index"]["boundary_order"] == 0
+    out, _ = R.read_table_pruned(p, "k", 5, 42)
+    assert sorted(out.column("k").to_pylist()) == list(range(5, 43))
+
+
+def test_xxhash64_public_vectors():
+    vecs = {
+        b"": 0xEF46DB3751D8E999,
+        b"a": 0xD24EC4F1A98C6E5B,
+        b"abc": 0x44BC2CF5AD770999,
+        b"Nobody inspects the spammish repetition": 0xFBCEA83C8A378BF1,
+    }
+    data = b"".join(vecs)
+    offs = np.cumsum([0] + [len(k) for k in vecs]).astype(np.int64)
+    h = sbbf.xxhash64(data, offs)
+    for i, (k, want) in enumerate(vecs.items()):
+        assert int(h[i]) == want, k
+        assert sbbf._xxh64_py(k) == want, k
+
+
+def test_sbbf_roundtrip_and_fp_rate():
+    vals = pa.array([f"key{i}" for i in range(4000)])
+    f = sbbf.build_for_values(vals, T_BYTE_ARRAY)
+    g = sbbf.SplitBlockFilter.deserialize(f.serialize())
+    d, o = sbbf.plain_segments(vals, T_BYTE_ARRAY)
+    assert g.check_hashes(sbbf.xxhash64(d, o)).all()  # no false negatives
+    probe = pa.array([f"absent{i}" for i in range(20000)])
+    d, o = sbbf.plain_segments(probe, T_BYTE_ARRAY)
+    assert g.check_hashes(sbbf.xxhash64(d, o)).mean() < 0.05
+
+
+def test_wire_bloom_file_probe(indexed_file):
+    p, _t = indexed_file
+    filters = R.read_bloom_filters(p, "s")
+    assert all(f is not None for f in filters)
+    may = R.bloom_may_contain(
+        p, "s", ["row-0000001", "row-0059999", "missing-a", "missing-b"]
+    )
+    assert may[0] and may[1] and not may[2] and not may[3]
+    # int64 column blooms too
+    may_k = R.bloom_may_contain(p, "k", [17, 59999, 10**12])
+    assert may_k[0] and may_k[1] and not may_k[2]
+
+
+def test_datapage_v2_three_readers(tmp_path):
+    import duckdb
+
+    t = pa.table(
+        {
+            "a": pa.array(np.arange(30000), type=pa.int64()),
+            "b": pa.array(
+                [None if i % 7 == 0 else f"s{i % 100:03d}" for i in range(30000)]
+            ),
+        }
+    )
+    p = str(tmp_path / "v2.parquet")
+    write_table(t, p, compression="zstd", page_rows=1024, data_page_version=2)
+    assert pq.read_table(p).to_pydict() == t.to_pydict()
+    assert R.read_table(p).to_pydict() == t.to_pydict()
+    got = duckdb.sql(f"SELECT count(*), count(b) FROM read_parquet('{p}')").fetchone()
+    assert got == (30000, 30000 - len(range(0, 30000, 7)))
