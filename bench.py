@@ -133,6 +133,17 @@ def run_bench() -> dict:
     results["webpages_decode_verify"] = round(time.time() - t0, 3)
     detail["roundtrip_ok"] = bool(res["ok"])
 
+    # ---- shuffle-free skew variant: in-task (lang, ts) sort ----
+    out6 = f"{out_root}/bench_encode_langlocal_sf{sf:g}_{ncpu}"
+    shutil.rmtree(out6, ignore_errors=True)
+    t0 = time.time()
+    s6 = encode_job(files, out6, mode="lang_local", resume=False)
+    results["webpages_encode_langlocal"] = round(time.time() - t0, 3)
+    detail["compression_ratio_langlocal"] = round(
+        s6["enc_nbytes"] / max(1, s6["raw_nbytes"]), 4
+    )
+    shutil.rmtree(out6, ignore_errors=True)
+
     # ---- salted-shuffle encode variant (explicit skew handling) ----
     out2 = f"{out_root}/bench_encode_salted_sf{sf:g}_{ncpu}"
     shutil.rmtree(out2, ignore_errors=True)

@@ -9,6 +9,12 @@ rows only (the data itself never shuffles in the direct path).
 Modes:
 - "direct" (default): input-shard-aligned, no shuffle; resume skips
   whole completed shards.
+- "lang_local": skew-aware layout with ZERO shuffle — each task sorts
+  its own shard by (lang, warc_ts) before chunking, so chunks are
+  language-homogeneous runs and the per-run selection caches hold
+  per-language FSST/dict tables. Measured at sf0.1: ratio 0.334 at
+  ~1.2x direct wall time (direct 0.339, lang_salted 0.329 at ~8x) —
+  most of the salted ratio win without moving any payload.
 - "lang_salted" (north-rule skew handling): explicit
   `groupby(lang, salt)` shuffle before encoding, salt = hash(url) %
   salts, so hot languages (en is ~40% of rows) split into bounded
@@ -116,7 +122,7 @@ def encode_job(
         },
     )
 
-    if mode == "direct":
+    if mode in ("direct", "lang_local"):
         pending = [f for f in input_files if Path(f).stem not in done]
         skipped = len(input_files) - len(pending)
         if not pending:
@@ -142,6 +148,13 @@ def encode_job(
             compression=compression,
             bloom_columns=bloom_columns,
             codec_overrides=codec_overrides,
+            # lang_local: the skew-aware layout WITHOUT a shuffle — each
+            # task sorts its own shard by (lang, warc_ts) before
+            # chunking: language-homogeneous chunks specialize the
+            # per-language FSST/dict tables AND timestamps stay
+            # delta-packable ((lang, url) keys lose the ts ordering —
+            # measured 0.3257 vs 0.3226 per-chunk ratio)
+            local_sort=("lang", "warc_ts") if mode == "lang_local" else None,
         )
         # whole blocks as batches: each task encodes a block's worth of
         # chunk groups and packs them into ONE parquet file per shard

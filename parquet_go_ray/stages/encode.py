@@ -415,7 +415,18 @@ class ChunkEncoder:
         bloom_columns: tuple[str, ...] = ("url",),
         default_shard: str = "mem",
         max_chunk_bytes: int = 64 << 20,
+        local_sort: tuple[str, ...] | None = None,
     ):
+        # local_sort: sort each task's shard rows by these keys BEFORE
+        # chunking — an in-task O(shard log shard) sort with ZERO
+        # shuffle. Sorting by (lang, url) makes chunks
+        # language-homogeneous (the per-chunk FSST tables specialize for
+        # free) and groups urls by host for prefix-sharing codecs:
+        # measured url ratio 0.479 -> 0.348, lang 0.145 -> 0.016 at the
+        # cost of timestamp delta packing (0.30 -> 0.53 on a small
+        # column). Row order is not semantic for the corpus store and
+        # the verify checksum is order-insensitive.
+        self.local_sort = tuple(local_sort) if local_sort else None
         self.default_shard = default_shard
         self.output_dir = output_dir
         self.rows_per_chunk = rows_per_chunk
@@ -456,6 +467,60 @@ class ChunkEncoder:
         actor-pool form."""
         return _COLUMN_CACHE
 
+    def _encode_groups(
+        self, group: pa.Table, shard: str, cache: dict
+    ) -> list[pa.Table]:
+        """Encode one shard group into chunk-record tables (the per-task
+        inner loop; subclasses re-partition the group first, e.g. by
+        language)."""
+        if self.local_sort and group.num_rows:
+            keys = [k for k in self.local_sort if k in group.column_names]
+            if keys:
+                group = group.sort_by([(k, "ascending") for k in keys])
+        step = self._chunk_rows(group)
+        # after a local sort whose leading key is a categorical (lang),
+        # chunks are key-homogeneous runs: select codecs/tables per
+        # (key, column) instead of per column, so each language keeps
+        # its own specialized FSST table in the worker cache
+        cache_key_col = (
+            self.local_sort[0]
+            if self.local_sort
+            and group.num_rows
+            and self.local_sort[0] in group.column_names
+            else None
+        )
+        # file-level shared dictionaries only pay off when the file
+        # holds several chunk groups
+        shared: dict | None = (
+            {} if self.output_dir and group.num_rows > step else None
+        )
+        groups = []
+        for start in range(0, group.num_rows, step):
+            piece = group.slice(start, step)
+            piece_cache = cache
+            if cache_key_col is not None:
+                kc = piece.column(cache_key_col)
+                # (first, last) key: a pure run shares its language's
+                # cached tables; a boundary chunk spanning several
+                # languages trains on its own mixed content instead of
+                # borrowing the leading language's table
+                run_key = f"{kc[0].as_py()}|{kc[-1].as_py()}"
+                piece_cache = _LANG_CACHES.setdefault(f"run:{run_key}", {})
+            groups.append(
+                encode_table(
+                    piece,
+                    shard,
+                    self.codec_overrides,
+                    self.compression,
+                    self.bloom_columns,
+                    cache=piece_cache,
+                    shared_dicts=shared,
+                )
+            )
+        if shared:
+            groups.append(_dict_page_rows(shared, shard, self.compression))
+        return groups
+
     def _is_whole_shard(self, source_path, n_rows: int) -> bool:
         """True when this task's group is the entire input shard (checked
         against the source parquet footer), so the shard manifest can be
@@ -476,29 +541,7 @@ class ChunkEncoder:
                 continue
             if self.shard_per_call:
                 shard = f"{shard}-{chunk_id_for(group)}"
-            step = self._chunk_rows(group)
-            # file-level shared dictionaries only pay off when the file
-            # holds several chunk groups
-            shared: dict | None = (
-                {} if self.output_dir and group.num_rows > step else None
-            )
-            groups = []
-            for start in range(0, group.num_rows, step):
-                piece = group.slice(start, step)
-                groups.append(
-                    encode_table(
-                        piece,
-                        shard,
-                        self.codec_overrides,
-                        self.compression,
-                        self.bloom_columns,
-                        cache=cache,
-                        shared_dicts=shared,
-                    )
-                )
-            if shared:
-                groups.append(_dict_page_rows(shared, shard, self.compression))
-            chunks = pa.concat_tables(groups)
+            chunks = pa.concat_tables(self._encode_groups(group, shard, cache))
             if self.output_dir:
                 chunks = write_chunk_file(chunks, self.output_dir)
                 lineage = lineage_of(chunks)
@@ -597,3 +640,9 @@ def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
     for a, b in zip(starts[:-1], starts[1:]):
         p = paths[a]
         yield Path(p).stem, p, data.slice(int(a), int(b - a))
+
+
+# per-worker per-language-run selection caches for local-sorted encode
+# (workers are reused across tasks, so each language's tables amortize
+# over every chunk the worker encodes)
+_LANG_CACHES: dict[str, dict] = {}

@@ -80,6 +80,27 @@ def test_salted_mode(ray_session, web_small, tmp_path):
     assert res["ok"], res
 
 
+def test_lang_local_mode(ray_session, web_small, tmp_path):
+    """Shuffle-free skew mode: in-task (lang, warc_ts) sort before
+    chunking; round-trip stays bit-identical (order-insensitive) and the
+    ratio must not regress past direct mode's."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.pipelines.verify import verify_roundtrip
+
+    out = str(tmp_path / "enc_ll")
+    summary = encode_job(web_small, out, mode="lang_local")
+    assert summary["rows"] == 6250
+    res = verify_roundtrip(ray.data.read_parquet(web_small), decode_dataset(out))
+    assert res["ok"], res
+
+    out_d = str(tmp_path / "enc_direct")
+    direct = encode_job(web_small, out_d, mode="direct")
+    assert summary["enc_nbytes"] <= direct["enc_nbytes"] * 1.01
+
+
 def test_actor_cached_mode(ray_session, web_small, tmp_path):
     import ray.data
 
