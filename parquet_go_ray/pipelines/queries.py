@@ -609,28 +609,22 @@ def q_wire_page_index_range(sf_dir):
     per exported file."""
     import glob as _glob
 
+    from ..sources.wire import read_parquet_native
+
     store = _wire_store(sf_dir, "orders", sort_col="o_orderkey")
     files = sorted(_glob.glob(f"{store}/*.parquet"))
-    lo, hi = 1000, 1999
+    ds = read_parquet_native(
+        files,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        range_filter=("o_orderkey", 1000, 1999),
+    )
 
-    def prune(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..codecs import parquet_wire_read as R
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["o_totalprice"] = df["o_totalprice"].round(2)
+        return df
 
-        outs = []
-        for path in batch["item"]:
-            tbl, _info = R.read_table_pruned(
-                path, "o_orderkey", lo, hi,
-                columns=["o_orderkey", "o_custkey", "o_totalprice"],
-            )
-            outs.append(tbl.to_pandas())
-        out = pd.concat(outs) if outs else pd.DataFrame(
-            {"o_orderkey": [], "o_custkey": [], "o_totalprice": []}
-        )
-        out["o_totalprice"] = out["o_totalprice"].round(2)
-        return out
-
-    ds = ray.data.from_items(files, override_num_blocks=len(files))
-    return ds.map_batches(prune, batch_format="pandas")
+    return ds.map_batches(fix, batch_format="pandas")
 
 
 def q_wire_bloom_lookup(sf_dir):

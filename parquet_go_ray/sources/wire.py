@@ -23,13 +23,20 @@ def read_parquet_native(
     paths: list[str],
     columns: list[str] | None = None,
     row_group_granular: bool = True,
+    range_filter: tuple[str, object, object] | None = None,
 ) -> ray.data.Dataset:
+    """Distributed native read. With `range_filter=(col, lo, hi)`, each
+    task answers the predicate through the file's own
+    ColumnIndex/OffsetIndex (read_table_pruned): only pages whose
+    [min, max] intersects the range are decoded, and files/row groups
+    the index excludes are skipped entirely — the distributed form of
+    the reference's Search page pruning (search.go:6-116)."""
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
 
     items = []
-    if row_group_granular:
+    if row_group_granular and range_filter is None:
         from ..codecs.parquet_wire_read import num_row_groups
 
         for p in paths:
@@ -39,19 +46,27 @@ def read_parquet_native(
             else:
                 items.extend({"path": p, "rg": g} for g in range(n))
     else:
+        # pruned reads plan per FILE: the page index makes row-group
+        # selection an in-task footer decision, no driver probing needed
         items = [{"path": p, "rg": -1} for p in paths]
 
     def load(batch: pa.Table) -> pa.Table:
-        from ..codecs.parquet_wire_read import read_table
+        from ..codecs.parquet_wire_read import read_table, read_table_pruned
 
-        tables = [
-            read_table(
-                p, columns=columns, row_groups=None if rg < 0 else [rg]
-            )
-            for p, rg in zip(
-                batch.column("path").to_pylist(), batch.column("rg").to_pylist()
-            )
-        ]
+        tables = []
+        for p, rg in zip(
+            batch.column("path").to_pylist(), batch.column("rg").to_pylist()
+        ):
+            if range_filter is not None:
+                col, lo, hi = range_filter
+                t, _info = read_table_pruned(p, col, lo, hi, columns=columns)
+                tables.append(t)
+            else:
+                tables.append(
+                    read_table(
+                        p, columns=columns, row_groups=None if rg < 0 else [rg]
+                    )
+                )
         return pa.concat_tables(tables, promote_options="default")
 
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))
