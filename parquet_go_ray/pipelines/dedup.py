@@ -55,18 +55,32 @@ def exact_dedupe(
             id_col: batch[id_col].to_numpy(),
         })
 
-    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "keep_id": [int(group[id_col].min())],
-                "n_dups": [int(len(group))],
-            }
+    # hash-partitioned merge, one vectorized pandas groupby per
+    # PARTITION (a per-group map_groups costs a Python call per
+    # distinct document — unbounded at corpus scale)
+    P = 64
+
+    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        h8 = np.fromiter(
+            (int(h[:16], 16) for h in df["h"]), dtype=np.uint64, count=len(df)
         )
+        df["pt"] = (h8 % np.uint64(P)).astype(np.int64)
+        return df
+
+    def keep_first_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("h", as_index=False, sort=False).agg(
+            keep_id=(id_col, "min"), n_dups=(id_col, "size")
+        )
+        g["keep_id"] = g["keep_id"].astype("int64")
+        g["n_dups"] = g["n_dups"].astype("int64")
+        return g[["keep_id", "n_dups"]]
 
     return (
         ds.map_batches(add_hash, batch_format="pandas")
-        .groupby("h")
-        .map_groups(keep_first, batch_format="pandas")
+        .map_batches(add_pt, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(keep_first_part, batch_format="pandas")
     )
 
 

@@ -278,9 +278,13 @@ def windowed_agg(
     key_col: str,
     value_col: str,
     window_us: int,
+    parts: int = 32,
 ) -> ray.data.Dataset:
     """Tumbling event-time window: (key, window_start) -> count/sum.
-    Partial per batch, then a tiny groupby over partials."""
+    Partial per batch, then hash-partitioned merge: one vectorized
+    pandas groupby per PARTITION, never a Python call per group (a
+    per-group map_groups costs ~0.5 ms x groups — seconds at a few
+    thousand windows)."""
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bucket = (df[ts_col].astype("int64") // window_us).astype("int64")
@@ -290,20 +294,26 @@ def windowed_agg(
             .agg(["count", "sum"])
             .reset_index()
         )
-        return g.rename(columns={"count": "pn", "sum": "psum"})
+        g = g.rename(columns={"count": "pn", "sum": "psum"})
+        from ..functions.hashing import stable_hash_strings
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                "bucket": [int(g["bucket"].iloc[0])],
-                "n": [int(g["pn"].sum())],
-                "sum_value": [float(g["psum"].sum())],
-            }
+        h = stable_hash_strings(g[key_col].astype(str).to_numpy())
+        g["pt"] = (
+            (h ^ g["bucket"].to_numpy().view(np.uint64)) % np.uint64(parts)
+        ).astype(np.int64)
+        return g
+
+    def final_part(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby([key_col, "bucket"], as_index=False).agg(
+            n=("pn", "sum"), sum_value=("psum", "sum")
         )
+        g["bucket"] = g["bucket"].astype("int64")
+        g["n"] = g["n"].astype("int64")
+        g["sum_value"] = g["sum_value"].astype(float)
+        return g[[key_col, "bucket", "n", "sum_value"]]
 
     return (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby([key_col, "bucket"])
-        .map_groups(final, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(final_part, batch_format="pandas")
     )
