@@ -88,6 +88,46 @@ def lsh_band_keys(
     return key
 
 
+def winnow_fingerprints(
+    texts: list[bytes], k: int = 8, w: int = 16
+) -> list[np.ndarray]:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): rolling k-byte hashes, sliding-window-of-w minima,
+    distinct minima per doc. Fully vectorized — rolling hashes from the
+    shared shingle kernel, window minima via a strided view. Returns one
+    sorted uint64 fingerprint array per doc; near-duplicate documents
+    share most fingerprints, identical documents all of them."""
+    n_docs = len(texts)
+    out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * n_docs
+    if n_docs == 0:
+        return out
+    buf, offsets = _concat_bytes(texts)
+    h, starts, _ = _shingle_windows(buf, offsets, k)
+    if len(h) == 0:
+        return out
+    ends = np.append(starts[1:], len(h))
+    for i in range(n_docs):
+        hw = h[starts[i] : ends[i]]
+        if not len(hw):
+            continue
+        if len(hw) <= w:
+            out[i] = np.unique(hw.min(keepdims=True))
+            continue
+        mins = np.lib.stride_tricks.sliding_window_view(hw, w).min(axis=1)
+        out[i] = np.unique(mins)
+    return out
+
+
+def winnow_digest(fps: list[np.ndarray]) -> np.ndarray:
+    """Order-insensitive 64-bit digest of each doc's fingerprint set
+    (sum of splitmixed fingerprints mod 2^64)."""
+    out = np.empty(len(fps), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, f in enumerate(fps):
+            out[i] = np.add.reduce(splitmix64(f), dtype=np.uint64) if len(f) else _U64(0)
+    return out
+
+
 def simhash64(texts: list[bytes], seed: int = 11) -> np.ndarray:
     """64-bit SimHash over whitespace tokens (vectorized)."""
     n_docs = len(texts)

@@ -686,6 +686,28 @@ def q_quality_scores(sf_dir):
     return relational.transform(ds, fn)
 
 
+def q_fingerprint_winnow(sf_dir):
+    """Winnowing (rolling k-gram hash) document fingerprints — the
+    SIGMOD'03 scheme: sliding-window minima of rolling hashes, distinct
+    per doc (rows-only: not SQL-expressible). Returns per-doc
+    fingerprint count + order-insensitive 64-bit digest."""
+    from ..functions import hashing
+
+    ds = _read_split(sf_dir, "documents")
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        fps = hashing.winnow_fingerprints([t.encode() for t in df["text"]])
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(),
+                "n_fp": np.array([len(f) for f in fps], dtype=np.int64),
+                "digest": hashing.winnow_digest(fps).view(np.int64),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_fingerprint_docs(sf_dir):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
@@ -899,6 +921,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "hash_join_broadcast": q_hash_join_broadcast,
     "wire_page_index_range": q_wire_page_index_range,
+    "fingerprint_winnow": q_fingerprint_winnow,
     "wire_bloom_lookup": q_wire_bloom_lookup,
     "json_props_extract": q_json_props_extract,
     "token_counts": q_token_counts,

@@ -113,3 +113,28 @@ def test_dedup_pipeline_matches_reference(corpus):
     # the planted near-dups survive the exact-dedup stage and are found
     found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
     assert {(i, 1000 + i) for i in range(12)} <= found
+
+
+def test_winnow_fingerprints_properties():
+    from parquet_go_ray.functions import hashing
+
+    base = ("the quick brown fox jumps over the lazy dog " * 30).encode()
+    near = base.replace(b"lazy", b"calm")  # one token changed
+    far = ("completely different content with other words " * 30).encode()
+    fps = hashing.winnow_fingerprints([base, base, near, far, b"", b"tiny"])
+    # identical docs -> identical fingerprint sets and digests
+    assert np.array_equal(fps[0], fps[1])
+    d = hashing.winnow_digest(fps)
+    assert d[0] == d[1]
+    # near-duplicates share most fingerprints, unrelated docs few
+    inter = len(np.intersect1d(fps[0], fps[2]))
+    union = len(np.union1d(fps[0], fps[2]))
+    assert inter / union > 0.5, (inter, union)
+    far_j = len(np.intersect1d(fps[0], fps[3])) / len(np.union1d(fps[0], fps[3]))
+    assert far_j < 0.1, far_j
+    # empty and shorter-than-k docs don't crash (the shingle kernel
+    # pads them to one window, same as the MinHash path)
+    assert len(fps[4]) == 1 and len(fps[5]) >= 1
+    # fingerprints are a small subset of all windows (the point of
+    # winnowing: ~2/(w+1) density)
+    assert len(fps[0]) < (len(base) - 8 + 1) / 4
