@@ -1287,3 +1287,16 @@ def read_table_pruned(
         _pc.less_equal(table.column(column), pa.scalar(hi)),
     )
     return table.filter(m), info
+
+
+def empty_table(path: str, columns: list[str] | None = None) -> pa.Table:
+    """Zero-row table with the file's schema, from a footer-only tail
+    read (used when bloom filters prove every probe value absent — the
+    data region is never touched)."""
+    meta = read_footer(path)
+    descs = _parse_schema(meta[2])
+    want = columns or [d["name"] for d in descs]
+    by_name = {d["name"]: d for d in descs}
+    return pa.table(
+        {n: pa.array([], type=_entry_type(by_name[n])) for n in want}
+    )

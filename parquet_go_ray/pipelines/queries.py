@@ -633,30 +633,15 @@ def q_wire_bloom_lookup(sf_dir):
     filters exclude every probe key are never read beyond the footer."""
     import glob as _glob
 
+    from ..sources.wire import read_parquet_native
+
     store = _wire_store(sf_dir, "documents", bloom_cols=("doc_id",))
     files = sorted(_glob.glob(f"{store}/*.parquet"))
-    keys = [5, 105, 205, 99999999]
-
-    def lookup(batch: pd.DataFrame) -> pd.DataFrame:
-        from ..codecs import parquet_wire_read as R
-
-        outs = []
-        for path in batch["item"]:
-            may = R.bloom_may_contain(path, "doc_id", keys)
-            if not may.any():
-                continue  # bloom-pruned: file never opened for data
-            tbl = R.read_table(path, columns=["doc_id", "n_chars"])
-            df = tbl.to_pandas()
-            outs.append(df[df["doc_id"].isin(keys)])
-        if not outs:
-            return pd.DataFrame(
-                {"doc_id": pd.Series([], dtype="int64"),
-                 "n_chars": pd.Series([], dtype="int64")}
-            )
-        return pd.concat(outs)
-
-    ds = ray.data.from_items(files, override_num_blocks=len(files))
-    return ds.map_batches(lookup, batch_format="pandas")
+    return read_parquet_native(
+        files,
+        columns=["doc_id", "n_chars"],
+        point_filter=("doc_id", [5, 105, 205, 99999999]),
+    )
 
 
 # ---- text analysis

@@ -24,19 +24,25 @@ def read_parquet_native(
     columns: list[str] | None = None,
     row_group_granular: bool = True,
     range_filter: tuple[str, object, object] | None = None,
+    point_filter: tuple[str, list] | None = None,
 ) -> ray.data.Dataset:
     """Distributed native read. With `range_filter=(col, lo, hi)`, each
     task answers the predicate through the file's own
     ColumnIndex/OffsetIndex (read_table_pruned): only pages whose
     [min, max] intersects the range are decoded, and files/row groups
     the index excludes are skipped entirely — the distributed form of
-    the reference's Search page pruning (search.go:6-116)."""
+    the reference's Search page pruning (search.go:6-116). With
+    `point_filter=(col, values)`, each task probes the file's standard
+    split-block bloom filters first (bloom.go:16-55): a file whose
+    filters exclude every probe value is never read past the footer."""
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
+    if range_filter is not None and point_filter is not None:
+        raise ValueError("range_filter and point_filter are exclusive")
 
     items = []
-    if row_group_granular and range_filter is None:
+    if row_group_granular and range_filter is None and point_filter is None:
         from ..codecs.parquet_wire_read import num_row_groups
 
         for p in paths:
@@ -51,7 +57,11 @@ def read_parquet_native(
         items = [{"path": p, "rg": -1} for p in paths]
 
     def load(batch: pa.Table) -> pa.Table:
-        from ..codecs.parquet_wire_read import read_table, read_table_pruned
+        from ..codecs.parquet_wire_read import (
+            bloom_may_contain,
+            read_table,
+            read_table_pruned,
+        )
 
         tables = []
         for p, rg in zip(
@@ -61,12 +71,28 @@ def read_parquet_native(
                 col, lo, hi = range_filter
                 t, _info = read_table_pruned(p, col, lo, hi, columns=columns)
                 tables.append(t)
+            elif point_filter is not None:
+                import pyarrow.compute as pc
+
+                col, values = point_filter
+                if not bloom_may_contain(p, col, values).any():
+                    continue  # provably absent: footer-only read
+                t = read_table(p, columns=columns)
+                tables.append(
+                    t.filter(pc.is_in(t.column(col), value_set=pa.array(values)))
+                )
             else:
                 tables.append(
                     read_table(
                         p, columns=columns, row_groups=None if rg < 0 else [rg]
                     )
                 )
+        if not tables:
+            from ..codecs.parquet_wire_read import empty_table
+
+            # bloom-pruned everything in this task: typed empty result
+            # from a footer-only tail read
+            return empty_table(batch.column("path")[0].as_py(), columns)
         return pa.concat_tables(tables, promote_options="default")
 
     ds = ray.data.from_items(items, override_num_blocks=max(1, len(items)))

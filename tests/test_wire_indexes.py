@@ -152,3 +152,30 @@ def test_datapage_v2_three_readers(tmp_path):
     assert R.read_table(p).to_pydict() == t.to_pydict()
     got = duckdb.sql(f"SELECT count(*), count(b) FROM read_parquet('{p}')").fetchone()
     assert got == (30000, 30000 - len(range(0, 30000, 7)))
+
+
+def test_native_read_point_filter_bloom_skip(ray_session, tmp_path):
+    """point_filter: a file whose bloom excludes every probe value is
+    answered from the footer alone — zero data pages decoded."""
+    import ray.data
+
+    from parquet_go_ray.sources.wire import read_parquet_native
+
+    t1 = pa.table({"k": pa.array(np.arange(1000), type=pa.int64())})
+    t2 = pa.table({"k": pa.array(np.arange(5000, 6000), type=pa.int64())})
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    write_table(t1, p1, bloom_columns=("k",))
+    write_table(t2, p2, bloom_columns=("k",))
+
+    # both probes absent -> every file bloom-pruned, result empty+typed
+    R.DECODE_COUNTERS["data_pages"] = 0
+    out = read_parquet_native([p1, p2], point_filter=("k", [10**9, 10**9 + 1]))
+    # the per-task tables are typed (footer-only empty_table); Ray's
+    # to_pandas drops the schema of an all-empty dataset, so check the
+    # dataset schema instead
+    assert out.schema().names == ["k"]
+    assert out.count() == 0
+
+    # one present probe -> only the matching file's rows come back
+    out = read_parquet_native([p1, p2], point_filter=("k", [5005, 10**9]))
+    assert out.to_pandas()["k"].tolist() == [5005]
