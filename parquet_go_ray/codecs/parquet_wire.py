@@ -1136,12 +1136,27 @@ def _write_list_column_chunk(
             parts.append(
                 _encode_values(dense.slice(cursor, n_dense), enc, ct)
             )
+        page_dense = dense.slice(cursor, n_dense)
         cursor += n_dense
         off, size = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
         if res.data_page_offset is None:
             res.data_page_offset = off
         res.page_locations.append((off, size, start if n else 0))
-        res.page_stats.append(None)  # list leaves: offset index only
+        # per-page ColumnIndex bounds over the page's leaf VALUES;
+        # null_count counts def < max_def entries (null/empty lists and
+        # null elements)
+        if n_dense == 0:
+            res.page_stats.append(
+                {"null_page": True, "null_count": len(rep), "lo": b"",
+                 "hi": b"", "lo_py": None, "hi_py": None}
+            )
+        else:
+            b = _page_bounds(page_dense, ct)
+            res.page_stats.append(
+                None
+                if b is None
+                else {"null_page": False, "null_count": len(rep) - n_dense, **b}
+            )
         res.num_values += len(rep)
         if n == 0:
             break
