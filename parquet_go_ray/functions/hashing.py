@@ -30,6 +30,29 @@ def _concat_bytes(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
     return np.frombuffer(data, dtype=np.uint8), offsets
 
 
+def content_hash128(texts: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit content key as two independent XXH64 batch hashes (plain
+    bytes, and with a 1-byte domain suffix so the second hash is not a
+    function of the first). Same collision guarantee as the md5 key it
+    replaced in the exact-dedup path (~1e-14 expected collisions at
+    10^12 docs) at C-kernel batch speed instead of a per-row hashlib
+    loop. Returns (h1, h2) uint64 arrays."""
+    from ..codecs.sbbf import xxhash64
+
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64), np.zeros(0, dtype=np.uint64)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    off1 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off1[1:])
+    h1 = xxhash64(b"".join(texts), off1)
+    # suffixed layout: t0 01 t1 01 ... tn 01 — segment i = t_i + b"\x01"
+    off2 = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens + 1, out=off2[1:])
+    h2 = xxhash64(b"\x01".join(texts) + b"\x01", off2)
+    return h1, h2
+
+
 def _shingle_windows(buf: np.ndarray, offsets: np.ndarray, k: int):
     """uint64 rolling k-byte windows for each doc; returns (hashes,
     doc_starts) where doc_starts indexes the per-doc segments for

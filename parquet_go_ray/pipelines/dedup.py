@@ -40,36 +40,30 @@ def exact_dedupe(
 ) -> ray.data.Dataset:
     """One row per distinct text: (keep_id = min id, n_dups).
 
-    The dedup key is a 128-bit content hash (md5 hex): at 10^12 docs a
-    64-bit key expects ~10^7 birthday collisions (silently merged
-    non-duplicates); 128 bits puts the expectation at ~10^-14."""
-
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
-        return pd.DataFrame({
-            "h": [
-                hashlib.md5(t.encode()).hexdigest()
-                for t in batch[text_col]
-            ],
-            id_col: batch[id_col].to_numpy(),
-        })
+    The dedup key is a 128-bit content hash (two independent batch
+    XXH64 passes, hashing.content_hash128): at 10^12 docs a 64-bit key
+    expects ~10^7 birthday collisions (silently merged non-duplicates);
+    128 bits puts the expectation at ~10^-14. Round-2's per-row
+    hashlib.md5 loop is gone — the key is a C-kernel batch hash."""
 
     # hash-partitioned merge, one vectorized pandas groupby per
     # PARTITION (a per-group map_groups costs a Python call per
     # distinct document — unbounded at corpus scale)
     P = 64
 
-    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        h8 = np.fromiter(
-            (int(h[:16], 16) for h in df["h"]), dtype=np.uint64, count=len(df)
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = hashing.content_hash128(
+            [t.encode() for t in batch[text_col]]
         )
-        df["pt"] = (h8 % np.uint64(P)).astype(np.int64)
-        return df
+        return pd.DataFrame({
+            "h1": h1.view(np.int64),
+            "h2": h2.view(np.int64),
+            "pt": (h1 % np.uint64(P)).astype(np.int64),
+            id_col: batch[id_col].to_numpy(),
+        })
 
     def keep_first_part(part: pd.DataFrame) -> pd.DataFrame:
-        g = part.groupby("h", as_index=False, sort=False).agg(
+        g = part.groupby(["h1", "h2"], as_index=False, sort=False).agg(
             keep_id=(id_col, "min"), n_dups=(id_col, "size")
         )
         g["keep_id"] = g["keep_id"].astype("int64")
@@ -78,7 +72,6 @@ def exact_dedupe(
 
     return (
         ds.map_batches(add_hash, batch_format="pandas")
-        .map_batches(add_pt, batch_format="pandas")
         .groupby("pt")
         .map_groups(keep_first_part, batch_format="pandas")
     )
@@ -99,6 +92,44 @@ def _n_partitions(n_docs_hint: int | None, bands: int) -> int:
     return max(64, (n_docs_hint * bands) // PARTITION_TARGET_ROWS)
 
 
+def _minhash_sig_table(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    shingle_k: int,
+    num_perm: int,
+) -> ray.data.Dataset:
+    """Signatures computed EXACTLY ONCE into a compact materialized
+    table (id, sig bytes) — fixed 8*num_perm B/doc, ~0.5% of a web
+    corpus's text bytes. Every downstream pass (band keys, candidate
+    signature lookup, the distributed pair join) reads this table, so
+    the corpus text is scanned and hashed a single time; round-3's
+    earlier shape re-hashed every candidate doc in a second full-corpus
+    pass."""
+
+    def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
+        texts = [t.encode() for t in batch[text_col]]
+        sigs = hashing.minhash_signatures(texts, shingle_k, num_perm)
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy().astype(np.int64),
+                "sig": [s.tobytes() for s in sigs],
+            }
+        )
+
+    return ds.map_batches(sig_rows, batch_format="pandas").materialize()
+
+
+def _sig_matrix(col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view over a column of packed sig bytes."""
+    vals = list(col)
+    if not vals:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    return np.frombuffer(b"".join(vals), dtype=np.uint64).reshape(
+        len(vals), num_perm
+    )
+
+
 def minhash_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -109,15 +140,26 @@ def minhash_candidates(
     n_docs_hint: int | None = None,
 ) -> ray.data.Dataset:
     """LSH candidate pairs (id_a < id_b); may repeat a pair found by
-    bands in different partitions (the downstream pair join dedups).
-    Only (band, key, id) triples shuffle — 24 bytes per band row;
-    signatures never ride the shuffle (round-1 shipped the full
-    64x u64 signature per row)."""
+    bands in different partitions (the downstream pair join dedups)."""
+    sigs_ds = _minhash_sig_table(ds, text_col, id_col, shingle_k, num_perm)
+    return _candidates_from_sigs(sigs_ds, id_col, num_perm, bands, n_docs_hint)
+
+
+def _candidates_from_sigs(
+    sigs_ds: ray.data.Dataset,
+    id_col: str,
+    num_perm: int,
+    bands: int,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Candidate pairs from a materialized sig table. Only
+    (band, key, id) triples shuffle — 24 bytes per band row; signatures
+    never ride the shuffle (round-1 shipped the full 64x u64 signature
+    per row)."""
 
     def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = [t.encode() for t in batch[text_col]]
         ids = batch[id_col].to_numpy()
-        sigs = hashing.minhash_signatures(texts, shingle_k, num_perm)
+        sigs = _sig_matrix(batch["sig"], num_perm)
         keys = hashing.lsh_band_keys(sigs, bands)
         n = len(ids)
         return pd.DataFrame(
@@ -161,7 +203,7 @@ def minhash_candidates(
     # so the output may contain duplicate (id_a, id_b) rows — the pair
     # join (_attach_pair_values) collapses them without an extra shuffle.
     return (
-        ds.map_batches(band_rows, batch_format="pandas")
+        sigs_ds.map_batches(band_rows, batch_format="pandas")
         .map_batches(add_part, batch_format="pandas")
         .groupby("pt")
         .map_groups(bucket_pairs, batch_format="pandas")
@@ -442,24 +484,25 @@ def minhash_lsh_pairs(
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
-    Candidates from the (band, key, id)-only LSH stage; the est-Jaccard
-    filter re-computes signatures for candidate docs ONLY (a projected
-    second pass over the corpus). Signatures are fixed 512 B/doc, so
-    below BROADCAST_PAIR_LIMIT pairs they broadcast (no extra shuffle);
-    above it the fully distributed pair join takes over — no signatures
-    in the wide shuffle, nothing unbounded on the driver."""
+    Candidates from the (band, key, id)-only LSH stage over a
+    materialized sig table (signatures hashed exactly once — the corpus
+    text is scanned a single time; the est-Jaccard filter reads the sig
+    table, ~0.5% of corpus bytes, not the corpus). Signatures are fixed
+    512 B/doc, so below BROADCAST_PAIR_LIMIT pairs they broadcast (no
+    extra shuffle); above it the fully distributed pair join takes over
+    — no signatures in the wide shuffle, nothing unbounded on the
+    driver."""
 
-    cand = minhash_candidates(
-        ds, text_col, id_col, shingle_k, num_perm, bands, n_docs_hint
+    sigs_ds = _minhash_sig_table(ds, text_col, id_col, shingle_k, num_perm)
+    cand = _candidates_from_sigs(
+        sigs_ds, id_col, num_perm, bands, n_docs_hint
     ).materialize()
     n_pairs = cand.count()
 
     def sig_values(sel: pd.DataFrame):
-        texts = [t.encode() for t in sel[text_col]]
-        sigs = hashing.minhash_signatures(texts, shingle_k, num_perm)
         # bytes, not ndarrays: object columns of ndarrays trip Ray's
         # tensor-extension coercion in the shuffle
-        return [s.tobytes() for s in sigs]
+        return list(sel["sig"])
 
     if n_pairs <= BROADCAST_PAIR_LIMIT:
         # broadcast fast path: sig lookup ray.put once; dedup + attach +
@@ -470,7 +513,7 @@ def minhash_lsh_pairs(
         import ray
 
         lookup_ref = _candidate_value_lookup(
-            cand, ds, sig_values, id_col, n_pairs=n_pairs
+            cand, sigs_ds, sig_values, id_col, n_pairs=n_pairs
         )
         PG = 64
 
@@ -515,7 +558,7 @@ def minhash_lsh_pairs(
         )
 
     paired = _attach_pair_values(
-        cand, ds, sig_values, text_col, id_col, n_pairs=n_pairs
+        cand, sigs_ds, sig_values, "sig", id_col, n_pairs=n_pairs
     )
 
     def estimate(batch: pd.DataFrame) -> pd.DataFrame:
@@ -555,8 +598,9 @@ def dedup_pipeline(
     jaccard_threshold: float = 0.7,
     **lsh_kwargs,
 ) -> ray.data.Dataset:
-    """The standard corpus-dedup composition: exact dedup first (md5
-    key), then MinHash-LSH near-dup pairs over the REPRESENTATIVE docs
+    """The standard corpus-dedup composition: exact dedup first
+    (128-bit batch content hash), then MinHash-LSH near-dup pairs over
+    the REPRESENTATIVE docs
     only. Collapsing identical texts before LSH shrinks every
     exact-duplicate cluster's bucket from O(cluster^2) candidate pairs
     to one representative — on duplication-heavy web data this is the
@@ -573,27 +617,23 @@ def dedup_pipeline(
     P = _n_partitions(n_docs_hint, 1)
 
     def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        import hashlib
-
-        digs = [hashlib.md5(t.encode()).digest() for t in batch[text_col]]
-        h = np.fromiter(
-            (int.from_bytes(d[:8], "little") for d in digs),
-            dtype=np.uint64,
-            count=len(digs),
+        # the dedup key is the full 128-bit batch hash; the partition
+        # key is its first half mod P — same key, same partition
+        h1, h2 = hashing.content_hash128(
+            [t.encode() for t in batch[text_col]]
         )
-        # the dedup key is the full 128-bit digest (hex); the partition
-        # key is its first 8 bytes mod P — same digest, same partition
         return pd.DataFrame(
             {
-                "h": [d.hex() for d in digs],
-                "hg": (h % np.uint64(P)).astype(np.int64),
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+                "hg": (h1 % np.uint64(P)).astype(np.int64),
                 id_col: batch[id_col].to_numpy(),
                 text_col: batch[text_col].to_numpy(),
             }
         )
 
     def keep_min(part: pd.DataFrame) -> pd.DataFrame:
-        idx = part.groupby("h", sort=False)[id_col].idxmin()
+        idx = part.groupby(["h1", "h2"], sort=False)[id_col].idxmin()
         return part.loc[idx, [id_col, text_col]]
 
     survivors = (

@@ -138,3 +138,21 @@ def test_winnow_fingerprints_properties():
     # fingerprints are a small subset of all windows (the point of
     # winnowing: ~2/(w+1) density)
     assert len(fps[0]) < (len(base) - 8 + 1) / 4
+
+
+def test_content_hash128_batch_kernel():
+    """The exact-dedup key: two independent XXH64 passes, equal texts
+    collide on both words, distinct texts (whp) on neither, and the
+    C kernel agrees with the scalar spec fallback."""
+    from parquet_go_ray.codecs.sbbf import _xxh64_py
+    from parquet_go_ray.functions import hashing
+
+    texts = [b"hello", b"world", b"", b"hello", b"y" * 100]
+    h1, h2 = hashing.content_hash128(texts)
+    assert h1[0] == h1[3] and h2[0] == h2[3]
+    assert len({(a, b) for a, b in zip(h1.tolist(), h2.tolist())}) == 4
+    assert h1[1] == _xxh64_py(b"world")
+    assert h2[1] == _xxh64_py(b"world\x01")
+    # the two words are NOT derived from each other: a h1 collision
+    # planted by construction must not force a h2 collision
+    assert h2[0] != hashing.content_hash128([b"world"])[1][0]
