@@ -150,8 +150,16 @@ def dataset_checksum(ds: ray.data.Dataset) -> tuple[int, int]:
 def verify_roundtrip(
     input_ds: ray.data.Dataset, decoded_ds: ray.data.Dataset
 ) -> dict:
-    in_rows, in_sum = dataset_checksum(input_ds)
-    out_rows, out_sum = dataset_checksum(decoded_ds)
+    # the two sides are independent pipelines over different files —
+    # submit both from driver threads so the Ray scheduler interleaves
+    # them instead of idling the cluster between two sequential passes
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_in = ex.submit(dataset_checksum, input_ds)
+        f_out = ex.submit(dataset_checksum, decoded_ds)
+        in_rows, in_sum = f_in.result()
+        out_rows, out_sum = f_out.result()
     return {
         "rows_in": in_rows,
         "rows_out": out_rows,
