@@ -203,16 +203,24 @@ def run_bench() -> dict:
         "sort_rows",
         "windowed_counts",
     ]
+    # same min-over-repeats policy as the headline: every query here is a
+    # pure read / in-memory transform (no disk state to resume-skip), so
+    # rep 2 runs the identical task graph; the min drops worker cold-start
+    # and shared-host interference from the reported steady-state number
     for name in bench_queries:
         fn = Q.QUERIES[name]
-        t0 = time.time()
-        r = fn(sf_dir)
-        if isinstance(r, ray.data.Dataset):
-            # consume the stream without materializing on the driver
-            n = 0
-            for b in r.iter_batches(batch_size=8192, batch_format="pyarrow"):
-                n += b.num_rows
-        results[name] = round(time.time() - t0, 3)
+        best = None
+        for _ in range(repeat):
+            t0 = time.time()
+            r = fn(sf_dir)
+            if isinstance(r, ray.data.Dataset):
+                # consume the stream without materializing on the driver
+                n = 0
+                for b in r.iter_batches(batch_size=8192, batch_format="pyarrow"):
+                    n += b.num_rows
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = round(best, 3)
 
     headline = results["webpages_encode"]
     return {
