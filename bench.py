@@ -127,18 +127,31 @@ def run_bench() -> dict:
             "detail": detail,
         }
 
+    def timed_min(fn):
+        # min over `repeat` runs of an idempotent section (each run
+        # cleans and redoes its own work) — same policy as the headline
+        best, last = None, None
+        for _ in range(repeat):
+            t0 = time.time()
+            last = fn()
+            el = time.time() - t0
+            best = el if best is None else min(best, el)
+        return round(best, 3), last
+
     # ---- decode + verify ----
-    t0 = time.time()
-    res = verify_roundtrip(ray.data.read_parquet(files), decode_dataset(out))
-    results["webpages_decode_verify"] = round(time.time() - t0, 3)
+    results["webpages_decode_verify"], res = timed_min(
+        lambda: verify_roundtrip(ray.data.read_parquet(files), decode_dataset(out))
+    )
     detail["roundtrip_ok"] = bool(res["ok"])
 
     # ---- shuffle-free skew variant: in-task (lang, ts) sort ----
     out6 = f"{out_root}/bench_encode_langlocal_sf{sf:g}_{ncpu}"
-    shutil.rmtree(out6, ignore_errors=True)
-    t0 = time.time()
-    s6 = encode_job(files, out6, mode="lang_local", resume=False)
-    results["webpages_encode_langlocal"] = round(time.time() - t0, 3)
+
+    def _run_langlocal():
+        shutil.rmtree(out6, ignore_errors=True)
+        return encode_job(files, out6, mode="lang_local", resume=False)
+
+    results["webpages_encode_langlocal"], s6 = timed_min(_run_langlocal)
     detail["compression_ratio_langlocal"] = round(
         s6["enc_nbytes"] / max(1, s6["raw_nbytes"]), 4
     )
@@ -146,32 +159,39 @@ def run_bench() -> dict:
 
     # ---- salted-shuffle encode variant (explicit skew handling) ----
     out2 = f"{out_root}/bench_encode_salted_sf{sf:g}_{ncpu}"
-    shutil.rmtree(out2, ignore_errors=True)
-    t0 = time.time()
-    s2 = encode_job(files, out2, mode="lang_salted", resume=False)
-    results["webpages_encode_salted"] = round(time.time() - t0, 3)
+
+    def _run_salted():
+        shutil.rmtree(out2, ignore_errors=True)
+        return encode_job(files, out2, mode="lang_salted", resume=False)
+
+    results["webpages_encode_salted"], s2 = timed_min(_run_salted)
     detail["compression_ratio_salted"] = round(
         s2["enc_nbytes"] / max(1, s2["raw_nbytes"]), 4
     )
 
     # ---- actor pool with cached per-partition FSST/dict state ----
     out4 = f"{out_root}/bench_encode_cached_sf{sf:g}_{ncpu}"
-    shutil.rmtree(out4, ignore_errors=True)
-    t0 = time.time()
-    s4 = encode_job(
-        files, out4, mode="actor_cached", resume=False, override_num_blocks=nblocks
-    )
-    results["webpages_encode_cached"] = round(time.time() - t0, 3)
+
+    def _run_cached():
+        shutil.rmtree(out4, ignore_errors=True)
+        return encode_job(
+            files, out4, mode="actor_cached", resume=False,
+            override_num_blocks=nblocks,
+        )
+
+    results["webpages_encode_cached"], s4 = timed_min(_run_cached)
     detail["compression_ratio_cached"] = round(
         s4["enc_nbytes"] / max(1, s4["raw_nbytes"]), 4
     )
 
     # ---- zstd page-compression layer on top of the lightweight codecs ----
     out3 = f"{out_root}/bench_encode_zstd_sf{sf:g}_{ncpu}"
-    shutil.rmtree(out3, ignore_errors=True)
-    t0 = time.time()
-    s3 = encode_job(files, out3, resume=False, compression="zstd")
-    results["webpages_encode_zstd"] = round(time.time() - t0, 3)
+
+    def _run_zstd():
+        shutil.rmtree(out3, ignore_errors=True)
+        return encode_job(files, out3, resume=False, compression="zstd")
+
+    results["webpages_encode_zstd"], s3 = timed_min(_run_zstd)
     detail["compression_ratio_zstd"] = round(
         s3["enc_nbytes"] / max(1, s3["raw_nbytes"]), 4
     )
@@ -185,10 +205,12 @@ def run_bench() -> dict:
     # headline's warm-up)
     shutil.rmtree(out5, ignore_errors=True)
     export_parquet_job(files, out5, compression="zstd", resume=False)
-    shutil.rmtree(out5, ignore_errors=True)
-    t0 = time.time()
-    s5 = export_parquet_job(files, out5, compression="zstd", resume=False)
-    results["webpages_export_wire"] = round(time.time() - t0, 3)
+
+    def _run_export():
+        shutil.rmtree(out5, ignore_errors=True)
+        return export_parquet_job(files, out5, compression="zstd", resume=False)
+
+    results["webpages_export_wire"], s5 = timed_min(_run_export)
     detail["export_wire_out_mb"] = round(s5["bytes"] / 1e6, 2)
     shutil.rmtree(out5, ignore_errors=True)
 
