@@ -427,10 +427,9 @@ def _compress_page(raw: bytes, compression: str | None) -> bytes:
     if not compression or compression == "none":
         return raw
     if compression == "lz4":
-        # parquet's LZ4_RAW is the block format; pa.Codec("lz4") is the
-        # frame format — not wire-compatible, so reject rather than emit
-        # files other readers can't open
-        raise ValueError("lz4 is not supported by the wire writer; use zstd/snappy")
+        # parquet's LZ4_RAW is the lz4 BLOCK format (codec id 7);
+        # pa.Codec("lz4") is the frame format and not wire-compatible
+        return pa.Codec("lz4_raw").compress(raw, asbytes=True)
     return pa.Codec(compression).compress(raw, asbytes=True)
 
 

@@ -52,7 +52,7 @@ def _assert_roundtrip(t: pa.Table, path: str, **kw):
     return info
 
 
-@pytest.mark.parametrize("comp", [None, "snappy", "zstd", "gzip"])
+@pytest.mark.parametrize("comp", [None, "snappy", "zstd", "gzip", "lz4", "brotli"])
 def test_mixed_types_roundtrip(tmp_path, comp):
     info = _assert_roundtrip(
         _mixed_table(), str(tmp_path / "t.parquet"), compression=comp
@@ -164,9 +164,6 @@ def test_rejects_unsupported(tmp_path):
     nulls = pa.table({"n": pa.array([None, None], type=pa.null())})
     with pytest.raises(ValueError):
         W.write_table(nulls, str(tmp_path / "n.parquet"))
-    flat = pa.table({"x": pa.array([1, 2], type=pa.int64())})
-    with pytest.raises(ValueError):
-        W.write_table(flat, str(tmp_path / "l.parquet"), compression="lz4")
 
 
 def test_crc_and_sizes_in_metadata(tmp_path):
@@ -285,7 +282,7 @@ def test_wire_reader_self_roundtrip(tmp_path):
     from parquet_go_ray.codecs import parquet_wire_read as R
 
     src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
-    for comp in (None, "zstd", "snappy"):
+    for comp in (None, "zstd", "snappy", "lz4"):
         p = str(tmp_path / f"rt_{comp}.parquet")
         W.write_table(src, p, compression=comp, page_rows=1000, rows_per_group=2500)
         back = R.read_table(p)
