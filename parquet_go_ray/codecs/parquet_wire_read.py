@@ -22,6 +22,7 @@ INT96 and INT32/INT64/FLBA/BYTE_ARRAY decimals.
 from __future__ import annotations
 
 import struct
+import zlib
 from decimal import Decimal
 
 import numpy as np
@@ -381,6 +382,15 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
         raw_len, comp_len = header[2], header[3]
         body = bytes(buf[tr.pos : tr.pos + comp_len])
         pos = tr.pos + comp_len
+        # page checksum (file.go:658-678 semantics): crc32 over the
+        # serialized page body exactly as stored; 0/absent means the
+        # writer didn't checksum (pyarrow's default) — fatal on mismatch
+        crc = header.get(4)
+        if crc and (zlib.crc32(body) & 0xFFFFFFFF) != (crc & 0xFFFFFFFF):
+            raise WireFormatError(
+                f"crc32 checksum mismatch in page of column {col.name!r}: "
+                f"want=0x{crc & 0xFFFFFFFF:08X} got=0x{zlib.crc32(body) & 0xFFFFFFFF:08X}"
+            )
         if page_type in (0, 3):
             DECODE_COUNTERS["data_pages"] += 1
 

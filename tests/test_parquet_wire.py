@@ -625,3 +625,22 @@ def test_native_read_row_group_granular(ray_session, tmp_path):
         ray.data.read_parquet(src_path), read_parquet_native([p])
     )
     assert res["ok"], res
+
+
+def test_page_crc_detects_corruption(tmp_path):
+    """Reader verifies page checksums like file.go:658-678: a flipped
+    byte inside a page body is a fatal WireFormatError, not a silent
+    misdecode."""
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    p = str(tmp_path / "crc.parquet")
+    W.write_table(src, p)
+    R.read_table(p)  # clean read passes
+    data = bytearray(open(p, "rb").read())
+    # first column chunk's pages start at the file head (after PAR1);
+    # +200 is safely inside the first page's payload, past its header
+    data[200] ^= 0xFF
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(R.WireFormatError, match="crc32 checksum mismatch"):
+        R.read_table(p)
