@@ -1180,6 +1180,7 @@ def write_table(
     bloom_columns: tuple[str, ...] = (),
     data_page_version: int = 1,
     page_index: bool = True,
+    key_value_metadata: dict | None = None,
 ) -> dict:
     """Write `table` as a real parquet file at `path`.
 
@@ -1408,16 +1409,33 @@ def write_table(
         # column_orders (TypeDefinedOrder per leaf): without this,
         # readers must distrust min_value/max_value in statistics
         type_order = ts([(1, "struct", ts([]))])
-        footer = ts(
-            [
-                (1, "i32", 1),
-                (2, "list", tlist("struct", schema_elems)),
-                (3, "i64", nrows_total),
-                (4, "list", tlist("struct", row_groups)),
-                (6, "bin", b"parquet_go_ray wire writer"),
-                (7, "list", tlist("struct", [type_order] * n_leaves)),
-            ]
-        )
+        fields = [
+            (1, "i32", 1),
+            (2, "list", tlist("struct", schema_elems)),
+            (3, "i64", nrows_total),
+            (4, "list", tlist("struct", row_groups)),
+        ]
+        # footer key/value metadata (writer.go:214-231 SetKeyValueMetadata
+        # parity): the Arrow schema's metadata plus explicit pairs
+        kv: dict[bytes, bytes] = {}
+        if table.schema.metadata:
+            kv.update(table.schema.metadata)
+        for k, v in (key_value_metadata or {}).items():
+            kv[k.encode() if isinstance(k, str) else bytes(k)] = (
+                v.encode() if isinstance(v, str) else bytes(v)
+            )
+        if kv:
+            fields.append(
+                (5, "list", tlist(
+                    "struct",
+                    [ts([(1, "bin", k), (2, "bin", v)]) for k, v in kv.items()],
+                ))
+            )
+        fields += [
+            (6, "bin", b"parquet_go_ray wire writer"),
+            (7, "list", tlist("struct", [type_order] * n_leaves)),
+        ]
+        footer = ts(fields)
         out.write(footer)
         out.write(struct.pack("<I", len(footer)))
         out.write(b"PAR1")

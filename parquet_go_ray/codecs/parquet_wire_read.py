@@ -979,7 +979,14 @@ def read_table(
     for n in want:
         parts = arrays[n] or [pa.array([], type=_entry_type(by_name[n]))]
         out[n] = pa.chunked_array(parts)
-    return pa.table(out)
+    t = pa.table(out)
+    kv = key_value_metadata(meta)
+    return t.replace_schema_metadata(kv) if kv else t
+
+
+def key_value_metadata(meta: dict) -> dict[bytes, bytes]:
+    """Footer key/value pairs (FileMetaData field 5) as a bytes dict."""
+    return {e[1]: e.get(2, b"") for e in meta.get(5, [])}
 
 
 # ---------------------------------------------------------------------------

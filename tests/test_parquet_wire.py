@@ -644,3 +644,20 @@ def test_page_crc_detects_corruption(tmp_path):
     open(p, "wb").write(bytes(data))
     with pytest.raises(R.WireFormatError, match="crc32 checksum mismatch"):
         R.read_table(p)
+
+
+def test_footer_key_value_metadata(tmp_path):
+    """SetKeyValueMetadata parity (writer.go:214-231): schema metadata
+    and explicit pairs land in FileMetaData field 5, visible to pyarrow
+    and to our own reader."""
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    t = pa.table({"x": pa.array([1, 2, 3], type=pa.int64())})
+    t = t.replace_schema_metadata({b"origin": b"unit-test"})
+    p = str(tmp_path / "kv.parquet")
+    W.write_table(t, p, key_value_metadata={"job": "r3"})
+    seen = pq.ParquetFile(p).metadata.metadata
+    assert seen[b"origin"] == b"unit-test" and seen[b"job"] == b"r3"
+    back = R.read_table(p)
+    assert back.schema.metadata[b"job"] == b"r3"
+    assert back.column("x").to_pylist() == [1, 2, 3]
