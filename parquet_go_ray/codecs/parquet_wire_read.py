@@ -1306,6 +1306,94 @@ def read_table_pruned(
     return table.filter(m), info
 
 
+def read_table_rows(
+    path: str,
+    start: int,
+    stop: int,
+    columns: list[str] | None = None,
+):
+    """Absolute-row-range read: rows [start, stop) in file order — the
+    wire form of the reference's SeekToRow (column.go:127-149,
+    reader.go SeekToRow): whole row groups outside the range are never
+    touched past the footer, and when the file carries an OffsetIndex,
+    only pages whose first_row_index range intersects are decoded.
+    Returns (table, info) with page/row-group evidence counters."""
+    parsed = read_metadata(path)
+    raw, meta = memoryview(parsed["file"]), parsed["meta"]
+    descs = _parse_schema(meta[2])
+    want = columns or [d["name"] for d in descs]
+    by_name = {d["name"]: d for d in descs}
+    info = {"pages_read": 0, "pages_total": 0, "row_groups_read": 0}
+    groups = meta.get(4, [])
+
+    if any(by_name[n]["kind"] != "flat" for n in want):
+        # nested columns: row-group-granular skip + assembled decode,
+        # then an exact slice (the record assembler owns these kinds)
+        g0, sel, offs = 0, [], []
+        for gi, rg in enumerate(groups):
+            n_rows = rg[3]
+            ls, le = max(start - g0, 0), min(stop - g0, n_rows)
+            if ls < le:
+                sel.append(gi)
+                offs.append((ls, le))
+            g0 += n_rows
+        info["row_groups_read"] = len(sel)
+        if not sel:
+            return empty_table(path, columns), info
+        t = read_table(path, columns=want, row_groups=sel)
+        # per-group local offsets to one global slice over the subset
+        parts, pos = [], 0
+        for (ls, le), gi in zip(offs, sel):
+            n_rows = groups[gi][3]
+            parts.append(t.slice(pos + ls, le - ls))
+            pos += n_rows
+        return pa.concat_tables(parts), info
+
+    index = read_page_index(path)
+    arrays: dict[str, list] = {n: [] for n in want}
+    g0 = 0
+    for gi, rg in enumerate(groups):
+        n_rows = rg[3]
+        ls, le = max(start - g0, 0), min(stop - g0, n_rows)
+        g0 += n_rows
+        if ls >= le:
+            continue
+        info["row_groups_read"] += 1
+        by_path = {b".".join(cc[3][3]).decode(): cc for cc in rg[1]}
+        for n in want:
+            d = by_name[n]
+            oi = index[gi][n]["offset_index"] if index[gi].get(n) else None
+            if oi is None:
+                full = _read_column_chunk(raw, by_path[n][3], d, n_rows)
+                arrays[n].append(full.slice(ls, le - ls))
+                continue
+            locs = oi["locations"]
+            info["pages_total"] += len(locs)
+            sel = [
+                i
+                for i, loc in enumerate(locs)
+                if (locs[i + 1][2] if i + 1 < len(locs) else n_rows) > ls
+                and loc[2] < le
+            ]
+            arr, starts, counts = _read_flat_pages(
+                raw, by_path[n][3], d, locs, sel
+            )
+            info["pages_read"] += len(sel)
+            mask = np.zeros(len(arr), dtype=bool)
+            pos = 0
+            for st, cnt in zip(starts, counts):
+                a, b = max(ls, st), min(le, st + cnt)
+                if a < b:
+                    mask[pos + (a - st) : pos + (b - st)] = True
+                pos += cnt
+            arrays[n].append(arr.filter(pa.array(mask)))
+    out = {}
+    for n in want:
+        parts = arrays[n] or [pa.array([], type=by_name[n]["col"].arrow_type())]
+        out[n] = pa.chunked_array(parts)
+    return pa.table(out), info
+
+
 def empty_table(path: str, columns: list[str] | None = None) -> pa.Table:
     """Zero-row table with the file's schema, from a footer-only tail
     read (used when bloom filters prove every probe value absent — the

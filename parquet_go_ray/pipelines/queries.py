@@ -344,6 +344,21 @@ def q_parquet_native_read(sf_dir):
     return read_parquet_native([f"{sf_dir}/lineitem.parquet"])
 
 
+def q_seek_rows(sf_dir):
+    """SeekToRow parity (column.go:127-149 / reader SeekToRow) as a
+    distributed read: absolute rows [100, 350) of the documents table in
+    file order, planned from footer row counts and narrowed in-task by
+    the OffsetIndex when present. doc_id equals file position in the
+    testdata, which gives this positional read an exact SQL oracle."""
+    from ..sources.wire import read_parquet_native
+
+    return read_parquet_native(
+        [f"{sf_dir}/documents.parquet"],
+        columns=["doc_id", "lang", "n_chars"],
+        row_range=(100, 350),
+    )
+
+
 def q_parquet_wire_lists(sf_dir):
     """Wire-level rep/def level shredding for list columns
     (node.go:393-415 at the wire): embeddings (list<float>) exported as
@@ -894,6 +909,7 @@ QUERIES = {
     "encode_decode_lineitem": q_encode_decode_lineitem,
     "parquet_wire_roundtrip": q_parquet_wire_roundtrip,
     "parquet_native_read": q_parquet_native_read,
+    "seek_rows": q_seek_rows,
     "parquet_wire_lists": q_parquet_wire_lists,
     "encode_decode_embeddings": q_encode_decode_embeddings,
     "encode_decode_orders": _mk_roundtrip("orders"),
@@ -1010,6 +1026,7 @@ ORACLES = {
     "encode_decode_lineitem": "SELECT * FROM lineitem",
     "parquet_wire_roundtrip": "SELECT * FROM lineitem",
     "parquet_native_read": "SELECT * FROM lineitem",
+    "seek_rows": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id BETWEEN 100 AND 349",
     "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",

@@ -25,6 +25,7 @@ def read_parquet_native(
     row_group_granular: bool = True,
     range_filter: tuple[str, object, object] | None = None,
     point_filter: tuple[str, list] | None = None,
+    row_range: tuple[int, int] | None = None,
 ) -> ray.data.Dataset:
     """Distributed native read. With `range_filter=(col, lo, hi)`, each
     task answers the predicate through the file's own
@@ -38,8 +39,46 @@ def read_parquet_native(
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
-    if range_filter is not None and point_filter is not None:
-        raise ValueError("range_filter and point_filter are exclusive")
+    if sum(x is not None for x in (range_filter, point_filter, row_range)) > 1:
+        raise ValueError("range_filter / point_filter / row_range are exclusive")
+
+    if row_range is not None:
+        # SeekToRow, distributed: files in sorted order form one logical
+        # table; the driver tail-reads footers for row counts and fans
+        # out only files intersecting [start, stop) — in-task, the
+        # OffsetIndex narrows the read to intersecting pages
+        from ..codecs.parquet_wire_read import read_footer
+
+        start, stop = row_range
+        g0, plan = 0, []
+        for p in paths:
+            n = sum(rg[3] for rg in read_footer(p).get(4, []))
+            ls, le = max(start - g0, 0), min(stop - g0, n)
+            if ls < le:
+                plan.append({"path": p, "start": ls, "stop": le})
+            g0 += n
+
+        def load_rows(batch: pa.Table) -> pa.Table:
+            from ..codecs.parquet_wire_read import read_table_rows
+
+            tables = [
+                read_table_rows(p, s, e, columns=columns)[0]
+                for p, s, e in zip(
+                    batch.column("path").to_pylist(),
+                    batch.column("start").to_pylist(),
+                    batch.column("stop").to_pylist(),
+                )
+            ]
+            if not tables:
+                from ..codecs.parquet_wire_read import empty_table
+
+                return empty_table(batch.column("path")[0].as_py(), columns)
+            return pa.concat_tables(tables, promote_options="default")
+
+        if not plan:
+            plan = [{"path": paths[0], "start": 0, "stop": 0}]
+        ds = ray.data.from_items(plan, override_num_blocks=max(1, len(plan)))
+        return ds.map_batches(load_rows, batch_format="pyarrow", batch_size=None)
 
     items = []
     if row_group_granular and range_filter is None and point_filter is None:

@@ -179,3 +179,43 @@ def test_native_read_point_filter_bloom_skip(ray_session, tmp_path):
     # one present probe -> only the matching file's rows come back
     out = read_parquet_native([p1, p2], point_filter=("k", [5005, 10**9]))
     assert out.to_pandas()["k"].tolist() == [5005]
+
+
+@pytest.mark.parametrize(
+    "rng", [(0, 7), (19990, 20010), (35000, 36000), (59999, 60000), (60000, 60005)]
+)
+def test_seek_rows_page_pruned(indexed_file, rng):
+    """read_table_rows = SeekToRow at the wire (column.go:127-149):
+    exact rows back, non-intersecting row groups untouched, and only
+    OffsetIndex-intersecting pages decoded."""
+    p, t = indexed_file
+    s, e = rng
+    sub, info = R.read_table_rows(p, s, e)
+    exp = t.slice(s, max(0, min(e, t.num_rows) - s))
+    assert sub.cast(exp.schema).equals(exp)
+    if e <= t.num_rows and e - s <= 1100:
+        # a narrow seek must not decode the whole file (120 pages/col)
+        assert info["pages_read"] < info["pages_total"]
+        assert info["row_groups_read"] <= 2
+
+
+def test_seek_rows_distributed_multifile(ray_session, tmp_path):
+    """row_range over several files = one logical concatenated table;
+    only intersecting files get tasks."""
+    from parquet_go_ray.sources.wire import read_parquet_native
+
+    paths = []
+    off = 0
+    for i in range(3):
+        t = pa.table({"k": pa.array(np.arange(off, off + 1000), type=pa.int64())})
+        p = str(tmp_path / f"part-{i}.parquet")
+        write_table(t, p, page_rows=100)
+        paths.append(p)
+        off += 1000
+    ds = read_parquet_native(paths, row_range=(950, 2050))
+    got = sorted(
+        v for b in ds.iter_batches(batch_format="pyarrow") for v in b["k"].to_pylist()
+    )
+    assert got == list(range(950, 2050))
+    empty = read_parquet_native(paths, row_range=(5000, 6000))
+    assert empty.count() == 0
