@@ -197,6 +197,11 @@ class _Logical:
         return ts([(8, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
 
     @staticmethod
+    def time(unit_field: int, utc: bool) -> bytes:
+        unit = ts([(unit_field, "struct", ts([]))])
+        return ts([(7, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
+
+    @staticmethod
     def list_() -> bytes:
         return ts([(3, "struct", ts([]))])
 
@@ -243,10 +248,23 @@ class _ColType:
             self.physical = T_INT64
             self.converted = 14
             self.logical = _Logical.integer(64, False)
-        elif pa.types.is_date32(ty):
+        elif pa.types.is_date32(ty) or pa.types.is_date64(ty):
+            # DATE is days-since-epoch in parquet; date64 ms cast at encode
             self.physical = T_INT32
             self.converted = 6
             self.logical = _Logical.date()
+        elif pa.types.is_time32(ty) or pa.types.is_time64(ty):
+            # TIME logical type (time.go parity); parquet units are
+            # MILLIS/MICROS/NANOS — time32('s') must be cast by the caller
+            unit = {"ms": 1, "us": 2, "ns": 3}.get(ty.unit)
+            if unit is None:
+                raise ValueError(f"unsupported time unit {ty.unit}")
+            self.physical = T_INT32 if pa.types.is_time32(ty) else T_INT64
+            self.logical = _Logical.time(unit, False)
+            if ty.unit == "ms":
+                self.converted = 7
+            elif ty.unit == "us":
+                self.converted = 8
         elif pa.types.is_timestamp(ty):
             self.physical = T_INT64
             unit = {"ms": 1, "us": 2, "ns": 3}.get(ty.unit)
@@ -305,6 +323,13 @@ def _fixed_np(arr: pa.Array, ct: _ColType) -> np.ndarray:
         return arr.view(pa.int64()).to_numpy()
     if pa.types.is_date32(ty):
         return arr.view(pa.int32()).to_numpy()
+    if pa.types.is_date64(ty):
+        # ms -> days (parquet DATE)
+        return (arr.view(pa.int64()).to_numpy() // 86400000).astype(np.int32)
+    if pa.types.is_time32(ty):
+        return arr.view(pa.int32()).to_numpy()
+    if pa.types.is_time64(ty):
+        return arr.view(pa.int64()).to_numpy()
     if ct.physical == T_INT32 and ty.bit_width < 32:
         return pc.cast(arr, pa.int32()).to_numpy()
     if pa.types.is_uint32(ty):

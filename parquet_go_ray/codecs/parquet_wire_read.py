@@ -164,6 +164,8 @@ class _Column:
                 return pa.decimal128(d.get(2, self.precision), d.get(1, self.scale))
             if c == 6 or 6 in lt:
                 return pa.date32()
+            if c == 7 or 7 in lt:  # TIME_MILLIS
+                return pa.time32("ms")
             if 10 in lt:
                 bits, signed = lt[10].get(1, 32), lt[10].get(2, True)
                 return getattr(pa, f"{'' if signed else 'u'}int{bits}")()
@@ -179,6 +181,11 @@ class _Column:
             if 8 in lt:  # TIMESTAMP logical
                 unit = {1: "ms", 2: "us", 3: "ns"}[next(iter(lt[8].get(2, {1: {}})))]
                 return pa.timestamp(unit, tz="UTC" if lt[8].get(1) else None)
+            if c == 8:  # TIME_MICROS
+                return pa.time64("us")
+            if 7 in lt:  # TIME logical on INT64
+                unit = {2: "us", 3: "ns"}[next(iter(lt[7].get(2, {2: {}})))]
+                return pa.time64(unit)
             if c == 9:
                 return pa.timestamp("ms")
             if c == 10:
@@ -312,6 +319,9 @@ def _dense_to_arrow(vals, col: _Column, ty: pa.DataType) -> pa.Array:
         return pa.array(np.asarray(vals, dtype=np.int64)).cast(pa.int64()).view(ty)
     if pa.types.is_date32(ty):
         return pa.array(np.asarray(vals, dtype=np.int32)).view(ty)
+    if pa.types.is_time(ty):
+        bits = 32 if pa.types.is_time32(ty) else 64
+        return pa.array(np.asarray(vals, dtype=f"int{bits}")).view(ty)
     if pa.types.is_boolean(ty):
         return pa.array(np.asarray(vals, dtype=bool))
     np_ty = np.dtype(ty.to_pandas_dtype())

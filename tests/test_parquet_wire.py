@@ -661,3 +661,28 @@ def test_footer_key_value_metadata(tmp_path):
     back = R.read_table(p)
     assert back.schema.metadata[b"job"] == b"r3"
     assert back.column("x").to_pylist() == [1, 2, 3]
+
+
+def test_time_and_date64_types(tmp_path):
+    """TIME logical type (time.go parity) + date64->DATE: wire roundtrip
+    through pyarrow and our own reader."""
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    t = pa.table(
+        {
+            "t_us": pa.array([1, 123456789, None], type=pa.time64("us")),
+            "t_ns": pa.array([1, 987654321, 5], type=pa.time64("ns")),
+            "t_ms": pa.array([1000, None, 2000], type=pa.time32("ms")),
+            "d64": pa.array([86400000, 864000000, 0], type=pa.date64()),
+        }
+    )
+    p = str(tmp_path / "time.parquet")
+    W.write_table(t, p)
+    back = pq.read_table(p)
+    own = R.read_table(p)
+    for name in t.column_names:
+        exp = t.column(name).combine_chunks()
+        if name == "d64":
+            exp = exp.cast(pa.date32())
+        assert back.column(name).combine_chunks().equals(exp), name
+        assert own.column(name).combine_chunks().equals(exp), name
