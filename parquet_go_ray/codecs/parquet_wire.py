@@ -197,6 +197,10 @@ class _Logical:
         return ts([(8, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
 
     @staticmethod
+    def null() -> bytes:
+        return ts([(11, "struct", ts([]))])
+
+    @staticmethod
     def time(unit_field: int, utc: bool) -> bytes:
         unit = ts([(unit_field, "struct", ts([]))])
         return ts([(7, "struct", ts([(1, "bool", utc), (2, "struct", unit)]))])
@@ -231,7 +235,12 @@ class _ColType:
         self.converted = None
         self.logical = None
         self.scale = self.precision = None
-        if pa.types.is_boolean(ty):
+        if pa.types.is_null(ty):
+            # LogicalType NULL over INT32 (pyarrow's own mapping): every
+            # value is null, so pages carry def levels and zero values
+            self.physical = T_INT32
+            self.logical = _Logical.null()
+        elif pa.types.is_boolean(ty):
             self.physical = T_BOOLEAN
         elif pa.types.is_integer(ty) and ty.bit_width <= 32:
             self.physical = T_INT32
@@ -319,6 +328,8 @@ class _ColType:
 
 def _fixed_np(arr: pa.Array, ct: _ColType) -> np.ndarray:
     ty = arr.type
+    if pa.types.is_null(ty):
+        return np.zeros(0, dtype=np.int32)  # null type has no values
     if pa.types.is_timestamp(ty):
         return arr.view(pa.int64()).to_numpy()
     if pa.types.is_date32(ty):
