@@ -22,16 +22,23 @@ import sys
 from pathlib import Path
 
 
-def _init_ray(num_cpus: int | None):
+def _init_ray(num_cpus: int | None, address: str | None = None):
+    """Own the Ray session. address='local' starts an in-process node;
+    'auto' (the `ray job submit` case) attaches to the running cluster,
+    where num_cpus is the cluster's to decide."""
+    import os
+
     import ray
 
+    addr = address or os.environ.get("RAY_ADDRESS") or "local"
     if not ray.is_initialized():
+        kw = {"num_cpus": num_cpus} if addr == "local" else {}
         ray.init(
-            address="local",
-            num_cpus=num_cpus,
+            address=addr,
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            **kw,
         )
     from ray.data import DataContext
 
@@ -39,7 +46,7 @@ def _init_ray(num_cpus: int | None):
 
 
 def cmd_encode(args) -> int:
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "address", None))
     from .pipelines.encode import encode_job
 
     files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
@@ -64,7 +71,7 @@ def cmd_export(args) -> int:
     """Export parquet shards (or an encoded chunk store) as wire-level
     parquet written by our own encoders — readable by any parquet
     reader, including the reference."""
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "address", None))
     from .pipelines.export import export_parquet_job, export_store
 
     src = Path(args.input)
@@ -85,8 +92,7 @@ def cmd_export(args) -> int:
         unsupported = sorted(set(files) - set(flat))
         if unsupported:
             print(
-                f"skipping {len(unsupported)} file(s) with unsupported column types "
-                f"(e.g. null-typed columns): "
+                f"skipping {len(unsupported)} file(s) with unsupported column types: "
                 + ", ".join(Path(f).name for f in unsupported),
                 file=sys.stderr,
             )
@@ -101,7 +107,7 @@ def cmd_export(args) -> int:
 
 
 def cmd_decode(args) -> int:
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "address", None))
     from .pipelines.decode import decode_dataset
 
     ds = decode_dataset(args.encoded_dir)
@@ -111,7 +117,7 @@ def cmd_decode(args) -> int:
 
 
 def cmd_verify(args) -> int:
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "address", None))
     import ray.data
 
     from .pipelines.decode import decode_dataset
@@ -158,7 +164,7 @@ def cmd_describe(args) -> int:
 def cmd_show(args) -> int:
     """Pretty-print the first N decoded rows (print.go PrintRowGroup
     parity; decode is column-projected if --columns given)."""
-    _init_ray(args.num_cpus)
+    _init_ray(args.num_cpus, getattr(args, "address", None))
     from .pipelines.decode import decode_dataset
 
     cols = args.columns.split(",") if args.columns else None
@@ -189,6 +195,11 @@ def cmd_bench(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="parquet_go_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument(
+        "--address", default=None,
+        help="Ray address: 'local' (default) starts a node; 'auto' attaches "
+        "to a running cluster — the `ray job submit` entrypoint mode",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     e = sub.add_parser("encode")
