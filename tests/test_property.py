@@ -84,3 +84,43 @@ def test_wide_binary_values():
     ]
     arr = pa.array(big, type=pa.large_binary())
     rt(arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=5500),
+    st.integers(min_value=0, max_value=5500),
+    st.integers(min_value=1, max_value=4),
+)
+def test_wire_seek_rows_any_range(start, span, seed):
+    """read_table_rows(s, e) == full read sliced, for ANY range over a
+    multi-group multi-page file with nulls."""
+    import tempfile, os
+
+    from parquet_go_ray.codecs import parquet_wire as W
+    from parquet_go_ray.codecs import parquet_wire_read as PR
+
+    global _SEEK_FILES
+    try:
+        _SEEK_FILES
+    except NameError:
+        _SEEK_FILES = {}
+    if seed not in _SEEK_FILES:
+        rng = np.random.default_rng(seed)
+        n = 5000
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(n), type=pa.int64()),
+                "s": pa.array(
+                    [None if i % 97 == 0 else f"v{i}" for i in range(n)]
+                ),
+            }
+        )
+        p = tempfile.mktemp(suffix=".parquet")
+        W.write_table(t, p, page_rows=193, rows_per_group=1700)
+        _SEEK_FILES[seed] = (p, t)
+    p, t = _SEEK_FILES[seed]
+    stop = start + span
+    sub, _info = PR.read_table_rows(p, start, stop)
+    exp = t.slice(start, max(0, min(stop, t.num_rows) - start))
+    assert sub.cast(exp.schema).equals(exp)
