@@ -179,6 +179,16 @@ def cmd_show(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Bin-pack small shards (LSM-style store maintenance; see
+    pipelines/compact.py for the crash-safety protocol)."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.compact import compact_store
+
+    print(json.dumps(compact_store(args.encoded_dir, target_bytes=args.target_mb << 20)))
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
     repo = Path(__file__).resolve().parent.parent
@@ -242,6 +252,11 @@ def main(argv=None) -> int:
     sh.add_argument("-n", type=int, default=10)
     sh.add_argument("--columns", default=None, help="comma-separated projection")
     sh.set_defaults(fn=cmd_show)
+
+    c = sub.add_parser("compact")
+    c.add_argument("encoded_dir")
+    c.add_argument("--target-mb", type=int, default=64)
+    c.set_defaults(fn=cmd_compact)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")

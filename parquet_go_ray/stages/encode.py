@@ -594,8 +594,10 @@ def _dict_page_rows(
     dict_shared chunk in the same file."""
     rows = {k: [] for k in CHUNK_SCHEMA.names}
     for name, st in shared.items():
-        if not len(st):
-            continue
+        # a state exists only because some chunk was promoted to
+        # dict_shared and references this page — emit it even when the
+        # accumulated dictionary is empty (an all-null chunk run), or
+        # that chunk becomes undecodable
         values = st.values_array()
         blob = chunk_mod.encode_array(values, None, compression)
         rows["chunk_id"].append("__dict__")
