@@ -8,7 +8,10 @@ Commands (the pipelines a reference user runs day-to-day):
   decode   ENCODED_DIR OUT_DIR          # back to parquet
   verify   INPUT_DIR ENCODED_DIR       # order-insensitive bit-identity
   describe ENCODED_DIR                  # schema/codec/stats summary
+  compact  ENCODED_DIR [--target-mb N]  # bin-pack small shards
   bench    [--scaling]                  # same as bench.py
+
+Global: --address auto attaches to a running cluster (ray job submit).
 
 Owns its Ray session (the driver contract only forbids ray.init inside
 __ray_entry__ / library code).

@@ -96,3 +96,40 @@ void xxhash64_segments(const unsigned char *data, const long *offsets, long n,
     for (long i = 0; i < n; i++)
         out[i] = xxh64(data + offsets[i], offsets[i + 1] - offsets[i]);
 }
+
+/* Fully fused MinHash over k-byte FNV shingles: one pass over the
+ * concatenated doc bytes, no materialized window/hash arrays (the
+ * numpy path allocates several n_shingles*8B temporaries -- ~0.5 GB per
+ * 60 MB of text -- whose first-touch page faults dominate its runtime).
+ * Bit-identical to the numpy path: window w0 = byte, then w = w*FNV+byte
+ * over the next k-1 bytes read from the GLOBAL buffer (docs shorter
+ * than k contribute one window that reads into the next doc / the
+ * zero pad at the very end -- the same quirk as the numpy pad layout);
+ * per permutation p, min over (w*a[p]+b[p]) & MERSENNE61. */
+void minhash_segments(const unsigned char *data, long buflen,
+                      const long *offsets, long n_docs, long k,
+                      const uint64_t *a, const uint64_t *b, long num_perm,
+                      uint64_t *out)
+{
+    const uint64_t MERSENNE = ((uint64_t)1 << 61) - 1;
+    const uint64_t FNV = 1099511628211ULL;
+    for (long d = 0; d < n_docs; d++) {
+        long s = offsets[d], e = offsets[d + 1];
+        long nwin = e - s - k + 1;
+        if (nwin < 1) nwin = 1;
+        uint64_t *row = out + d * num_perm;
+        for (long p = 0; p < num_perm; p++) row[p] = (uint64_t)-1;
+        for (long i = 0; i < nwin; i++) {
+            long g = s + i;
+            uint64_t w = (g < buflen) ? data[g] : 0;
+            for (long j = 1; j < k; j++) {
+                uint64_t c = (g + j < buflen) ? data[g + j] : 0;
+                w = w * FNV + c;
+            }
+            for (long p = 0; p < num_perm; p++) {
+                uint64_t h = (w * a[p] + b[p]) & MERSENNE;
+                if (h < row[p]) row[p] = h;
+            }
+        }
+    }
+}

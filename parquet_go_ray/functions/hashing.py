@@ -83,13 +83,40 @@ def minhash_signatures(
     out = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     if n_docs == 0:
         return out
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | _U64(1)
+    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
+    from ..codecs import native
+
+    lib = native.load("_hash_native.c")
+    if lib is not None:
+        # fully fused C path: shingle + permute + min in ONE pass over
+        # the concatenated bytes, zero large temporaries — the numpy
+        # path below allocates several n_shingles×8B arrays (~0.5 GB
+        # per 60 MB of text) whose first-touch page faults dominate
+        # its runtime. Output is bit-identical.
+        import ctypes
+
+        data = b"".join(texts)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in texts], out=offsets[1:])
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        lib.minhash_segments(
+            data,
+            ctypes.c_long(len(data)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.c_long(n_docs),
+            ctypes.c_long(k),
+            a.ctypes.data_as(u64p),
+            b.ctypes.data_as(u64p),
+            ctypes.c_long(num_perm),
+            out.ctypes.data_as(u64p),
+        )
+        return out
     buf, offsets = _concat_bytes(texts)
     w, starts, _ = _shingle_windows(buf, offsets, k)
     if len(w) == 0:
         return out
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, num_perm, dtype=np.uint64) | _U64(1)
-    b = rng.integers(0, (1 << 61) - 1, num_perm, dtype=np.uint64)
     for p in range(num_perm):
         with np.errstate(over="ignore"):
             h = (w * a[p] + b[p]) & _MERSENNE

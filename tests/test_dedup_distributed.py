@@ -156,3 +156,28 @@ def test_content_hash128_batch_kernel():
     # the two words are NOT derived from each other: a h1 collision
     # planted by construction must not force a h2 collision
     assert h2[0] != hashing.content_hash128([b"world"])[1][0]
+
+
+def test_minhash_native_matches_numpy():
+    """The fused C shingle+minhash kernel is bit-identical to the numpy
+    reduceat path, including the short-doc padded-window quirk."""
+    import numpy as np
+
+    from parquet_go_ray.codecs import native
+    from parquet_go_ray.functions import hashing
+
+    texts = [
+        (f"doc {i} words {i % 7} " * (1 + i % 13)).encode() for i in range(500)
+    ] + [b"", b"a", b"ab", b"abc", b"abcd", b"\x00" * 9, bytes(range(256))]
+    if native.load("_hash_native.c") is None:
+        import pytest
+
+        pytest.skip("no compiler: only the numpy path exists")
+    nat = hashing.minhash_signatures(texts, k=4, num_perm=64)
+    saved = dict(native._LIBS)
+    try:
+        native._LIBS["_hash_native.c"] = False
+        ref = hashing.minhash_signatures(texts, k=4, num_perm=64)
+    finally:
+        native._LIBS.update(saved)
+    assert np.array_equal(nat, ref)
