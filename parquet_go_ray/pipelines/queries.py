@@ -767,6 +767,28 @@ def q_minhash_lsh_pairs(sf_dir):
     )
 
 
+def q_stratified_sample(sf_dir):
+    """Deterministic per-group corpus subsampling (the training-data
+    'take N docs per language' step): the N lowest doc_ids per lang.
+    Scale shape: a vectorized per-batch partial top-N bounds the
+    shuffle to N rows per (group, block) before the groupby — the
+    same partial-aggregate discipline as agg_pricing."""
+    N = 20
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("lang", as_index=False).head(N)
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        return part.sort_values("doc_id").head(N)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -931,6 +953,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
+    "stratified_sample": q_stratified_sample,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1027,6 +1050,7 @@ ORACLES = {
     "parquet_wire_roundtrip": "SELECT * FROM lineitem",
     "parquet_native_read": "SELECT * FROM lineitem",
     "seek_rows": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id BETWEEN 100 AND 349",
+    "stratified_sample": "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20",
     "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
