@@ -789,6 +789,37 @@ def q_stratified_sample(sf_dir):
     )
 
 
+def q_vocab_topk(sf_dir):
+    """Corpus vocabulary statistics (the training-data 'build the token
+    frequency table' step): top-100 whitespace tokens by count, ties by
+    token. Scale shape: vectorized per-batch value_counts partials
+    (bounded by per-batch vocab), one groupby(token) sum over partial
+    rows — token counts, never token instances, ride the shuffle — then
+    a sort+limit over the vocab-sized count table."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("token", as_index=False)["cnt"].sum()
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("token")
+        .map_groups(merge, batch_format="pandas")
+    )
+    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(100)
+    return top
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -954,6 +985,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
+    "vocab_topk": q_vocab_topk,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1051,6 +1083,7 @@ ORACLES = {
     "parquet_native_read": "SELECT * FROM lineitem",
     "seek_rows": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id BETWEEN 100 AND 349",
     "stratified_sample": "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20",
+    "vocab_topk": "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
     "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
