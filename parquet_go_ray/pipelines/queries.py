@@ -820,6 +820,27 @@ def q_vocab_topk(sf_dir):
     return top
 
 
+def q_token_counts_bpe(sf_dir):
+    """Token counting with a GPT-2-style BPE pretokenizer regex
+    (contraction suffixes, letter runs, digit runs, punctuation runs,
+    whitespace runs) — the 'BPE-ish' counterpart to the plain word-run
+    counter; both engines evaluate the identical RE2 pattern."""
+    PAT = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +"
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "tokens": pc.cast(
+                    pc.count_substring_regex(t.column("text"), PAT), pa.int64()
+                ),
+            }
+        )
+
+    return relational.transform(ds, fn)
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -986,6 +1007,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "token_counts_bpe": q_token_counts_bpe,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1114,6 +1136,10 @@ ORACLES = {
     "json_props_extract": (
         "SELECT event_id, CAST(coalesce(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), "
         "'-1') AS BIGINT) AS k FROM events"
+    ),
+    "token_counts_bpe": (
+        "SELECT doc_id, CAST(length(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) "
+        "AS BIGINT) AS tokens FROM documents"
     ),
     "token_counts": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '[a-zA-Z0-9]+')) "
