@@ -510,10 +510,19 @@ def _crc32_signed(data: bytes) -> int:
     return v - (1 << 32) if v >= (1 << 31) else v
 
 
-def _stat_value(scalar: pa.Scalar, ct: _ColType) -> bytes | None:
+_STAT_TRUNC = 64
+
+
+def _stat_value(
+    scalar: pa.Scalar, ct: _ColType, is_max: bool = False
+) -> bytes | None:
     """One bound as parquet's plain single-value encoding, or None when
-    the type's wire stats are skipped (FLBA/decimal/unsigned orderings,
-    oversized byte-array bounds)."""
+    the type's wire stats are skipped (FLBA/decimal/unsigned orderings).
+    Long byte-array bounds are TRUNCATED conservatively, the same way
+    pyarrow's writer does: a min keeps its 64-byte prefix (a valid
+    lower bound); a max keeps the prefix with its last non-0xFF byte
+    incremented (a valid upper bound), or is dropped when the prefix
+    is all 0xFF."""
     p = ct.physical
     if scalar.as_py() is None:
         return None
@@ -532,7 +541,16 @@ def _stat_value(scalar: pa.Scalar, ct: _ColType) -> bytes | None:
     if p == T_BYTE_ARRAY:
         v = scalar.as_py()
         raw = v.encode() if isinstance(v, str) else v
-        return raw if len(raw) <= 64 else None
+        if len(raw) <= _STAT_TRUNC:
+            return raw
+        if not is_max:
+            return raw[:_STAT_TRUNC]
+        pref = bytearray(raw[:_STAT_TRUNC])
+        for i in range(len(pref) - 1, -1, -1):
+            if pref[i] != 0xFF:
+                pref[i] += 1
+                return bytes(pref[: i + 1])
+        return None
     return None
 
 
@@ -551,7 +569,7 @@ def _stats_blob(nn: pa.Array, ct: _ColType, null_count: int) -> bytes:
             try:
                 mm = pc.min_max(nn)
                 lo = _stat_value(mm["min"], ct)
-                hi = _stat_value(mm["max"], ct)
+                hi = _stat_value(mm["max"], ct, is_max=True)
                 if lo is not None and hi is not None:
                     fields += [(5, "bin", hi), (6, "bin", lo)]
             except Exception:
@@ -593,7 +611,7 @@ def _page_bounds(nn: pa.Array, ct: _ColType):
     try:
         mm = pc.min_max(nn)
         lo = _stat_value(mm["min"], ct)
-        hi = _stat_value(mm["max"], ct)
+        hi = _stat_value(mm["max"], ct, is_max=True)
         if lo is None or hi is None:
             return None
         return {"lo": lo, "hi": hi, "lo_py": mm["min"].as_py(), "hi_py": mm["max"].as_py()}

@@ -219,3 +219,29 @@ def test_seek_rows_distributed_multifile(ray_session, tmp_path):
     assert got == list(range(950, 2050))
     empty = read_parquet_native(paths, row_range=(5000, 6000))
     assert empty.count() == 0
+
+
+def test_truncated_string_bounds_prune_safely(tmp_path):
+    """>64B string bounds are truncated like pyarrow's writer (min =
+    prefix, max = prefix incremented), so long-string pages keep a
+    usable ColumnIndex; pruned reads stay exact."""
+    vals = sorted(f"prefix-{i:04d}-" + "x" * 120 for i in range(5000))
+    t = pa.table({"s": pa.array(vals), "k": pa.array(range(5000), type=pa.int64())})
+    p = str(tmp_path / "trunc.parquet")
+    write_table(t, p, page_rows=500)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert len(st.min) == 64 and st.min == vals[0][:64]
+    assert len(st.max) <= 64 and st.max > vals[-1]  # upper bound
+    sub, info = R.read_table_pruned(p, "s", "prefix-1000-", "prefix-1099-zzz")
+    assert sub.num_rows == 100
+    assert info["pages_read"] < info["pages_total"]
+    full = pq.read_table(p)
+    import pyarrow.compute as pc
+
+    exp = full.filter(
+        pc.and_(
+            pc.greater_equal(full.column("s"), pa.scalar("prefix-1000-")),
+            pc.less_equal(full.column("s"), pa.scalar("prefix-1099-zzz")),
+        )
+    )
+    assert sub.sort_by("k").equals(exp.select(sub.column_names).sort_by("k"))
