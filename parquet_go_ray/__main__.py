@@ -9,6 +9,7 @@ Commands (the pipelines a reference user runs day-to-day):
   verify   INPUT_DIR ENCODED_DIR       # order-insensitive bit-identity
   describe ENCODED_DIR                  # schema/codec/stats summary
   compact  ENCODED_DIR [--target-mb N]  # bin-pack small shards
+  fsck     ENCODED_DIR [--shallow]      # consistency + CRC check
   bench    [--scaling]                  # same as bench.py
 
 Global: --address auto attaches to a running cluster (ray job submit).
@@ -192,6 +193,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Distributed store consistency check (manifest vs files vs CRCs);
+    exit 1 when errors are found."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.fsck import fsck_store
+
+    res = fsck_store(args.encoded_dir, deep=not args.shallow)
+    print(json.dumps(res))
+    return 0 if res["ok"] else 1
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
     repo = Path(__file__).resolve().parent.parent
@@ -260,6 +272,12 @@ def main(argv=None) -> int:
     c.add_argument("encoded_dir")
     c.add_argument("--target-mb", type=int, default=64)
     c.set_defaults(fn=cmd_compact)
+
+    f = sub.add_parser("fsck")
+    f.add_argument("encoded_dir")
+    f.add_argument("--shallow", action="store_true",
+                   help="skip payload decodes; structure + CRCs only")
+    f.set_defaults(fn=cmd_fsck)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")

@@ -1,0 +1,157 @@
+"""Store consistency check (`fsck`): manifests vs data files vs CRCs.
+
+The operational counterpart of the reference's file validation
+(file.go's page checksum verification at read time, file_test.go's
+corrupted-file cases): a resumable/compactable store accumulates state
+across many task commits and crash windows, so operators need a cheap
+way to answer "is this store internally consistent, and are its bytes
+intact?" without running a full decode-verify against the source.
+
+Three severity tiers:
+- errors:   missing chunk files, chunk-record CRC mismatches, chunk
+            payloads that fail to decode, format-version mismatches
+- warnings: orphan data files no manifest references (stale partial
+            runs — ignored by reads, but wasted bytes), leftover
+            compaction intent logs (an interrupted compact_store run;
+            the next run recovers them)
+- info:     shard/chunk/row/byte totals
+
+The per-shard payload scan is a Ray `map_batches` over manifest-listed
+chunk files (one task per file, no shuffle); the driver only touches
+manifest JSON. `deep=False` skips payload decodes and just cross-checks
+structure + stored CRCs against the file bytes.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from ..state import manifest
+
+
+def fsck_store(store_dir: str, deep: bool = True) -> dict:
+    """Check the store; returns {ok, errors, warnings, info}."""
+    errors: list[str] = []
+    warnings: list[str] = []
+
+    try:
+        manifest.check_format_version(store_dir, "fsck")
+    except Exception as e:
+        errors.append(str(e))
+
+    shards = manifest.load_all(store_dir)
+    data_root = Path(store_dir) / "data"
+    referenced: set[str] = set()
+    n_chunks = n_rows = n_bytes = 0
+    targets = []
+    for m in shards:
+        shard = m["shard"]
+        n_rows += m.get("rows", 0)
+        files = {}
+        for r in m.get("records", []):
+            n_chunks += 1
+            n_bytes += r.get("enc_nbytes", 0)
+            files.setdefault(r["file"], []).append(r)
+        for fname, recs in files.items():
+            rel = f"{shard}/{fname}.parquet"
+            referenced.add(rel)
+            path = data_root / rel
+            if not path.exists():
+                errors.append(f"missing chunk file {rel} ({len(recs)} records)")
+                continue
+            targets.append(
+                {
+                    "path": str(path),
+                    "shard": shard,
+                    "expect": len(
+                        [r for r in recs if r["codec"] != "dict_page"]
+                    ),
+                }
+            )
+
+    on_disk = {
+        str(p.relative_to(data_root))
+        for p in data_root.glob("*/*.parquet")
+    } if data_root.exists() else set()
+    for orphan in sorted(on_disk - referenced):
+        warnings.append(f"orphan data file {orphan} (no manifest references it)")
+    for intent in sorted(manifest.manifest_dir(store_dir).glob("*.members.json")):
+        warnings.append(
+            f"leftover compaction intent {intent.name} (run compact_store to recover)"
+        )
+
+    if targets:
+        def check_file(batch: pa.Table) -> pa.Table:
+            import zlib
+
+            from ..codecs import chunk as chunk_mod
+
+            out = []
+            for path, shard, expect in zip(
+                batch.column("path").to_pylist(),
+                batch.column("shard").to_pylist(),
+                batch.column("expect").to_pylist(),
+            ):
+                errs = []
+                try:
+                    t = pq.read_table(path)
+                    seen = 0
+                    for cid, col, codec, crc, payload in zip(
+                        t.column("chunk_id").to_pylist(),
+                        t.column("column").to_pylist(),
+                        t.column("codec").to_pylist(),
+                        t.column("crc32").to_pylist(),
+                        t.column("payload").to_pylist(),
+                    ):
+                        if codec != "dict_page":
+                            seen += 1
+                        if zlib.crc32(payload) != crc:
+                            errs.append(
+                                f"{shard}: crc mismatch chunk {cid} column {col}"
+                            )
+                        elif deep and codec not in ("dict_shared",):
+                            # dict_shared needs its file's dict page;
+                            # full resolution is the decode path's job
+                            try:
+                                chunk_mod.decode_array(payload)
+                            except Exception as e:
+                                errs.append(
+                                    f"{shard}: undecodable chunk {cid} "
+                                    f"column {col}: {e}"
+                                )
+                    if seen != expect:
+                        errs.append(
+                            f"{shard}: {Path(path).name} holds {seen} chunk "
+                            f"records, manifest lists {expect}"
+                        )
+                except Exception as e:
+                    errs.append(f"{shard}: unreadable {Path(path).name}: {e}")
+                out.append({"errs": errs})
+            return pa.Table.from_pylist(
+                out, schema=pa.schema([("errs", pa.list_(pa.string()))])
+            )
+
+        ds = ray.data.from_items(targets, override_num_blocks=len(targets))
+        res = ds.map_batches(
+            check_file, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        for errs in res["errs"]:
+            errors.extend(errs)
+
+    return {
+        "ok": not errors,
+        "errors": errors,
+        "warnings": warnings,
+        "info": {
+            "shards": len(shards),
+            "chunks": n_chunks,
+            "rows": n_rows,
+            "enc_bytes": n_bytes,
+        },
+    }

@@ -35,7 +35,12 @@ def completed_shards(output_dir: str) -> set[str]:
     d = manifest_dir(output_dir)
     if not d.exists():
         return set()
-    return {p.stem for p in d.glob("*.json") if not p.name.startswith("_")}
+    return {
+        p.stem
+        for p in d.glob("*.json")
+        # skip job meta and compaction intent logs (<group>.members.json)
+        if not p.name.startswith("_") and not p.name.endswith(".members.json")
+    }
 
 
 # worker-local cache: one filesystem listing per (worker, output_dir, job)
