@@ -841,6 +841,42 @@ def q_token_counts_bpe(sf_dir):
     return relational.transform(ds, fn)
 
 
+def q_agg_stats(sf_dir):
+    """Grouped second-moment aggregation (count/avg/stddev): mergeable
+    (n, sum, sum-of-squares) partials per batch, one small groupby —
+    the combiner discipline extended beyond sums to variance."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].astype(float)
+        g = df.assign(v=v, v2=v * v).groupby("event_type", as_index=False).agg(
+            n=("v", "size"), s=("v", "sum"), s2=("v2", "sum")
+        )
+        return g
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum")
+        )
+        n = g["n"].astype(float)
+        mean = g["s"] / n
+        var = (g["s2"] - n * mean * mean) / (n - 1)
+        return pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "n": g["n"].astype(np.int64),
+                "avg_v": mean.round(2),
+                "sd_v": np.sqrt(var).round(2),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -1008,6 +1044,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "token_counts_bpe": q_token_counts_bpe,
+    "agg_stats": q_agg_stats,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1137,6 +1174,7 @@ ORACLES = {
         "SELECT event_id, CAST(coalesce(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), "
         "'-1') AS BIGINT) AS k FROM events"
     ),
+    "agg_stats": "SELECT event_type, CAST(count(*) AS BIGINT) AS n, ROUND(avg(value),2) AS avg_v, ROUND(stddev_samp(value),2) AS sd_v FROM events GROUP BY event_type",
     "token_counts_bpe": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) "
         "AS BIGINT) AS tokens FROM documents"
