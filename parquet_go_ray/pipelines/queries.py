@@ -902,6 +902,40 @@ def q_distinct_count_hll(sf_dir):
     return pd.DataFrame({"distinct_est": pd.Series([round(est)], dtype="int64")})
 
 
+def q_length_percentiles(sf_dir):
+    """Exact distributed percentiles of a bounded-range int column
+    (the 'document length distribution' curation step): per-batch
+    (lang, n_chars) histogram partials, one groupby over DISTINCT
+    values (bounded by the value range, never the row count), quantiles
+    read off the merged CDF at DuckDB's quantile_disc rank ceil(q*n)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    QS = (0.5, 0.9, 0.99)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    def final(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.groupby("n_chars", as_index=False)["c"].sum()
+            .sort_values("n_chars")
+        )
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g["n_chars"].to_numpy()
+        row = {"lang": [part["lang"].iloc[0]]}
+        for name, qq in zip(("p50", "p90", "p99"), QS):
+            rank = int(np.ceil(qq * n))
+            row[name] = [np.int64(vals[np.searchsorted(cum, rank)])]
+        return pd.DataFrame(row)
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
 def q_simhash_fingerprints(sf_dir):
     return dedup.simhash_fingerprints(_read_split(sf_dir, "documents"))
 
@@ -1071,6 +1105,7 @@ QUERIES = {
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
     "distinct_count_hll": q_distinct_count_hll,
+    "length_percentiles": q_length_percentiles,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
@@ -1200,6 +1235,7 @@ ORACLES = {
         "SELECT event_id, CAST(coalesce(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), "
         "'-1') AS BIGINT) AS k FROM events"
     ),
+    "length_percentiles": "SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90, CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 FROM documents GROUP BY lang",
     "agg_stats": "SELECT event_type, CAST(count(*) AS BIGINT) AS n, ROUND(avg(value),2) AS avg_v, ROUND(stddev_samp(value),2) AS sd_v FROM events GROUP BY event_type",
     "token_counts_bpe": (
         "SELECT doc_id, CAST(length(regexp_extract_all(text, '''s|''t|''re|''ve|''m|''ll|''d| ?[a-zA-Z]+| ?[0-9]+| ?[^ a-zA-Z0-9]+| +')) "
