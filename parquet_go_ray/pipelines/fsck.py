@@ -141,8 +141,16 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
         res = ds.map_batches(
             check_file, batch_format="pyarrow", batch_size=None
         ).to_pandas()
+        # cap driver-side detail on pathologically corrupted stores:
+        # the ok/error COUNT stays exact, the message list is a sample
+        MAX_DETAIL = 1000
+        extra = 0
         for errs in res["errs"]:
-            errors.extend(errs)
+            room = MAX_DETAIL - len(errors)
+            errors.extend(errs[: max(0, room)])
+            extra += max(0, len(errs) - max(0, room))
+        if extra:
+            errors.append(f"... and {extra} more errors (detail capped)")
 
     return {
         "ok": not errors,
