@@ -51,15 +51,32 @@ def _plan_groups(
     store_dir: str, target_bytes: int, min_group: int
 ) -> list[dict]:
     shards = []
-    for m in manifest.load_all(store_dir):
-        recs = m.get("records", [])
-        enc = sum(r["enc_nbytes"] for r in recs)
-        cols = tuple(
-            sorted({r["column"] for r in recs if r["codec"] != "dict_page"})
-        )
-        shards.append(
-            {"shard": m["shard"], "enc": enc, "rows": m.get("rows", 0), "cols": cols}
-        )
+    lt = manifest.lineage_table(
+        store_dir, columns=["shard", "column", "codec", "enc_nbytes"]
+    )
+    if lt is not None and lt.num_rows:
+        # columnar manifest scan: at 10^6+ shards this reads three thin
+        # columns instead of every shard's full JSON records
+        df = lt.to_pandas()
+        for shard, g in df.groupby("shard", sort=False):
+            cols = tuple(sorted(set(g.loc[g["codec"] != "dict_page", "column"])))
+            shards.append(
+                {"shard": shard, "enc": int(g["enc_nbytes"].sum()), "cols": cols}
+            )
+    else:  # json-only stores
+        for m in manifest.load_all(store_dir):
+            recs = m.get("records", [])
+            shards.append(
+                {
+                    "shard": m["shard"],
+                    "enc": sum(r["enc_nbytes"] for r in recs),
+                    "cols": tuple(
+                        sorted(
+                            {r["column"] for r in recs if r["codec"] != "dict_page"}
+                        )
+                    ),
+                }
+            )
     # only shards meaningfully below the target are compaction input;
     # already-packed (incl. previously compacted) shards are left alone
     small = sorted(
