@@ -45,35 +45,63 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
     except Exception as e:
         errors.append(str(e))
 
-    shards = manifest.load_all(store_dir)
     data_root = Path(store_dir) / "data"
     referenced: set[str] = set()
-    n_chunks = n_rows = n_bytes = 0
+    n_shards = n_chunks = n_rows = n_bytes = 0
     targets = []
-    for m in shards:
-        shard = m["shard"]
-        n_rows += m.get("rows", 0)
-        files = {}
-        for r in m.get("records", []):
-            n_chunks += 1
-            n_bytes += r.get("enc_nbytes", 0)
-            files.setdefault(r["file"], []).append(r)
-        for fname, recs in files.items():
+    lt = manifest.lineage_table(
+        store_dir,
+        columns=["shard", "file", "codec", "col_idx", "n", "enc_nbytes"],
+    )
+    if lt is not None and lt.num_rows:
+        # columnar manifest scan (thin columns, not per-shard JSON)
+        df = lt.to_pandas()
+        n_chunks = int((df["codec"] != "dict_page").sum())
+        n_rows = int(df.loc[df["col_idx"] == 0, "n"].sum())
+        n_bytes = int(df["enc_nbytes"].sum())
+        n_shards = df["shard"].nunique()
+        for (shard, fname), g in df.groupby(["shard", "file"], sort=False):
             rel = f"{shard}/{fname}.parquet"
             referenced.add(rel)
             path = data_root / rel
             if not path.exists():
-                errors.append(f"missing chunk file {rel} ({len(recs)} records)")
+                errors.append(f"missing chunk file {rel} ({len(g)} records)")
                 continue
             targets.append(
                 {
                     "path": str(path),
                     "shard": shard,
-                    "expect": len(
-                        [r for r in recs if r["codec"] != "dict_page"]
-                    ),
+                    "expect": int((g["codec"] != "dict_page").sum()),
                 }
             )
+    else:
+        for m in manifest.load_all(store_dir):
+            shard = m["shard"]
+            n_shards += 1
+            n_rows += m.get("rows", 0)
+            files: dict = {}
+            for r in m.get("records", []):
+                n_chunks += 1
+                n_bytes += r.get("enc_nbytes", 0)
+                files.setdefault(r["file"], []).append(r)
+            for fname, recs in files.items():
+                rel = f"{shard}/{fname}.parquet"
+                referenced.add(rel)
+                path = data_root / rel
+                if not path.exists():
+                    errors.append(
+                        f"missing chunk file {rel} ({len(recs)} records)"
+                    )
+                    continue
+                targets.append(
+                    {
+                        "path": str(path),
+                        "shard": shard,
+                        "expect": len(
+                            [r for r in recs if r["codec"] != "dict_page"]
+                        ),
+                    }
+                )
 
     on_disk = {
         str(p.relative_to(data_root))
@@ -157,7 +185,7 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
         "errors": errors,
         "warnings": warnings,
         "info": {
-            "shards": len(shards),
+            "shards": n_shards,
             "chunks": n_chunks,
             "rows": n_rows,
             "enc_bytes": n_bytes,
