@@ -587,6 +587,28 @@ def _read_column_chunk(buf, meta: dict, desc: dict, num_rows: int) -> pa.Array:
     )
 
 
+def corrupt_as_wire_error(fn):
+    """Public read entry points fail with WireFormatError on ANY
+    malformed input (file.go's ErrCorrupted discipline): corruption the
+    page CRC doesn't cover (thrift footer bytes, header fields) can
+    surface as arbitrary parse exceptions deep in the decoders —
+    normalize them instead of leaking IndexError/struct.error."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (WireFormatError, FileNotFoundError, IsADirectoryError):
+            raise
+        except Exception as e:
+            raise WireFormatError(
+                f"corrupt or unsupported parquet input ({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 def read_metadata(path: str) -> dict:
     with open(path, "rb") as f:
         raw = f.read()
@@ -597,6 +619,7 @@ def read_metadata(path: str) -> dict:
     return {"file": raw, "meta": _TR(memoryview(footer)).struct()}
 
 
+@corrupt_as_wire_error
 def read_footer(path: str) -> dict:
     """Parse ONLY the footer (tail read, no full-file load): the cheap
     metadata probe for planning row-group-granular distributed reads."""
@@ -937,6 +960,7 @@ def _entry_type(d: dict) -> pa.DataType:
     return pa.list_(ty) if d["kind"] == "list" else ty
 
 
+@corrupt_as_wire_error
 def read_table(
     path: str,
     columns: list[str] | None = None,
@@ -1026,6 +1050,7 @@ def _plain_single(raw: bytes, col: _Column):
     return raw
 
 
+@corrupt_as_wire_error
 def read_page_index(path: str) -> list[dict]:
     """Per row group: {leaf_path: {"column_index": dict|None,
     "offset_index": {"locations": [(offset, size, first_row)]}|None}}.
@@ -1099,6 +1124,7 @@ def read_bloom_filters(path: str, column: str) -> list:
     return out
 
 
+@corrupt_as_wire_error
 def bloom_may_contain(path: str, column: str, values) -> np.ndarray:
     """Per-value: could this value appear anywhere in the file? ORs the
     per-row-group probes; exact False means provably absent."""
@@ -1215,6 +1241,7 @@ def _read_flat_pages(buf, cmeta: dict, desc: dict, locations, keep_idx):
     ), starts, counts
 
 
+@corrupt_as_wire_error
 def read_table_pruned(
     path: str,
     column: str,
@@ -1316,6 +1343,7 @@ def read_table_pruned(
     return table.filter(m), info
 
 
+@corrupt_as_wire_error
 def read_table_rows(
     path: str,
     start: int,

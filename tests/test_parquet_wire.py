@@ -698,3 +698,28 @@ def test_null_type_columns(tmp_path):
     W.write_table(t, p)
     assert pq.read_table(p).equals(t)
     assert R.read_table(p).equals(t)
+
+
+def test_corruption_always_wire_error(tmp_path):
+    """Random single-byte corruption anywhere in the file either leaves
+    the decode unaffected (bytes the CRC doesn't cover and decode
+    doesn't read) or raises WireFormatError — never a stray parser
+    exception (file.go's ErrCorrupted discipline)."""
+    import numpy as np
+
+    from parquet_go_ray.codecs import parquet_wire_read as R
+
+    src = pq.read_table("/root/testdata/sf0.001/lineitem.parquet")
+    p = str(tmp_path / "f.parquet")
+    W.write_table(src, p)
+    raw = open(p, "rb").read()
+    rng = np.random.default_rng(11)
+    for _ in range(80):
+        pos = int(rng.integers(4, len(raw) - 4))
+        mut = bytearray(raw)
+        mut[pos] ^= int(rng.integers(1, 256))
+        open(p, "wb").write(bytes(mut))
+        try:
+            R.read_table(p)
+        except R.WireFormatError:
+            pass
