@@ -139,21 +139,40 @@ def cmd_describe(args) -> int:
     from .state import manifest
 
     meta_rows = 0
-    shards = manifest.load_all(args.encoded_dir)
     per_col: dict[str, dict] = {}
-    for m in shards:
-        meta_rows += m.get("rows", 0)
-        for r in m["records"]:
-            c = per_col.setdefault(
-                r["column"],
-                {"codecs": {}, "raw": 0, "enc": 0, "nulls": 0, "chunks": 0},
-            )
-            c["codecs"][r["codec"]] = c["codecs"].get(r["codec"], 0) + 1
-            c["raw"] += r["raw_nbytes"]
-            c["enc"] += r["enc_nbytes"]
-            c["nulls"] += r["n_null"]
-            c["chunks"] += 1
-    print(f"shards: {len(shards)}  rows: {meta_rows}")
+    lt = manifest.lineage_table(
+        args.encoded_dir,
+        columns=["shard", "column", "codec", "col_idx", "n", "raw_nbytes",
+                 "enc_nbytes", "n_null"],
+    )
+    if lt is not None and lt.num_rows:
+        df = lt.to_pandas()
+        n_shards = df["shard"].nunique()
+        meta_rows = int(df.loc[df["col_idx"] == 0, "n"].sum())
+        for name, g in df.groupby("column", sort=False):
+            per_col[name] = {
+                "codecs": g["codec"].value_counts().to_dict(),
+                "raw": int(g["raw_nbytes"].sum()),
+                "enc": int(g["enc_nbytes"].sum()),
+                "nulls": int(g["n_null"].sum()),
+                "chunks": len(g),
+            }
+    else:
+        shards = manifest.load_all(args.encoded_dir)
+        n_shards = len(shards)
+        for m in shards:
+            meta_rows += m.get("rows", 0)
+            for r in m["records"]:
+                c = per_col.setdefault(
+                    r["column"],
+                    {"codecs": {}, "raw": 0, "enc": 0, "nulls": 0, "chunks": 0},
+                )
+                c["codecs"][r["codec"]] = c["codecs"].get(r["codec"], 0) + 1
+                c["raw"] += r["raw_nbytes"]
+                c["enc"] += r["enc_nbytes"]
+                c["nulls"] += r["n_null"]
+                c["chunks"] += 1
+    print(f"shards: {n_shards}  rows: {meta_rows}")
     print(f"{'column':12s} {'chunks':>7s} {'raw MB':>9s} {'enc MB':>9s} {'ratio':>6s}  codecs")
     for name, c in per_col.items():
         ratio = c["enc"] / max(1, c["raw"])
