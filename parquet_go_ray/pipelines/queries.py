@@ -806,6 +806,20 @@ def q_vocab_topk(sf_dir):
             {"token": vc.index.astype(str), "cnt": vc.to_numpy().astype(np.int64)}
         )
 
+    # hash-partitioned merge: ONE vectorized pandas groupby per
+    # partition, not one map_groups Python call per token (at web-scale
+    # vocab that is 10^8 per-group calls)
+    P = 64
+
+    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import stable_hash_strings
+
+        df = df.copy()
+        df["pt"] = (
+            stable_hash_strings(df["token"].to_numpy()) % np.uint64(P)
+        ).astype(np.int64)
+        return df
+
     def merge(part: pd.DataFrame) -> pd.DataFrame:
         g = part.groupby("token", as_index=False)["cnt"].sum()
         g["cnt"] = g["cnt"].astype(np.int64)
@@ -813,7 +827,8 @@ def q_vocab_topk(sf_dir):
 
     counts = (
         ds.map_batches(partial, batch_format="pandas")
-        .groupby("token")
+        .map_batches(add_pt, batch_format="pandas")
+        .groupby("pt")
         .map_groups(merge, batch_format="pandas")
     )
     top = counts.sort(["cnt", "token"], descending=[True, False]).limit(100)
