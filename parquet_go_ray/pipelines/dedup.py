@@ -651,6 +651,21 @@ def dedup_pipeline(
     moves only the columns the downstream LSH needs. Returns
     (id_a, id_b, est_jaccard) near-dup pairs among representatives."""
     n_docs_hint = lsh_kwargs.get("n_docs_hint")
+    survivors = exact_representatives(ds, text_col, id_col, n_docs_hint)
+    return minhash_lsh_pairs(
+        survivors, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+    )
+
+
+def exact_representatives(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """One representative (min id) per distinct text: a partitioned
+    hash-join on the 128-bit content hash — size-targeted partitions,
+    nothing per-document on the driver. Returns (id, text) rows."""
     P = _n_partitions(n_docs_hint, 1)
 
     def hash_rows(batch: pd.DataFrame) -> pd.DataFrame:
@@ -673,14 +688,100 @@ def dedup_pipeline(
         idx = part.groupby(["h1", "h2"], sort=False)[id_col].idxmin()
         return part.loc[idx, [id_col, text_col]]
 
-    survivors = (
+    return (
         ds.map_batches(hash_rows, batch_format="pandas")
         .groupby("hg")
         .map_groups(keep_min, batch_format="pandas")
     )
-    return minhash_lsh_pairs(
-        survivors, text_col, id_col, jaccard_threshold=jaccard_threshold, **lsh_kwargs
+
+
+def anti_join_ids(
+    ids_ds: ray.data.Dataset,
+    drop_ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    n_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed anti-join on an id column: rows of `ids_ds` whose id
+    is NOT in `drop_ds[id_col]`. Both sides shuffle id-only rows into
+    hash partitions (8 B/row); exact (no bloom false positives — a FP
+    here would silently drop a kept document)."""
+    P = _n_partitions(n_hint, 1)
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df[id_col].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    id_col: ids,
+                    "side": np.full(len(ids), side, dtype=np.int8),
+                    "pt": (ids % P).astype(np.int64),
+                }
+            )
+
+        return fn
+
+    both = ids_ds.map_batches(tag(0), batch_format="pandas").union(
+        drop_ds.map_batches(tag(1), batch_format="pandas")
     )
+
+    def keep(part: pd.DataFrame) -> pd.DataFrame:
+        drop = set(part.loc[part["side"] == 1, id_col])
+        left = part.loc[part["side"] == 0, [id_col]]
+        if drop:
+            left = left[~left[id_col].isin(drop)]
+        return left.reset_index(drop=True)
+
+    return both.groupby("pt").map_groups(keep, batch_format="pandas")
+
+
+def curate_corpus(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] | None = None,
+    min_chars: int = 0,
+    jaccard_threshold: float = 0.7,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """The standard training-corpus curation composition end-to-end:
+    vectorized language/length filter -> exact dedup representatives ->
+    MinHash-LSH near-dup pairs among representatives -> greedy pair
+    breaking (drop the larger id of every near-dup pair) via an exact
+    distributed anti-join. Returns the curated (doc_id) rows.
+
+    Scale shape: the filter prunes before anything hashes; only
+    representatives enter LSH; the anti-join shuffles 8-byte id rows.
+    Greedy pair breaking removes at most one doc per pair (no
+    transitive clustering — the standard cheap guarantee that no
+    surviving pair exceeds the threshold)."""
+    import pyarrow.compute as pc
+
+    def keep_batch(t: pa.Table) -> pa.Table:
+        mask = pc.greater_equal(
+            pc.utf8_length(t.column(text_col)), pa.scalar(min_chars)
+        )
+        if langs is not None:
+            mask = pc.and_(
+                mask, pc.is_in(t.column(lang_col), value_set=pa.array(langs))
+            )
+        return t.filter(mask)
+
+    filtered = ds.map_batches(keep_batch, batch_format="pyarrow")
+    reps = exact_representatives(filtered, text_col, id_col, n_docs_hint)
+    pairs = minhash_lsh_pairs(
+        reps,
+        text_col,
+        id_col,
+        jaccard_threshold=jaccard_threshold,
+        n_docs_hint=n_docs_hint,
+    )
+
+    def drop_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df["id_b"].astype(np.int64)})
+
+    drops = pairs.map_batches(drop_side, batch_format="pandas")
+    return anti_join_ids(reps, drops, id_col, n_hint=n_docs_hint)
 
 
 def simhash_fingerprints(

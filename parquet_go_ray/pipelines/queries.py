@@ -973,6 +973,20 @@ def q_dedup_pipeline(sf_dir):
     )
 
 
+def q_curate_corpus(sf_dir):
+    """End-to-end training-corpus curation: lang/length filter ->
+    exact-dedup representatives -> near-dup pair breaking (greedy,
+    exact distributed anti-join) -> curated doc ids. The composition of
+    the filter, dedup and join operators as one streaming pipeline
+    (rows-only: the near-dup stage is approximate by design)."""
+    return dedup.curate_corpus(
+        _read_split(sf_dir, "documents"),
+        min_chars=50,
+        jaccard_threshold=0.5,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+    )
+
+
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
         _read_split(sf_dir, "documents"),
@@ -1124,6 +1138,7 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
+    "curate_corpus": q_curate_corpus,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,

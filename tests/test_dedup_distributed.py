@@ -197,3 +197,32 @@ def test_hll_within_error_bounds(ray_session):
         "read_parquet('/root/testdata/sf0.001/documents.parquet')"
     ).fetchone()[0]
     assert abs(est - exact) <= max(2, 0.05 * exact), (est, exact)
+
+
+def test_curate_corpus_planted(ray_session):
+    """Curation end-to-end on a planted corpus: short docs filtered,
+    exact dups collapsed to min id, near-dups pair-broken (larger id
+    dropped), everything else kept."""
+    import pandas as pd
+
+    import ray.data
+
+    from parquet_go_ray.pipelines.dedup import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": base},          # keep (rep)
+        {"doc_id": 1, "lang": "en", "text": base},          # exact dup of 0
+        {"doc_id": 2, "lang": "en", "text": near},          # near-dup of 0
+        {"doc_id": 3, "lang": "en", "text": "x"},           # too short
+        {"doc_id": 4, "lang": "de", "text": "ganz anderer inhalt " * 12},
+        {"doc_id": 5, "lang": "fr", "text": "contenu distinct aussi " * 12},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+    out = curate_corpus(
+        ds, langs=("en", "de", "fr"), min_chars=50,
+        jaccard_threshold=0.5, n_docs_hint=len(docs),
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 4, 5]
