@@ -210,8 +210,12 @@ def plain_segments(arr, physical: int):
             np_vals = (
                 arr.view(pa.int64()) if arr.type.bit_width == 64 else arr.cast(pa.int64())
             ).to_numpy(zero_copy_only=False)
+        elif physical == T_FLOAT:
+            # probe values arrive as float64 (python floats): hash the
+            # 4-byte float32 PLAIN encoding the filter was built from
+            np_vals = arr.cast(pa.float32()).to_numpy(zero_copy_only=False)
         else:
-            np_vals = arr.to_numpy(zero_copy_only=False)
+            np_vals = arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
         data = np_vals.astype(np_vals.dtype.newbyteorder("<")).tobytes()
         return data, np.arange(0, (n + 1) * width, width, dtype=np.int64)
     if physical == T_FLBA and hasattr(arr.type, "byte_width"):

@@ -51,32 +51,42 @@ def _plan_groups(
     store_dir: str, target_bytes: int, min_group: int
 ) -> list[dict]:
     shards = []
+    covered: set[str] = set()
     lt = manifest.lineage_table(
-        store_dir, columns=["shard", "column", "codec", "enc_nbytes"]
+        store_dir, columns=["shard", "column", "codec", "col_idx", "n", "enc_nbytes"]
     )
     if lt is not None and lt.num_rows:
-        # columnar manifest scan: at 10^6+ shards this reads three thin
+        # columnar manifest scan: at 10^6+ shards this reads thin
         # columns instead of every shard's full JSON records
         df = lt.to_pandas()
         for shard, g in df.groupby("shard", sort=False):
             cols = tuple(sorted(set(g.loc[g["codec"] != "dict_page", "column"])))
             shards.append(
-                {"shard": shard, "enc": int(g["enc_nbytes"].sum()), "cols": cols}
-            )
-    else:  # json-only stores
-        for m in manifest.load_all(store_dir):
-            recs = m.get("records", [])
-            shards.append(
                 {
-                    "shard": m["shard"],
-                    "enc": sum(r["enc_nbytes"] for r in recs),
-                    "cols": tuple(
-                        sorted(
-                            {r["column"] for r in recs if r["codec"] != "dict_page"}
-                        )
-                    ),
+                    "shard": shard,
+                    "enc": int(g["enc_nbytes"].sum()),
+                    "rows": int(g.loc[g["col_idx"] == 0, "n"].sum()),
+                    "cols": cols,
                 }
             )
+            covered.add(shard)
+    # json-only shards (legacy stores, or a mixed store where only some
+    # shards carry the parquet lineage twin) — merged, not either/or
+    for name in sorted(manifest.completed_shards(store_dir) - covered):
+        m = manifest.load_shard(store_dir, name)
+        recs = m.get("records", [])
+        shards.append(
+            {
+                "shard": m["shard"],
+                "enc": sum(r["enc_nbytes"] for r in recs),
+                "rows": m.get("rows", 0),
+                "cols": tuple(
+                    sorted(
+                        {r["column"] for r in recs if r["codec"] != "dict_page"}
+                    )
+                ),
+            }
+        )
     # only shards meaningfully below the target are compaction input;
     # already-packed (incl. previously compacted) shards are left alone
     small = sorted(
@@ -100,7 +110,13 @@ def _plan_groups(
             continue
         names = [s["shard"] for s in g]
         gid = hashlib.sha1("|".join(names).encode()).hexdigest()[:12]
-        out.append({"group": f"compact-{gid}", "members": names})
+        out.append(
+            {
+                "group": f"compact-{gid}",
+                "members": names,
+                "expect_rows": sum(s["rows"] for s in g),
+            }
+        )
     return out
 
 
@@ -133,9 +149,11 @@ def _recover(store_dir: str) -> int:
                     cleaned += 1
                 _drop_shard(store_dir, m)
         else:
-            # not committed: roll back the orphan data (invisible to
-            # reads anyway — the manifest is the source of truth)
-            shutil.rmtree(Path(store_dir) / "data" / group, ignore_errors=True)
+            # not committed: roll back EVERYTHING the crashed task may
+            # have written — the data dir AND the parquet lineage twin
+            # (record_shard writes the twin before the json commit
+            # marker, and the read planner trusts the twin)
+            _drop_shard(store_dir, group)
         p.unlink()
     return cleaned
 
@@ -159,17 +177,56 @@ def compact_store(
         from ..stages.encode import ChunkEncoder, lineage_of, write_chunk_file
 
         out_rows = []
-        for group, members in zip(
-            batch.column("group").to_pylist(), batch.column("members").to_pylist()
+        for group, members, expect_rows in zip(
+            batch.column("group").to_pylist(),
+            batch.column("members").to_pylist(),
+            batch.column("expect_rows").to_pylist(),
         ):
+            if (manifest.manifest_dir(store_dir) / f"{group}.json").exists():
+                # a previous attempt of THIS task (Ray retries tasks on
+                # worker loss / block reconstruction) already committed
+                # the group — re-encoding from the now partially deleted
+                # members would overwrite the manifest with a subset.
+                # Finish the deletions instead.
+                for m in members:
+                    _drop_shard(store_dir, m)
+                mf = manifest.manifest_dir(store_dir) / f"{group}.members.json"
+                if mf.exists():
+                    mf.unlink()
+                out_rows.append(
+                    {"group": group, "members": len(members), "rows": 0}
+                )
+                continue
             _write_members(store_dir, group, list(members))
             parts = []
             for m in members:
                 for f in sorted((Path(store_dir) / "data" / m).glob("*.parquet")):
                     parts.append(decode_chunk_table(pq.read_table(f)))
-            rows = pa.concat_tables(
-                [p for p in parts if p.num_columns], promote_options="default"
+            parts = [p for p in parts if p.num_columns]
+            rows = (
+                pa.concat_tables(parts, promote_options="default")
+                if parts
+                else None
             )
+            # cross-check against the members' manifests BEFORE any
+            # deletion: a member with missing chunk files must fail the
+            # group loudly (fsck territory), not silently compact the
+            # surviving subset and then delete the evidence
+            got = rows.num_rows if rows is not None else 0
+            if got != expect_rows:
+                raise RuntimeError(
+                    f"compaction group {group}: decoded {got} rows but member "
+                    f"manifests list {expect_rows} — store is inconsistent "
+                    f"(run fsck); leaving members untouched"
+                )
+            if rows is None:  # expect_rows == 0: nothing to write
+                for m in members:
+                    _drop_shard(store_dir, m)
+                (manifest.manifest_dir(store_dir) / f"{group}.members.json").unlink()
+                out_rows.append(
+                    {"group": group, "members": len(members), "rows": 0}
+                )
+                continue
             enc = ChunkEncoder(
                 output_dir=store_dir,
                 rows_per_chunk=rows_per_chunk,

@@ -17,9 +17,11 @@ Three severity tiers:
 - info:     shard/chunk/row/byte totals
 
 The per-shard payload scan is a Ray `map_batches` over manifest-listed
-chunk files (one task per file, no shuffle); the driver only touches
-manifest JSON. `deep=False` skips payload decodes and just cross-checks
-structure + stored CRCs against the file bytes.
+chunk files (one task per file, no shuffle); the driver only reads the
+columnar lineage manifest (thin projected columns, falling back to
+per-shard JSON for json-only stores). `deep=False` skips payload
+decodes and just cross-checks structure + stored CRCs against the file
+bytes.
 """
 
 from __future__ import annotations
@@ -49,6 +51,18 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
     referenced: set[str] = set()
     n_shards = n_chunks = n_rows = n_bytes = 0
     targets = []
+    MAX_DETAIL = 1000
+    suppressed = [0]
+
+    def report(msg: str) -> None:
+        # cap driver-side detail (a store with 10^6 lost files must not
+        # build 10^6 strings); the suppressed count is kept exact
+        if len(errors) < MAX_DETAIL:
+            errors.append(msg)
+        else:
+            suppressed[0] += 1
+
+    covered: set[str] = set()
     lt = manifest.lineage_table(
         store_dir,
         columns=["shard", "file", "codec", "col_idx", "n", "enc_nbytes"],
@@ -56,16 +70,17 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
     if lt is not None and lt.num_rows:
         # columnar manifest scan (thin columns, not per-shard JSON)
         df = lt.to_pandas()
-        n_chunks = int((df["codec"] != "dict_page").sum())
-        n_rows = int(df.loc[df["col_idx"] == 0, "n"].sum())
-        n_bytes = int(df["enc_nbytes"].sum())
-        n_shards = df["shard"].nunique()
+        n_chunks += int((df["codec"] != "dict_page").sum())
+        n_rows += int(df.loc[df["col_idx"] == 0, "n"].sum())
+        n_bytes += int(df["enc_nbytes"].sum())
+        n_shards += df["shard"].nunique()
+        covered = set(df["shard"].unique())
         for (shard, fname), g in df.groupby(["shard", "file"], sort=False):
             rel = f"{shard}/{fname}.parquet"
             referenced.add(rel)
             path = data_root / rel
             if not path.exists():
-                errors.append(f"missing chunk file {rel} ({len(g)} records)")
+                report(f"missing chunk file {rel} ({len(g)} records)")
                 continue
             targets.append(
                 {
@@ -74,34 +89,34 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
                     "expect": int((g["codec"] != "dict_page").sum()),
                 }
             )
-    else:
-        for m in manifest.load_all(store_dir):
-            shard = m["shard"]
-            n_shards += 1
-            n_rows += m.get("rows", 0)
-            files: dict = {}
-            for r in m.get("records", []):
+    # json-only shards (legacy/mixed stores) — merged, not either/or
+    for name in sorted(manifest.completed_shards(store_dir) - covered):
+        m = manifest.load_shard(store_dir, name)
+        shard = m["shard"]
+        n_shards += 1
+        n_rows += m.get("rows", 0)
+        files: dict = {}
+        for r in m.get("records", []):
+            if r["codec"] != "dict_page":
                 n_chunks += 1
-                n_bytes += r.get("enc_nbytes", 0)
-                files.setdefault(r["file"], []).append(r)
-            for fname, recs in files.items():
-                rel = f"{shard}/{fname}.parquet"
-                referenced.add(rel)
-                path = data_root / rel
-                if not path.exists():
-                    errors.append(
-                        f"missing chunk file {rel} ({len(recs)} records)"
-                    )
-                    continue
-                targets.append(
-                    {
-                        "path": str(path),
-                        "shard": shard,
-                        "expect": len(
-                            [r for r in recs if r["codec"] != "dict_page"]
-                        ),
-                    }
-                )
+            n_bytes += r.get("enc_nbytes", 0)
+            files.setdefault(r["file"], []).append(r)
+        for fname, recs in files.items():
+            rel = f"{shard}/{fname}.parquet"
+            referenced.add(rel)
+            path = data_root / rel
+            if not path.exists():
+                report(f"missing chunk file {rel} ({len(recs)} records)")
+                continue
+            targets.append(
+                {
+                    "path": str(path),
+                    "shard": shard,
+                    "expect": len(
+                        [r for r in recs if r["codec"] != "dict_page"]
+                    ),
+                }
+            )
 
     on_disk = {
         str(p.relative_to(data_root))
@@ -169,17 +184,13 @@ def fsck_store(store_dir: str, deep: bool = True) -> dict:
         res = ds.map_batches(
             check_file, batch_format="pyarrow", batch_size=None
         ).to_pandas()
-        # cap driver-side detail on pathologically corrupted stores:
-        # the ok/error COUNT stays exact, the message list is a sample
-        MAX_DETAIL = 1000
-        extra = 0
+        # same driver-side detail cap as the planning phase
         for errs in res["errs"]:
-            room = MAX_DETAIL - len(errors)
-            errors.extend(errs[: max(0, room)])
-            extra += max(0, len(errs) - max(0, room))
-        if extra:
-            errors.append(f"... and {extra} more errors (detail capped)")
+            for e in errs:
+                report(e)
 
+    if suppressed[0]:
+        errors.append(f"... and {suppressed[0]} more errors (detail capped)")
     return {
         "ok": not errors,
         "errors": errors,

@@ -19,6 +19,18 @@ import ray
 import ray.data
 
 
+def _parallel_footer_probe(paths, fn):
+    """Footer probes are independent tail reads — run them in a driver
+    thread pool so planning over many files doesn't serialize on
+    storage round-trips."""
+    if len(paths) <= 4:
+        return [fn(p) for p in paths]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(fn, paths))
+
+
 def read_parquet_native(
     paths: list[str],
     columns: list[str] | None = None,
@@ -39,8 +51,16 @@ def read_parquet_native(
     if isinstance(paths, str):
         paths = [paths]
     paths = sorted(paths)
+    if not paths:
+        raise ValueError("read_parquet_native: no input files")
     if sum(x is not None for x in (range_filter, point_filter, row_range)) > 1:
         raise ValueError("range_filter / point_filter / row_range are exclusive")
+    # a projection that omits the predicate column is widened for the
+    # read and narrowed back after filtering
+    pred_col = (range_filter or point_filter or (None,))[0]
+    read_cols = columns
+    if columns is not None and pred_col is not None and pred_col not in columns:
+        read_cols = list(columns) + [pred_col]
 
     if row_range is not None:
         # SeekToRow, distributed: files in sorted order form one logical
@@ -50,9 +70,11 @@ def read_parquet_native(
         from ..codecs.parquet_wire_read import read_footer
 
         start, stop = row_range
+        counts = _parallel_footer_probe(
+            paths, lambda p: sum(rg[3] for rg in read_footer(p).get(4, []))
+        )
         g0, plan = 0, []
-        for p in paths:
-            n = sum(rg[3] for rg in read_footer(p).get(4, []))
+        for p, n in zip(paths, counts):
             ls, le = max(start - g0, 0), min(stop - g0, n)
             if ls < le:
                 plan.append({"path": p, "start": ls, "stop": le})
@@ -84,8 +106,7 @@ def read_parquet_native(
     if row_group_granular and range_filter is None and point_filter is None:
         from ..codecs.parquet_wire_read import num_row_groups
 
-        for p in paths:
-            n = num_row_groups(p)
+        for p, n in zip(paths, _parallel_footer_probe(paths, num_row_groups)):
             if n <= 1:
                 items.append({"path": p, "rg": -1})
             else:
@@ -108,18 +129,17 @@ def read_parquet_native(
         ):
             if range_filter is not None:
                 col, lo, hi = range_filter
-                t, _info = read_table_pruned(p, col, lo, hi, columns=columns)
-                tables.append(t)
+                t, _info = read_table_pruned(p, col, lo, hi, columns=read_cols)
+                tables.append(t.select(columns) if read_cols is not columns else t)
             elif point_filter is not None:
                 import pyarrow.compute as pc
 
                 col, values = point_filter
                 if not bloom_may_contain(p, col, values).any():
                     continue  # provably absent: footer-only read
-                t = read_table(p, columns=columns)
-                tables.append(
-                    t.filter(pc.is_in(t.column(col), value_set=pa.array(values)))
-                )
+                t = read_table(p, columns=read_cols)
+                t = t.filter(pc.is_in(t.column(col), value_set=pa.array(values)))
+                tables.append(t.select(columns) if read_cols is not columns else t)
             else:
                 tables.append(
                     read_table(

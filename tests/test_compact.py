@@ -104,3 +104,20 @@ def test_compact_nested_columns(ray_session, tmp_path):
     # single input shard: nothing to pack unless min_group allows 1
     if res["groups"]:
         assert decode_dataset(out).count() == n_before
+
+
+def test_compact_inconsistent_member_fails_loudly(store, ray_session):
+    """A member whose chunk file is missing must FAIL the group and
+    leave every member untouched — never silently compact the surviving
+    subset and delete the evidence."""
+    from parquet_go_ray.pipelines.compact import _plan_groups
+
+    plan = _plan_groups(store, 1 << 20, 2)
+    victim = plan[0]["members"][0]
+    victims_files = sorted((Path(store) / "data" / victim).glob("*.parquet"))
+    victims_files[0].unlink()
+    with pytest.raises(Exception, match="inconsistent|decoded"):
+        compact_store(store, target_bytes=1 << 20)
+    # members (with manifests) are all still present
+    for m in plan[0]["members"]:
+        assert (Path(store) / "_manifest" / f"{m}.json").exists()

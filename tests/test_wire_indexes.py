@@ -245,3 +245,31 @@ def test_truncated_string_bounds_prune_safely(tmp_path):
         )
     )
     assert sub.sort_by("k").equals(exp.select(sub.column_names).sort_by("k"))
+
+
+def test_native_read_projection_excludes_predicate(ray_session):
+    """range_filter / point_filter work when the projection omits the
+    predicate column: the read widens, the output stays projected."""
+    from parquet_go_ray.sources.wire import read_parquet_native
+
+    path = "/root/testdata/sf0.001/lineitem.parquet"
+    for kw in (
+        {"range_filter": ("l_orderkey", 100, 200)},
+        {"point_filter": ("l_orderkey", [100])},
+    ):
+        ds = read_parquet_native([path], columns=["l_returnflag"], **kw)
+        total = 0
+        for b in ds.iter_batches(batch_format="pyarrow"):
+            assert b.column_names == ["l_returnflag"]
+            total += b.num_rows
+        assert total > 0
+
+
+def test_wire_bloom_float_probe(tmp_path):
+    """Float probes hash the 4-byte float32 PLAIN encoding the filter
+    was built from (not the inferred float64 layout)."""
+    t = pa.table({"score": pa.array([1.5, 2.5, 3.75], type=pa.float32())})
+    p = str(tmp_path / "f.parquet")
+    write_table(t, p, bloom_columns=("score",))
+    assert R.bloom_may_contain(p, "score", [1.5]).any()
+    assert R.bloom_may_contain(p, "score", [2.5, 9.9]).tolist() == [True, False]
