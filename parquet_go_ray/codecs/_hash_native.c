@@ -102,10 +102,10 @@ void xxhash64_segments(const unsigned char *data, const long *offsets, long n,
  * numpy path allocates several n_shingles*8B temporaries -- ~0.5 GB per
  * 60 MB of text -- whose first-touch page faults dominate its runtime).
  * Bit-identical to the numpy path: window w0 = byte, then w = w*FNV+byte
- * over the next k-1 bytes read from the GLOBAL buffer (docs shorter
- * than k contribute one window that reads into the next doc / the
- * zero pad at the very end -- the same quirk as the numpy pad layout);
- * per permutation p, min over (w*a[p]+b[p]) & MERSENNE61. */
+ * over the next k-1 bytes, zero-padded at the DOC's end (a window
+ * never reads a neighboring document's bytes -- short-doc hashes must
+ * not depend on batch composition); per permutation p, min over
+ * (w*a[p]+b[p]) & MERSENNE61. */
 void minhash_segments(const unsigned char *data, long buflen,
                       const long *offsets, long n_docs, long k,
                       const uint64_t *a, const uint64_t *b, long num_perm,
@@ -121,9 +121,9 @@ void minhash_segments(const unsigned char *data, long buflen,
         for (long p = 0; p < num_perm; p++) row[p] = (uint64_t)-1;
         for (long i = 0; i < nwin; i++) {
             long g = s + i;
-            uint64_t w = (g < buflen) ? data[g] : 0;
+            uint64_t w = (g < e) ? data[g] : 0;
             for (long j = 1; j < k; j++) {
-                uint64_t c = (g + j < buflen) ? data[g + j] : 0;
+                uint64_t c = (g + j < e) ? data[g + j] : 0;
                 w = w * FNV + c;
             }
             for (long p = 0; p < num_perm; p++) {

@@ -69,9 +69,14 @@ def _shingle_windows(buf: np.ndarray, offsets: np.ndarray, k: int):
     )
     pad = np.zeros(len(buf) + k, dtype=np.uint64)
     pad[: len(buf)] = buf
-    w = pad[pos].copy()
+    # windows never read past their OWN doc's end (docs shorter than k
+    # zero-pad): a window that leaked into the next doc's bytes made
+    # short-doc hashes depend on batch composition — nondeterministic
+    # across block layouts
+    ends = np.repeat(offsets[1:], n_win)
+    w = np.where(pos < ends, pad[pos], 0)
     for i in range(1, k):
-        w = w * _U64(1099511628211) + pad[pos + i]  # FNV-style roll
+        w = w * _U64(1099511628211) + np.where(pos + i < ends, pad[pos + i], 0)
     return w, starts[:-1], n_docs
 
 
@@ -194,11 +199,13 @@ def simhash64(texts: list[bytes], seed: int = 11) -> np.ndarray:
     h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
     acc = np.zeros((n_docs, 64), dtype=np.int64)
     valid = counts > 0
-    red_starts = np.minimum(starts[:-1], len(h) - 1)
+    # reduceat over VALID docs only: clipping empty docs' starts into
+    # range would shorten the PRECEDING doc's segment (its last token
+    # fell out whenever an empty doc followed it in the batch)
+    vstarts = starts[:-1][valid]
     for bit in range(64):
         bits = ((h >> _U64(bit)) & _U64(1)).astype(np.int64) * 2 - 1
-        col = np.add.reduceat(bits, red_starts)
-        acc[:, bit] = np.where(valid, col, 0)
+        acc[valid, bit] = np.add.reduceat(bits, vstarts)
     bitsset = (acc > 0).astype(np.uint64)
     shifts = np.arange(64, dtype=np.uint64)
     return (bitsset << shifts[None, :]).sum(axis=1, dtype=np.uint64)

@@ -183,6 +183,36 @@ def test_minhash_native_matches_numpy():
     assert np.array_equal(nat, ref)
 
 
+def test_hashes_independent_of_batch_composition():
+    """A doc's MinHash/SimHash must not depend on which other docs share
+    its batch — Ray's block layout varies with parallelism, so any
+    neighbor leakage makes pair outputs nondeterministic across runs.
+    Regression: shingle windows used to read past a short doc's end into
+    the next doc's bytes, and simhash's reduceat dropped the last token
+    of a doc followed by an empty doc."""
+    from parquet_go_ray.codecs import native
+    from parquet_go_ray.functions import hashing
+
+    docs = [b"abc", b"", b"a", b"hello world " * 3, b"\x00\x01", b"tail doc"]
+
+    def check(fn):
+        batched = fn(docs)
+        for i, d in enumerate(docs):
+            alone = fn([d])
+            assert np.array_equal(batched[i], alone[0]), (fn.__name__, i)
+
+    check(lambda t: hashing.minhash_signatures(t, k=4, num_perm=16))
+    check(hashing.simhash64)
+    check(lambda t: hashing.winnow_digest(hashing.winnow_fingerprints(t)))
+    if native.load("_hash_native.c") is not None:
+        saved = dict(native._LIBS)
+        try:
+            native._LIBS["_hash_native.c"] = False
+            check(lambda t: hashing.minhash_signatures(t, k=4, num_perm=16))
+        finally:
+            native._LIBS.update(saved)
+
+
 def test_hll_within_error_bounds(ray_session):
     """HLL estimate stays within ~5% of the exact distinct count, and
     merged task registers equal a single-pass fold."""
