@@ -513,6 +513,41 @@ def _crc32_signed(data: bytes) -> int:
 _STAT_TRUNC = 64
 
 
+def _utf8_safe_prefix(raw: bytes) -> bytes:
+    """Longest valid-UTF-8 prefix of a byte-truncated string. Values come
+    from Arrow string columns (always valid UTF-8), so only the final
+    codepoint can be cut — back off at most 3 continuation bytes."""
+    for back in range(4):
+        cut = raw[: len(raw) - back]
+        try:
+            cut.decode()
+            return cut
+        except UnicodeDecodeError:
+            continue
+    return b""
+
+
+def _utf8_increment(prefix: bytes) -> bytes | None:
+    """Smallest-effort valid-UTF-8 upper bound strictly above every
+    string starting with `prefix` (parquet-mr BinaryTruncator semantics):
+    replace the last codepoint c with c+1 (skipping the surrogate gap —
+    UTF-8 byte order preserves codepoint order, so the result still
+    bounds in byte order); drop trailing U+10FFFF codepoints first.
+    None when every codepoint is U+10FFFF (no finite bound)."""
+    cps = list(prefix.decode())
+    while cps:
+        c = ord(cps[-1])
+        if c >= 0x10FFFF:
+            cps.pop()
+            continue
+        c += 1
+        if 0xD800 <= c <= 0xDFFF:
+            c = 0xE000
+        cps[-1] = chr(c)
+        return "".join(cps).encode()
+    return None
+
+
 def _stat_value(
     scalar: pa.Scalar, ct: _ColType, is_max: bool = False
 ) -> bytes | None:
@@ -522,7 +557,10 @@ def _stat_value(
     pyarrow's writer does: a min keeps its 64-byte prefix (a valid
     lower bound); a max keeps the prefix with its last non-0xFF byte
     incremented (a valid upper bound), or is dropped when the prefix
-    is all 0xFF."""
+    is all 0xFF. String (UTF8) bounds cut at codepoint boundaries and
+    increment the last codepoint, so a truncated bound is always valid
+    UTF-8 (a byte-level cut mid-codepoint crashes pyarrow's stats
+    decode on read)."""
     p = ct.physical
     if scalar.as_py() is None:
         return None
@@ -540,9 +578,13 @@ def _stat_value(
         return struct.pack("<d", scalar.as_py())
     if p == T_BYTE_ARRAY:
         v = scalar.as_py()
-        raw = v.encode() if isinstance(v, str) else v
+        is_str = isinstance(v, str)
+        raw = v.encode() if is_str else v
         if len(raw) <= _STAT_TRUNC:
             return raw
+        if is_str:
+            pref = _utf8_safe_prefix(raw[:_STAT_TRUNC])
+            return pref if not is_max else _utf8_increment(pref)
         if not is_max:
             return raw[:_STAT_TRUNC]
         pref = bytearray(raw[:_STAT_TRUNC])
@@ -554,26 +596,65 @@ def _stat_value(
     return None
 
 
+def _sliced_binary_bounds(nn: pa.Array) -> tuple[bytes, bytes] | None:
+    """Truncated (lo, hi) bounds for a byte-array column WITHOUT scanning
+    full values: min/max over 65-byte prefixes (pc.binary_slice touches
+    only offsets + ≤65 B/value, so MB-sized html pages still get usable
+    bounds). min-of-prefixes ≤ every value, so its 64-byte cut is a valid
+    lower bound; for the upper bound, any value whose 65-byte prefix is
+    ≤ the prefix-max is < increment(prefix-max[:64]) — the same
+    last-non-0xFF-byte increment pyarrow's writer uses. None only when
+    the 64-byte prefix is all 0xFF (no finite upper bound)."""
+    ty = nn.type
+    is_str = pa.types.is_string(ty) or pa.types.is_large_string(ty)
+    if pa.types.is_string(ty):
+        nn = nn.cast(pa.binary())
+    elif pa.types.is_large_string(ty):
+        nn = nn.cast(pa.large_binary())
+    mm = pc.min_max(pc.binary_slice(nn, 0, _STAT_TRUNC + 1))
+    lo = mm["min"].as_py()[:_STAT_TRUNC]
+    hi = mm["max"].as_py()
+    if is_str:
+        lo = _utf8_safe_prefix(lo)
+    if len(hi) > _STAT_TRUNC:
+        if is_str:
+            hi = _utf8_increment(_utf8_safe_prefix(hi[:_STAT_TRUNC]))
+            return None if hi is None else (lo, hi)
+        pref = bytearray(hi[:_STAT_TRUNC])
+        for i in range(len(pref) - 1, -1, -1):
+            if pref[i] != 0xFF:
+                pref[i] += 1
+                return lo, bytes(pref[: i + 1])
+        return None
+    return lo, hi
+
+
 def _stats_blob(nn: pa.Array, ct: _ColType, null_count: int) -> bytes:
-    """ColumnMetaData.statistics: null_count always; exact
-    min_value/max_value when the type supports wire-order bounds (the
-    chunk store's lineage stats handle truncation semantics; wire stats
-    stay exact-only so external readers can prune row groups safely).
+    """ColumnMetaData.statistics: null_count always; min_value/max_value
+    when the type supports wire-order bounds — exact for fixed-width
+    types, conservatively truncated for long byte arrays (the chunk
+    store's lineage stats handle truncation semantics separately).
     `nn` must be null-free (the chunk's stored values)."""
     fields: list = [(3, "i64", null_count)]
-    if len(nn) and ct.physical != T_FLBA:
-        # skip the min/max scan when byte-array values are huge (html):
-        # the comparison pass costs real time and the bounds would be
-        # dropped for exceeding 64 bytes anyway
-        if ct.physical != T_BYTE_ARRAY or nn.nbytes // max(1, len(nn)) <= 256:
-            try:
+    if len(nn) and ct.physical != T_FLBA and ct.converted not in (11, 12, 13, 14):
+        try:
+            if (
+                ct.physical == T_BYTE_ARRAY
+                and nn.nbytes // max(1, len(nn)) > _STAT_TRUNC
+            ):
+                # long values (html/text): prefix-sliced scan, never a
+                # full-payload comparison pass
+                b = _sliced_binary_bounds(nn)
+                if b is not None:
+                    fields += [(5, "bin", b[1]), (6, "bin", b[0])]
+            else:
                 mm = pc.min_max(nn)
                 lo = _stat_value(mm["min"], ct)
                 hi = _stat_value(mm["max"], ct, is_max=True)
                 if lo is not None and hi is not None:
                     fields += [(5, "bin", hi), (6, "bin", lo)]
-            except Exception:
-                pass
+        except Exception:
+            pass
     return ts(fields)
 
 
@@ -602,19 +683,30 @@ class _ColumnChunkResult:
 
 def _page_bounds(nn: pa.Array, ct: _ColType):
     """Per-page ColumnIndex bounds: {lo, hi (plain bytes), lo_py, hi_py}
-    or None when the type/size rules skip stats (same rules as the
-    chunk-level statistics blob)."""
+    or None when the type rules skip stats (same rules as the
+    chunk-level statistics blob). Long byte arrays (html/text) get
+    truncated bounds from the prefix-sliced scan so their pages stay
+    prunable; boundary-order comparison then uses the WRITTEN bound
+    bytes, which for BYTE_ARRAY order the same as the values."""
     if not len(nn) or ct.physical == T_FLBA or ct.converted in (11, 12, 13, 14):
         return None
-    if ct.physical == T_BYTE_ARRAY and nn.nbytes // max(1, len(nn)) > 256:
-        return None
     try:
+        if ct.physical == T_BYTE_ARRAY and nn.nbytes // max(1, len(nn)) > _STAT_TRUNC:
+            b = _sliced_binary_bounds(nn)
+            if b is None:
+                return None
+            return {"lo": b[0], "hi": b[1], "lo_py": b[0], "hi_py": b[1]}
         mm = pc.min_max(nn)
         lo = _stat_value(mm["min"], ct)
         hi = _stat_value(mm["max"], ct, is_max=True)
         if lo is None or hi is None:
             return None
-        return {"lo": lo, "hi": hi, "lo_py": mm["min"].as_py(), "hi_py": mm["max"].as_py()}
+        lo_py, hi_py = mm["min"].as_py(), mm["max"].as_py()
+        if ct.physical == T_BYTE_ARRAY:
+            # bytes, not str: pages of one chunk may mix the sliced and
+            # exact paths — boundary order must compare one type
+            lo_py, hi_py = lo, hi
+        return {"lo": lo, "hi": hi, "lo_py": lo_py, "hi_py": hi_py}
     except Exception:
         return None
 

@@ -1046,7 +1046,14 @@ def _plain_single(raw: bytes, col: _Column):
         return struct.unpack("<d", raw)[0]
     if p == _T_BYTE_ARRAY:
         ty = col.arrow_type()
-        return raw.decode() if pa.types.is_string(ty) else raw
+        if pa.types.is_string(ty):
+            try:
+                return raw.decode()
+            except UnicodeDecodeError:
+                # foreign writers may byte-truncate a bound mid-codepoint;
+                # an unusable bound means "cannot prune", not "corrupt"
+                return None
+        return raw
     return raw
 
 
@@ -1284,8 +1291,8 @@ def read_table_pruned(
                 i
                 for i in range(len(locs))
                 if not ci["null_pages"][i]
-                and ci["maxs"][i] >= lo
-                and ci["mins"][i] <= hi
+                and (ci["maxs"][i] is None or ci["maxs"][i] >= lo)
+                and (ci["mins"][i] is None or ci["mins"][i] <= hi)
             ]
         locs_t = tgt["offset_index"]["locations"] if tgt["offset_index"] else None
         if keep is not None and not keep:

@@ -247,6 +247,70 @@ def test_truncated_string_bounds_prune_safely(tmp_path):
     assert sub.sort_by("k").equals(exp.select(sub.column_names).sort_by("k"))
 
 
+def test_multibyte_string_bounds_stay_valid_utf8(tmp_path):
+    """A multibyte codepoint straddling the 64-byte truncation cut must
+    not produce an invalid-UTF-8 bound: pyarrow CRASHED decoding the
+    statistics of such files before bounds were cut at codepoint
+    boundaries (parquet-mr BinaryTruncator semantics)."""
+    vals = [("a" * 63 + "中文" + "x" * 40 + f"{i:04d}") for i in range(2000)]
+    t = pa.table({"s": pa.array(vals)})
+    p = str(tmp_path / "mb.parquet")
+    write_table(t, p, page_rows=256)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert st.min <= min(vals) and st.max > max(vals)
+    ci = R.read_page_index(p)[0]["s"]["column_index"]
+    assert ci is not None and all(m is not None for m in ci["mins"])
+    # the max bound increments the last COMPLETE codepoint
+    assert ci["maxs"][0].encode()[-1:] != b"\xe4"
+    sub, _ = R.read_table_pruned(p, "s", vals[100], vals[199])
+    assert sub.num_rows == 100
+
+
+def test_long_payload_pages_get_truncated_index(tmp_path):
+    """>256B-average byte-array columns (html payloads) used to carry NO
+    page bounds at all — never prunable. The prefix-sliced scan gives
+    them truncated bounds without a full-payload comparison pass."""
+    rng = np.random.default_rng(7)
+    big = [
+        f"key-{i:05d}-".encode() + bytes(rng.integers(32, 127, 1500, dtype=np.uint8))
+        for i in range(3000)
+    ]
+    t = pa.table(
+        {"b": pa.array(big, type=pa.binary()), "k": pa.array(range(3000), type=pa.int64())}
+    )
+    p = str(tmp_path / "big.parquet")
+    write_table(t, p, page_rows=256)
+    ci = R.read_page_index(p)[0]["b"]["column_index"]
+    assert ci is not None and ci["boundary_order"] == 1  # sorted prefixes
+    assert all(len(m) <= 64 for m in ci["mins"] + ci["maxs"])
+    # chunk-level stats exist too (pyarrow sees them)
+    st = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert st.min == min(big)[:64] and st.max >= max(big)[:64]
+    sub, info = R.read_table_pruned(p, "b", b"key-01000-", b"key-01099\xff")
+    assert sub.num_rows == 100
+    assert info["pages_read"] < info["pages_total"] // 2
+    full = pq.read_table(p)
+    got = sorted(sub.column("k").to_pylist())
+    assert got == list(range(1000, 1100))
+
+
+def test_foreign_invalid_utf8_bound_keeps_page(tmp_path):
+    """A foreign writer's mid-codepoint-truncated string bound decodes
+    to None (not a crash) and the page is conservatively kept."""
+    vals = ["m" + "中" * 40 + f"{i:04d}" for i in range(1000)]
+    t = pa.table({"s": pa.array(vals)})
+    p = str(tmp_path / "foreign.parquet")
+    write_table(t, p, page_rows=128)
+    # simulate the foreign byte-level cut: patch one bound in the file
+    # by rewriting through the reader's decode path instead — monkeypatch
+    # is simpler: feed _plain_single a broken bound directly
+    col = R._parse_schema(R.read_metadata(p)["meta"][2])[0]["col"]
+    assert R._plain_single("中".encode()[:2], col) is None
+    # and pruning treats a None bound as not-prunable, still exact
+    sub, _ = R.read_table_pruned(p, "s", vals[10], vals[19])
+    assert sub.num_rows == 10
+
+
 def test_native_read_projection_excludes_predicate(ray_session):
     """range_filter / point_filter work when the projection omits the
     predicate column: the read widens, the output stays projected."""
