@@ -97,6 +97,28 @@ void xxhash64_segments(const unsigned char *data, const long *offsets, long n,
         out[i] = xxh64(data + offsets[i], offsets[i + 1] - offsets[i]);
 }
 
+/* SimHash bit accumulation: per doc, sum +-1 per token-hash bit and set
+ * the sign bit. tok_starts has n_docs+1 entries indexing into h. The
+ * 64-lane inner loop autovectorizes under -O3. */
+void simhash_accumulate(const uint64_t *h, const long *tok_starts,
+                        long n_docs, uint64_t *out)
+{
+    for (long d = 0; d < n_docs; d++) {
+        long s = tok_starts[d], e = tok_starts[d + 1];
+        long acc[64];
+        for (int b = 0; b < 64; b++) acc[b] = 0;
+        for (long i = s; i < e; i++) {
+            uint64_t x = h[i];
+            for (int b = 0; b < 64; b++)
+                acc[b] += (long)((x >> b) & 1) * 2 - 1;
+        }
+        uint64_t r = 0;
+        for (int b = 0; b < 64; b++)
+            if (acc[b] > 0) r |= (uint64_t)1 << b;
+        out[d] = r;
+    }
+}
+
 /* Fully fused MinHash over k-byte FNV shingles: one pass over the
  * concatenated doc bytes, no materialized window/hash arrays (the
  * numpy path allocates several n_shingles*8B temporaries -- ~0.5 GB per

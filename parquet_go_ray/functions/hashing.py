@@ -183,26 +183,88 @@ def winnow_digest(fps: list[np.ndarray]) -> np.ndarray:
     return out
 
 
+# ASCII whitespace, the same set bytes.split() uses
+_WS_LUT = np.zeros(256, dtype=bool)
+_WS_LUT[[9, 10, 11, 12, 13, 32]] = True
+
+
+def _tokenize_bytes(texts: list[bytes]):
+    """Whitespace tokenization without Python token objects: byte-mask
+    the concatenated buffer, compact out the whitespace, and return
+    (compacted bytes, per-token offsets into it, per-doc token starts).
+    Token boundaries = whitespace runs and document boundaries, exactly
+    matching bytes.split() per doc."""
+    n_docs = len(texts)
+    buf, offsets = _concat_bytes(texts)
+    if len(buf) == 0:
+        return (
+            buf,
+            np.zeros(1, dtype=np.int64),
+            np.zeros(n_docs + 1, dtype=np.int64),
+        )
+    keep = ~_WS_LUT[buf]
+    prev_keep = np.empty_like(keep)
+    prev_keep[0] = False
+    prev_keep[1:] = keep[:-1]
+    doc_starts = offsets[:-1][offsets[:-1] < len(buf)]
+    prev_keep[doc_starts] = False  # a doc boundary always starts a token
+    next_keep = np.empty_like(keep)
+    next_keep[-1] = False
+    next_keep[:-1] = keep[1:]
+    doc_last = offsets[1:] - 1
+    next_keep[doc_last[doc_last >= 0]] = False  # and always ends one
+    tok_byte_pos = np.flatnonzero(keep & ~prev_keep)
+    tok_end_pos = np.flatnonzero(keep & ~next_keep)
+    comp = buf[keep]
+    # tokens are contiguous in the compacted buffer, so offsets are just
+    # the running sum of token lengths (NOT a full-buffer cumsum — that
+    # 8×|buf| temporary dominated this function's runtime)
+    tok_offsets = np.zeros(len(tok_byte_pos) + 1, dtype=np.int64)
+    np.cumsum(tok_end_pos - tok_byte_pos + 1, out=tok_offsets[1:])
+    # per-doc token counts -> doc token starts
+    docids = np.searchsorted(offsets[1:], tok_byte_pos, side="right")
+    per_doc = np.bincount(docids, minlength=n_docs)
+    doc_tok_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(per_doc, out=doc_tok_starts[1:])
+    return comp, tok_offsets, doc_tok_starts
+
+
 def simhash64(texts: list[bytes], seed: int = 11) -> np.ndarray:
-    """64-bit SimHash over whitespace tokens (vectorized)."""
+    """64-bit SimHash over whitespace tokens. Fully vectorized: numpy
+    byte-mask tokenization (no Python token objects), XXH64 token hashes
+    via the shared C segment kernel, per-doc ±1 bit accumulation in C
+    (numpy reduceat fallback). Per-doc independent — a doc's fingerprint
+    never depends on batch composition."""
     n_docs = len(texts)
     if n_docs == 0:
         return np.zeros(0, dtype=np.uint64)
-    token_lists = [t.split() for t in texts]
-    counts = np.array([len(tl) for tl in token_lists], dtype=np.int64)
-    flat = [tok for tl in token_lists for tok in tl]
-    starts = np.zeros(n_docs + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
+    from ..codecs.sbbf import xxhash64
+
+    comp, tok_offsets, doc_tok_starts = _tokenize_bytes(texts)
     out = np.zeros(n_docs, dtype=np.uint64)
-    if not flat:
+    n_tokens = len(tok_offsets) - 1
+    if n_tokens == 0:
         return out
-    h = pd.util.hash_array(np.asarray(flat, dtype=object)).astype(np.uint64)
+    h = xxhash64(comp.tobytes(), tok_offsets)
+    from ..codecs import native
+
+    lib = native.load("_hash_native.c")
+    if lib is not None:
+        import ctypes
+
+        lib.simhash_accumulate(
+            h.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            doc_tok_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.c_long(n_docs),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        )
+        return out
     acc = np.zeros((n_docs, 64), dtype=np.int64)
-    valid = counts > 0
+    valid = np.diff(doc_tok_starts) > 0
     # reduceat over VALID docs only: clipping empty docs' starts into
     # range would shorten the PRECEDING doc's segment (its last token
     # fell out whenever an empty doc followed it in the batch)
-    vstarts = starts[:-1][valid]
+    vstarts = doc_tok_starts[:-1][valid]
     for bit in range(64):
         bits = ((h >> _U64(bit)) & _U64(1)).astype(np.int64) * 2 - 1
         acc[valid, bit] = np.add.reduceat(bits, vstarts)
