@@ -734,6 +734,212 @@ def anti_join_ids(
     return both.groupby("pt").map_groups(keep, batch_format="pandas")
 
 
+# rounds the most recent connected_components call took (test evidence
+# for the pointer-jumping O(log n) bound)
+LAST_CC_ROUNDS = 0
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    n_nodes_hint: int | None = None,
+    max_rounds: int = 64,
+) -> ray.data.Dataset:
+    """Distributed connected components over a (src, dst) edge list:
+    returns (node, component) with component = the minimum node id in
+    the node's component. This is the missing piece between near-dup
+    PAIRS and proper cluster dedup — pair-breaking over-removes on
+    transitive chains A~B~C (it drops both B and C even when A!~C);
+    component representatives keep exactly one doc per duplicate
+    cluster.
+
+    Algorithm: min-label propagation WITH pointer jumping. Each round
+    shuffles three kinds of id-only rows into hash partitions —
+    (node -> label) facts, (label -> node) jump edges built from the
+    same facts, and the static symmetric edge list — then takes a
+    per-node min of the proposed labels. The jump edges let a node
+    adopt its label's label in the same round, so convergence is
+    O(log n) rounds even on chain graphs (plain neighbor propagation
+    needs diameter rounds). Labels only decrease, so the fixpoint is
+    exactly the per-component minimum. Each round is one groupby
+    shuffle of O(|V| + |E|) 24-byte rows; the driver sees only the
+    changed-label COUNT per round, never ids.
+    """
+    def sym(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[src_col].to_numpy().astype(np.int64)
+        b = df[dst_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {"key": np.concatenate([a, b]), "payload": np.concatenate([b, a])}
+        )
+
+    E0 = edges.map_batches(sym, batch_format="pandas").materialize()
+    n_edge_rows = E0.count()
+    if n_edge_rows == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype="int64"),
+                    "component": pd.Series([], dtype="int64"),
+                }
+            )
+        )
+    # partition count sized from the MEASURED edge-row count (cheap:
+    # E0 is materialized, count() is metadata) so each round's shuffle
+    # partitions hold ~PARTITION_TARGET_ROWS id rows — a fixed count
+    # either crawls at small inputs or blows task memory at large ones
+    P = max(8, n_edge_rows // PARTITION_TARGET_ROWS + 1)
+    if n_nodes_hint:
+        P = max(P, n_nodes_hint // PARTITION_TARGET_ROWS + 1)
+
+    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pt"] = df["key"].to_numpy() % P
+        return df
+
+    E = E0.map_batches(add_pt, batch_format="pandas").materialize()
+
+    def init_labels(part: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(part["key"].to_numpy())
+        return pd.DataFrame(
+            {"node": u, "label": u, "pt": u % P}
+        )
+
+    labels = (
+        E.groupby("pt").map_groups(init_labels, batch_format="pandas").materialize()
+    )
+
+    def as_msgs(df: pd.DataFrame) -> pd.DataFrame:
+        # kind 0: the node's own label (also the self proposal);
+        # kind 1: reverse pointer — deliver l(label) back to the node
+        node = df["node"].to_numpy()
+        lb = df["label"].to_numpy()
+        return pd.DataFrame(
+            {
+                "key": np.concatenate([node, lb]),
+                "payload": np.concatenate([lb, node]),
+                "kind": np.repeat(
+                    np.array([0, 1], dtype=np.int8), len(df)
+                ),
+                "pt": np.concatenate([df["pt"].to_numpy(), lb % P]),
+            }
+        )
+
+    def as_edge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["key", "payload", "pt"]].copy()
+        out["kind"] = np.int8(2)
+        return out[["key", "payload", "kind", "pt"]]
+
+    def propose(part: pd.DataFrame) -> pd.DataFrame:
+        facts = part[part["kind"] == 0]
+        lab = pd.Series(
+            facts["payload"].to_numpy(), index=facts["key"].to_numpy()
+        )
+        others = part[part["kind"] != 0]
+        tgt = others["payload"].to_numpy()
+        cand = lab.reindex(others["key"].to_numpy()).to_numpy()
+        node = np.concatenate([facts["key"].to_numpy(), tgt])
+        prop = np.concatenate([facts["payload"].to_numpy(), cand]).astype(np.int64)
+        is_self = np.zeros(len(node), dtype=np.int8)
+        is_self[: len(facts)] = 1
+        return pd.DataFrame(
+            {"node": node, "cand": prop, "self": is_self, "pt": node % P}
+        )
+
+    def reduce_min(part: pd.DataFrame) -> pd.DataFrame:
+        new = part.groupby("node", sort=False)["cand"].min()
+        old = part[part["self"] == 1].set_index("node")["cand"]
+        changed = new < old.reindex(new.index)
+        nodes = new.index.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "node": nodes,
+                "label": new.to_numpy().astype(np.int64),
+                "changed": changed.to_numpy().astype(np.int64),
+                "pt": nodes % P,
+            }
+        )
+
+    # the edge messages never change: build them once and re-union the
+    # materialized block refs each round
+    E_msgs = E.map_batches(as_edge, batch_format="pandas").materialize()
+
+    def _sever(ds: ray.data.Dataset) -> ray.data.Dataset:
+        # rebuild from block refs: an iterative loop otherwise ACCRETES
+        # logical plan across rounds (materialize() keeps the plan for
+        # re-optimization), and per-round planning time grows unboundedly.
+        # pandas refs, so the blocks union cleanly with map_batches
+        # pandas output (mixed arrow/pandas unions are rejected)
+        return ray.data.from_pandas_refs(ds.to_pandas_refs())
+
+    global LAST_CC_ROUNDS
+    for rounds in range(1, max_rounds + 1):
+        msgs = labels.map_batches(as_msgs, batch_format="pandas").union(
+            _sever(E_msgs)
+        )
+        proposals = msgs.groupby("pt").map_groups(propose, batch_format="pandas")
+        labels = _sever(
+            proposals.groupby("pt")
+            .map_groups(reduce_min, batch_format="pandas")
+            .materialize()
+        )
+        if int(labels.sum("changed") or 0) == 0:
+            LAST_CC_ROUNDS = rounds
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": df["node"].to_numpy().astype(np.int64),
+                "component": df["label"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return labels.map_batches(finish, batch_format="pandas")
+
+
+def chain_edges_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    id_col: str = "doc_id",
+    n_hint: int | None = None,
+) -> ray.data.Dataset:
+    """(id_a, id_b) chain edges linking consecutive ids within each
+    group — a deterministic, SQL-checkable edge set whose components
+    are exactly the groups. Chains are the worst case for label
+    propagation (diameter = group size), which is what makes this a
+    useful gate input for connected_components' pointer jumping."""
+    P = _n_partitions(n_hint, 1)
+
+    def key_rows(df: pd.DataFrame) -> pd.DataFrame:
+        g = hashing.stable_hash_strings(df[group_col].astype(str).to_numpy())
+        return pd.DataFrame(
+            {
+                "g": g.view(np.int64),
+                id_col: df[id_col].to_numpy().astype(np.int64),
+                "pt": (g % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["g", id_col], kind="stable")
+        ids = part[id_col].to_numpy()
+        same = part["g"].to_numpy()[1:] == part["g"].to_numpy()[:-1]
+        return pd.DataFrame(
+            {"id_a": ids[:-1][same], "id_b": ids[1:][same]}
+        )
+
+    return (
+        ds.map_batches(key_rows, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(pairs, batch_format="pandas")
+    )
+
+
 def curate_corpus(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -743,18 +949,27 @@ def curate_corpus(
     min_chars: int = 0,
     jaccard_threshold: float = 0.7,
     n_docs_hint: int | None = None,
+    dedup_mode: str = "pairs",
 ) -> ray.data.Dataset:
     """The standard training-corpus curation composition end-to-end:
     vectorized language/length filter -> exact dedup representatives ->
-    MinHash-LSH near-dup pairs among representatives -> greedy pair
-    breaking (drop the larger id of every near-dup pair) via an exact
-    distributed anti-join. Returns the curated (doc_id) rows.
+    MinHash-LSH near-dup pairs among representatives -> near-dup
+    removal via an exact distributed anti-join. Returns the curated
+    (doc_id) rows.
+
+    dedup_mode picks the removal semantics:
+    - "pairs" (default): greedy pair breaking — drop the larger id of
+      every near-dup pair. Conservative: never drops a doc that is not
+      itself in a pair, but transitive chains can keep fewer docs than
+      necessary.
+    - "clusters": distributed connected components over the pair graph
+      (pointer-jumping min-label propagation); keep exactly one
+      representative (the min id) per duplicate cluster — the usual
+      web-corpus cluster-collapse semantics.
 
     Scale shape: the filter prunes before anything hashes; only
-    representatives enter LSH; the anti-join shuffles 8-byte id rows.
-    Greedy pair breaking removes at most one doc per pair (no
-    transitive clustering — the standard cheap guarantee that no
-    surviving pair exceeds the threshold)."""
+    representatives enter LSH; the anti-join and the component rounds
+    shuffle 8-24-byte id rows only."""
     import pyarrow.compute as pc
 
     def keep_batch(t: pa.Table) -> pa.Table:
@@ -777,10 +992,24 @@ def curate_corpus(
         n_docs_hint=n_docs_hint,
     )
 
-    def drop_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({id_col: df["id_b"].astype(np.int64)})
+    if dedup_mode == "clusters":
+        comps = connected_components(pairs, n_nodes_hint=n_docs_hint)
 
-    drops = pairs.map_batches(drop_side, batch_format="pandas")
+        def non_reps(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["node"].to_numpy() != df["component"].to_numpy()
+            return pd.DataFrame(
+                {id_col: df["node"].to_numpy()[keep].astype(np.int64)}
+            )
+
+        drops = comps.map_batches(non_reps, batch_format="pandas")
+    elif dedup_mode == "pairs":
+
+        def drop_side(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: df["id_b"].astype(np.int64)})
+
+        drops = pairs.map_batches(drop_side, batch_format="pandas")
+    else:
+        raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
     return anti_join_ids(reps, drops, id_col, n_hint=n_docs_hint)
 
 

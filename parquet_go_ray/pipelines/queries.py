@@ -973,6 +973,35 @@ def q_dedup_pipeline(sf_dir):
     )
 
 
+def q_dup_clusters(sf_dir):
+    """Distributed connected components (min-label propagation with
+    pointer jumping) over a deterministic chain-edge graph: consecutive
+    doc_ids within each `source` group, plus self-loops so singleton
+    groups appear. Components equal the source groups, which the SQL
+    oracle states as a window min — but the Ray side has to EARN it by
+    propagating labels down 25-250-node chains in O(log n) rounds."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    n = _nrows(sf_dir, "documents")
+    edges = dedup.chain_edges_by_group(ds, "source", "doc_id", n_hint=n)
+
+    def self_loops(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame({"id_a": ids, "id_b": ids})
+
+    edges = edges.union(ds.map_batches(self_loops, batch_format="pandas"))
+    comps = dedup.connected_components(edges, n_nodes_hint=n)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy().astype(np.int64),
+                "cluster_id": df["component"].to_numpy().astype(np.int64),
+            }
+        )
+
+    return comps.map_batches(rename, batch_format="pandas")
+
+
 def q_curate_corpus(sf_dir):
     """End-to-end training-corpus curation: lang/length filter ->
     exact-dedup representatives -> near-dup pair breaking (greedy,
@@ -1138,6 +1167,7 @@ QUERIES = {
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
+    "dup_clusters": q_dup_clusters,
     "curate_corpus": q_curate_corpus,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
@@ -1283,6 +1313,11 @@ ORACLES = {
         "FROM documents"
     ),
     "fingerprint_docs": "SELECT doc_id, md5(text) AS fp FROM documents",
+    "dup_clusters": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST(min(doc_id) OVER (PARTITION BY source) AS BIGINT) AS cluster_id "
+        "FROM documents"
+    ),
     "multimodal_meta": (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
         "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"

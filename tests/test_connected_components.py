@@ -1,0 +1,147 @@
+"""Distributed connected components (min-label propagation with pointer
+jumping) vs a driver-side union-find reference, on graph shapes that
+stress different failure modes: long chains (worst case for plain
+neighbor propagation), cycles, stars, multiple components, self-loops
+and duplicate edges.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+class _UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def _reference(edges):
+    uf = _UnionFind()
+    for a, b in edges:
+        uf.union(int(a), int(b))
+    return {n: uf.find(n) for n in list(uf.p)}
+
+
+def _run(ray_session, edges, **kw):
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    df = pd.DataFrame(
+        {"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]},
+        dtype="int64",
+    )
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = dedup.connected_components(ds, **kw).to_pandas()
+    return dict(zip(out["node"].astype(int), out["component"].astype(int)))
+
+
+def test_chain_cycle_star_multi(ray_session):
+    edges = []
+    edges += [(i, i + 1) for i in range(100, 160)]          # 61-node chain
+    edges += [(1000 + i, 1000 + (i + 1) % 40) for i in range(40)]  # cycle
+    edges += [(5000, 5000 + i) for i in range(1, 30)]       # star
+    edges += [(9000, 9000), (9001, 9002), (9001, 9002)]     # self-loop + dup
+    got = _run(ray_session, edges)
+    want = _reference(edges)
+    assert got == want
+    # chain root propagates the full 61 nodes
+    assert all(got[i] == 100 for i in range(100, 161))
+
+
+def test_random_graphs_match_union_find(ray_session):
+    rng = np.random.default_rng(17)
+    for trial in range(3):
+        n = 400
+        m = int(n * (0.6 + 0.4 * trial))
+        edges = list(
+            zip(
+                rng.integers(0, n, m).tolist(),
+                rng.integers(0, n, m).tolist(),
+            )
+        )
+        got = _run(ray_session, edges)
+        assert got == _reference(edges), trial
+
+
+def test_pointer_jumping_is_logarithmic(ray_session):
+    from parquet_go_ray.pipelines import dedup
+
+    edges = [(i, i + 1) for i in range(512)]  # 513-node chain
+    got = _run(ray_session, edges, max_rounds=24)
+    assert all(v == 0 for v in got.values())
+    # plain neighbor propagation would need ~512 rounds; pointer
+    # jumping finishes in O(log n)
+    assert dedup.LAST_CC_ROUNDS <= 16, dedup.LAST_CC_ROUNDS
+
+
+def test_empty_and_convergence_guard(ray_session):
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    empty = ray.data.from_pandas(
+        pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                      "id_b": pd.Series([], dtype="int64")})
+    )
+    out = dedup.connected_components(empty)
+    assert out.count() == 0
+    assert out.schema().names == ["node", "component"]
+    with pytest.raises(RuntimeError, match="converge"):
+        _run(ray_session, [(i, i + 1) for i in range(300)], max_rounds=2)
+
+
+def test_curate_cluster_mode(ray_session):
+    """dedup_mode='clusters' keeps exactly one representative per
+    near-dup component, including across transitive chains where pair
+    breaking and clustering agree the min id survives."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.dedup import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    v1 = base.replace("lazy", "sleepy")   # near-dup of base
+    v2 = v1.replace("quick", "rapid")     # near-dup of v1 (chain)
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": base},
+        {"doc_id": 1, "lang": "en", "text": v1},
+        {"doc_id": 2, "lang": "en", "text": v2},
+        {"doc_id": 3, "lang": "en", "text": "ganz anderer inhalt hier " * 10},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+    out = curate_corpus(
+        ds, min_chars=10, jaccard_threshold=0.5,
+        n_docs_hint=len(docs), dedup_mode="clusters",
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 3]
+
+
+def test_chain_edges_by_group(ray_session):
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [5, 1, 3, 10, 20, 7],
+            "source": ["a", "a", "a", "b", "b", "c"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    got = dedup.chain_edges_by_group(ds, "source").to_pandas()
+    pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert pairs == {(1, 3), (3, 5), (10, 20)}  # 'c' is a singleton
