@@ -97,6 +97,74 @@ void xxhash64_segments(const unsigned char *data, const long *offsets, long n,
         out[i] = xxh64(data + offsets[i], offsets[i + 1] - offsets[i]);
 }
 
+/* Winnowing fingerprints (Schleimer/Wilkerson/Aiken SIGMOD'03), fused:
+ * per doc, rolling k-byte FNV window hashes (bit-identical to
+ * minhash_segments' windows: zero-padded at the doc's end, >=1 window
+ * per doc), sliding-window-of-w minima via a monotonic deque (O(n),
+ * where the numpy path materializes an n*w strided view), then SORTED
+ * DISTINCT minima -- matching np.unique. out must have capacity for
+ * every window; counts[d] = distinct fingerprints of doc d, written
+ * contiguously into out. */
+#include <stdlib.h>
+
+static int cmp_u64(const void *a, const void *b)
+{
+    uint64_t x = *(const uint64_t *)a, y = *(const uint64_t *)b;
+    return x < y ? -1 : (x > y ? 1 : 0);
+}
+
+void winnow_segments(const unsigned char *data, const long *offsets,
+                     long n_docs, long k, long w,
+                     uint64_t *out, long *counts)
+{
+    const uint64_t FNV = 1099511628211ULL;
+    long max_win = 1;
+    for (long d = 0; d < n_docs; d++) {
+        long nw = offsets[d + 1] - offsets[d] - k + 1;
+        if (nw > max_win) max_win = nw;
+    }
+    uint64_t *hbuf = (uint64_t *)malloc((size_t)max_win * sizeof(uint64_t));
+    long *deque = (long *)malloc((size_t)max_win * sizeof(long));
+    uint64_t *op = out;
+    for (long d = 0; d < n_docs; d++) {
+        long s = offsets[d], e = offsets[d + 1];
+        long nwin = e - s - k + 1;
+        if (nwin < 1) nwin = 1;
+        for (long i = 0; i < nwin; i++) {
+            long g = s + i;
+            uint64_t h = (g < e) ? data[g] : 0;
+            for (long j = 1; j < k; j++)
+                h = h * FNV + ((g + j < e) ? data[g + j] : 0);
+            hbuf[i] = h;
+        }
+        uint64_t *seg = op;
+        if (nwin <= w) {
+            uint64_t m = hbuf[0];
+            for (long i = 1; i < nwin; i++)
+                if (hbuf[i] < m) m = hbuf[i];
+            *op++ = m;
+        } else {
+            long head = 0, tail = 0;  /* deque of indices, increasing h */
+            for (long i = 0; i < nwin; i++) {
+                while (tail > head && hbuf[deque[tail - 1]] >= hbuf[i])
+                    tail--;
+                deque[tail++] = i;
+                if (deque[head] <= i - w) head++;
+                if (i >= w - 1) *op++ = hbuf[deque[head]];
+            }
+        }
+        long n = op - seg;
+        qsort(seg, (size_t)n, sizeof(uint64_t), cmp_u64);
+        long m = 0;
+        for (long i = 0; i < n; i++)
+            if (i == 0 || seg[i] != seg[m - 1]) seg[m++] = seg[i];
+        counts[d] = m;
+        op = seg + m;
+    }
+    free(hbuf);
+    free(deque);
+}
+
 /* SimHash bit accumulation: per doc, sum +-1 per token-hash bit and set
  * the sign bit. tok_starts has n_docs+1 entries indexing into h. The
  * 64-lane inner loop autovectorizes under -O3. */

@@ -156,6 +156,35 @@ def winnow_fingerprints(
     out: list[np.ndarray] = [np.empty(0, dtype=np.uint64)] * n_docs
     if n_docs == 0:
         return out
+    from ..codecs import native
+
+    lib = native.load("_hash_native.c")
+    if lib is not None:
+        # fused C path: rolling hash + monotonic-deque window minima +
+        # sort/dedupe in one pass, no n×w strided temporary. Bit-equal
+        # to the numpy path (np.unique = sorted distinct).
+        import ctypes
+
+        data = b"".join(texts)
+        offsets = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum([len(t) for t in texts], out=offsets[1:])
+        n_win = np.maximum(np.diff(offsets) - k + 1, 1)
+        vals = np.empty(int(n_win.sum()), dtype=np.uint64)
+        counts = np.empty(n_docs, dtype=np.int64)
+        lib.winnow_segments(
+            data,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+            ctypes.c_long(n_docs),
+            ctypes.c_long(k),
+            ctypes.c_long(w),
+            vals.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+        )
+        bounds = np.zeros(n_docs + 1, dtype=np.int64)
+        np.cumsum(counts, out=bounds[1:])
+        return [
+            vals[bounds[i] : bounds[i + 1]].copy() for i in range(n_docs)
+        ]
     buf, offsets = _concat_bytes(texts)
     h, starts, _ = _shingle_windows(buf, offsets, k)
     if len(h) == 0:
