@@ -36,7 +36,10 @@ from ..functions import hashing
 
 
 def exact_dedupe(
-    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
 ) -> ray.data.Dataset:
     """One row per distinct text: (keep_id = min id, n_dups).
 
@@ -48,8 +51,9 @@ def exact_dedupe(
 
     # hash-partitioned merge, one vectorized pandas groupby per
     # PARTITION (a per-group map_groups costs a Python call per
-    # distinct document — unbounded at corpus scale)
-    P = 64
+    # distinct document — unbounded at corpus scale); partition count
+    # sized from the corpus hint, not a fixed fan-out
+    P = _n_partitions(n_docs_hint, 1)
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         h1, h2 = hashing.content_hash128(

@@ -123,7 +123,9 @@ def q_merge_sorted_stream(sf_dir):
 
 def q_dedupe_rows(sf_dir):
     """DedupeRowReader parity (dedupe.go:8-111), global exact dedup."""
-    return dedup.exact_dedupe(_read(sf_dir, "documents"))
+    return dedup.exact_dedupe(
+        _read(sf_dir, "documents"), n_docs_hint=_nrows(sf_dir, "documents")
+    )
 
 
 def q_dedupe_consecutive(sf_dir):
