@@ -842,6 +842,12 @@ def connected_components(
         others = part[part["kind"] != 0]
         tgt = others["payload"].to_numpy()
         cand = lab.reindex(others["key"].to_numpy()).to_numpy()
+        if cand.dtype.kind == "f":
+            # a float result means reindex MISSED a key: some edge/jump
+            # key has no label row in its own hash partition — a
+            # partitioning invariant violation that would otherwise
+            # coerce NaN to garbage int64 silently
+            raise AssertionError("connected_components: label missing for key")
         node = np.concatenate([facts["key"].to_numpy(), tgt])
         prop = np.concatenate([facts["payload"].to_numpy(), cand]).astype(np.int64)
         is_self = np.zeros(len(node), dtype=np.int8)
