@@ -287,7 +287,12 @@ def run_scaling() -> dict:
             # on the lo leg and buy a stable minimum
             BENCH_REPEAT="4",
             BENCH_WEB_SF=str(base_sf * 32),
-            BENCH_NBLOCKS="128",
+            # 16 shards (~100 MB) per task: per-task fixed cost
+            # (dispatch + footer + selection-cache warm-up) amortizes
+            # over the group, and 32 divides both CPU levels so the
+            # wave count stays integral; 128 blocks measured 0.82-0.89,
+            # 32 blocks 0.94 on the same input
+            BENCH_NBLOCKS="32",
             BENCH_OUT_ROOT="/dev/shm",
             BENCH_HEADLINE_ONLY="1",
         )

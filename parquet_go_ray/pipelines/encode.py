@@ -97,6 +97,7 @@ def encode_job(
     override_num_blocks: int | None = None,
     bloom_columns: tuple[str, ...] = ("url",),
     codec_overrides: dict[str, str] | None = None,
+    plan: str = "paths",
 ) -> dict:
     """Run the encode job; returns a summary dict (rows, bytes, seconds)."""
     t0 = time.time()
@@ -132,12 +133,6 @@ def encode_job(
         # shards >> cores; oversized shards still split dynamically and
         # fall back to the driver-side lineage merge)
         nblocks = override_num_blocks or len(pending)
-        ds = ray.data.read_parquet(
-            pending,
-            columns=columns,
-            include_paths=True,
-            override_num_blocks=nblocks,
-        )
         # stateless tasks (not an actor pool): encode state is per-chunk by
         # design, tasks schedule elastically and reuse warm workers — no
         # pool-startup serialization (measured 7.6s vs 13.7s at 32 CPUs)
@@ -160,12 +155,35 @@ def encode_job(
         # chunk groups and packs them into ONE parquet file per shard
         # (file count tracks task count, not chunk count — at 100 TB
         # this is the difference between 10^6 and 10^8 output files)
-        lineage = ds.map_batches(
-            encoder,
-            batch_format="pyarrow",
-            batch_size=None,
-            zero_copy_batch=True,
-        )
+        if plan == "paths":
+            # plan from the file LIST: read_parquet's planning probes
+            # every footer on the driver (~2 ms/file — minutes at 10^5
+            # shards); PathPlanEncoder reads shards inside the tasks
+            from ..stages.encode import PathPlanEncoder
+
+            ds = ray.data.from_items(
+                [{"path": f} for f in pending],
+                override_num_blocks=max(1, min(nblocks, len(pending))),
+            )
+            lineage = ds.map_batches(
+                PathPlanEncoder(encoder, columns=columns),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ray.data.read_parquet(
+                pending,
+                columns=columns,
+                include_paths=True,
+                override_num_blocks=nblocks,
+            )
+            lineage = ds.map_batches(
+                encoder,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
     elif mode == "actor_cached":
         # actor pool with per-partition FSST/dict symbol-table state:
         # each actor trains once and reuses its tables across batches

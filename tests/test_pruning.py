@@ -14,7 +14,10 @@ def encoded_store(ray_session, tmp_path_factory):
 
     files = webpages.shard_files(webpages.ensure(0.001))
     out = str(tmp_path_factory.mktemp("store") / "enc")
-    encode_job(files, out, rows_per_chunk=1024)
+    # sf0.001 is a single shard: split it into several blocks (ray
+    # planning) so the store has multiple chunk FILES with disjoint
+    # stats ranges — the thing file-level pruning needs to demonstrate
+    encode_job(files, out, rows_per_chunk=1024, plan="ray", override_num_blocks=8)
     return files, out
 
 
