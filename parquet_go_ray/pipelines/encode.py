@@ -195,25 +195,51 @@ def encode_job(
         if not pending:
             return {"rows": 0, "shards_skipped": skipped, "sec": 0.0}
         nblocks = override_num_blocks or len(pending)
-        ds = ray.data.read_parquet(
-            pending, columns=columns, include_paths=True, override_num_blocks=nblocks
-        )
         pool = max(2, min(16, concurrency))
-        lineage = ds.map_batches(
-            CachedStateEncoder,
-            fn_constructor_kwargs={
-                "output_dir": output_dir,
-                "rows_per_chunk": rows_per_chunk,
-                "skip_completed": resume,
-                "compression": compression,
-                "bloom_columns": bloom_columns,
-                "codec_overrides": codec_overrides,
-            },
-            batch_format="pyarrow",
-            batch_size=None,
-            concurrency=pool,
-            zero_copy_batch=True,
-        )
+        cached_kwargs = {
+            "output_dir": output_dir,
+            "rows_per_chunk": rows_per_chunk,
+            "skip_completed": resume,
+            "compression": compression,
+            "bloom_columns": bloom_columns,
+            "codec_overrides": codec_overrides,
+        }
+        if plan == "paths":
+            # same driver-footer-free planning as the direct path; each
+            # ACTOR wraps its own CachedStateEncoder, so symbol-table
+            # state still lives and amortizes per actor
+            from ..stages.encode import PathPlanEncoder
+
+            ds = ray.data.from_items(
+                [{"path": f} for f in pending],
+                override_num_blocks=max(1, min(nblocks, len(pending))),
+            )
+            lineage = ds.map_batches(
+                PathPlanEncoder,
+                fn_constructor_kwargs={
+                    "encoder": CachedStateEncoder(**cached_kwargs),
+                    "columns": columns,
+                },
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=pool,
+                zero_copy_batch=True,
+            )
+        else:
+            ds = ray.data.read_parquet(
+                pending,
+                columns=columns,
+                include_paths=True,
+                override_num_blocks=nblocks,
+            )
+            lineage = ds.map_batches(
+                CachedStateEncoder,
+                fn_constructor_kwargs=cached_kwargs,
+                batch_format="pyarrow",
+                batch_size=None,
+                concurrency=pool,
+                zero_copy_batch=True,
+            )
     elif mode == "sorted":
         # global sort by url before encoding (SURVEY §7.2 milestone 8):
         # one range-partitioned sample sort (the explicit wide shuffle),
