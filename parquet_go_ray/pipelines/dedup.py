@@ -739,8 +739,16 @@ def anti_join_ids(
 
 
 # rounds the most recent connected_components call took (test evidence
-# for the pointer-jumping O(log n) bound)
+# for the pointer-jumping O(log n) bound); -1 = single-task union-find
 LAST_CC_ROUNDS = 0
+
+# below this many symmetric edge rows the whole graph fits comfortably
+# in ONE worker task: run union-find there (off-driver, exact, no
+# per-round shuffle overhead) — the same size-based plan choice as
+# BROADCAST_PAIR_LIMIT. Near-dup pair graphs are tiny relative to the
+# corpus, so this is the common case; bigger graphs take the
+# distributed pointer-jumping rounds.
+SINGLE_TASK_EDGE_LIMIT = 2_000_000
 
 
 def connected_components(
@@ -749,6 +757,7 @@ def connected_components(
     dst_col: str = "id_b",
     n_nodes_hint: int | None = None,
     max_rounds: int = 64,
+    single_task_limit: int | None = None,
 ) -> ray.data.Dataset:
     """Distributed connected components over a (src, dst) edge list:
     returns (node, component) with component = the minimum node id in
@@ -770,6 +779,8 @@ def connected_components(
     shuffle of O(|V| + |E|) 24-byte rows; the driver sees only the
     changed-label COUNT per round, never ids.
     """
+    global LAST_CC_ROUNDS
+
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[src_col].to_numpy().astype(np.int64)
         b = df[dst_col].to_numpy().astype(np.int64)
@@ -788,6 +799,55 @@ def connected_components(
                 }
             )
         )
+    limit = (
+        SINGLE_TASK_EDGE_LIMIT if single_task_limit is None else single_task_limit
+    )
+    if n_edge_rows <= limit:
+        # small graph: one worker task runs union-find over the whole
+        # edge list (still off-driver; ~10s of MB at the limit). The
+        # distributed rounds below cost ~2 shuffles each — pure
+        # overhead when the graph fits in a task.
+
+        def union_find(part: pd.DataFrame) -> pd.DataFrame:
+            k = part["key"].to_numpy()
+            d = part["payload"].to_numpy()
+            nodes, idx = np.unique(np.concatenate([k, d]), return_inverse=True)
+            parent = np.arange(len(nodes), dtype=np.int64)
+
+            def find(x: int) -> int:
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            a_idx, b_idx = idx[: len(k)], idx[len(k) :]
+            for a, b in zip(a_idx, b_idx):
+                ra, rb = find(int(a)), find(int(b))
+                if ra != rb:
+                    # union by MIN node id so the root is the component
+                    # minimum (nodes[] is sorted, so index order = id
+                    # order)
+                    if ra < rb:
+                        parent[rb] = ra
+                    else:
+                        parent[ra] = rb
+            roots = np.array([find(int(i)) for i in range(len(nodes))])
+            return pd.DataFrame(
+                {"node": nodes, "component": nodes[roots], "one": 1}
+            )
+
+        LAST_CC_ROUNDS = -1
+        out = (
+            E0.map_batches(
+                lambda df: df.assign(one=1), batch_format="pandas"
+            )
+            .groupby("one")
+            .map_groups(union_find, batch_format="pandas")
+        )
+        return out.map_batches(
+            lambda df: df[["node", "component"]], batch_format="pandas"
+        )
+
     # partition count sized from the MEASURED edge-row count (cheap:
     # E0 is materialized, count() is metadata) so each round's shuffle
     # partitions hold ~PARTITION_TARGET_ROWS id rows — a fixed count
@@ -882,7 +942,6 @@ def connected_components(
         # pandas output (mixed arrow/pandas unions are rejected)
         return ray.data.from_pandas_refs(ds.to_pandas_refs())
 
-    global LAST_CC_ROUNDS
     for rounds in range(1, max_rounds + 1):
         msgs = labels.map_batches(as_msgs, batch_format="pandas").union(
             _sever(E_msgs)

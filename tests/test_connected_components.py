@@ -50,12 +50,15 @@ def _run(ray_session, edges, **kw):
 
 
 def test_chain_cycle_star_multi(ray_session):
+    # force the DISTRIBUTED rounds (single_task_limit=0): the subject
+    # here is the pointer-jumping propagation, not the small-graph
+    # union-find fast path
     edges = []
     edges += [(i, i + 1) for i in range(100, 160)]          # 61-node chain
     edges += [(1000 + i, 1000 + (i + 1) % 40) for i in range(40)]  # cycle
     edges += [(5000, 5000 + i) for i in range(1, 30)]       # star
     edges += [(9000, 9000), (9001, 9002), (9001, 9002)]     # self-loop + dup
-    got = _run(ray_session, edges)
+    got = _run(ray_session, edges, single_task_limit=0)
     want = _reference(edges)
     assert got == want
     # chain root propagates the full 61 nodes
@@ -63,6 +66,8 @@ def test_chain_cycle_star_multi(ray_session):
 
 
 def test_random_graphs_match_union_find(ray_session):
+    from parquet_go_ray.pipelines import dedup
+
     rng = np.random.default_rng(17)
     for trial in range(3):
         n = 400
@@ -73,19 +78,25 @@ def test_random_graphs_match_union_find(ray_session):
                 rng.integers(0, n, m).tolist(),
             )
         )
-        got = _run(ray_session, edges)
+        # distributed rounds on one trial, single-task union-find on
+        # the rest — both must equal the driver-side reference
+        limit = 0 if trial == 0 else None
+        kw = {"single_task_limit": limit} if limit is not None else {}
+        got = _run(ray_session, edges, **kw)
         assert got == _reference(edges), trial
+        if limit is None:
+            assert dedup.LAST_CC_ROUNDS == -1  # fast path taken
 
 
 def test_pointer_jumping_is_logarithmic(ray_session):
     from parquet_go_ray.pipelines import dedup
 
     edges = [(i, i + 1) for i in range(512)]  # 513-node chain
-    got = _run(ray_session, edges, max_rounds=24)
+    got = _run(ray_session, edges, max_rounds=24, single_task_limit=0)
     assert all(v == 0 for v in got.values())
     # plain neighbor propagation would need ~512 rounds; pointer
     # jumping finishes in O(log n)
-    assert dedup.LAST_CC_ROUNDS <= 16, dedup.LAST_CC_ROUNDS
+    assert 0 < dedup.LAST_CC_ROUNDS <= 16, dedup.LAST_CC_ROUNDS
 
 
 def test_empty_and_convergence_guard(ray_session):
@@ -101,7 +112,12 @@ def test_empty_and_convergence_guard(ray_session):
     assert out.count() == 0
     assert out.schema().names == ["node", "component"]
     with pytest.raises(RuntimeError, match="converge"):
-        _run(ray_session, [(i, i + 1) for i in range(300)], max_rounds=2)
+        _run(
+            ray_session,
+            [(i, i + 1) for i in range(300)],
+            max_rounds=2,
+            single_task_limit=0,
+        )
 
 
 def test_curate_cluster_mode(ray_session):
