@@ -139,8 +139,10 @@ def run_bench() -> dict:
         return round(best, 3), last
 
     # ---- decode + verify ----
+    from parquet_go_ray.sources.pathwise import read_parquet_pathwise
+
     results["webpages_decode_verify"], res = timed_min(
-        lambda: verify_roundtrip(ray.data.read_parquet(files), decode_dataset(out))
+        lambda: verify_roundtrip(read_parquet_pathwise(files), decode_dataset(out))
     )
     detail["roundtrip_ok"] = bool(res["ok"])
 

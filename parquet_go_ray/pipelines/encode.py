@@ -245,7 +245,9 @@ def encode_job(
         # one range-partitioned sample sort (the explicit wide shuffle),
         # after which DELTA_BYTE_ARRAY front-coding on url and denser
         # text locality improve the ratio
-        ds = ray.data.read_parquet(input_files, columns=columns)
+        from ..sources.pathwise import read_parquet_pathwise
+
+        ds = read_parquet_pathwise(input_files, columns=columns)
         encoder = ChunkEncoder(
             output_dir=output_dir,
             rows_per_chunk=rows_per_chunk,
@@ -265,7 +267,9 @@ def encode_job(
         )
         skipped = 0
     elif mode == "lang_salted":
-        ds = ray.data.read_parquet(input_files, columns=columns)
+        from ..sources.pathwise import read_parquet_pathwise
+
+        ds = read_parquet_pathwise(input_files, columns=columns)
         job_epoch = t0  # keys the workers' completed-shard cache per run
 
         def encode_group(group: pa.Table) -> pa.Table:
@@ -328,7 +332,7 @@ def encode_job(
         # adaptive salting: one tiny count-by-lang pass sizes each key's
         # partition count (hot keys split, rare keys stay whole)
         salt_map = _salt_counts(
-            ray.data.read_parquet(input_files, columns=["lang"]), salts
+            read_parquet_pathwise(input_files, columns=["lang"]), salts
         )
         lineage = (
             ds.map_batches(
