@@ -1018,6 +1018,19 @@ def q_curate_corpus(sf_dir):
     )
 
 
+def q_curate_corpus_clusters(sf_dir):
+    """curate_corpus with cluster-collapse dedup: near-dup pairs ->
+    distributed connected components -> keep one representative (min
+    id) per component (rows-only: the pair stage is approximate)."""
+    return dedup.curate_corpus(
+        _read_split(sf_dir, "documents"),
+        min_chars=50,
+        jaccard_threshold=0.5,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+        dedup_mode="clusters",
+    )
+
+
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
         _read_split(sf_dir, "documents"),
@@ -1171,6 +1184,7 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "dup_clusters": q_dup_clusters,
     "curate_corpus": q_curate_corpus,
+    "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
