@@ -638,20 +638,45 @@ class PathPlanEncoder:
     block-split (this engine's own layout caps shard sizes, so the cap
     is the writer's contract)."""
 
-    def __init__(self, encoder: "ChunkEncoder", columns: list[str] | None = None):
+    def __init__(
+        self,
+        encoder: "ChunkEncoder",
+        columns: list[str] | None = None,
+        max_task_bytes: int = 1 << 30,
+    ):
         self.encoder = encoder
         self.columns = columns
+        # oversized-shard guard: a file whose footer reports more than
+        # this many bytes streams row-group-wise instead of loading
+        # whole; the per-piece lineage rides back incomplete and the
+        # driver's existing block-split manifest merge completes it
+        self.max_task_bytes = max_task_bytes
+
+    def _with_path(self, t: pa.Table, p: str) -> pa.Table:
+        return t.append_column(
+            "path", pa.array([p] * t.num_rows, type=pa.string())
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
         outs = []
         for p in batch.column("path").to_pylist():
-            t = pq.read_table(p, columns=self.columns)
-            t = t.append_column(
-                "path", pa.array([p] * t.num_rows, type=pa.string())
+            md = pq.read_metadata(p)
+            total = sum(
+                md.row_group(g).total_byte_size for g in range(md.num_row_groups)
             )
-            outs.append(self.encoder(t))
+            if total > self.max_task_bytes and md.num_row_groups > 1:
+                f = pq.ParquetFile(p)
+                for g in range(md.num_row_groups):
+                    piece = f.read_row_group(g, columns=self.columns)
+                    # piece rows != footer rows -> encoder marks the
+                    # lineage incomplete; the driver merge commits the
+                    # shard manifest once every piece arrived
+                    outs.append(self.encoder(self._with_path(piece, p)))
+            else:
+                t = pq.read_table(p, columns=self.columns)
+                outs.append(self.encoder(self._with_path(t, p)))
         if not outs:
             return pa.table(
                 {f.name: [] for f in SUMMARY_SCHEMA}, schema=SUMMARY_SCHEMA

@@ -396,3 +396,43 @@ def test_chunk_id_covers_all_columns(ray_session, tmp_path):
     dec = decode_dataset(out).to_pandas().sort_values("v").reset_index(drop=True)
     assert len(dec) == 512
     assert dec["v"].tolist() == list(range(512))
+
+
+def test_pathplan_oversized_shard_streams_row_groups(ray_session, tmp_path, monkeypatch):
+    """A shard over PathPlanEncoder's byte budget streams row-group-wise
+    (never whole-file in task memory); per-piece lineage rides back
+    incomplete and the driver merge commits the full shard manifest —
+    the decode sees one complete shard either way."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.encode import encode_job
+    from parquet_go_ray.stages import encode as E
+    from parquet_go_ray.state import manifest
+
+    t = pa.table(
+        {
+            "url": [f"https://ex.com/{i}" for i in range(4000)],
+            "text": [f"body {i} " * 12 for i in range(4000)],
+            "v": list(range(4000)),
+        }
+    )
+    src = tmp_path / "big.parquet"
+    pq.write_table(t, src, row_group_size=1000)  # 4 row groups
+
+    # force the streaming path regardless of actual size
+    orig_init = E.PathPlanEncoder.__init__
+
+    def tiny_budget(self, encoder, columns=None, max_task_bytes=1 << 30):
+        orig_init(self, encoder, columns=columns, max_task_bytes=1)
+
+    monkeypatch.setattr(E.PathPlanEncoder, "__init__", tiny_budget)
+    out = str(tmp_path / "enc_big")
+    s = encode_job([str(src)], out, rows_per_chunk=512, bloom_columns=())
+    assert s["rows"] == 4000
+    assert "big" in manifest.completed_shards(out)  # driver merge committed
+    dec = decode_dataset(out).to_pandas().sort_values("v").reset_index(drop=True)
+    assert dec["v"].tolist() == list(range(4000))
+    assert dec["text"].tolist() == t.column("text").to_pylist()
