@@ -124,3 +124,37 @@ def test_wire_seek_rows_any_range(start, span, seed):
     sub, _info = PR.read_table_rows(p, start, stop)
     exp = t.slice(start, max(0, min(stop, t.num_rows) - start))
     assert sub.cast(exp.schema).equals(exp)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8"), min_size=1, max_size=90
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_wire_string_bounds_always_valid(tmp_path_factory, vals):
+    """Truncated string statistics are always valid UTF-8 AND true
+    bounds, for arbitrary unicode around the 64-byte cut (a mid-codepoint
+    cut used to crash pyarrow's stats decode on our files)."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.codecs.parquet_wire import write_table
+
+    t = pa.table({"s": pa.array(vals)})
+    p = str(tmp_path_factory.mktemp("wb") / "b.parquet")
+    write_table(t, p, page_rows=7)
+    st_ = pq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    if st_ is not None and st_.has_min_max:
+        assert st_.min <= min(vals)
+        assert st_.max >= max(vals) or st_.max > max(vals)[: len(st_.max)]
+    # page index decodes and bounds hold per page
+    from parquet_go_ray.codecs import parquet_wire_read as R2
+
+    idx = R2.read_page_index(p)[0]["s"]["column_index"]
+    if idx is not None:
+        for m in idx["mins"]:
+            assert m is None or isinstance(m, str)
