@@ -609,17 +609,11 @@ def minhash_lsh_pairs(
                  "id_b": pd.Series([], dtype="int64"),
                  "est_jaccard": pd.Series([], dtype="float64")}
             )
-        est = np.array(
-            [
-                float(
-                    (
-                        np.frombuffer(a, dtype=np.uint64)
-                        == np.frombuffer(b, dtype=np.uint64)
-                    ).mean()
-                )
-                for a, b in zip(batch["val_a"], batch["val_b"])
-            ]
-        )
+        # fixed-width signatures: one packed matrix per side, one
+        # vectorized compare — no per-pair Python
+        sig_a = _sig_matrix(batch["val_a"], num_perm)
+        sig_b = _sig_matrix(batch["val_b"], num_perm)
+        est = (sig_a == sig_b).mean(axis=1)
         keep = est >= jaccard_threshold
         return pd.DataFrame(
             {
