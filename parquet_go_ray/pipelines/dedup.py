@@ -138,6 +138,7 @@ def _minhash_sig_table(
     id_col: str,
     shingle_k: int,
     num_perm: int,
+    sig_cache_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Signatures computed EXACTLY ONCE into a compact materialized
     table (id, sig bytes) — fixed 8*num_perm B/doc, ~0.5% of a web
@@ -145,7 +146,26 @@ def _minhash_sig_table(
     signature lookup, the distributed pair join) reads this table, so
     the corpus text is scanned and hashed a single time; round-3's
     earlier shape re-hashed every candidate doc in a second full-corpus
-    pass."""
+    pass.
+
+    sig_cache_dir makes the signature pass RESUMABLE (the dedup
+    analogue of the encode job's lineage checkpoint): the table
+    persists as parquet with a completion marker recording the hash
+    parameters, and a rerun — a crashed pair join, a threshold sweep —
+    reloads it instead of re-hashing the corpus. A parameter mismatch
+    (different k/num_perm) ignores the stale cache and rewrites it."""
+    import json
+    import os
+
+    params = {"shingle_k": shingle_k, "num_perm": num_perm, "id_col": id_col}
+    if sig_cache_dir:
+        marker = os.path.join(sig_cache_dir, "_SIGS_DONE.json")
+        try:
+            with open(marker) as f:
+                if json.load(f) == params:
+                    return ray.data.read_parquet(sig_cache_dir)
+        except (OSError, ValueError):
+            pass
 
     def sig_rows(batch: pd.DataFrame) -> pd.DataFrame:
         texts = [t.encode() for t in batch[text_col]]
@@ -157,7 +177,18 @@ def _minhash_sig_table(
             }
         )
 
-    return ds.map_batches(sig_rows, batch_format="pandas").materialize()
+    sigs_ds = ds.map_batches(sig_rows, batch_format="pandas")
+    if sig_cache_dir:
+        # write-then-mark: a crash mid-write leaves no marker, so the
+        # next run recomputes instead of trusting a partial table
+        import shutil
+
+        shutil.rmtree(sig_cache_dir, ignore_errors=True)
+        sigs_ds.write_parquet(sig_cache_dir)
+        with open(os.path.join(sig_cache_dir, "_SIGS_DONE.json"), "w") as f:
+            json.dump(params, f)
+        return ray.data.read_parquet(sig_cache_dir)
+    return sigs_ds.materialize()
 
 
 def _sig_matrix(col, num_perm: int) -> np.ndarray:
@@ -178,10 +209,13 @@ def minhash_candidates(
     num_perm: int = 64,
     bands: int = 16,
     n_docs_hint: int | None = None,
+    sig_cache_dir: str | None = None,
 ) -> ray.data.Dataset:
     """LSH candidate pairs (id_a < id_b); may repeat a pair found by
     bands in different partitions (the downstream pair join dedups)."""
-    sigs_ds = _minhash_sig_table(ds, text_col, id_col, shingle_k, num_perm)
+    sigs_ds = _minhash_sig_table(
+        ds, text_col, id_col, shingle_k, num_perm, sig_cache_dir=sig_cache_dir
+    )
     return _candidates_from_sigs(sigs_ds, id_col, num_perm, bands, n_docs_hint)
 
 
@@ -522,6 +556,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     jaccard_threshold: float = 0.7,
     n_docs_hint: int | None = None,
+    sig_cache_dir: str | None = None,
 ) -> ray.data.Dataset:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold).
 
@@ -534,7 +569,9 @@ def minhash_lsh_pairs(
     — no signatures in the wide shuffle, nothing unbounded on the
     driver."""
 
-    sigs_ds = _minhash_sig_table(ds, text_col, id_col, shingle_k, num_perm)
+    sigs_ds = _minhash_sig_table(
+        ds, text_col, id_col, shingle_k, num_perm, sig_cache_dir=sig_cache_dir
+    )
     cand = _candidates_from_sigs(
         sigs_ds, id_col, num_perm, bands, n_docs_hint
     ).materialize()

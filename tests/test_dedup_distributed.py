@@ -213,6 +213,45 @@ def test_hashes_independent_of_batch_composition():
             native._LIBS.update(saved)
 
 
+def test_sig_cache_resume(ray_session, tmp_path):
+    """sig_cache_dir makes the MinHash signature pass resumable: a rerun
+    reloads the persisted table instead of re-hashing the corpus; a
+    parameter mismatch or missing completion marker recomputes."""
+    import os
+
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    ds = ray.data.from_pandas(_corpus())
+    cache = str(tmp_path / "sigs")
+    p1 = dedup.minhash_lsh_pairs(
+        ds, jaccard_threshold=0.6, sig_cache_dir=cache
+    ).to_pandas()
+    assert os.path.exists(os.path.join(cache, "_SIGS_DONE.json"))
+
+    # second run must NOT hash the corpus: feed a dataset that would
+    # KeyError if the sig stage actually mapped it — only the cached
+    # table can produce a result
+    bogus = ray.data.from_pandas(pd.DataFrame({"other": [1]}))
+    sigs = dedup._minhash_sig_table(
+        bogus, "text", "doc_id", 4, 64, sig_cache_dir=cache
+    )
+    assert sigs.count() == len(_corpus())
+    p2 = dedup.minhash_lsh_pairs(
+        ds, jaccard_threshold=0.6, sig_cache_dir=cache
+    ).to_pandas()
+    assert _pair_frame(p1) == _pair_frame(p2)
+
+    # parameter mismatch -> stale cache ignored and rewritten
+    sigs = dedup._minhash_sig_table(ds, "text", "doc_id", 5, 32, sig_cache_dir=cache)
+    assert len(sigs.take(1)[0]["sig"]) == 32 * 8
+    # missing marker (crash mid-write) -> recompute
+    os.remove(os.path.join(cache, "_SIGS_DONE.json"))
+    sigs = dedup._minhash_sig_table(ds, "text", "doc_id", 4, 64, sig_cache_dir=cache)
+    assert len(sigs.take(1)[0]["sig"]) == 64 * 8
+
+
 def test_hll_within_error_bounds(ray_session):
     """HLL estimate stays within ~5% of the exact distinct count, and
     merged task registers equal a single-pass fold."""
