@@ -1101,6 +1101,32 @@ def q_multimodal_meta(sf_dir):
     return relational.transform(ds, fn)
 
 
+def q_frame_sample(sf_dir):
+    """Frame sampling over binary payloads (actor pool, exploded one
+    row per sampled frame). Container parsing is the documented stub
+    seam; the explode layout, timestamps and actor plumbing are real
+    (rows-only: per-frame bytes aren't SQL-expressible)."""
+    from ..stages.multimodal import FrameSampler
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"n_frames": 4, "decode_stub": True},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=autoscale_concurrency(),
+    )
+
+
 def q_media_features(sf_dir):
     from ..stages.multimodal import MediaFeatureExtractor
 
@@ -1190,6 +1216,7 @@ QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
+    "frame_sample": q_frame_sample,
 }
 
 ORACLES = {

@@ -436,3 +436,36 @@ def test_pathplan_oversized_shard_streams_row_groups(ray_session, tmp_path, monk
     dec = decode_dataset(out).to_pandas().sort_values("v").reset_index(drop=True)
     assert dec["v"].tolist() == list(range(4000))
     assert dec["text"].tolist() == t.column("text").to_pylist()
+
+
+def test_frame_sampler_explode_layout():
+    """FrameSampler: one row per sampled frame, frame 0 always included,
+    deterministic timestamps, short payloads clamp to available frames,
+    and the non-stub path raises at the documented decoder seam."""
+    import pandas as pd
+    import pytest
+
+    from parquet_go_ray.stages.multimodal import FrameSampler
+
+    fs = FrameSampler(n_frames=4, decode_stub=True)
+    batch = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "payload": [b"x" * 100_000, b"tiny", b""],
+        }
+    )
+    out = fs(batch)
+    assert list(out.columns) == ["doc_id", "frame_idx", "frame_ts_ms", "frame_bytes"]
+    g = out.groupby("doc_id")
+    assert g.size()[1] == 4         # long payload: full sample
+    assert g.size()[2] >= 1         # short payload clamps, never zero
+    assert (g["frame_idx"].min() == 0).all()  # frame 0 always sampled
+    assert (out["frame_ts_ms"] == out["frame_idx"] * 40).all()
+    # deterministic
+    out2 = fs(batch)
+    assert out.equals(out2)
+    # frames come from the payload (stub slices contiguously)
+    f0 = out[(out["doc_id"] == 1) & (out["frame_idx"] == 0)]["frame_bytes"].iloc[0]
+    assert f0 and set(f0) == {ord("x")}
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decode_stub=False)(batch.iloc[:1])
