@@ -1127,6 +1127,32 @@ def q_frame_sample(sf_dir):
     )
 
 
+def q_image_resize(sf_dir):
+    """Image resize over binary payloads (actor pool): opaque payload
+    in, resized opaque payload + typed dims out. Decode/encode are the
+    documented stub seams; the schema and exact target dims are real
+    (rows-only: re-encoded bytes aren't SQL-expressible)."""
+    from ..stages.multimodal import ImageResizer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "payload": pc.cast(t.column("text"), pa.large_binary()),
+            }
+        )
+
+    return ds.map_batches(to_payload, batch_format="pyarrow").map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"target": 32, "decode_stub": True},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=autoscale_concurrency(),
+    )
+
+
 def q_media_features(sf_dir):
     from ..stages.multimodal import MediaFeatureExtractor
 
@@ -1217,6 +1243,7 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
+    "image_resize": q_image_resize,
 }
 
 ORACLES = {

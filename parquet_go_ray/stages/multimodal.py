@@ -93,6 +93,71 @@ class FrameSampler:
         )
 
 
+class ImageResizer:
+    """Actor-pool stage: decode image bytes -> resize -> re-encoded
+    bytes + dimensions. Output keeps the payload OPAQUE binary plus
+    typed metadata (src/dst width/height), the layout a training-data
+    pipeline writes back to parquet. Decode/encode are STUBBED at the
+    `_decode_image` / `_encode_image` seams (PIL/opencv would plug in):
+    the deterministic fake treats the payload as a square uint8
+    grayscale raster and resizes by numpy striding/averaging, so the
+    plumbing — per-actor setup, small batches, metadata schema, exact
+    target dims — is real and tested."""
+
+    def __init__(
+        self, target: int = 64, decode_stub: bool = True
+    ):
+        self.target = target
+        self.decode_stub = decode_stub
+        # a real implementation loads PIL/opencv here, once per actor
+
+    def _decode_image(self, payload: bytes) -> np.ndarray:
+        if not self.decode_stub:
+            raise NotImplementedError(
+                "image decode requires PIL/opencv; plug it in here"
+            )
+        side = max(1, int(len(payload) ** 0.5))
+        arr = np.frombuffer(payload, dtype=np.uint8)[: side * side]
+        if len(arr) < side * side:
+            arr = np.pad(arr, (0, side * side - len(arr)))
+        return arr.reshape(side, side)
+
+    def _encode_image(self, img: np.ndarray) -> bytes:
+        if not self.decode_stub:
+            raise NotImplementedError(
+                "image encode requires PIL/opencv; plug it in here"
+            )
+        return img.astype(np.uint8).tobytes()
+
+    def _resize(self, img: np.ndarray) -> np.ndarray:
+        t = self.target
+        h, w = img.shape
+        # nearest-neighbour index map — deterministic, no deps
+        yi = np.minimum((np.arange(t) * h) // t, h - 1)
+        xi = np.minimum((np.arange(t) * w) // t, w - 1)
+        return img[yi][:, xi]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        col = "payload" if "payload" in batch.columns else batch.columns[-1]
+        id_col = next(c for c in batch.columns if c != col)
+        src_w, src_h, out_bytes = [], [], []
+        for payload in batch[col]:
+            img = self._decode_image(payload)
+            src_h.append(img.shape[0])
+            src_w.append(img.shape[1])
+            out_bytes.append(self._encode_image(self._resize(img)))
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "payload": pd.Series(out_bytes, dtype=object),
+                "src_height": pd.Series(src_h, dtype="int64"),
+                "src_width": pd.Series(src_w, dtype="int64"),
+                "height": pd.Series([self.target] * len(batch), dtype="int64"),
+                "width": pd.Series([self.target] * len(batch), dtype="int64"),
+            }
+        )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode media bytes -> fixed-size feature vector.
 

@@ -469,3 +469,28 @@ def test_frame_sampler_explode_layout():
     assert f0 and set(f0) == {ord("x")}
     with pytest.raises(NotImplementedError):
         FrameSampler(decode_stub=False)(batch.iloc[:1])
+
+
+def test_image_resizer_dims_and_determinism():
+    """ImageResizer: exact target dims, recorded source dims, payload
+    bytes = target*target, deterministic, and the non-stub path raises
+    at the decoder seam."""
+    import pandas as pd
+    import pytest
+
+    from parquet_go_ray.stages.multimodal import ImageResizer
+
+    rz = ImageResizer(target=16, decode_stub=True)
+    batch = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "payload": [bytes(range(256)) * 16, b"abc", b""]}
+    )
+    out = rz(batch)
+    assert (out["height"] == 16).all() and (out["width"] == 16).all()
+    assert all(len(p) == 16 * 16 for p in out["payload"])
+    assert out["src_height"][0] == out["src_width"][0] == 64  # sqrt(4096)
+    assert out.equals(rz(batch))
+    # resize of a constant image is constant
+    const = rz(pd.DataFrame({"doc_id": [9], "payload": [b"\x07" * 400]}))
+    assert set(const["payload"][0]) == {7}
+    with pytest.raises(NotImplementedError):
+        ImageResizer(decode_stub=False)(batch.iloc[:1])
