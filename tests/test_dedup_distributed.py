@@ -213,6 +213,23 @@ def test_hashes_independent_of_batch_composition():
             native._LIBS.update(saved)
 
 
+def test_pair_output_independent_of_block_layout(corpus):
+    """The near-dup pair SET must not change with how Ray blocks the
+    input (parallelism level / block boundaries) — the end-to-end
+    guarantee behind the per-doc hash determinism fix."""
+    from parquet_go_ray.pipelines import dedup
+
+    ds, _ = corpus
+    outs = []
+    for nblocks in (1, 3, 7):
+        pairs = dedup.minhash_lsh_pairs(
+            ds.repartition(nblocks), jaccard_threshold=0.6
+        ).to_pandas()
+        outs.append(_pair_frame(pairs))
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) >= 12
+
+
 def test_sig_cache_resume(ray_session, tmp_path):
     """sig_cache_dir makes the MinHash signature pass resumable: a rerun
     reloads the persisted table instead of re-hashing the corpus; a
