@@ -146,6 +146,16 @@ def run_bench() -> dict:
     )
     detail["roundtrip_ok"] = bool(res["ok"])
 
+    # ---- html -> text extraction, verified (the north rule's per-row
+    # invariant: byte-identical extracted text per url) ----
+    from parquet_go_ray.pipelines.webtext import extract_text_verified
+
+    results["webpages_extract_text"], xres = timed_min(
+        lambda: extract_text_verified(read_parquet_pathwise(files))
+    )
+    detail["extract_text_ok"] = bool(xres["ok"])
+    detail["extract_text_rows"] = int(xres["rows"])
+
     # ---- shuffle-free skew variant: in-task (lang, ts) sort ----
     out6 = f"{out_root}/bench_encode_langlocal_sf{sf:g}_{ncpu}"
 

@@ -1088,6 +1088,31 @@ def q_embedding_near_pairs(sf_dir):
 # ---- multimodal stubs
 
 
+def q_extract_text(sf_dir):
+    """HTML main-content extraction, SQL-checkable: wrap each doc's text
+    in the page template (vectorized Arrow concat), extract it back with
+    the RE2 kernel, return (doc_id, text) — hash-identical to the raw
+    table iff extraction is byte-exact."""
+    from ..functions import webtext as W
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            '<html><head><title>d</title></head><body><nav>home | about</nav>'
+            "<article><p>",
+            t.column("text"),
+            "</p></article><footer>&copy; 2020</footer></body></html>",
+            "",
+        )
+        got = W.extract_main_text(html)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pc.cast(got, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_multimodal_meta(sf_dir):
     from ..stages.multimodal import binary_meta
 
@@ -1244,6 +1269,7 @@ QUERIES = {
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
+    "extract_text": q_extract_text,
 }
 
 ORACLES = {
@@ -1388,6 +1414,7 @@ ORACLES = {
         "CAST(min(doc_id) OVER (PARTITION BY source) AS BIGINT) AS cluster_id "
         "FROM documents"
     ),
+    "extract_text": "SELECT doc_id, text FROM documents",
     "multimodal_meta": (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
         "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
