@@ -28,6 +28,57 @@ def char_stats(texts: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
     }
 
 
+def gopher_quality(texts: pa.ChunkedArray | pa.Array) -> dict[str, pa.Array]:
+    """Gopher-style document-quality features + keep decision (Rae et
+    al. 2021 rules, the deterministic subset): word count bounds, mean
+    word length bounds, minimum alphabetic ratio. All RE2 Arrow
+    kernels; every feature is defined so a SQL oracle computes the
+    identical value (counts of regex matches, exact integer/rounded
+    arithmetic)."""
+    n_words = pc.cast(pc.count_substring_regex(texts, r"\S+"), pa.int64())
+    n_ws = pc.cast(pc.count_substring_regex(texts, r"\s"), pa.int64())
+    chars = pc.cast(pc.utf8_length(texts), pa.int64())
+    alpha = pc.cast(pc.count_substring_regex(texts, r"[a-zA-Z]"), pa.int64())
+    words_nz = pc.max_element_wise(n_words, pa.scalar(1, pa.int64()))
+    chars_nz = pc.max_element_wise(chars, pa.scalar(1, pa.int64()))
+    # half-away rounding to match SQL ROUND (Arrow defaults to
+    # half-to-even: 4.28125 would hash-mismatch the oracle at .2812)
+    mean_wl = pc.round(
+        pc.divide(
+            pc.cast(pc.subtract(chars, n_ws), pa.float64()),
+            pc.cast(words_nz, pa.float64()),
+        ),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
+    alpha_ratio = pc.round(
+        pc.divide(
+            pc.cast(alpha, pa.float64()), pc.cast(chars_nz, pa.float64())
+        ),
+        ndigits=4,
+        round_mode="half_towards_infinity",
+    )
+    keep = pc.and_(
+        pc.and_(
+            pc.greater_equal(n_words, pa.scalar(10, pa.int64())),
+            pc.less_equal(n_words, pa.scalar(100_000, pa.int64())),
+        ),
+        pc.and_(
+            pc.and_(
+                pc.greater_equal(mean_wl, pa.scalar(2.0)),
+                pc.less_equal(mean_wl, pa.scalar(12.0)),
+            ),
+            pc.greater(alpha_ratio, pa.scalar(0.6)),
+        ),
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_wl,
+        "alpha_ratio": alpha_ratio,
+        "keep": keep,
+    }
+
+
 def md5_fingerprints(texts: list[str]) -> list[str]:
     """Hex MD5 per text (matches DuckDB's md5())."""
     return [hashlib.md5(t.encode()).hexdigest() for t in texts]

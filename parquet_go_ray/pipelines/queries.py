@@ -1088,6 +1088,20 @@ def q_embedding_near_pairs(sf_dir):
 # ---- multimodal stubs
 
 
+def q_gopher_quality(sf_dir):
+    """Gopher-style quality features + keep decision per doc, all RE2
+    Arrow kernels, SQL-oracled value for value."""
+    from ..functions.text import gopher_quality
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        feats = gopher_quality(t.column("text"))
+        return pa.table({"doc_id": t.column("doc_id"), **feats})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_extract_text(sf_dir):
     """HTML main-content extraction, SQL-checkable: wrap each doc's text
     in the page template (vectorized Arrow concat), extract it back with
@@ -1270,6 +1284,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
     "extract_text": q_extract_text,
+    "gopher_quality": q_gopher_quality,
 }
 
 ORACLES = {
@@ -1415,6 +1430,21 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "gopher_quality": (
+        "WITH f AS (SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+        "CAST(length(regexp_extract_all(text, '\\s')) AS BIGINT) AS n_ws, "
+        "CAST(length(text) AS BIGINT) AS chars, "
+        "CAST(length(regexp_extract_all(text, '[a-zA-Z]')) AS BIGINT) AS alpha "
+        "FROM documents) "
+        "SELECT doc_id, n_words, "
+        "ROUND((chars - n_ws) * 1.0 / greatest(n_words, 1), 4) AS mean_word_len, "
+        "ROUND(alpha * 1.0 / greatest(chars, 1), 4) AS alpha_ratio, "
+        "(n_words BETWEEN 10 AND 100000 "
+        " AND ROUND((chars - n_ws) * 1.0 / greatest(n_words, 1), 4) BETWEEN 2.0 AND 12.0 "
+        " AND ROUND(alpha * 1.0 / greatest(chars, 1), 4) > 0.6) AS keep "
+        "FROM f"
+    ),
     "multimodal_meta": (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
         "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
