@@ -1142,6 +1142,11 @@ def bloom_may_contain(path: str, column: str, values) -> np.ndarray:
     descs = _parse_schema(parsed["meta"][2])
     col = next(d["col"] for d in descs if d.get("path") == column)
     arr = pa.array(values)
+    if col.ptype == 7 and col.type_length:
+        # FLBA (e.g. UUID): probes arrive as plain bytes — cast to the
+        # column's fixed width so plain_segments hashes the exact PLAIN
+        # layout the filter was built from
+        arr = arr.cast(pa.binary(col.type_length))
     phys = {0: W.T_BOOLEAN, 1: W.T_INT32, 2: W.T_INT64, 4: W.T_FLOAT,
             5: W.T_DOUBLE, 6: W.T_BYTE_ARRAY, 7: W.T_FLBA}[col.ptype]
     data, offsets = plain_segments(arr, phys)

@@ -329,6 +329,22 @@ def test_native_read_projection_excludes_predicate(ray_session):
         assert total > 0
 
 
+def test_wire_bloom_flba_probe(tmp_path):
+    """UUID-style FLBA bloom probes: plain-bytes probe values cast to
+    the column's fixed width so they hash the exact PLAIN layout the
+    filter was built from (bloom.go FLBA support parity)."""
+    import uuid
+
+    ids = [uuid.UUID(int=i).bytes for i in range(1000)]
+    t = pa.table({"id": pa.array(ids, type=pa.binary(16))})
+    p = str(tmp_path / "flba.parquet")
+    write_table(t, p, bloom_columns=("id",))
+    may = R.bloom_may_contain(
+        p, "id", [ids[5], ids[999], uuid.UUID(int=10**9).bytes]
+    )
+    assert may.tolist() == [True, True, False]
+
+
 def test_wire_bloom_float_probe(tmp_path):
     """Float probes hash the 4-byte float32 PLAIN encoding the filter
     was built from (not the inferred float64 layout)."""
