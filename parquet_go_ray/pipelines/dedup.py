@@ -1050,12 +1050,13 @@ def curate_corpus(
     jaccard_threshold: float = 0.7,
     n_docs_hint: int | None = None,
     dedup_mode: str = "pairs",
+    quality: str | None = None,
 ) -> ray.data.Dataset:
     """The standard training-corpus curation composition end-to-end:
-    vectorized language/length filter -> exact dedup representatives ->
-    MinHash-LSH near-dup pairs among representatives -> near-dup
-    removal via an exact distributed anti-join. Returns the curated
-    (doc_id) rows.
+    vectorized language/length (+ optional quality="gopher" rule)
+    filter -> exact dedup representatives -> MinHash-LSH near-dup pairs
+    among representatives -> near-dup removal via an exact distributed
+    anti-join. Returns the curated (doc_id) rows.
 
     dedup_mode picks the removal semantics:
     - "pairs" (default): greedy pair breaking — drop the larger id of
@@ -1080,7 +1081,14 @@ def curate_corpus(
             mask = pc.and_(
                 mask, pc.is_in(t.column(lang_col), value_set=pa.array(langs))
             )
+        if quality == "gopher":
+            from ..functions.text import gopher_quality
+
+            mask = pc.and_(mask, gopher_quality(t.column(text_col))["keep"])
         return t.filter(mask)
+
+    if quality not in (None, "gopher"):
+        raise ValueError(f"unknown quality rule {quality!r}")
 
     filtered = ds.map_batches(keep_batch, batch_format="pyarrow")
     reps = exact_representatives(filtered, text_col, id_col, n_docs_hint)

@@ -146,6 +146,30 @@ def test_curate_cluster_mode(ray_session):
     assert kept == [0, 3]
 
 
+def test_curate_gopher_quality_filter(ray_session):
+    """quality='gopher' drops rule-violating docs before any hashing."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.dedup import curate_corpus
+
+    good = "plain readable words repeated here " * 8
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": good},
+        {"doc_id": 1, "lang": "en", "text": "x " * 300},        # mean wl too low
+        {"doc_id": 2, "lang": "en", "text": "1234 5678 " * 60},  # not alphabetic
+        {"doc_id": 3, "lang": "en", "text": good.replace("plain", "other")},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+    out = curate_corpus(
+        ds, min_chars=10, jaccard_threshold=0.9,
+        n_docs_hint=len(docs), quality="gopher",
+    )
+    kept = sorted(r["doc_id"] for r in out.take_all())
+    assert kept == [0, 3]
+    with pytest.raises(ValueError, match="quality"):
+        curate_corpus(ds, quality="nope")
+
+
 def test_chain_edges_by_group(ray_session):
     import ray.data
 
