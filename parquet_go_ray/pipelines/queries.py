@@ -1102,6 +1102,32 @@ def q_gopher_quality(sf_dir):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def q_repetition_scores(sf_dir):
+    """Repetition rule (the other deterministic Gopher family):
+    duplicate-token fraction per doc = 1 - distinct/total tokens.
+    Split on single spaces to match SQL string_split exactly; pandas
+    explode + groupby nunique/size (C kernels, no per-row Python);
+    half-away rounding on the non-negative ratio via floor(x*1e4+0.5)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").explode()
+        g = toks.groupby(level=0)
+        total = g.size().to_numpy()
+        distinct = g.nunique().to_numpy()
+        ratio = 1.0 - distinct / np.maximum(total, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "total_tokens": total.astype(np.int64),
+                "distinct_tokens": distinct.astype(np.int64),
+                "rep_ratio": np.floor(ratio * 10_000 + 0.5) / 10_000,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_extract_text(sf_dir):
     """HTML main-content extraction, SQL-checkable: wrap each doc's text
     in the page template (vectorized Arrow concat), extract it back with
@@ -1285,6 +1311,7 @@ QUERIES = {
     "image_resize": q_image_resize,
     "extract_text": q_extract_text,
     "gopher_quality": q_gopher_quality,
+    "repetition_scores": q_repetition_scores,
 }
 
 ORACLES = {
@@ -1430,6 +1457,14 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "repetition_scores": (
+        "SELECT doc_id, "
+        "CAST(length(string_split(text, ' ')) AS BIGINT) AS total_tokens, "
+        "CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS distinct_tokens, "
+        "ROUND(1.0 - CAST(length(list_distinct(string_split(text, ' '))) AS DOUBLE) "
+        "/ greatest(length(string_split(text, ' ')), 1), 4) AS rep_ratio "
+        "FROM documents"
+    ),
     "gopher_quality": (
         "WITH f AS (SELECT doc_id, "
         "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
