@@ -809,6 +809,16 @@ def connected_components(
     exactly the per-component minimum. Each round is one groupby
     shuffle of O(|V| + |E|) 24-byte rows; the driver sees only the
     changed-label COUNT per round, never ids.
+
+    Partitioning assumption (documented per the custom-operator rule):
+    jump rows key by the LABEL value, so a component's current minimum
+    is a fan-in hub whose partition receives O(component size) rows per
+    round. For near-dup graphs this is bounded by construction — exact
+    dedup collapses identical docs first and MAX_BUCKET caps LSH
+    cluster fan-out — so components stay ≪ PARTITION_TARGET_ROWS. A
+    workload with billion-node components would need the jump fan-in
+    salted (deliver l(l(v)) via per-salt replicas of the hub's label)
+    before this operator holds there.
     """
     global LAST_CC_ROUNDS
 
