@@ -1093,7 +1093,7 @@ def q_gopher_quality(sf_dir):
     Arrow kernels, SQL-oracled value for value."""
     from ..functions.text import gopher_quality
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         feats = gopher_quality(t.column("text"))
@@ -1108,7 +1108,7 @@ def q_repetition_scores(sf_dir):
     Split on single spaces to match SQL string_split exactly; pandas
     explode + groupby nunique/size (C kernels, no per-row Python);
     half-away rounding on the non-negative ratio via floor(x*1e4+0.5)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
         toks = df["text"].str.split(" ").explode()
@@ -1135,7 +1135,7 @@ def q_extract_text(sf_dir):
     table iff extraction is byte-exact."""
     from ..functions import webtext as W
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fn(t: pa.Table) -> pa.Table:
         html = pc.binary_join_element_wise(
