@@ -1128,6 +1128,34 @@ def q_repetition_scores(sf_dir):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+def q_stopword_fraction(sf_dir):
+    """Stopword-fraction rule (Gopher requires >= ~2 stopwords per doc):
+    count and fraction of stopword tokens, single-space split matching
+    SQL string_split; pandas explode + isin (C kernels)."""
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df["text"].str.split(" ").explode()
+        g_size = toks.groupby(level=0).size().to_numpy()
+        n_stop = (
+            toks.isin(_STOPWORDS).groupby(level=0).sum().to_numpy()
+        )
+        frac = n_stop / np.maximum(g_size, 1)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "n_stop": n_stop.astype(np.int64),
+                "stop_ratio": np.floor(frac * 10_000 + 0.5) / 10_000,
+                "enough_stopwords": n_stop >= 2,
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 def q_extract_text(sf_dir):
     """HTML main-content extraction, SQL-checkable: wrap each doc's text
     in the page template (vectorized Arrow concat), extract it back with
@@ -1312,6 +1340,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
+    "stopword_fraction": q_stopword_fraction,
 }
 
 ORACLES = {
@@ -1457,6 +1486,16 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "stopword_fraction": (
+        "WITH f AS (SELECT doc_id, "
+        "CAST(length(list_filter(string_split(text, ' '), "
+        "x -> x IN ('the','a','of','to','and','in','is','it'))) AS BIGINT) AS n_stop, "
+        "CAST(length(string_split(text, ' ')) AS BIGINT) AS total "
+        "FROM documents) "
+        "SELECT doc_id, n_stop, "
+        "ROUND(CAST(n_stop AS DOUBLE) / greatest(total, 1), 4) AS stop_ratio, "
+        "n_stop >= 2 AS enough_stopwords FROM f"
+    ),
     "repetition_scores": (
         "SELECT doc_id, "
         "CAST(length(string_split(text, ' ')) AS BIGINT) AS total_tokens, "
