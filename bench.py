@@ -236,6 +236,10 @@ def run_bench() -> dict:
         "embedding_topk",
         "sort_rows",
         "windowed_counts",
+        # the flagship LLM-curation composition end to end:
+        # quality/lang/length filter -> exact-rep dedup -> near-dup
+        # removal via distributed anti-join
+        "curate_corpus",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so
