@@ -850,31 +850,46 @@ def connected_components(
         # overhead when the graph fits in a task.
 
         def union_find(part: pd.DataFrame) -> pd.DataFrame:
+            # vectorized min-label propagation + pointer jumping — NO
+            # per-edge Python loop (at the 2M-edge limit a scalar
+            # union-find is ~10^7 interpreter ops in one task while the
+            # cluster idles). Labels only decrease and every delivered
+            # label is a node id inside the same component, so the
+            # fixpoint is exactly the per-component minimum; full
+            # compression each round makes convergence O(log diameter)
+            # rounds of O(V+E) numpy kernels.
             k = part["key"].to_numpy()
             d = part["payload"].to_numpy()
             nodes, idx = np.unique(np.concatenate([k, d]), return_inverse=True)
-            parent = np.arange(len(nodes), dtype=np.int64)
-
-            def find(x: int) -> int:
-                while parent[x] != x:
-                    parent[x] = parent[parent[x]]
-                    x = parent[x]
-                return x
-
             a_idx, b_idx = idx[: len(k)], idx[len(k) :]
-            for a, b in zip(a_idx, b_idx):
-                ra, rb = find(int(a)), find(int(b))
-                if ra != rb:
-                    # union by MIN node id so the root is the component
-                    # minimum (nodes[] is sorted, so index order = id
-                    # order)
-                    if ra < rb:
-                        parent[rb] = ra
-                    else:
-                        parent[ra] = rb
-            roots = np.array([find(int(i)) for i in range(len(nodes))])
+            # static edge array -> precompute the grouped-min plumbing
+            # once (sorted reduceat beats np.minimum.at's unbuffered
+            # per-element dispatch)
+            order = np.argsort(a_idx, kind="stable")
+            sorted_a = a_idx[order]
+            starts = np.flatnonzero(
+                np.r_[True, sorted_a[1:] != sorted_a[:-1]]
+            )
+            targets = sorted_a[starts]
+            parent = np.arange(len(nodes), dtype=np.int64)
+            while True:
+                prev = parent
+                parent = parent.copy()
+                # each node adopts the min label among its neighbors
+                # (edge list is already symmetric)
+                mins = np.minimum.reduceat(prev[b_idx][order], starts)
+                np.minimum(parent[targets], mins, out=mins)
+                parent[targets] = mins
+                # pointer-jump to full compression
+                while True:
+                    pp = parent[parent]
+                    if np.array_equal(pp, parent):
+                        break
+                    parent = pp
+                if np.array_equal(parent, prev):
+                    break
             return pd.DataFrame(
-                {"node": nodes, "component": nodes[roots], "one": 1}
+                {"node": nodes, "component": nodes[parent], "one": 1}
             )
 
         LAST_CC_ROUNDS = -1
@@ -1205,12 +1220,25 @@ def verified_near_dupes(
         sets = hashing.winnow_fingerprints(
             [t.encode() for t in uniq], k=4, w=1
         )
-        jac = np.empty(n, dtype=np.float64)
-        for i in range(n):
-            A, B = sets[inv[i]], sets[inv[n + i]]
-            inter = np.intersect1d(A, B, assume_unique=True).size
-            union = A.size + B.size - inter
-            jac[i] = inter / union if union else 1.0
+        # ALL pairs intersect in ONE pass (no per-pair Python loop —
+        # per-pair np.intersect1d calls dominate wall time when k-gram
+        # sets are small): tag every hash with its pair id, one global
+        # lexsort, then adjacent-equal-within-pair counts duplicates.
+        # Both sides are distinct sets, so each cross-side match
+        # contributes exactly one adjacent duplicate.
+        idx_a, idx_b = inv[:n], inv[n:]
+        sizes = np.fromiter((s.size for s in sets), dtype=np.int64, count=len(sets))
+        size_a, size_b = sizes[idx_a], sizes[idx_b]
+        vals = np.concatenate(
+            [s for i in range(n) for s in (sets[idx_a[i]], sets[idx_b[i]])]
+        ) if n else np.empty(0, dtype=np.uint64)
+        pair_ids = np.repeat(np.arange(n, dtype=np.int64), size_a + size_b)
+        order = np.lexsort((vals, pair_ids))
+        v, pid = vals[order], pair_ids[order]
+        dup = (pid[1:] == pid[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(pid[1:][dup], minlength=n)
+        union = size_a + size_b - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         keep = jac >= jaccard_threshold
         return pd.DataFrame(
             {

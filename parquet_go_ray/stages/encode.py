@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import uuid
 import zlib
 from pathlib import Path
 
@@ -186,16 +187,34 @@ def chunk_id_for(table: pa.Table) -> str:
 # ---------------------------------------------------------------------------
 # per-worker codec-selection cache
 #
-# Keyed by column name; Ray reuses worker processes across tasks, so the
-# selector's sampling + FSST training amortize over every chunk a worker
-# ever encodes (writer.go:340-347's per-writer dictionary state, made
-# per-worker). Entries re-validate on ratio drift and on a fixed cadence.
+# Keyed by (column name, dtype) inside a per-JOB namespace; Ray reuses
+# worker processes across tasks AND across jobs, so the selector's
+# sampling + FSST training amortize over every chunk a worker encodes
+# for one job (writer.go:340-347's per-writer dictionary state, made
+# per-worker) — but a selection trained on job A's `text` column must
+# never be reused for job B's unrelated `text` column (two corpora
+# sharing a long-lived cluster would cross-contaminate codec choices,
+# and the drift guard needs DRIFT_HYSTERESIS consecutive bad chunks to
+# notice). Each ChunkEncoder instance (one per encode job, serialized
+# to every task) carries a fresh namespace nonce; stale namespaces are
+# evicted FIFO so long-lived workers stay bounded. Entries re-validate
+# on ratio drift and on a fixed cadence.
 
 RESELECT_EVERY = 64  # chunks between forced (fully fresh) re-selections
 RETRAIN_SLACK = 0.3  # ratio degradation that counts as drift
 DRIFT_HYSTERESIS = 2  # consecutive drift chunks before re-selecting
+MAX_CACHE_NAMESPACES = 8  # concurrent jobs a worker keeps state for
 
 _COLUMN_CACHE: dict[str, dict] = {}
+
+
+def _namespace_cache(store: dict[str, dict], ns: str) -> dict:
+    cache = store.get(ns)
+    if cache is None:
+        while len(store) >= MAX_CACHE_NAMESPACES:
+            store.pop(next(iter(store)))
+        cache = store[ns] = {}
+    return cache
 
 
 def _encode_column_cached(
@@ -218,7 +237,8 @@ def _encode_column_cached(
     if cache is None:
         ctx: dict = {}
         return chunk_mod.encode_array(arr, override, compression, ctx)
-    ent = cache.get(name)
+    key = (name, str(arr.type))
+    ent = cache.get(key)
     if ent is not None and override is not None and ent["codec"] != override:
         ent = None
     if ent is not None and ent["uses"] < RESELECT_EVERY:
@@ -243,19 +263,19 @@ def _encode_column_cached(
         if ratio > ent["baseline"] * (1 + RETRAIN_SLACK):
             ent["drift"] = ent.get("drift", 0) + 1
             if ent["drift"] >= DRIFT_HYSTERESIS:
-                stale = cache.pop(name)
+                stale = cache.pop(key)
                 table = stale["ctx"].get("fsst_table")
                 if table is not None and stale["codec"] != R.CODEC_IDS["fsst"]:
-                    cache[("__hint__", name)] = table
+                    cache[("__hint__",) + key] = table
         else:
             ent["drift"] = 0
         return blob
     ctx = {}
-    hint = cache.pop(("__hint__", name), None)
+    hint = cache.pop(("__hint__",) + key, None)
     if hint is not None:
         ctx["fsst_table"] = hint
     blob = chunk_mod.encode_array(arr, override, compression, ctx)
-    cache[name] = {
+    cache[key] = {
         "codec": blob[4],
         "ctx": ctx,
         "uses": 1,
@@ -444,6 +464,11 @@ class ChunkEncoder:
         self.codec_overrides = {
             k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
         }
+        # per-job cache namespace: minted once on the driver, shipped in
+        # the serialized instance to every task, so all tasks of THIS
+        # job share worker-local state while other jobs on the same
+        # reused workers cannot see (or poison) it
+        self.cache_namespace = uuid.uuid4().hex
         self._completed: set[str] | None = None
 
     def _shard_done(self, shard: str) -> bool:
@@ -461,11 +486,12 @@ class ChunkEncoder:
         row_bytes = max(1, table.nbytes // table.num_rows)
         return max(1, min(self.rows_per_chunk, self.max_chunk_bytes // row_bytes))
 
-    def _cache(self) -> dict[str, dict]:
+    def _cache(self) -> dict:
         """The codec-selection cache: module-global (per worker process)
-        for the stateless-task form; overridden per instance in the
-        actor-pool form."""
-        return _COLUMN_CACHE
+        for the stateless-task form, namespaced by job so a reused
+        worker never bleeds one job's selections into another;
+        overridden per instance in the actor-pool form."""
+        return _namespace_cache(_COLUMN_CACHE, self.cache_namespace)
 
     def _encode_groups(
         self, group: pa.Table, shard: str, cache: dict
@@ -505,7 +531,9 @@ class ChunkEncoder:
                 # languages trains on its own mixed content instead of
                 # borrowing the leading language's table
                 run_key = f"{kc[0].as_py()}|{kc[-1].as_py()}"
-                piece_cache = _LANG_CACHES.setdefault(f"run:{run_key}", {})
+                piece_cache = _namespace_cache(
+                    _LANG_CACHES, self.cache_namespace
+                ).setdefault(f"run:{run_key}", {})
             groups.append(
                 encode_table(
                     piece,
@@ -582,7 +610,7 @@ class CachedStateEncoder(ChunkEncoder):
         self.retrain_slack = retrain_slack
         self._actor_cache: dict[str, dict] = {}
 
-    def _cache(self) -> dict[str, dict]:
+    def _cache(self) -> dict:
         return self._actor_cache
 
 
@@ -706,5 +734,6 @@ def split_by_shard(batch: pa.Table, default_shard: str = "mem"):
 
 # per-worker per-language-run selection caches for local-sorted encode
 # (workers are reused across tasks, so each language's tables amortize
-# over every chunk the worker encodes)
+# over every chunk the worker encodes); namespaced per job like
+# _COLUMN_CACHE so reused workers never mix corpora
 _LANG_CACHES: dict[str, dict] = {}

@@ -185,3 +185,24 @@ def test_chain_edges_by_group(ray_session):
     got = dedup.chain_edges_by_group(ds, "source").to_pandas()
     pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
     assert pairs == {(1, 3), (3, 5), (10, 20)}  # 'c' is a singleton
+
+
+def test_single_task_large_chain(ray_session):
+    """The single-task fast path must stay vectorized: a 300k-edge chain
+    (pathological diameter) through the full Ray pipeline. The old
+    per-edge Python union-find took minutes here; the numpy min-label +
+    pointer-jumping kernel finishes the whole planted graph well inside
+    the suite budget. Correctness only — no wall-clock assertion (host
+    timing varies); the scale itself is the regression guard."""
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    n = 300_000
+    a = np.arange(n, dtype=np.int64)
+    df = pd.DataFrame({"id_a": a, "id_b": a + 1})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = dedup.connected_components(ds).to_pandas()
+    assert dedup.LAST_CC_ROUNDS == -1  # took the single-task plan
+    assert len(out) == n + 1
+    assert (out["component"] == 0).all()  # one component, min label 0

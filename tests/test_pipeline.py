@@ -121,13 +121,14 @@ def test_cached_encoder_reuses_and_retrains():
     enc = CachedStateEncoder(rows_per_chunk=512)
     t1 = webpages.generate_shard(0.001, 0, 512)
     enc(t1.select(["text", "url"]))
-    ent1 = enc._actor_cache.get("text")
+    key = ("text", "string")  # cache entries key by (column, dtype)
+    ent1 = enc._actor_cache.get(key)
     assert ent1 is not None
     table1 = ent1["ctx"].get("fsst_table")
     assert table1 is not None
     enc(t1.select(["text", "url"]))
-    assert enc._actor_cache["text"]["ctx"]["fsst_table"] is table1  # reused
-    assert enc._actor_cache["text"]["uses"] >= 2
+    assert enc._actor_cache[key]["ctx"]["fsst_table"] is table1  # reused
+    assert enc._actor_cache[key]["uses"] >= 2
     # radically different data (incompressible random hex, distinct per
     # row so neither dict nor the stale FSST table helps) -> the column
     # ratio degrades -> the drift guard drops the cache
@@ -148,7 +149,7 @@ def test_cached_encoder_reuses_and_retrains():
         enc(rnd)
     # after the drift guard fires, the cache is either retrained (new
     # object) or dropped; it must not still be the stale table
-    ent = enc._actor_cache.get("text")
+    ent = enc._actor_cache.get(key)
     assert ent is None or ent["ctx"].get("fsst_table") is not table1
 
 
@@ -494,3 +495,51 @@ def test_image_resizer_dims_and_determinism():
     assert set(const["payload"][0]) == {7}
     with pytest.raises(NotImplementedError):
         ImageResizer(decode_stub=False)(batch.iloc[:1])
+
+
+def test_codec_cache_isolated_across_jobs(ray_session, tmp_path):
+    """Two encode jobs sharing a column NAME in one Ray session must not
+    share codec selections: Ray reuses worker processes across jobs, so
+    a per-worker cache keyed by column name alone lets job A's
+    selection for `text` poison job B's unrelated `text` column
+    (VERDICT r3 #1). Job B's output must be byte-identical to a
+    standalone run of job B."""
+    import random
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.encode import encode_job
+
+    rng = random.Random(7)
+    # corpus A: one constant value -> dict codec wins at ~0 ratio.
+    # Enough shards that EVERY worker in the session encodes some of A
+    # and warms its per-process cache.
+    fa = []
+    for i in range(12):
+        f = str(tmp_path / f"a{i}.parquet")
+        pq.write_table(
+            pa.table({"text": ["the same boilerplate line"] * 2000}), f
+        )
+        fa.append(f)
+    # corpus B: high-entropy unique strings -> a dict selection trained
+    # on A would be badly wrong here, and the drift guard's hysteresis
+    # never triggers on a short job
+    fb = []
+    for i in range(4):
+        f = str(tmp_path / f"b{i}.parquet")
+        pq.write_table(
+            pa.table(
+                {"text": ["%032x" % rng.getrandbits(128) for _ in range(2000)]}
+            ),
+            f,
+        )
+        fb.append(f)
+
+    def enc_bytes(files, out):
+        s = encode_job(files, str(tmp_path / out), rows_per_chunk=2048)
+        return s["enc_nbytes"]
+
+    standalone_b = enc_bytes(fb, "b_alone")
+    enc_bytes(fa, "a_first")  # warm every worker's cache with corpus A
+    poisoned_b = enc_bytes(fb, "b_after_a")
+    assert poisoned_b == standalone_b
