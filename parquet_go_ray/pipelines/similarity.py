@@ -90,46 +90,32 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     sample_rows: int = 4096,
+    store_dir: str | None = None,
 ) -> pd.DataFrame:
-    """IVF-style approximate top-k: a coarse k-means quantizer picks the
-    n_probe nearest cells to the query; each batch scores only vectors
-    whose nearest centroid is a probed cell. Centroids are broadcast via
-    ray.put; at scale the assignment would be precomputed/partitioned,
-    here it is recomputed per batch (cheap matmul)."""
-    sample = _to_matrix(
-        ds.limit(sample_rows).to_pandas()[vec_col]
-    )
-    cent = kmeans_centroids(sample, n_centroids)
-    q = np.asarray(query, dtype=np.float64)
-    q = q / np.linalg.norm(q)
-    probes = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))[:n_probe]
-    cent_ref = ray.put(cent)
-    probe_ref = ray.put(set(int(p) for p in probes))
-    q_ref = ray.put(q)
+    """IVF approximate top-k over a raw Dataset — a convenience wrapper
+    that builds (or reuses) the cluster-partitioned store and queries
+    it, so there is exactly ONE IVF code path: the store. The old
+    per-batch variant recomputed cell assignment over the FULL dataset
+    for every query (pruned compute, not I/O); the store prunes the
+    read itself, and the build cost amortizes over queries. Pass
+    store_dir to keep the store for reuse; default is a throwaway under
+    /tmp for one-shot calls."""
+    import tempfile
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
-        probe_set = ray.get(probe_ref)
-        qv = ray.get(q_ref)
-        m = _to_matrix(batch[vec_col])
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-        cell = d.argmin(axis=1)
-        keep = np.isin(cell, list(probe_set))
-        if not keep.any():
-            return pd.DataFrame({id_col: [], "cos": []}).astype(
-                {id_col: "int64", "cos": "float64"}
-            )
-        mk = m[keep]
-        ids = batch[id_col].to_numpy()[keep]
-        cos = (mk @ qv) / np.maximum(np.linalg.norm(mk, axis=1), 1e-12)
-        order = np.lexsort((ids, -cos))[:k]
-        return pd.DataFrame({id_col: ids[order], "cos": cos[order]})
+    if store_dir is None:
+        store_dir = tempfile.mkdtemp(prefix="ivf_store_")
+    import os
 
-    partials = ds.map_batches(score, batch_format="pandas").to_pandas()
-    order = np.lexsort((partials[id_col].to_numpy(), -partials["cos"].to_numpy()))[:k]
-    out = partials.iloc[order].reset_index(drop=True)
-    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
-    return out[[id_col, "rank", "cos"]]
+    if not os.path.exists(os.path.join(store_dir, "_ivf_meta.json")):
+        build_ivf_store(
+            ds,
+            store_dir,
+            vec_col=vec_col,
+            id_col=id_col,
+            n_centroids=n_centroids,
+            sample_rows=sample_rows,
+        )
+    return ivf_topk_store(store_dir, query, k=k, n_probe=n_probe)
 
 
 # --------------------------------------------------------------------------
@@ -293,10 +279,21 @@ def lsh_near_pairs(
     distributed pair join before the exact-cosine verify."""
     from .dedup import MAX_BUCKET, _attach_pair_values, _n_partitions
 
+    # hyperplanes are minted ONCE on the driver and broadcast via
+    # ray.put — regenerating them per batch was per-batch state setup
+    # (cheap here, but the pattern is wrong at scale). The embedding
+    # dim comes from the caller or a one-row peek (streaming partial
+    # execution, not a full read).
+    if dim is None:
+        peek = ds.take_batch(1, batch_format="pandas")
+        dim = int(np.asarray(peek[vec_col].iloc[0]).shape[0])
+    planes_ref = ray.put(
+        np.random.default_rng(seed).standard_normal((dim, n_planes))
+    )
+
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         m = _to_matrix(batch[vec_col])
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((m.shape[1], n_planes))
+        planes = ray.get(planes_ref)
         bits = (m @ planes) > 0
         bucket = np.zeros(len(m), dtype=np.int64)
         for b in range(n_planes):

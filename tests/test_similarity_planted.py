@@ -151,3 +151,40 @@ def test_ivf_store_prunes_io(ray_session, tmp_path):
     # with the exact answer
     exact = brute_force_topk(ds, query, k=5)
     assert len(set(out["vec_id"]) & set(exact["vec_id"])) >= 3
+
+
+def test_ivf_topk_wrapper_routes_through_store(ray_session, tmp_path):
+    """The non-store ivf_topk is a thin wrapper over the store path (one
+    IVF code path): it builds the store on first call, reuses it on the
+    second, and matches ivf_topk_store exactly."""
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import ivf_topk, ivf_topk_store
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((600, 8))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(600), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    store = str(tmp_path / "ivf_w")
+    out1 = ivf_topk(ds, vecs[3], k=4, n_centroids=6, n_probe=3, store_dir=store)
+    assert int(out1["vec_id"].iloc[0]) == 3
+    # second call must REUSE the existing store (mtime of meta unchanged)
+    import os
+
+    meta = os.path.join(store, "_ivf_meta.json")
+    m0 = os.path.getmtime(meta)
+    out2 = ivf_topk(ds, vecs[3], k=4, n_centroids=6, n_probe=3, store_dir=store)
+    assert os.path.getmtime(meta) == m0
+    direct = ivf_topk_store(store, vecs[3], k=4, n_probe=3)
+    for df in (out1, out2):
+        assert df[["vec_id", "rank"]].values.tolist() == direct[
+            ["vec_id", "rank"]
+        ].values.tolist()
