@@ -201,6 +201,32 @@ def _sig_matrix(col, num_perm: int) -> np.ndarray:
     )
 
 
+def _sig_matrix_arrow(col, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 matrix straight from an Arrow binary
+    column's value buffer — no per-row bytes objects, no b''.join. All
+    signatures are num_perm*8 bytes, so the values buffer IS the matrix;
+    only an unaligned slice (post-shuffle array offset) pays a copy."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, num_perm), dtype=np.uint64)
+    width = num_perm * 8
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ]
+    if offsets[-1] - offsets[0] != n * width:
+        # ragged/foreign data — fall back to the per-row join
+        return _sig_matrix(col.to_pylist(), num_perm)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+        offsets[0] : offsets[-1]
+    ]
+    if data.ctypes.data % 8:
+        data = data.copy()
+    return data.view(np.uint64).reshape(n, num_perm)
+
+
 def minhash_candidates(
     ds: ray.data.Dataset,
     text_col: str = "text",
@@ -231,12 +257,19 @@ def _candidates_from_sigs(
     never ride the shuffle (round-1 shipped the full 64x u64 signature
     per row)."""
 
-    def band_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[id_col].to_numpy()
-        sigs = _sig_matrix(batch["sig"], num_perm)
+    # Arrow-native explode: the (band, key, id) triples are the WIDEST
+    # shuffle in the whole dedup family (bands x corpus rows), so these
+    # stages consume and emit pyarrow blocks — zero-copy from the object
+    # store, no Arrow->pandas conversion on the fat path (round-3
+    # verdict #7).
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        sigs = _sig_matrix_arrow(batch.column("sig"), num_perm)
         keys = hashing.lsh_band_keys(sigs, bands)
         n = len(ids)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "band": np.tile(np.arange(bands, dtype=np.int32), n),
                 "key": keys.ravel().view(np.int64),
@@ -245,43 +278,46 @@ def _candidates_from_sigs(
         )
 
     P = _n_partitions(n_docs_hint, bands)
-    _empty = {"id_a": "int64", "id_b": "int64"}
+    _empty_tbl = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        key = df["key"].to_numpy().view(np.uint64)
-        band = df["band"].to_numpy().astype(np.uint64)
-        df["pt"] = ((key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)).astype(
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        pt = ((key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)).astype(
             np.int64
         )
-        return df
+        return batch.append_column("pt", pa.array(pt, type=pa.int64()))
 
-    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(part: pa.Table) -> pa.Table:
         # fully vectorized: sort so buckets are contiguous runs with ids
         # ascending in-run, then emit all-pairs per run batched by run
         # SIZE (one triu_indices per distinct size, not per bucket) —
         # 9x faster than the per-bucket pandas-groupby loop it replaces
         ia_idx, ib_idx, doc, _order = _run_pair_indices(
-            part["band"].to_numpy(),
-            part["key"].to_numpy(),
-            part[id_col].to_numpy().astype(np.int64),
+            part.column("band").to_numpy(zero_copy_only=False),
+            part.column("key").to_numpy(zero_copy_only=False),
+            part.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
         )
         if not len(ia_idx):
-            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
-        return (
-            pd.DataFrame({"id_a": doc[ia_idx], "id_b": doc[ib_idx]})
-            .drop_duplicates(["id_a", "id_b"])
-            .reset_index(drop=True)
-        )
+            return _empty_tbl
+        a, b = doc[ia_idx], doc[ib_idx]
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"id_a": a[keep], "id_b": b[keep]})
 
     # NOTE: the same pair can emerge from bands in different partitions,
     # so the output may contain duplicate (id_a, id_b) rows — the pair
     # join (_attach_pair_values) collapses them without an extra shuffle.
     return (
-        sigs_ds.map_batches(band_rows, batch_format="pandas")
-        .map_batches(add_part, batch_format="pandas")
+        sigs_ds.map_batches(band_rows, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("pt")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
 
@@ -321,18 +357,24 @@ def _candidate_id_bloom(cand: ray.data.Dataset, n_pairs: int):
     n_blocks = m_bits // hashing.ID_BLOOM_BLOCK_BITS
     blocks_per_slice = slice_bits // hashing.ID_BLOOM_BLOCK_BITS
 
-    def bit_rows(df: pd.DataFrame) -> pd.DataFrame:
+    def bit_rows(batch: pa.Table) -> pa.Table:
         # blocked layout: ONE (slice, hash) row per id rides the shuffle
         # (all k bits derive from the hash inside the builder) instead of
-        # k bit-position rows
+        # k bit-position rows; pyarrow in/out — the candidate blocks are
+        # already Arrow, so nothing converts on this path
         ids = np.unique(
-            np.concatenate([df["id_a"].to_numpy(), df["id_b"].to_numpy()])
+            np.concatenate(
+                [
+                    batch.column("id_a").to_numpy(zero_copy_only=False),
+                    batch.column("id_b").to_numpy(zero_copy_only=False),
+                ]
+            )
         ).view(np.uint64)
         h = hashing.splitmix64(ids)
         sl = ((h % np.uint64(n_blocks)) // np.uint64(blocks_per_slice)).astype(
             np.int64
         )
-        return pd.DataFrame({"sl": sl, "h": h.view(np.int64)})
+        return pa.table({"sl": sl, "h": h.view(np.int64)})
 
     def build_slice(part: pd.DataFrame) -> pd.DataFrame:
         sl = int(part["sl"].iloc[0])
@@ -343,7 +385,7 @@ def _candidate_id_bloom(cand: ray.data.Dataset, n_pairs: int):
         return pd.DataFrame({"sl": [sl], "bits": [bits.tobytes()]})
 
     slices = (
-        cand.map_batches(bit_rows, batch_format="pandas")
+        cand.map_batches(bit_rows, batch_format="pyarrow")
         .groupby("sl")
         .map_groups(build_slice, batch_format="pandas")
         .to_pandas()
@@ -1268,16 +1310,18 @@ def simhash_near_pairs(
     hash-partitioned batching as the MinHash bucket stage."""
     BANDS = 4
 
-    def fp_rows(batch: pd.DataFrame) -> pd.DataFrame:
-        texts = [t.encode() for t in batch[text_col]]
+    # Arrow in/out on every stage of the banded explode (round-3 verdict
+    # #7): the (band, key, id, fp) rows are the widest shuffle here.
+    def fp_rows(batch: pa.Table) -> pa.Table:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
         h = hashing.simhash64(texts)
-        ids = batch[id_col].to_numpy()
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         n = len(ids)
         bandvals = np.stack(
             [((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)) for b in range(BANDS)],
             axis=1,
         )  # (n, 4)
-        return pd.DataFrame(
+        return pa.table(
             {
                 "band": np.tile(np.arange(BANDS, dtype=np.int32), n),
                 "key": bandvals.ravel().astype(np.int64),
@@ -1287,67 +1331,79 @@ def simhash_near_pairs(
         )
 
     P = _n_partitions(n_docs_hint, BANDS)
-    _empty = {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    _empty_tbl = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "hamming": pa.array([], pa.int64()),
+        }
+    )
 
-    def add_part(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        key = df["key"].to_numpy().view(np.uint64)
-        band = df["band"].to_numpy().astype(np.uint64)
-        df["pt"] = (
-            (key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)
-        ).astype(np.int64)
-        return df
+    def add_part(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False).view(np.uint64)
+        band = batch.column("band").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        pt = ((key * np.uint64(0x9E3779B97F4A7C15) ^ band) % np.uint64(P)).astype(
+            np.int64
+        )
+        return batch.append_column("pt", pa.array(pt, type=pa.int64()))
 
-    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(part: pa.Table) -> pa.Table:
         # same vectorized run-pair scheme as the MinHash bucket stage;
         # the Hamming filter runs once over ALL candidate index pairs
         ia, ib, ids, order = _run_pair_indices(
-            part["band"].to_numpy(),
-            part["key"].to_numpy(),
-            part[id_col].to_numpy().astype(np.int64),
+            part.column("band").to_numpy(zero_copy_only=False),
+            part.column("key").to_numpy(zero_copy_only=False),
+            part.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64),
         )
         if not len(ia):
-            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
-        fps = part["fp"].to_numpy()[order].view(np.uint64)
+            return _empty_tbl
+        fps = part.column("fp").to_numpy(zero_copy_only=False)[order].view(
+            np.uint64
+        )
         d = hashing.hamming_distance64(fps[ia], fps[ib])
         keep = d <= max_hamming
         if not keep.any():
-            return pd.DataFrame({k: [] for k in _empty}).astype(_empty)
-        return (
-            pd.DataFrame(
-                {
-                    "id_a": ids[ia[keep]],
-                    "id_b": ids[ib[keep]],
-                    "hamming": d[keep].astype(np.int64),
-                }
-            )
-            .drop_duplicates(["id_a", "id_b"])
-            .reset_index(drop=True)
-        )
+            return _empty_tbl
+        a, b, dk = ids[ia[keep]], ids[ib[keep]], d[keep].astype(np.int64)
+        order2 = np.lexsort((b, a))
+        a, b, dk = a[order2], b[order2], dk[order2]
+        uniq = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table({"id_a": a[uniq], "id_b": b[uniq], "hamming": dk[uniq]})
 
     pairs = (
-        ds.map_batches(fp_rows, batch_format="pandas")
-        .map_batches(add_part, batch_format="pandas")
+        ds.map_batches(fp_rows, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow")
         .groupby("pt")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
 
     PG = max(16, P // 8)
 
-    def add_pg(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pg"] = (
-            (df["id_a"].to_numpy() * 31 + df["id_b"].to_numpy()) % PG
+    def add_pg(batch: pa.Table) -> pa.Table:
+        pg = (
+            (
+                batch.column("id_a").to_numpy(zero_copy_only=False) * 31
+                + batch.column("id_b").to_numpy(zero_copy_only=False)
+            )
+            % PG
         ).astype(np.int32)
-        return df
+        return batch.append_column("pg", pa.array(pg, type=pa.int32()))
 
-    def dedup_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        return group.drop_duplicates(["id_a", "id_b"])[
-            ["id_a", "id_b", "hamming"]
-        ]
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        h = group.column("hamming").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, h = a[order], b[order], h[order]
+        uniq = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])] if len(a) else (
+            np.zeros(0, dtype=bool)
+        )
+        return pa.table({"id_a": a[uniq], "id_b": b[uniq], "hamming": h[uniq]})
 
     return (
-        pairs.map_batches(add_pg, batch_format="pandas")
+        pairs.map_batches(add_pg, batch_format="pyarrow")
         .groupby("pg")
-        .map_groups(dedup_pairs, batch_format="pandas")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
     )
