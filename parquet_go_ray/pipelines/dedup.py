@@ -815,6 +815,12 @@ def anti_join_ids(
 # for the pointer-jumping O(log n) bound); -1 = single-task union-find
 LAST_CC_ROUNDS = 0
 
+# per-round max rows received by any one propose partition in the most
+# recent distributed connected_components call, populated only when
+# track_partition_load=True (test evidence that the aggregated jump
+# fan-in stays O(|V|/P + P), never O(component size))
+LAST_CC_MAX_PART_ROWS: list[int] = []
+
 # below this many symmetric edge rows the whole graph fits comfortably
 # in ONE worker task: run union-find there (off-driver, exact, no
 # per-round shuffle overhead) — the same size-based plan choice as
@@ -831,6 +837,8 @@ def connected_components(
     n_nodes_hint: int | None = None,
     max_rounds: int = 64,
     single_task_limit: int | None = None,
+    n_partitions: int | None = None,
+    track_partition_load: bool = False,
 ) -> ray.data.Dataset:
     """Distributed connected components over a (src, dst) edge list:
     returns (node, component) with component = the minimum node id in
@@ -852,15 +860,20 @@ def connected_components(
     shuffle of O(|V| + |E|) 24-byte rows; the driver sees only the
     changed-label COUNT per round, never ids.
 
-    Partitioning assumption (documented per the custom-operator rule):
-    jump rows key by the LABEL value, so a component's current minimum
-    is a fan-in hub whose partition receives O(component size) rows per
-    round. For near-dup graphs this is bounded by construction — exact
-    dedup collapses identical docs first and MAX_BUCKET caps LSH
-    cluster fan-out — so components stay ≪ PARTITION_TARGET_ROWS. A
-    workload with billion-node components would need the jump fan-in
-    salted (deliver l(l(v)) via per-salt replicas of the hub's label)
-    before this operator holds there.
+    Jump fan-in is AGGREGATED, not per-node: jump rows key by the LABEL
+    value, so naively a component's current minimum would be a fan-in
+    hub whose partition receives O(component size) rows per round.
+    Instead each partition emits ONE request row per distinct
+    (label, requesting-partition) pair it needs — a combiner on the
+    shuffle key — and the label's partition fans the answer
+    (label -> l(label)) back once per requesting partition, where a
+    local join delivers l(l(v)) to every node. The hub's partition
+    therefore receives O(P) rows per hot label per round, independent
+    of component size; a billion-node component costs the same shuffle
+    volume as a small one. `track_partition_load` records the measured
+    per-round max partition row count in LAST_CC_MAX_PART_ROWS (test
+    evidence for the bound); `n_partitions` overrides the size-derived
+    partition count.
     """
     global LAST_CC_ROUNDS
 
@@ -953,6 +966,9 @@ def connected_components(
     P = max(8, n_edge_rows // PARTITION_TARGET_ROWS + 1)
     if n_nodes_hint:
         P = max(P, n_nodes_hint // PARTITION_TARGET_ROWS + 1)
+    if n_partitions:
+        P = n_partitions
+    LAST_CC_MAX_PART_ROWS.clear()
 
     def add_pt(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
@@ -973,17 +989,27 @@ def connected_components(
 
     def as_msgs(df: pd.DataFrame) -> pd.DataFrame:
         # kind 0: the node's own label (also the self proposal);
-        # kind 1: reverse pointer — deliver l(label) back to the node
+        # kind 1: AGGREGATED jump request — one row per distinct
+        # (label, requesting-partition) pair in this batch, asking the
+        # label's partition to send l(label) back to the requesting
+        # partition. Nodes never appear in jump traffic, so a hot
+        # label (a huge component's minimum) receives O(P) request
+        # rows per round instead of O(component size).
         node = df["node"].to_numpy()
         lb = df["label"].to_numpy()
+        pt = df["pt"].to_numpy()
+        req = np.unique(np.stack([lb, pt], axis=1), axis=0)
         return pd.DataFrame(
             {
-                "key": np.concatenate([node, lb]),
-                "payload": np.concatenate([lb, node]),
-                "kind": np.repeat(
-                    np.array([0, 1], dtype=np.int8), len(df)
+                "key": np.concatenate([node, req[:, 0]]),
+                "payload": np.concatenate([lb, req[:, 1]]),
+                "kind": np.concatenate(
+                    [
+                        np.zeros(len(node), dtype=np.int8),
+                        np.ones(len(req), dtype=np.int8),
+                    ]
                 ),
-                "pt": np.concatenate([df["pt"].to_numpy(), lb % P]),
+                "pt": np.concatenate([pt, req[:, 0] % P]),
             }
         )
 
@@ -997,27 +1023,64 @@ def connected_components(
         lab = pd.Series(
             facts["payload"].to_numpy(), index=facts["key"].to_numpy()
         )
-        others = part[part["kind"] != 0]
-        tgt = others["payload"].to_numpy()
-        cand = lab.reindex(others["key"].to_numpy()).to_numpy()
-        if cand.dtype.kind == "f":
-            # a float result means reindex MISSED a key: some edge/jump
-            # key has no label row in its own hash partition — a
-            # partitioning invariant violation that would otherwise
-            # coerce NaN to garbage int64 silently
-            raise AssertionError("connected_components: label missing for key")
-        node = np.concatenate([facts["key"].to_numpy(), tgt])
-        prop = np.concatenate([facts["payload"].to_numpy(), cand]).astype(np.int64)
+        # edge messages: deliver l(neighbor) to the neighbor's partner
+        edges_ = part[part["kind"] == 2]
+        tgt = edges_["payload"].to_numpy()
+        cand = lab.reindex(edges_["key"].to_numpy()).to_numpy()
+        # aggregated jump requests: answer (label -> l(label)) once
+        # per requesting partition ("self"=2 rows; `node` carries the
+        # LABEL, `pt` the requesting partition — NOT node % P)
+        reqs = part[part["kind"] == 1]
+        rk = reqs["key"].to_numpy()
+        rp = reqs["payload"].to_numpy()
+        if len(rk):
+            uniq = np.unique(np.stack([rk, rp], axis=1), axis=0)
+            rk, rp = uniq[:, 0], uniq[:, 1]
+        ans = lab.reindex(rk).to_numpy()
+        for arr in (cand, ans):
+            if arr.dtype.kind == "f":
+                # a float result means reindex MISSED a key: some
+                # edge/jump key has no label row in its own hash
+                # partition — a partitioning invariant violation that
+                # would otherwise coerce NaN to garbage int64 silently
+                raise AssertionError(
+                    "connected_components: label missing for key"
+                )
+        node = np.concatenate([facts["key"].to_numpy(), tgt, rk])
+        prop = np.concatenate(
+            [facts["payload"].to_numpy(), cand, ans]
+        ).astype(np.int64)
         is_self = np.zeros(len(node), dtype=np.int8)
         is_self[: len(facts)] = 1
+        is_self[len(facts) + len(tgt) :] = 2
+        pt = np.concatenate(
+            [facts["key"].to_numpy() % P, tgt % P, rp]
+        ).astype(np.int64)
         return pd.DataFrame(
-            {"node": node, "cand": prop, "self": is_self, "pt": node % P}
+            {"node": node, "cand": prop, "self": is_self, "pt": pt}
         )
 
     def reduce_min(part: pd.DataFrame) -> pd.DataFrame:
-        new = part.groupby("node", sort=False)["cand"].min()
-        old = part[part["self"] == 1].set_index("node")["cand"]
-        changed = new < old.reindex(new.index)
+        ans = part[part["self"] == 2]
+        rest = part[part["self"] != 2]
+        new = rest.groupby("node", sort=False)["cand"].min()
+        old = rest[rest["self"] == 1].set_index("node")["cand"]
+        old = old.reindex(new.index)
+        if len(ans):
+            # local join: answer rows map old label -> l(label); every
+            # node's label was requested from this partition, so the
+            # lookup is total
+            amap = pd.Series(
+                ans["cand"].to_numpy(), index=ans["node"].to_numpy()
+            )
+            amap = amap[~amap.index.duplicated()]
+            jump = amap.reindex(old.to_numpy()).to_numpy()
+            if jump.dtype.kind == "f":
+                raise AssertionError(
+                    "connected_components: jump answer missing for label"
+                )
+            new = np.minimum(new, jump)
+        changed = new < old
         nodes = new.index.to_numpy().astype(np.int64)
         return pd.DataFrame(
             {
@@ -1040,10 +1103,30 @@ def connected_components(
         # pandas output (mixed arrow/pandas unions are rejected)
         return ray.data.from_pandas_refs(ds.to_pandas_refs())
 
+    def _pt_counts(df: pd.DataFrame) -> pd.DataFrame:
+        vc = df["pt"].value_counts()
+        return pd.DataFrame(
+            {
+                "pt": vc.index.to_numpy(np.int64),
+                "n": vc.to_numpy(np.int64),
+            }
+        )
+
     for rounds in range(1, max_rounds + 1):
         msgs = labels.map_batches(as_msgs, batch_format="pandas").union(
             _sever(E_msgs)
         )
+        if track_partition_load:
+            # test-only instrumentation: measure what each propose
+            # partition will receive (recomputes as_msgs over the
+            # materialized labels blocks — cheap, and never on by
+            # default)
+            loads = msgs.map_batches(
+                _pt_counts, batch_format="pandas"
+            ).to_pandas()
+            LAST_CC_MAX_PART_ROWS.append(
+                int(loads.groupby("pt")["n"].sum().max())
+            )
         proposals = msgs.groupby("pt").map_groups(propose, batch_format="pandas")
         labels = _sever(
             proposals.groupby("pt")

@@ -120,6 +120,45 @@ def test_empty_and_convergence_guard(ray_session):
         )
 
 
+def test_jump_fanin_is_aggregated(ray_session):
+    """One giant component must NOT funnel O(component) jump rows into
+    the label hub's partition. A 40k-node shallow tree (branching 32,
+    depth 3 — collapses to label 0 in a few rounds) is run with 8
+    partitions; the per-round max partition row count, measured inside
+    the pipeline, must stay near the mean shuffle share instead of
+    absorbing the whole component at the hub. The unaggregated design
+    (one jump row per node keyed by the label) put ~V extra rows on
+    partition 0 the round after collapse."""
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    n, bf, P = 40_000, 32, 8
+    child = np.arange(1, n, dtype=np.int64)
+    parent = (child - 1) // bf
+    df = pd.DataFrame({"id_a": parent, "id_b": child})
+    ds = ray.data.from_arrow(pa.Table.from_pandas(df))
+    out = dedup.connected_components(
+        ds,
+        single_task_limit=0,
+        n_partitions=P,
+        track_partition_load=True,
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["component"] == 0).all()
+    assert dedup.LAST_CC_MAX_PART_ROWS  # instrumentation ran
+    # per-round shuffle volume: V fact rows + up to V request rows
+    # (round 1, all labels distinct — aggregation can't help there,
+    # but they're balanced by label value) + 2(V-1) edge rows
+    mean_share = (2 * n + 2 * (n - 1)) / P
+    worst = max(dedup.LAST_CC_MAX_PART_ROWS)
+    assert worst < 1.5 * mean_share, (worst, mean_share)
+    # the unaggregated design adds ~V jump rows to label 0's partition
+    # the round after collapse (worst ≈ mean_share + n); aggregated
+    # stays near the balanced share
+    assert worst < 0.75 * n, (worst, n)
+
+
 def test_curate_cluster_mode(ray_session):
     """dedup_mode='clusters' keeps exactly one representative per
     near-dup component, including across transitive chains where pair
