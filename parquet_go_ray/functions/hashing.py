@@ -217,6 +217,69 @@ _WS_LUT = np.zeros(256, dtype=bool)
 _WS_LUT[[9, 10, 11, 12, 13, 32]] = True
 
 
+def passage_hashes(
+    texts: list[bytes], n_words: int = 8
+) -> tuple[np.ndarray, np.ndarray]:
+    """XXH64 of every sliding n_words-word passage per doc. Returns
+    (doc_idx int64, hashes uint64) — one row per window, in document
+    order. The hashed bytes are sliced straight from the original text
+    (start of word i through end of word i+n-1), so on single-space-
+    separated corpora each hash keys exactly the SQL string
+    array_to_string(words[i : i+n-1], ' ') — which is what makes the
+    passage-dedup gate query oracle-checkable. Docs shorter than
+    n_words contribute no windows. Fully vectorized: byte-mask token
+    boundaries, arange/repeat window indexing, one gather (n_words× the
+    batch's text bytes — bounded per batch), one batch hash call."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    buf, offsets = _concat_bytes(texts)
+    if len(buf) == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    keep = ~_WS_LUT[buf]
+    prev_keep = np.empty_like(keep)
+    prev_keep[0] = False
+    prev_keep[1:] = keep[:-1]
+    doc_starts = offsets[:-1][offsets[:-1] < len(buf)]
+    prev_keep[doc_starts] = False
+    next_keep = np.empty_like(keep)
+    next_keep[-1] = False
+    next_keep[:-1] = keep[1:]
+    doc_last = offsets[1:] - 1
+    next_keep[doc_last[doc_last >= 0]] = False
+    tok_start = np.flatnonzero(keep & ~prev_keep)
+    tok_end = np.flatnonzero(keep & ~next_keep)  # inclusive last byte
+    tok_doc = np.searchsorted(offsets[1:], tok_start, side="right")
+    per_doc = np.bincount(tok_doc, minlength=n_docs)
+    doc_tok_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(per_doc, out=doc_tok_start[1:])
+    n_win = np.maximum(per_doc - n_words + 1, 0)
+    total = int(n_win.sum())
+    if total == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_win)
+    win_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_win, out=win_starts[1:])
+    first_tok = (
+        np.arange(total, dtype=np.int64)
+        - np.repeat(win_starts[:-1], n_win)
+        + np.repeat(doc_tok_start[:-1], n_win)
+    )
+    p_start = tok_start[first_tok]
+    p_end = tok_end[first_tok + n_words - 1] + 1
+    lens = p_end - p_start
+    out_off = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    gidx = (
+        np.arange(int(out_off[-1]), dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(p_start, lens)
+    )
+    from ..codecs.sbbf import xxhash64
+
+    return doc_idx, xxhash64(buf[gidx].tobytes(), out_off)
+
+
 def _tokenize_bytes(texts: list[bytes]):
     """Whitespace tokenization without Python token objects: byte-mask
     the concatenated buffer, compact out the whitespace, and return

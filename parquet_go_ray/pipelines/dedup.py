@@ -811,6 +811,76 @@ def anti_join_ids(
     return both.groupby("pt").map_groups(keep, batch_format="pandas")
 
 
+def passage_dup_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 8,
+    min_docs: int = 2,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Substring-level (passage) exact dedup stats: for each doc, how
+    many of its sliding n_words-word passages also appear in at least
+    min_docs-1 OTHER documents. Document-level dedup misses repeated
+    boilerplate inside otherwise-distinct pages (headers, license
+    blocks, templated paragraphs); this is the discovery pass a
+    passage-removal stage keys on. No reference analogue — an
+    LLM-training-data extension over the winnow/shingle kernel family
+    (functions/hashing.py).
+
+    Scale shape: the only shuffled rows are (hash, doc_id, pt) — 24 B
+    per window, no text ever moves. Two hash-partitioned exchanges:
+    by passage hash (qualify hashes by distinct-doc count, emit per-doc
+    partial counts) then by doc id (sum partials). Passage identity is
+    a 64-bit XXH64 of the raw passage bytes, so equal SQL strings hash
+    equal — the gate oracle groups by the passage STRING and must agree
+    exactly (collision expectation at 10^9 windows ~ 3e-2 rows)."""
+    P = _n_partitions(n_docs_hint, 1)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        didx, h = hashing.passage_hashes(texts, n_words)
+        return pd.DataFrame(
+            {
+                "h": h.view(np.int64),
+                id_col: ids[didx],
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def qualify(part: pd.DataFrame) -> pd.DataFrame:
+        nd = part.groupby("h", sort=False)[id_col].nunique()
+        ok = nd.index[nd >= min_docs]
+        sel = part[part["h"].isin(ok)]
+        cnt = sel.groupby(id_col, sort=False).size()
+        ids = cnt.index.to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "n": cnt.to_numpy().astype(np.int64),
+                "pt": ids % P,
+            }
+        )
+
+    def total(part: pd.DataFrame) -> pd.DataFrame:
+        s = part.groupby(id_col, sort=False)["n"].sum()
+        return pd.DataFrame(
+            {
+                id_col: s.index.to_numpy().astype(np.int64),
+                "n_dup_passages": s.to_numpy().astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pt")
+        .map_groups(qualify, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(total, batch_format="pandas")
+    )
+
+
 # rounds the most recent connected_components call took (test evidence
 # for the pointer-jumping O(log n) bound); -1 = single-task union-find
 LAST_CC_ROUNDS = 0

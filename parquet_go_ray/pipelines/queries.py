@@ -975,6 +975,18 @@ def q_dedup_pipeline(sf_dir):
     )
 
 
+def q_dup_passages(sf_dir):
+    """Substring-level exact dedup: per doc, how many of its sliding
+    8-word passages also appear verbatim in another document. The
+    oracle states the same thing over passage STRINGS (string_split +
+    list slicing); the Ray side shuffles only 64-bit passage hashes."""
+    return dedup.passage_dup_stats(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_words=8,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+    )
+
+
 def q_dup_clusters(sf_dir):
     """Distributed connected components (min-label propagation with
     pointer jumping) over a deterministic chain-edge graph: consecutive
@@ -1328,6 +1340,7 @@ QUERIES = {
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
     "dup_clusters": q_dup_clusters,
+    "dup_passages": q_dup_passages,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
@@ -1486,6 +1499,14 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "dup_passages": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+        "s AS (SELECT doc_id, array_to_string(words[i.i : i.i + 7], ' ') AS passage "
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i) i), "
+        "g AS (SELECT passage FROM s GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2) "
+        "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages "
+        "FROM s JOIN g USING (passage) GROUP BY s.doc_id"
+    ),
     "stopword_fraction": (
         "WITH f AS (SELECT doc_id, "
         "CAST(length(list_filter(string_split(text, ' '), "

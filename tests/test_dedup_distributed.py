@@ -312,3 +312,59 @@ def test_curate_corpus_planted(ray_session):
     )
     kept = sorted(r["doc_id"] for r in out.take_all())
     assert kept == [0, 4, 5]
+
+
+def test_passage_dup_stats_planted(ray_session):
+    """Planted repeated-passage corpus: docs share an 8-word license
+    block inside otherwise-unique text. Document-level exact dedup sees
+    nothing (all texts distinct); passage stats must count exactly the
+    windows covered by the shared block in each carrier doc, and docs
+    with no shared passage must not appear at all."""
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    block = "all rights reserved see license file for details"  # 8 words
+    uniq = [
+        " ".join(f"u{d}w{i}" for i in range(20)) for d in range(4)
+    ]
+    docs = [
+        # block at the start: windows fully inside the block = 1
+        {"doc_id": 0, "text": block + " " + uniq[0]},
+        # block in the middle of another doc
+        {"doc_id": 1, "text": uniq[1] + " " + block + " " + uniq[2]},
+        # no shared content
+        {"doc_id": 2, "text": uniq[3]},
+        # doc shorter than 8 words never produces windows
+        {"doc_id": 3, "text": "tiny doc only"},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+    out = (
+        dedup.passage_dup_stats(ds, n_docs_hint=len(docs))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # only the 8-word block window itself is shared (every other window
+    # mixes in unique words)
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["n_dup_passages"].tolist() == [1, 1]
+
+
+def test_passage_hashes_kernel():
+    """passage_hashes slices windows from the original bytes: identical
+    passages hash identically across docs and across batch layouts, and
+    the hash equals XXH64 of the joined words."""
+    import numpy as np
+
+    from parquet_go_ray.codecs.sbbf import xxhash64
+    from parquet_go_ray.functions.hashing import passage_hashes
+
+    texts = [b"a b c d e f g h i j", b"x y z", b"", b"a b c d e f g h"]
+    d, h = passage_hashes(texts, 8)
+    assert d.tolist() == [0, 0, 0, 3]
+    assert h[0] == h[3]  # same 8 words, different docs
+    d1, h1 = passage_hashes([texts[3]], 8)  # batch independence
+    assert h1[0] == h[3]
+    ref = xxhash64(b"b c d e f g h i", np.array([0, 15], dtype=np.int64))[0]
+    assert h[1] == ref
