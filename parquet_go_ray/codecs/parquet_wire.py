@@ -174,7 +174,13 @@ def supports_schema(schema: pa.Schema) -> bool:
     primitives, lists, structs, maps, and their nestings."""
     try:
         for field in schema:
-            _build_wnode(field.name, field.type, field.nullable)
+            ty = field.type
+            if pa.types.is_dictionary(ty) and (
+                pa.types.is_string(ty.value_type)
+                or pa.types.is_large_string(ty.value_type)
+            ):
+                continue  # decoded + ENUM-annotated at write time
+            _build_wnode(field.name, ty, field.nullable)
         return True
     except (ValueError, KeyError):
         return False
@@ -210,6 +216,18 @@ class _Logical:
         return ts([(3, "struct", ts([]))])
 
     @staticmethod
+    def enum() -> bytes:
+        return ts([(4, "struct", ts([]))])
+
+    @staticmethod
+    def json() -> bytes:
+        return ts([(12, "struct", ts([]))])
+
+    @staticmethod
+    def bson() -> bytes:
+        return ts([(13, "struct", ts([]))])
+
+    @staticmethod
     def decimal(scale: int, precision: int) -> bytes:
         return ts(
             [(5, "struct", ts([(1, "i32", scale), (2, "i32", precision)]))]
@@ -226,10 +244,17 @@ class _Logical:
         return ts([(10, "struct", bytes(inner))])
 
 
+# field-metadata key carrying an explicit logical annotation; the
+# reader writes the same key back, so annotated files round-trip
+# through our read->write path (type.go:1494,1570,1664 — ENUM/JSON/BSON
+# logical kinds the Go reference models as string/byte-array nodes)
+ANNOTATION_META_KEY = b"parquet.logical_type"
+
+
 class _ColType:
     """Physical + logical typing for one Arrow column."""
 
-    def __init__(self, ty: pa.DataType):
+    def __init__(self, ty: pa.DataType, annotation: str | None = None):
         self.arrow = ty
         self.type_length = None
         self.converted = None
@@ -306,6 +331,23 @@ class _ColType:
             raise ValueError(
                 f"wire export supports flat primitive columns only, got {ty}"
             )
+        if annotation:
+            # explicit ENUM/JSON/BSON tag (ConvertedType 4/19/20 +
+            # LogicalType union fields 4/12/13); all three annotate the
+            # BYTE_ARRAY physical type only
+            if self.physical != T_BYTE_ARRAY:
+                raise ValueError(
+                    f"{annotation} annotation requires a string/binary "
+                    f"column, got {ty}"
+                )
+            if annotation == "ENUM":
+                self.converted, self.logical = 4, _Logical.enum()
+            elif annotation == "JSON":
+                self.converted, self.logical = 19, _Logical.json()
+            elif annotation == "BSON":
+                self.converted, self.logical = 20, _Logical.bson()
+            else:
+                raise ValueError(f"unknown logical annotation {annotation}")
 
     def schema_element(self, name: str, optional: bool) -> bytes:
         return ts(
@@ -1343,6 +1385,28 @@ def write_table(
     region (column_index.go:259-272, writer.go:1291-1330 parity).
     Returns {"rows", "bytes", "encodings": {col: name}}.
     """
+    # Arrow dictionary-of-string columns export as ENUM-annotated
+    # BYTE_ARRAY (type.go:1494 — the reference's Enum kind is a string
+    # node): decode the indices and tag the field; an explicit
+    # ANNOTATION_META_KEY on the field is preserved over the default
+    for i, field in enumerate(table.schema):
+        ty = field.type
+        if pa.types.is_dictionary(ty) and (
+            pa.types.is_string(ty.value_type)
+            or pa.types.is_large_string(ty.value_type)
+        ):
+            md = dict(field.metadata or {})
+            md.setdefault(ANNOTATION_META_KEY, b"ENUM")
+            table = table.set_column(
+                i,
+                pa.field(field.name, ty.value_type, field.nullable, md),
+                table.column(i).cast(ty.value_type),
+            )
+
+    def _annotation(field: pa.Field) -> str | None:
+        raw = (field.metadata or {}).get(ANNOTATION_META_KEY)
+        return raw.decode().upper() if raw else None
+
     cols = []
     for name in table.column_names:
         field = table.schema.field(name)
@@ -1354,7 +1418,7 @@ def write_table(
             except ValueError:
                 pass  # nested element type -> general shredding
         elif not (pa.types.is_struct(ty) or pa.types.is_map(ty)):
-            cols.append((name, "flat", _ColType(ty)))
+            cols.append((name, "flat", _ColType(ty, _annotation(field))))
             continue
         cols.append((name, "general", _build_wnode(name, ty, field.nullable)))
     # optionality comes from the Arrow field's declared nullability, not

@@ -151,6 +151,18 @@ class _Column:
         self.precision = el.get(8, 0)
         self.logical = el.get(10) or {}
 
+    def annotation(self) -> str | None:
+        """ENUM/JSON/BSON tag, surfaced as field metadata so a
+        read->write round trip re-emits the annotation."""
+        c, lt = self.converted, self.logical
+        if c == 4 or 4 in lt:
+            return "ENUM"
+        if c == 19 or 12 in lt:
+            return "JSON"
+        if c == 20 or 13 in lt:
+            return "BSON"
+        return None
+
     def arrow_type(self) -> pa.DataType:
         p, c = self.ptype, self.converted
         lt = self.logical
@@ -200,7 +212,9 @@ class _Column:
         if p == _T_DOUBLE:
             return pa.float64()
         if p == _T_BYTE_ARRAY:
-            if c == 0 or 1 in lt or c == 4:  # UTF8 / STRING / ENUM
+            # UTF8 / STRING / ENUM / JSON are all utf8 payloads; BSON
+            # (c==20 / lt 13) falls through to binary below
+            if c in (0, 4, 19) or 1 in lt or 4 in lt or 12 in lt:
                 return pa.string()
             if c == 5 or 5 in lt:
                 d = lt.get(5, {})
@@ -1014,6 +1028,25 @@ def read_table(
         parts = arrays[n] or [pa.array([], type=_entry_type(by_name[n]))]
         out[n] = pa.chunked_array(parts)
     t = pa.table(out)
+    anns = {}
+    for n in want:
+        d = by_name[n]
+        col = d.get("col")
+        if col is not None and d.get("kind") not in ("list",):
+            a = col.annotation()
+            if a:
+                anns[n] = a
+    if anns:
+        fields = [
+            f.with_metadata({b"parquet.logical_type": anns[f.name].encode()})
+            if f.name in anns
+            else f
+            for f in t.schema
+        ]
+        t = pa.Table.from_arrays(
+            [t.column(i) for i in range(t.num_columns)],
+            schema=pa.schema(fields),
+        )
     kv = key_value_metadata(meta)
     return t.replace_schema_metadata(kv) if kv else t
 

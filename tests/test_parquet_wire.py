@@ -723,3 +723,80 @@ def test_corruption_always_wire_error(tmp_path):
             R.read_table(p)
         except R.WireFormatError:
             pass
+
+
+def test_enum_json_bson_annotations(tmp_path):
+    """ENUM/JSON/BSON logical annotations (type.go:1494,1570,1664):
+    Arrow dictionary-of-string columns export as ENUM, explicit
+    field-metadata tags export as JSON/BSON, pyarrow sees the
+    ConvertedType+LogicalType pair, and our reader surfaces the tag as
+    field metadata so a read->write round trip re-emits it."""
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.codecs import parquet_wire as w
+    from parquet_go_ray.codecs import parquet_wire_read as r
+
+    t = pa.table(
+        {
+            "cat": pa.array(
+                ["red", "blue", "red", None, "green"]
+            ).dictionary_encode(),
+            "props": pa.array(['{"a":1}', "{}", '{"b":[2]}', None, "x"]),
+            "blob": pa.array([b"\x01\x02", b"", None, b"\x05", b"\x06"]),
+            "plain": pa.array(["x", "y", "z", "w", "v"]),
+        }
+    )
+    schema = t.schema
+    schema = schema.set(
+        1, schema.field(1).with_metadata({b"parquet.logical_type": b"JSON"})
+    )
+    schema = schema.set(
+        2, schema.field(2).with_metadata({b"parquet.logical_type": b"BSON"})
+    )
+    t = t.cast(schema)
+    assert w.supports_schema(t.schema)
+    p = str(tmp_path / "ann.parquet")
+    w.write_table(t, p)
+
+    pf = pq.ParquetFile(p)
+    seen = {
+        pf.schema.column(i).name: (
+            pf.schema.column(i).converted_type,
+            str(pf.schema.column(i).logical_type),
+        )
+        for i in range(4)
+    }
+    assert seen["cat"] == ("ENUM", "Enum")
+    assert seen["props"] == ("JSON", "JSON")
+    assert seen["blob"] == ("BSON", "BSON")
+    assert seen["plain"][0] == "UTF8"
+    # pyarrow maps ENUM/JSON payloads to binary; values must round-trip
+    pt = pq.read_table(p)
+    assert [
+        None if v is None else v.decode() for v in pt.column("cat").to_pylist()
+    ] == ["red", "blue", "red", None, "green"]
+
+    rt = r.read_table(p)
+    assert rt.schema.field("cat").metadata == {
+        b"parquet.logical_type": b"ENUM"
+    }
+    assert rt.schema.field("props").metadata == {
+        b"parquet.logical_type": b"JSON"
+    }
+    assert rt.schema.field("blob").metadata == {
+        b"parquet.logical_type": b"BSON"
+    }
+    assert rt.schema.field("plain").metadata is None
+    assert rt.column("cat").to_pylist() == ["red", "blue", "red", None, "green"]
+    assert rt.column("blob").to_pylist() == t.column("blob").to_pylist()
+
+    # re-emission from our own read output keeps the annotations
+    p2 = str(tmp_path / "ann2.parquet")
+    w.write_table(rt, p2)
+    pf2 = pq.ParquetFile(p2)
+    assert [str(pf2.schema.column(i).logical_type) for i in range(4)] == [
+        "Enum",
+        "JSON",
+        "BSON",
+        "String",
+    ]
