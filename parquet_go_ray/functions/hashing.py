@@ -280,6 +280,84 @@ def passage_hashes(
     return doc_idx, xxhash64(buf[gidx].tobytes(), out_off)
 
 
+def block_bounds(
+    texts: list[bytes], n_words: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """TUMBLING n_words-word block byte bounds per doc (tail block may
+    be shorter; every non-empty doc gets >=1 block). Returns (doc_idx,
+    block_idx, byte_start, byte_end_exclusive) into the concatenation
+    of `texts` — block i of a doc covers words i*n .. min((i+1)*n, W)-1
+    sliced from the original bytes, i.e. exactly the SQL string
+    array_to_string(words[i*n+1 : i*n+n], ' ') on single-space text.
+    Shared plumbing for passage_dedupe's hash and reconstruct stages."""
+    n_docs = len(texts)
+    empty = (
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+        np.zeros(0, dtype=np.int64),
+    )
+    if n_docs == 0:
+        return empty
+    buf, offsets = _concat_bytes(texts)
+    if len(buf) == 0:
+        return empty
+    keep = ~_WS_LUT[buf]
+    prev_keep = np.empty_like(keep)
+    prev_keep[0] = False
+    prev_keep[1:] = keep[:-1]
+    doc_starts = offsets[:-1][offsets[:-1] < len(buf)]
+    prev_keep[doc_starts] = False
+    next_keep = np.empty_like(keep)
+    next_keep[-1] = False
+    next_keep[:-1] = keep[1:]
+    doc_last = offsets[1:] - 1
+    next_keep[doc_last[doc_last >= 0]] = False
+    tok_start = np.flatnonzero(keep & ~prev_keep)
+    tok_end = np.flatnonzero(keep & ~next_keep)
+    tok_doc = np.searchsorted(offsets[1:], tok_start, side="right")
+    per_doc = np.bincount(tok_doc, minlength=n_docs)
+    n_blk = -(-per_doc // n_words)  # ceil; 0 for token-less docs
+    total = int(n_blk.sum())
+    if total == 0:
+        return empty
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), n_blk)
+    blk_starts = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(n_blk, out=blk_starts[1:])
+    block_idx = np.arange(total, dtype=np.int64) - np.repeat(
+        blk_starts[:-1], n_blk
+    )
+    doc_tok_start = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(per_doc, out=doc_tok_start[1:])
+    first_tok = doc_tok_start[doc_idx] + block_idx * n_words
+    last_tok = np.minimum(
+        first_tok + n_words - 1, doc_tok_start[doc_idx] + per_doc[doc_idx] - 1
+    )
+    return doc_idx, block_idx, tok_start[first_tok], tok_end[last_tok] + 1
+
+
+def block_hashes(
+    texts: list[bytes], n_words: int = 8
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """XXH64 of each tumbling n_words-word block (see block_bounds).
+    Returns (doc_idx, block_idx, hashes uint64)."""
+    doc_idx, block_idx, b0, b1 = block_bounds(texts, n_words)
+    if len(doc_idx) == 0:
+        return doc_idx, block_idx, np.zeros(0, dtype=np.uint64)
+    buf, _ = _concat_bytes(texts)
+    lens = b1 - b0
+    out_off = np.zeros(len(b0) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    gidx = (
+        np.arange(int(out_off[-1]), dtype=np.int64)
+        - np.repeat(out_off[:-1], lens)
+        + np.repeat(b0, lens)
+    )
+    from ..codecs.sbbf import xxhash64
+
+    return doc_idx, block_idx, xxhash64(buf[gidx].tobytes(), out_off)
+
+
 def _tokenize_bytes(texts: list[bytes]):
     """Whitespace tokenization without Python token objects: byte-mask
     the concatenated buffer, compact out the whitespace, and return

@@ -881,6 +881,144 @@ def passage_dup_stats(
     )
 
 
+def passage_dedupe(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 8,
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """C4-style passage REMOVAL: split every doc into tumbling n_words-
+    word blocks, keep only the globally-first occurrence of each block
+    (first = min (doc_id, block_idx)), and rebuild each doc's text from
+    its surviving blocks joined by single spaces. Docs whose every
+    block is dropped disappear from the output (matching the SQL
+    string_agg-over-zero-rows behavior). Companion to the discovery
+    pass `passage_dup_stats` — that one counts repeated passages, this
+    one edits them out. No reference analogue; an LLM-training-data
+    extension (C4, Raffel et al. 2020, public).
+
+    Scale shape: two exchanges. (1) (hash, id, block) rows — 32 B per
+    block, 1/n_words of the window count the sliding-window stats pass
+    shuffles, text never moves — hash-partitioned to pick winners and
+    emit a DROP list, which is tiny (only duplicated blocks). (2) The
+    rebuild joins drops to docs by id hash-partition, so text rides
+    exactly one shuffle (same pattern as exact_representatives; LSH/
+    rebuild consumers need the payload anyway). The rebuild gather is
+    one vectorized numpy pass; the only per-doc Python is the final
+    bytes->str slice loop that materializes the output strings.
+
+    Block identity is XXH64 of the raw block bytes, so on single-space
+    text it agrees exactly with the SQL oracle's block STRING equality
+    (collision expectation at 10^9 blocks ~ 3e-2 rows)."""
+    P = _n_partitions(n_docs_hint, 1)
+
+    def explode(batch: pa.Table) -> pd.DataFrame:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        didx, bidx, h = hashing.block_hashes(texts, n_words)
+        return pd.DataFrame(
+            {
+                "h": h.view(np.int64),
+                id_col: ids[didx],
+                "b": bidx,
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def drops(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["h", id_col, "b"], kind="stable")
+        d = part.loc[part.duplicated("h", keep="first")]
+        ids = d[id_col].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "b": d["b"].to_numpy().astype(np.int64),
+                "pt": ids % P,
+            }
+        )
+
+    drop_ds = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("pt")
+        .map_groups(drops, batch_format="pandas")
+    )
+
+    def tag_docs(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "text": batch.column(text_col).to_pylist(),
+                "b": np.full(len(ids), -1, dtype=np.int64),
+                "pt": ids % P,
+            }
+        )
+
+    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "b", "pt"]].copy()
+        out["text"] = ""
+        return out[[id_col, "text", "b", "pt"]]
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drops, batch_format="pandas")
+    )
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        docs = part.loc[part["b"] < 0]
+        dr = part.loc[part["b"] >= 0]
+        ids = docs[id_col].to_numpy().astype(np.int64)
+        texts = [t.encode() for t in docs["text"]]
+        didx, bidx, b0, b1 = hashing.block_bounds(texts, n_words)
+        if len(didx) == 0:
+            return pd.DataFrame({id_col: np.zeros(0, np.int64), "text": []})
+        if len(dr):
+            # membership test on packed (local doc index, block) keys
+            M = int(max(bidx.max(), dr["b"].max())) + 1
+            order = np.argsort(ids, kind="stable")
+            pos = np.searchsorted(
+                ids[order], dr[id_col].to_numpy().astype(np.int64)
+            )
+            loc = order[pos]
+            keep = ~np.isin(
+                didx * M + bidx, loc * M + dr["b"].to_numpy().astype(np.int64)
+            )
+        else:
+            keep = np.ones(len(didx), dtype=bool)
+        kd, kb0, kb1 = didx[keep], b0[keep], b1[keep]
+        buf, _ = hashing._concat_bytes(texts)
+        lens = kb1 - kb0
+        first = np.ones(len(kd), dtype=bool)
+        first[1:] = kd[1:] != kd[:-1]
+        sep = (~first).astype(np.int64)  # 1 leading space per non-first block
+        piece_off = np.zeros(len(kd) + 1, dtype=np.int64)
+        np.cumsum(lens + sep, out=piece_off[1:])
+        out = np.full(int(piece_off[-1]), 32, dtype=np.uint8)
+        nsrc = int(lens.sum())
+        src_off = np.zeros(len(kd) + 1, dtype=np.int64)
+        np.cumsum(lens, out=src_off[1:])
+        rel = np.arange(nsrc, dtype=np.int64) - np.repeat(src_off[:-1], lens)
+        out[rel + np.repeat(piece_off[:-1] + sep, lens)] = buf[
+            rel + np.repeat(kb0, lens)
+        ]
+        doc_len = np.bincount(kd, weights=(lens + sep), minlength=len(ids))
+        doc_off = np.zeros(len(ids) + 1, dtype=np.int64)
+        np.cumsum(doc_len.astype(np.int64), out=doc_off[1:])
+        blob = out.tobytes()
+        nonempty = np.flatnonzero(doc_off[1:] > doc_off[:-1])
+        return pd.DataFrame(
+            {
+                id_col: ids[nonempty],
+                "text": [
+                    blob[doc_off[i] : doc_off[i + 1]].decode()
+                    for i in nonempty
+                ],
+            }
+        )
+
+    return both.groupby("pt").map_groups(rebuild, batch_format="pandas")
+
+
 # rounds the most recent connected_components call took (test evidence
 # for the pointer-jumping O(log n) bound); -1 = single-task union-find
 LAST_CC_ROUNDS = 0

@@ -987,6 +987,20 @@ def q_dup_passages(sf_dir):
     )
 
 
+def q_passage_dedupe(sf_dir):
+    """C4-style passage removal: tumbling 8-word blocks, keep only the
+    globally-first occurrence of each repeated block (min doc_id, then
+    min block index), rebuild each doc from its surviving blocks. The
+    oracle states the same edit over block STRINGS with a window
+    ROW_NUMBER; the Ray side shuffles 64-bit block hashes and moves
+    text exactly once (the rebuild join)."""
+    return dedup.passage_dedupe(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
+        n_words=8,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+    )
+
+
 def q_dup_clusters(sf_dir):
     """Distributed connected components (min-label propagation with
     pointer jumping) over a deterministic chain-edge graph: consecutive
@@ -1341,6 +1355,7 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "dup_clusters": q_dup_clusters,
     "dup_passages": q_dup_passages,
+    "passage_dedupe": q_passage_dedupe,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
@@ -1506,6 +1521,18 @@ ORACLES = {
         "g AS (SELECT passage FROM s GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2) "
         "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages "
         "FROM s JOIN g USING (passage) GROUP BY s.doc_id"
+    ),
+    "passage_dedupe": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+        "FROM documents WHERE length(text) > 0), "
+        "s AS (SELECT doc_id, CAST((i.i - 1) / 8 AS BIGINT) AS b, "
+        "array_to_string(words[i.i : i.i + 7], ' ') AS blk "
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(words), 8)) AS i) i), "
+        "k AS (SELECT doc_id, b, blk, "
+        "ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id, b) AS rn FROM s) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "string_agg(blk, ' ' ORDER BY b) AS text "
+        "FROM k WHERE rn = 1 GROUP BY doc_id"
     ),
     "stopword_fraction": (
         "WITH f AS (SELECT doc_id, "

@@ -351,6 +351,51 @@ def test_passage_dup_stats_planted(ray_session):
     assert out["n_dup_passages"].tolist() == [1, 1]
 
 
+def test_passage_dedupe_planted(ray_session):
+    """C4-style removal on a planted corpus: the globally-first carrier
+    of the shared 8-word block keeps it, every later occurrence loses
+    exactly that block, uniques and tail blocks survive, and a doc made
+    entirely of the duplicated block vanishes. Verified against a
+    brute-force python edit of the same rule, across two block
+    layouts."""
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    block = "all rights reserved see license file for details"  # 8 words
+    uniq = [" ".join(f"u{d}w{i}" for i in range(16)) for d in range(3)]
+    docs = [
+        {"doc_id": 0, "text": block + " " + uniq[0]},
+        {"doc_id": 1, "text": uniq[1] + " " + block},
+        {"doc_id": 2, "text": block},  # all blocks dropped -> vanishes
+        {"doc_id": 3, "text": uniq[2]},
+        {"doc_id": 4, "text": "tiny doc only"},
+    ]
+
+    # brute-force oracle: tumbling 8-word blocks, first (doc, idx) wins
+    seen, expect = set(), {}
+    for d in docs:
+        words = d["text"].split(" ")
+        kept = []
+        for i in range(0, len(words), 8):
+            blk = " ".join(words[i : i + 8])
+            if blk not in seen:
+                seen.add(blk)
+                kept.append(blk)
+        if kept:
+            expect[d["doc_id"]] = " ".join(kept)
+
+    for npart in (1, 3):
+        ds = ray.data.from_pandas(pd.DataFrame(docs)).repartition(npart)
+        out = dedup.passage_dedupe(ds, n_docs_hint=len(docs)).to_pandas()
+        got = dict(zip(out["doc_id"], out["text"]))
+        assert got == expect, f"npart={npart}"
+    # doc 1's unique half starts mid-doc: its block boundaries differ
+    # from doc 0's, so only the aligned duplicate block is removed
+    assert expect[1].startswith("u1w0") and block not in expect[1]
+    assert 2 not in expect
+
+
 def test_passage_hashes_kernel():
     """passage_hashes slices windows from the original bytes: identical
     passages hash identically across docs and across batch layouts, and
@@ -368,3 +413,20 @@ def test_passage_hashes_kernel():
     assert h1[0] == h[3]
     ref = xxhash64(b"b c d e f g h i", np.array([0, 15], dtype=np.int64))[0]
     assert h[1] == ref
+
+
+def test_block_hashes_kernel():
+    """block_hashes cuts TUMBLING blocks (tail may be short; empty and
+    whitespace-only docs produce none) and is batch-layout
+    independent."""
+    from parquet_go_ray.functions.hashing import block_hashes
+
+    texts = [b"a b c d e f g h i j", b"", b"  ", b"a b c d e f g h"]
+    d, b, h = block_hashes(texts, 8)
+    assert d.tolist() == [0, 0, 3]
+    assert b.tolist() == [0, 1, 0]
+    assert h[0] == h[2]  # same first 8 words across docs
+    d1, b1, h1 = block_hashes([texts[0]], 8)
+    assert h1.tolist() == h[:2].tolist()  # layout independence
+    # tail block of doc 0 is "i j", a different block than any 8-word one
+    assert h[1] not in (h[0],)
