@@ -1019,6 +1019,61 @@ def passage_dedupe(
     return both.groupby("pt").map_groups(rebuild, batch_format="pandas")
 
 
+def decontaminate(
+    ds: ray.data.Dataset,
+    bench_ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_words: int = 8,
+) -> ray.data.Dataset:
+    """Benchmark decontamination: for every corpus doc, count the
+    sliding n_words-word windows that also occur verbatim anywhere in
+    the benchmark set (the eval suites a training corpus must not
+    contain). Docs with n_contaminated == 0 are safe to train on. No
+    reference analogue — an LLM-training-data extension (standard
+    eval-overlap hygiene, e.g. GPT-3 appendix C / PaLM; public).
+
+    Scale shape: the benchmark side is small BY DEFINITION (eval sets
+    are KB-MB against a 100-TB corpus), so this is the canonical
+    broadcast pattern — its distinct window hashes are collected once
+    on the driver (bounded by the eval-set size, never the corpus),
+    sorted, `ray.put` once, and probed inside every map_batches task
+    with one vectorized searchsorted. The corpus is NEVER shuffled and
+    never leaves its read partitions; there is no groupby anywhere.
+    Window identity is XXH64 of the raw window bytes — equal SQL
+    strings hash equal on single-space text (see passage_hashes)."""
+    import ray
+
+    parts = []
+    for batch in bench_ds.select_columns([text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        _, h = hashing.passage_hashes(texts, n_words)
+        if len(h):
+            parts.append(np.unique(h))
+    hset = (
+        np.unique(np.concatenate(parts))
+        if parts
+        else np.zeros(0, dtype=np.uint64)
+    )
+    ref = ray.put(hset)
+
+    def probe(batch: pa.Table) -> pd.DataFrame:
+        hs = ray.get(ref)  # zero-copy view from the local object store
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        didx, h = hashing.passage_hashes(texts, n_words)
+        n = np.zeros(len(ids), dtype=np.int64)
+        if len(hs) and len(h):
+            pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
+            hit = hs[pos] == h
+            n = np.bincount(didx[hit], minlength=len(ids)).astype(np.int64)
+        return pd.DataFrame({id_col: ids, "n_contaminated": n})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
 # rounds the most recent connected_components call took (test evidence
 # for the pointer-jumping O(log n) bound); -1 = single-task union-find
 LAST_CC_ROUNDS = 0

@@ -1001,6 +1001,22 @@ def q_passage_dedupe(sf_dir):
     )
 
 
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination: docs with doc_id < 32 stand in for
+    the eval set; every other doc reports how many of its sliding
+    8-word windows appear verbatim in that set. The eval-side window
+    hashes broadcast once via ray.put; the corpus is probed in place
+    with searchsorted — zero shuffle. The oracle states the same count
+    over window STRINGS."""
+    corpus = _read_split(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).filter(expr="doc_id >= 32")
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 32"
+    )
+    return dedup.decontaminate(corpus, bench, n_words=8)
+
+
 def q_dup_clusters(sf_dir):
     """Distributed connected components (min-label propagation with
     pointer jumping) over a deterministic chain-edge graph: consecutive
@@ -1356,6 +1372,7 @@ QUERIES = {
     "dup_clusters": q_dup_clusters,
     "dup_passages": q_dup_passages,
     "passage_dedupe": q_passage_dedupe,
+    "decontaminate": q_decontaminate,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
@@ -1521,6 +1538,17 @@ ORACLES = {
         "g AS (SELECT passage FROM s GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2) "
         "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages "
         "FROM s JOIN g USING (passage) GROUP BY s.doc_id"
+    ),
+    "decontaminate": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
+        "s AS (SELECT doc_id, array_to_string(words[i.i : i.i + 7], ' ') AS passage "
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, greatest(len(words) - 7, 0))) AS i) i), "
+        "b AS (SELECT DISTINCT passage FROM s WHERE doc_id < 32), "
+        "c AS (SELECT s.doc_id, COUNT(*) AS n FROM s JOIN b USING (passage) "
+        "WHERE s.doc_id >= 32 GROUP BY s.doc_id) "
+        "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
+        "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated "
+        "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id WHERE d.doc_id >= 32"
     ),
     "passage_dedupe": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "

@@ -415,6 +415,47 @@ def test_passage_hashes_kernel():
     assert h[1] == ref
 
 
+def test_decontaminate_planted(ray_session):
+    """Eval-overlap counting: a corpus doc embedding a benchmark
+    sentence mid-text reports exactly the sliding windows inside that
+    sentence; clean docs report 0; docs under 8 words report 0; an
+    empty benchmark side yields all zeros."""
+    import ray.data
+
+    from parquet_go_ray.pipelines import dedup
+
+    bench_sent = "the quick brown fox jumps over the lazy dog tonight"  # 10 w
+    uniq = [" ".join(f"c{d}w{i}" for i in range(12)) for d in range(3)]
+    bench = ray.data.from_pandas(
+        pd.DataFrame([{"doc_id": 0, "text": bench_sent}])
+    )
+    corpus = ray.data.from_pandas(
+        pd.DataFrame(
+            [
+                # embeds the full benchmark sentence: its 3 sliding
+                # 8-word windows all match
+                {"doc_id": 10, "text": uniq[0] + " " + bench_sent + " " + uniq[1]},
+                {"doc_id": 11, "text": uniq[2]},
+                {"doc_id": 12, "text": "way too short"},
+            ]
+        )
+    )
+    out = (
+        dedup.decontaminate(corpus, bench)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [10, 11, 12]
+    assert out["n_contaminated"].tolist() == [3, 0, 0]
+
+    empty_bench = ray.data.from_pandas(
+        pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64), "text": []})
+    )
+    out2 = dedup.decontaminate(corpus, empty_bench).to_pandas()
+    assert out2["n_contaminated"].tolist() == [0, 0, 0]
+
+
 def test_block_hashes_kernel():
     """block_hashes cuts TUMBLING blocks (tail may be short; empty and
     whitespace-only docs produce none) and is batch-layout
