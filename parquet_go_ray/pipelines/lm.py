@@ -1,0 +1,143 @@
+"""Corpus-level language-model quality scoring.
+
+CCNet-style (Wenzek et al. 2020, public) filtering ranks documents by
+LM negative log-likelihood; at corpus scale the standard cheap stand-in
+is a unigram LM trained on the corpus itself. `unigram_logprob_scores`
+computes, for every document, the mean negative log-probability of its
+whitespace tokens under the corpus unigram distribution — one number
+per doc, low = fluent/common, high = rare/garbled, the classic
+perplexity-filter axis.
+
+Scale shape (100 TB): nothing token-sized ever reaches the driver.
+- pass 1: one streaming aggregate for the global token total N
+  (per-batch int partials -> sum; a scalar).
+- pass 2: per-batch (token-hash, doc_id, count) partials — Zipf
+  collapses repeated tokens per doc, so this is far smaller than the
+  token stream — hash-partitioned by token hash. Every occurrence of a
+  token lands in one partition, so the GLOBAL count of each token is a
+  partition-local sum; each partition then scores its share of every
+  doc (count * -ln(global_cnt / N)) and emits fixed-width (doc_id,
+  partial_sum, partial_cnt) rows.
+- pass 3: sum partials by doc hash-partition and divide.
+Two id/scalar-only exchanges, both O(distinct (doc, token) pairs) at
+24-32 B/row; text is read, tokenized and dropped inside the batch.
+
+Token identity is XXH64 of the token bytes, so the SQL oracle (which
+groups by the token STRING) agrees exactly on single-space corpora;
+a collision would need ~2^32 distinct tokens (see hashing.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions import hashing
+
+
+def _doc_token_hash_counts(
+    texts: list[bytes],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-(doc, token) occurrence counts for one batch: returns
+    (local doc index, token hash uint64, count) with one row per
+    DISTINCT token per doc. Fully vectorized (tokenize -> XXH64 ->
+    lexsort -> run-length)."""
+    from ..codecs.sbbf import xxhash64
+
+    comp, tok_offsets, doc_tok_starts = hashing._tokenize_bytes(texts)
+    n_tokens = len(tok_offsets) - 1
+    if n_tokens == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, np.zeros(0, dtype=np.uint64), z
+    h = xxhash64(comp.tobytes(), tok_offsets)
+    didx = np.searchsorted(
+        doc_tok_starts[1:], np.arange(n_tokens, dtype=np.int64), side="right"
+    )
+    order = np.lexsort((h, didx))
+    ds_, hs_ = didx[order], h[order]
+    new = np.ones(n_tokens, dtype=bool)
+    new[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+    starts = np.flatnonzero(new)
+    cnt = np.diff(np.append(starts, n_tokens)).astype(np.int64)
+    return ds_[starts], hs_[starts], cnt
+
+
+def unigram_logprob_scores(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """Mean unigram negative log-likelihood per document, in 1e-4 nat
+    units (BIGINT `nll_e4` — integer output keeps the result
+    hash-stable across float summation orders). Docs with zero tokens
+    are dropped (they have no distribution to score)."""
+    P = n_partitions
+
+    # pass 1: global token count N (scalar aggregate, never a
+    # materialization; costs one extra streaming read of text — at
+    # scale the token-hash exchange below dominates, and folding N in
+    # would force materializing the partials mid-pipeline instead)
+    def count_tokens(batch: pa.Table) -> pd.DataFrame:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        _, tok_offsets, _ = hashing._tokenize_bytes(texts)
+        return pd.DataFrame({"n": np.array([len(tok_offsets) - 1], np.int64)})
+
+    total = ds.map_batches(count_tokens, batch_format="pyarrow").sum("n")
+    if not total:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    "nll_e4": np.zeros(0, np.int64),
+                }
+            )
+        )
+    log_n = float(np.log(total))
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        didx, h, cnt = _doc_token_hash_counts(texts)
+        return pd.DataFrame(
+            {
+                "h": h.view(np.int64),
+                id_col: ids[didx],
+                "c": cnt,
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def score_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a token hash are in this partition, so its
+        # global count is a local sum
+        g = part.groupby("h", sort=False)["c"].transform("sum").to_numpy()
+        nl = log_n - np.log(g.astype(np.float64))
+        contrib = part["c"].to_numpy() * nl
+        agg = pd.DataFrame(
+            {id_col: part[id_col].to_numpy(), "s": contrib, "c": part["c"]}
+        ).groupby(id_col, sort=False, as_index=False)[["s", "c"]].sum()
+        ids = agg[id_col].to_numpy().astype(np.int64)
+        agg["pt"] = ids % P
+        return agg
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby(id_col, sort=False, as_index=False)[["s", "c"]].sum()
+        score = agg["s"].to_numpy() / agg["c"].to_numpy()
+        return pd.DataFrame(
+            {
+                id_col: agg[id_col].to_numpy().astype(np.int64),
+                "nll_e4": np.floor(score * 1e4 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pt")
+        .map_groups(score_partition, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(finish, batch_format="pandas")
+    )

@@ -21,7 +21,7 @@ import ray
 import ray.data
 
 from ..functions import text as ftext
-from . import dedup, relational, similarity
+from . import dedup, lm, relational, similarity
 from .roundtrip import roundtrip_dataset
 
 # --------------------------------------------------------------- helpers
@@ -1017,6 +1017,17 @@ def q_decontaminate(sf_dir):
     return dedup.decontaminate(corpus, bench, n_words=8)
 
 
+def q_unigram_logprob(sf_dir):
+    """CCNet-style LM quality axis: mean unigram negative
+    log-likelihood per doc under the corpus's own token distribution,
+    in 1e-4 nat units. Token-hash partials (Zipf-collapsed) ride the
+    only wide shuffle; the oracle states the same score over token
+    STRINGS."""
+    return lm.unigram_logprob_scores(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_dup_clusters(sf_dir):
     """Distributed connected components (min-label propagation with
     pointer jumping) over a deterministic chain-edge graph: consecutive
@@ -1373,6 +1384,7 @@ QUERIES = {
     "dup_passages": q_dup_passages,
     "passage_dedupe": q_passage_dedupe,
     "decontaminate": q_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
@@ -1538,6 +1550,15 @@ ORACLES = {
         "g AS (SELECT passage FROM s GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2) "
         "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages "
         "FROM s JOIN g USING (passage) GROUP BY s.doc_id"
+    ),
+    "unigram_logprob": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM documents WHERE length(text) > 0), "
+        "cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t), "
+        "n AS (SELECT COUNT(*) AS total FROM tok) "
+        "SELECT CAST(tok.doc_id AS BIGINT) AS doc_id, "
+        "CAST(floor(avg(ln(n.total) - ln(cnt.c)) * 1e4 + 0.5) AS BIGINT) AS nll_e4 "
+        "FROM tok JOIN cnt USING (t) CROSS JOIN n GROUP BY tok.doc_id"
     ),
     "decontaminate": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
