@@ -236,6 +236,12 @@ def run_bench() -> dict:
         "embedding_topk",
         "sort_rows",
         "windowed_counts",
+        # passage-level dedup + decontamination + LM scoring (the
+        # round-4 curation additions; window/token-hash shuffles)
+        "dup_passages",
+        "passage_dedupe",
+        "decontaminate",
+        "unigram_logprob",
         # the flagship LLM-curation composition end to end:
         # quality/lang/length filter -> exact-rep dedup -> near-dup
         # removal via distributed anti-join

@@ -195,10 +195,12 @@ def chunk_id_for(table: pa.Table) -> str:
 # never be reused for job B's unrelated `text` column (two corpora
 # sharing a long-lived cluster would cross-contaminate codec choices,
 # and the drift guard needs DRIFT_HYSTERESIS consecutive bad chunks to
-# notice). Each ChunkEncoder instance (one per encode job, serialized
-# to every task) carries a fresh namespace nonce; stale namespaces are
-# evicted FIFO so long-lived workers stay bounded. Entries re-validate
-# on ratio drift and on a fixed cadence.
+# notice). The namespace key is the STORE identity (output_dir +
+# encode config; a fresh nonce for in-memory jobs), shipped in the
+# serialized ChunkEncoder — re-runs against the same store stay warm,
+# other stores stay invisible; stale namespaces are evicted FIFO so
+# long-lived workers stay bounded. Entries re-validate on ratio drift
+# and on a fixed cadence.
 
 RESELECT_EVERY = 64  # chunks between forced (fully fresh) re-selections
 RETRAIN_SLACK = 0.3  # ratio degradation that counts as drift
@@ -464,11 +466,29 @@ class ChunkEncoder:
         self.codec_overrides = {
             k: R.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
         }
-        # per-job cache namespace: minted once on the driver, shipped in
-        # the serialized instance to every task, so all tasks of THIS
-        # job share worker-local state while other jobs on the same
-        # reused workers cannot see (or poison) it
-        self.cache_namespace = uuid.uuid4().hex
+        # per-STORE cache namespace (VERDICT r3 #1): shipped in the
+        # serialized instance to every task, so all tasks of this job
+        # share worker-local state while jobs writing OTHER stores on
+        # the same reused workers cannot see (or poison) it. Keyed by
+        # store identity + encode config rather than a per-call nonce:
+        # re-running a job against the same store (resume, retry, a
+        # steady ingest loop) is the same corpus by construction, and
+        # re-warming selection + FSST training per run would tax every
+        # worker's first chunks for nothing (the drift guard still
+        # catches a store whose content genuinely changed).
+        # In-memory jobs (output_dir=None) have no store identity and
+        # get a fresh nonce.
+        if output_dir is None:
+            self.cache_namespace = uuid.uuid4().hex
+        else:
+            self.cache_namespace = "|".join(
+                (
+                    str(output_dir),
+                    str(compression),
+                    str(sorted(self.codec_overrides.items())),
+                    str(self.local_sort),
+                )
+            )
         self._completed: set[str] | None = None
 
     def _shard_done(self, shard: str) -> bool:

@@ -497,6 +497,23 @@ def test_image_resizer_dims_and_determinism():
         ImageResizer(decode_stub=False)(batch.iloc[:1])
 
 
+def test_codec_cache_namespace_identity():
+    """Same store + config -> same namespace (resume/retry/steady
+    ingest re-runs stay warm); different store, different config, or
+    no store -> isolated namespaces."""
+    from parquet_go_ray.stages.encode import ChunkEncoder
+
+    a1 = ChunkEncoder(output_dir="/tmp/ns_x")
+    a2 = ChunkEncoder(output_dir="/tmp/ns_x")
+    assert a1.cache_namespace == a2.cache_namespace
+    assert ChunkEncoder(output_dir="/tmp/ns_y").cache_namespace != a1.cache_namespace
+    assert (
+        ChunkEncoder(output_dir="/tmp/ns_x", compression="zstd").cache_namespace
+        != a1.cache_namespace
+    )
+    assert ChunkEncoder().cache_namespace != ChunkEncoder().cache_namespace
+
+
 def test_codec_cache_isolated_across_jobs(ray_session, tmp_path):
     """Two encode jobs sharing a column NAME in one Ray session must not
     share codec selections: Ray reuses worker processes across jobs, so
