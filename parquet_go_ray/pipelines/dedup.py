@@ -777,33 +777,41 @@ def anti_join_ids(
     drop_ds: ray.data.Dataset,
     id_col: str = "doc_id",
     n_hint: int | None = None,
+    payload_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Distributed anti-join on an id column: rows of `ids_ds` whose id
     is NOT in `drop_ds[id_col]`. Both sides shuffle id-only rows into
     hash partitions (8 B/row); exact (no bloom false positives — a FP
-    here would silently drop a kept document)."""
+    here would silently drop a kept document). `payload_cols` lets the
+    LEFT side's rows carry payload columns through the join (they ride
+    the one shuffle; the drop side ships ids only), for consumers that
+    need the surviving documents, not just their ids."""
     P = _n_partitions(n_hint, 1)
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             ids = df[id_col].to_numpy().astype(np.int64)
-            return pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     id_col: ids,
                     "side": np.full(len(ids), side, dtype=np.int8),
                     "pt": (ids % P).astype(np.int64),
                 }
             )
+            for c in payload_cols:
+                out[c] = df[c].to_numpy() if side == 0 else ""
+            return out
 
         return fn
 
     both = ids_ds.map_batches(tag(0), batch_format="pandas").union(
         drop_ds.map_batches(tag(1), batch_format="pandas")
     )
+    out_cols = [id_col, *payload_cols]
 
     def keep(part: pd.DataFrame) -> pd.DataFrame:
         drop = set(part.loc[part["side"] == 1, id_col])
-        left = part.loc[part["side"] == 0, [id_col]]
+        left = part.loc[part["side"] == 0, out_cols]
         if drop:
             left = left[~left[id_col].isin(drop)]
         return left.reset_index(drop=True)
@@ -1025,6 +1033,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_words: int = 8,
+    emit: str = "counts",
 ) -> ray.data.Dataset:
     """Benchmark decontamination: for every corpus doc, count the
     sliding n_words-word windows that also occur verbatim anywhere in
@@ -1041,7 +1050,14 @@ def decontaminate(
     with one vectorized searchsorted. The corpus is NEVER shuffled and
     never leaves its read partitions; there is no groupby anywhere.
     Window identity is XXH64 of the raw window bytes — equal SQL
-    strings hash equal on single-space text (see passage_hashes)."""
+    strings hash equal on single-space text (see passage_hashes).
+
+    emit="counts" (default) returns (id, n_contaminated) for every doc;
+    emit="clean" returns (id, text) for the docs with zero overlap —
+    the filter form curation compositions chain on, same zero-shuffle
+    probe."""
+    if emit not in ("counts", "clean"):
+        raise ValueError(f"unknown emit mode {emit!r}")
     import ray
 
     parts = []
@@ -1062,13 +1078,21 @@ def decontaminate(
     def probe(batch: pa.Table) -> pd.DataFrame:
         hs = ray.get(ref)  # zero-copy view from the local object store
         ids = batch.column(id_col).to_numpy().astype(np.int64)
-        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
-        didx, h = hashing.passage_hashes(texts, n_words)
+        raw = batch.column(text_col).to_pylist()
+        didx, h = hashing.passage_hashes([t.encode() for t in raw], n_words)
         n = np.zeros(len(ids), dtype=np.int64)
         if len(hs) and len(h):
             pos = np.minimum(np.searchsorted(hs, h), len(hs) - 1)
             hit = hs[pos] == h
             n = np.bincount(didx[hit], minlength=len(ids)).astype(np.int64)
+        if emit == "clean":
+            clean = n == 0
+            return pd.DataFrame(
+                {
+                    id_col: ids[clean],
+                    text_col: np.asarray(raw, dtype=object)[clean],
+                }
+            )
         return pd.DataFrame({id_col: ids, "n_contaminated": n})
 
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -1464,6 +1488,7 @@ def curate_corpus(
     n_docs_hint: int | None = None,
     dedup_mode: str = "pairs",
     quality: str | None = None,
+    return_text: bool = False,
 ) -> ray.data.Dataset:
     """The standard training-corpus curation composition end-to-end:
     vectorized language/length (+ optional quality="gopher" rule)
@@ -1483,7 +1508,9 @@ def curate_corpus(
 
     Scale shape: the filter prunes before anything hashes; only
     representatives enter LSH; the anti-join and the component rounds
-    shuffle 8-24-byte id rows only."""
+    shuffle 8-24-byte id rows only. With return_text=True the
+    surviving docs' text rides the anti-join shuffle (for downstream
+    stages that edit the text, e.g. curate_corpus_full)."""
     import pyarrow.compute as pc
 
     def keep_batch(t: pa.Table) -> pa.Table:
@@ -1531,7 +1558,61 @@ def curate_corpus(
         drops = pairs.map_batches(drop_side, batch_format="pandas")
     else:
         raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
-    return anti_join_ids(reps, drops, id_col, n_hint=n_docs_hint)
+    return anti_join_ids(
+        reps,
+        drops,
+        id_col,
+        n_hint=n_docs_hint,
+        payload_cols=(text_col,) if return_text else (),
+    )
+
+
+def curate_corpus_full(
+    ds: ray.data.Dataset,
+    bench_ds: ray.data.Dataset | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    langs: tuple[str, ...] | None = None,
+    min_chars: int = 0,
+    jaccard_threshold: float = 0.7,
+    n_docs_hint: int | None = None,
+    dedup_mode: str = "pairs",
+    quality: str | None = None,
+    n_words: int = 8,
+) -> ray.data.Dataset:
+    """The COMPLETE pre-training curation chain, every stage of which
+    is individually gate-checked: language/length/quality filter ->
+    exact-dedup representatives -> MinHash-LSH near-dup removal ->
+    C4-style passage removal (tumbling repeated blocks edited out of
+    the survivors) -> benchmark decontamination (docs overlapping the
+    eval set dropped; skipped when bench_ds is None). Returns the
+    final (doc_id, text) rows — the corpus a training job would read.
+
+    Scale shape is the union of its parts, all documented on the
+    stages themselves: id-only shuffles for dedup decisions, text
+    riding exactly two exchanges (into its content-hash partition for
+    rep selection, and into the passage rebuild join), and a
+    zero-shuffle broadcast probe for decontamination."""
+    kept = curate_corpus(
+        ds,
+        text_col,
+        id_col,
+        lang_col,
+        langs,
+        min_chars,
+        jaccard_threshold,
+        n_docs_hint,
+        dedup_mode,
+        quality,
+        return_text=True,
+    )
+    cleaned = passage_dedupe(kept, text_col, id_col, n_words, n_docs_hint)
+    if bench_ds is not None:
+        cleaned = decontaminate(
+            cleaned, bench_ds, text_col, id_col, n_words, emit="clean"
+        )
+    return cleaned
 
 
 def simhash_fingerprints(

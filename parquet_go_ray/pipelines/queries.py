@@ -1084,6 +1084,27 @@ def q_curate_corpus_clusters(sf_dir):
     )
 
 
+def q_curate_corpus_full(sf_dir):
+    """The COMPLETE curation chain: filter -> exact reps -> near-dup
+    removal -> C4-style passage removal -> benchmark decontamination
+    (docs doc_id < 32 stand in for the eval set), returning the final
+    (doc_id, text) a training job would read. Rows-only: the near-dup
+    stage is approximate by design; every constituent stage has its
+    own SQL-oracled gate query."""
+    n = _nrows(sf_dir, "documents")
+    corpus = _read_split(sf_dir, "documents").filter(expr="doc_id >= 32")
+    bench = _read(sf_dir, "documents", columns=["doc_id", "text"]).filter(
+        expr="doc_id < 32"
+    )
+    return dedup.curate_corpus_full(
+        corpus,
+        bench,
+        min_chars=50,
+        jaccard_threshold=0.5,
+        n_docs_hint=n,
+    )
+
+
 def q_near_dupes_verified(sf_dir):
     return dedup.verified_near_dupes(
         _read_split(sf_dir, "documents"),
@@ -1385,6 +1406,7 @@ QUERIES = {
     "passage_dedupe": q_passage_dedupe,
     "decontaminate": q_decontaminate,
     "unigram_logprob": q_unigram_logprob,
+    "curate_corpus_full": q_curate_corpus_full,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,

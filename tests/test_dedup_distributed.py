@@ -314,6 +314,64 @@ def test_curate_corpus_planted(ray_session):
     assert kept == [0, 4, 5]
 
 
+def test_curate_corpus_full_planted(ray_session):
+    """The complete chain on a planted corpus: short docs filtered,
+    exact dup collapsed, near-dup pair-broken, repeated tumbling
+    blocks edited out of the survivors (brute-force text oracle), and
+    the doc embedding the eval sentence decontaminated away."""
+    import pandas as pd
+
+    import ray.data
+
+    from parquet_go_ray.pipelines.dedup import curate_corpus_full
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    near = base.replace("lazy", "sleepy")
+    bench_sent = "eval answer alpha beta gamma delta epsilon zeta eta theta"
+    uniq6 = " ".join(f"u6w{i}" for i in range(12))
+    docs = [
+        {"doc_id": 0, "lang": "en", "text": base},  # keep (rep)
+        {"doc_id": 1, "lang": "en", "text": base},  # exact dup of 0
+        {"doc_id": 2, "lang": "en", "text": near},  # near-dup of 0
+        {"doc_id": 3, "lang": "en", "text": "x"},  # too short
+        {"doc_id": 4, "lang": "de", "text": "ganz anderer inhalt " * 12},
+        {"doc_id": 5, "lang": "fr", "text": "contenu distinct aussi " * 12},
+        # embeds the eval sentence -> decontaminated away
+        {"doc_id": 6, "lang": "en", "text": uniq6 + " " + bench_sent},
+    ]
+    ds = ray.data.from_pandas(pd.DataFrame(docs))
+    bench = ray.data.from_pandas(
+        pd.DataFrame([{"doc_id": 100, "text": bench_sent}])
+    )
+    out = curate_corpus_full(
+        ds, bench, langs=("en", "de", "fr"), min_chars=50,
+        jaccard_threshold=0.5, n_docs_hint=len(docs),
+    ).to_pandas()
+
+    # brute-force passage oracle over the docs that survive dedup
+    # (0, 4, 5, 6), in (doc, block) order; 6 then falls to decontam
+    seen, expect = set(), {}
+    for d in docs:
+        if d["doc_id"] not in (0, 4, 5, 6):
+            continue
+        words = d["text"].split()
+        kept = []
+        for i in range(0, len(words), 8):
+            blk = " ".join(words[i : i + 8])
+            if blk not in seen:
+                seen.add(blk)
+                kept.append(blk)
+        if kept:
+            expect[d["doc_id"]] = " ".join(kept)
+    expect.pop(6)
+
+    got = dict(zip(out["doc_id"], out["text"]))
+    assert got == expect
+    # the repeated-period doc really was edited (sanity that the
+    # passage stage did work, not just pass-through)
+    assert expect[4] != docs[4]["text"].strip()
+
+
 def test_passage_dup_stats_planted(ray_session):
     """Planted repeated-passage corpus: docs share an 8-word license
     block inside otherwise-unique text. Document-level exact dedup sees
