@@ -918,7 +918,13 @@ def passage_dedupe(
 
     Block identity is XXH64 of the raw block bytes, so on single-space
     text it agrees exactly with the SQL oracle's block STRING equality
-    (collision expectation at 10^9 blocks ~ 3e-2 rows)."""
+    (collision expectation at 10^9 blocks ~ 3e-2 rows).
+
+    NOTE: consumes ds TWICE (hash pass + rebuild pass). When the input
+    is a cheap parquet read, the re-read is free; when it is the tail
+    of an expensive lineage, checkpoint it first (`ds.materialize()`)
+    or Ray re-executes the whole upstream chain for each pass — see
+    curate_corpus_full."""
     P = _n_partitions(n_docs_hint, 1)
 
     def explode(batch: pa.Table) -> pd.DataFrame:
@@ -1531,7 +1537,14 @@ def curate_corpus(
         raise ValueError(f"unknown quality rule {quality!r}")
 
     filtered = ds.map_batches(keep_batch, batch_format="pyarrow")
-    reps = exact_representatives(filtered, text_col, id_col, n_docs_hint)
+    # Checkpoint: reps feed BOTH the LSH pass and the final anti-join;
+    # without pinning, Ray re-executes filter->hash->keep_min (a full
+    # text shuffle) once per consumer. The representative set is the
+    # deduped fraction of the corpus and lives in spillable object
+    # store blocks, so the checkpoint is strictly cheaper.
+    reps = exact_representatives(
+        filtered, text_col, id_col, n_docs_hint
+    ).materialize()
     pairs = minhash_lsh_pairs(
         reps,
         text_col,
@@ -1607,6 +1620,13 @@ def curate_corpus_full(
         quality,
         return_text=True,
     )
+    # Checkpoint the survivor set: passage_dedupe consumes its input
+    # TWICE (block-hash pass + rebuild pass), and without a checkpoint
+    # Ray re-executes the entire curate lineage for each consumer.
+    # The survivors are a fraction of the input and already shuffled
+    # once, so pinning their blocks in the (spillable) object store is
+    # strictly cheaper than a second filter->reps->LSH->anti-join run.
+    kept = kept.materialize()
     cleaned = passage_dedupe(kept, text_col, id_col, n_words, n_docs_hint)
     if bench_ds is not None:
         cleaned = decontaminate(
