@@ -1159,6 +1159,25 @@ def q_embedding_near_pairs(sf_dir):
     )
 
 
+def q_embedding_cosine_pairs(sf_dir):
+    """Exact embedding-cosine near-dup pairs (blocked all-pairs matmul,
+    off-driver) — the oracle-checkable exact form of the embedding
+    near-dup family. Threshold 0.4 sits >= 1e-5 away from every pair's
+    cosine in the synthetic tables, so f64 summation-order differences
+    vs DuckDB cannot flip a pair."""
+    return similarity.cosine_pairs(
+        _read(sf_dir, "embeddings"), threshold=0.4, rows_per_block=256
+    )
+
+
+def q_embedding_dedupe(sf_dir):
+    """Exact embedding-cosine near-dup REMOVAL: keep v iff no u < v has
+    cos(u, v) >= 0.4 (pair-breaking semantics, distributed anti-join)."""
+    return similarity.semantic_dedupe(
+        _read(sf_dir, "embeddings"), threshold=0.4
+    )
+
+
 # ---- multimodal stubs
 
 
@@ -1412,6 +1431,8 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_dedupe": q_embedding_dedupe,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
@@ -1641,6 +1662,20 @@ ORACLES = {
     "multimodal_meta": (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
         "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
+    ),
+    "embedding_cosine_pairs": (
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])) >= 0.4 "
+        "ORDER BY id_a, id_b"
+    ),
+    "embedding_dedupe": (
+        "SELECT e.vec_id FROM embeddings e WHERE NOT EXISTS ("
+        "SELECT 1 FROM embeddings o WHERE o.vec_id < e.vec_id "
+        "AND list_cosine_similarity(CAST(o.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) >= 0.4) "
+        "ORDER BY e.vec_id"
     ),
     "embedding_topk": (
         "SELECT vec_id, CAST(row_number() OVER "

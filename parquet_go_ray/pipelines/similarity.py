@@ -368,3 +368,90 @@ def lsh_near_pairs(
         )
 
     return paired.map_batches(exact_cos, batch_format="pandas")
+
+
+def cosine_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rows_per_block: int = 8192,
+) -> ray.data.Dataset:
+    """EXACT all-pairs cosine similarity >= threshold, as (id_a < id_b)
+    rows. The SQL-oracle-able companion to `lsh_near_pairs` (which is
+    the sub-quadratic 100-TB path): embedding-cosine near-duplicate
+    detection with no approximation.
+
+    Shape: blocked outer product. The (id, vec) projection is
+    checkpointed into ~rows_per_block Arrow blocks pinned in the
+    (spillable) object store; one Ray task per unordered block pair
+    (B(B+1)/2 tasks) pulls its two blocks zero-copy, row-normalizes in
+    float64, and emits the above-threshold cells of one (b x b) matmul.
+    Nothing ever lands on the driver — results come back as
+    object-store refs and re-enter a Dataset via from_arrow_refs. The
+    quadratic task count is intrinsic to EXACT all-pairs; this form is
+    for corpora small enough that n^2/2 block matmuls are acceptable
+    (verification sets, per-cluster refinement inside SemDeDup-style
+    dedup); LSH/IVF prune candidates for the full corpus."""
+    import pyarrow as pa
+
+    mat = ds.select_columns([id_col, vec_col]).repartition(
+        max(1, ds.count() // rows_per_block + 1)
+    ).materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a = ta.column(id_col).to_numpy().astype(np.int64)
+        ids_b = tb.column(id_col).to_numpy().astype(np.int64)
+        A = _to_matrix(ta.column(vec_col).to_pylist())
+        B = A if same else _to_matrix(tb.column(vec_col).to_pylist())
+        A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
+        B = B if same else B / np.maximum(
+            np.linalg.norm(B, axis=1, keepdims=True), 1e-12
+        )
+        C = A @ B.T
+        ia, ib = np.nonzero(C >= threshold)
+        if same:
+            # upper triangle only: each unordered pair appears twice in
+            # A x A, once in a cross-block product
+            keep = ia < ib
+            lo, hi = ids_a[ia[keep]], ids_b[ib[keep]]
+        else:
+            x, y = ids_a[ia], ids_b[ib]
+            lo, hi = np.minimum(x, y), np.maximum(x, y)
+        order = np.lexsort((hi, lo))
+        return pa.table({"id_a": lo[order], "id_b": hi[order]})
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def semantic_dedupe(
+    ds: ray.data.Dataset,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate REMOVAL (SemDeDup-flavored, but
+    exact): drop every vector whose cosine to ANY smaller-id vector
+    meets the threshold; return the kept ids. Deterministic,
+    SQL-expressible semantics (NOT the sequential leader heuristic —
+    a doc is dropped based on raw pairs, so the kept set is exactly
+    {v : no u < v with cos(u,v) >= t}).
+
+    Pairs come from the exact blocked product; the removal is the same
+    id-only distributed anti-join the text dedup chain uses (8 B/row
+    shuffle, no driver keep-set)."""
+    from .dedup import anti_join_ids
+
+    pairs = cosine_pairs(ds, threshold, vec_col, id_col)
+
+    def drop_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: df["id_b"].to_numpy().astype(np.int64)})
+
+    drops = pairs.map_batches(drop_side, batch_format="pandas")
+    return anti_join_ids(ds.select_columns([id_col]), drops, id_col)

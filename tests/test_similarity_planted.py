@@ -188,3 +188,26 @@ def test_ivf_topk_wrapper_routes_through_store(ray_session, tmp_path):
         assert df[["vec_id", "rank"]].values.tolist() == direct[
             ["vec_id", "rank"]
         ].values.tolist()
+
+
+def test_cosine_pairs_exact_and_layout_independent(planted):
+    from parquet_go_ray.pipelines.similarity import cosine_pairs
+
+    df = cosine_pairs(planted, threshold=0.9).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(df["id_a"], df["id_b"])}
+    # exact: every planted pair (cos ~0.9995) is found, nothing else at 0.9
+    assert {(i, 1000 + i) for i in range(20)} == found
+    # blocked product must be layout-independent: force many tiny blocks
+    df2 = cosine_pairs(planted, threshold=0.9, rows_per_block=16).to_pandas()
+    found2 = {(int(a), int(b)) for a, b in zip(df2["id_a"], df2["id_b"])}
+    assert found2 == found
+
+
+def test_semantic_dedupe_drops_larger_ids(planted):
+    from parquet_go_ray.pipelines.similarity import semantic_dedupe
+
+    kept = set(
+        semantic_dedupe(planted, threshold=0.9).to_pandas()["vec_id"]
+    )
+    # every planted dup (id 1000+i) is similar to its smaller base id
+    assert kept == set(range(200))
