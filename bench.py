@@ -242,10 +242,15 @@ def run_bench() -> dict:
         "passage_dedupe",
         "decontaminate",
         "unigram_logprob",
+        # exact embedding-cosine near-dup pairs (blocked matmul)
+        "embedding_cosine_pairs",
         # the flagship LLM-curation composition end to end:
         # quality/lang/length filter -> exact-rep dedup -> near-dup
         # removal via distributed anti-join
         "curate_corpus",
+        # ... and the COMPLETE chain with passage removal +
+        # decontamination stacked on top (checkpointed seams)
+        "curate_corpus_full",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

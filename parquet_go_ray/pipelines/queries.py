@@ -1249,6 +1249,19 @@ def q_stopword_fraction(sf_dir):
     return ds.map_batches(fn, batch_format="pandas")
 
 
+def q_source_reputation(sf_dir):
+    """Per-domain reputation filter: keep docs whose source's mean doc
+    length clears the bar. Stats pre-aggregate in-batch (int64-exact,
+    no float average), good-source set broadcasts, corpus filters in
+    place — zero corpus shuffle."""
+    from .webtext import source_reputation_filter
+
+    return source_reputation_filter(
+        _read_split(sf_dir, "documents", columns=["doc_id", "source", "n_chars"]),
+        min_avg_chars=280,
+    )
+
+
 def q_extract_text(sf_dir):
     """HTML main-content extraction, SQL-checkable: wrap each doc's text
     in the page template (vectorized Arrow concat), extract it back with
@@ -1438,6 +1451,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
     "extract_text": q_extract_text,
+    "source_reputation": q_source_reputation,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1586,6 +1600,11 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "source_reputation": (
+        "SELECT doc_id, source FROM documents WHERE source IN ("
+        "SELECT source FROM documents GROUP BY source "
+        "HAVING sum(n_chars) >= 280 * count(*))"
+    ),
     "dup_passages": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "
         "s AS (SELECT doc_id, array_to_string(words[i.i : i.i + 7], ' ') AS passage "

@@ -71,3 +71,69 @@ def host_stats(ds: ray.data.Dataset) -> ray.data.Dataset:
         .groupby("host")
         .sum("n")
     )
+
+
+def source_reputation_filter(
+    ds: ray.data.Dataset,
+    min_avg_chars: int = 280,
+    source_col: str = "source",
+    len_col: str = "n_chars",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """CCNet-style per-domain reputation filtering: keep every doc whose
+    SOURCE (domain) has average doc length >= min_avg_chars; docs from
+    low-reputation sources are dropped wholesale. Two phases:
+
+    1. Per-source stats are pre-aggregated inside map_batches — only
+       (source, sum, n) partials shuffle, one row per distinct source
+       per batch — then a tiny groupby-sum collapses them. The decision
+       `sum >= min_avg_chars * n` is exact int64 arithmetic (no float
+       average anywhere), so it agrees bit-for-bit with the SQL HAVING.
+    2. The GOOD-source set is broadcast (ray.put once) and the corpus
+       is filtered in place with one vectorized is_in — the corpus
+       itself never shuffles.
+
+    The broadcast set is bounded by the distinct-source count. Web
+    corpora have ~10^7-10^8 domains (a few GB of strings at worst) —
+    fine for ray.put; if a corpus ever exceeds that, swap phase 2 for
+    the hash-partitioned semi-join in dedup.anti_join_ids."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "source": t.column(source_col).to_pandas(),
+                "s": t.column(len_col).to_numpy(),
+            }
+        )
+        g = df.groupby("source", sort=False)["s"].agg(["sum", "size"])
+        return pd.DataFrame(
+            {
+                "source": g.index.to_numpy(),
+                "s": g["sum"].to_numpy().astype(np.int64),
+                "n": g["size"].to_numpy().astype(np.int64),
+            }
+        )
+
+    stats = (
+        ds.select_columns([source_col, len_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .sum(["s", "n"])
+        .to_pandas()
+    )
+    good = stats.loc[
+        stats["sum(s)"].to_numpy()
+        >= min_avg_chars * stats["sum(n)"].to_numpy(),
+        "source",
+    ].to_numpy()
+    good_ref = ray.put(pa.array(sorted(good)))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.is_in(t.column(source_col), value_set=ray.get(good_ref))
+        return t.select([id_col, source_col]).filter(ok)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
