@@ -1167,6 +1167,14 @@ def connected_components(
     per-round max partition row count in LAST_CC_MAX_PART_ROWS (test
     evidence for the bound); `n_partitions` overrides the size-derived
     partition count.
+
+    Measured and rejected (ray 2.49.2, 300k-edge chain graph, 32
+    CPUs): ShuffleStrategy.HASH_SHUFFLE for the per-round groupbys —
+    the actor-based aggregator pool re-spawns per round (the loop
+    plans a fresh plan each round by design), leaked hundreds of
+    worker processes and never finished; the sort shuffle runs the
+    same graph in ~1.8 s/round. Revisit if Ray's hash shuffle learns
+    to share aggregator pools across plans.
     """
     global LAST_CC_ROUNDS
 
