@@ -18,11 +18,19 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _tune() -> None:
+    from parquet_go_ray.tuning import apply_data_context_tuning
+
+    apply_data_context_tuning()
+
+
 def entry() -> Any:
     import shutil
 
     import pandas as pd
     import ray.data
+
+    _tune()
 
     from parquet_go_ray.pipelines.decode import decode_dataset
     from parquet_go_ray.pipelines.encode import encode_job
@@ -56,6 +64,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from parquet_go_ray.pipelines.queries import QUERIES
 
+    _tune()
     return dict(QUERIES)
 
 

@@ -66,6 +66,9 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    from parquet_go_ray.tuning import apply_data_context_tuning
+
+    apply_data_context_tuning(ctx)
 
     from parquet_go_ray.pipelines import queries as Q
     from parquet_go_ray.pipelines.decode import decode_dataset

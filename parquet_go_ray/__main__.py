@@ -47,6 +47,9 @@ def _init_ray(num_cpus: int | None, address: str | None = None):
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
+    from .tuning import apply_data_context_tuning
+
+    apply_data_context_tuning()
 
 
 def cmd_encode(args) -> int:

@@ -83,7 +83,21 @@ def _salt_counts(
     return out
 
 
-def encode_job(
+def encode_job(*args, **kwargs) -> dict:
+    """Run the encode job; returns a summary dict (rows, bytes, seconds).
+
+    Pipelines here are built (and executed) under a SMALL streaming
+    runahead (tuning.ENCODE_RUNAHEAD): the encode kernel is memory-
+    bandwidth bound and a large per-task runahead maximizes concurrent
+    bus pressure — measured 0.197 s at buffer 4 vs 0.303 s at 32 on
+    the sf0.1 headline. See tuning.runahead for the measurements."""
+    from ..tuning import ENCODE_RUNAHEAD, runahead
+
+    with runahead(ENCODE_RUNAHEAD):
+        return _encode_job_impl(*args, **kwargs)
+
+
+def _encode_job_impl(
     input_files: list[str],
     output_dir: str,
     mode: str = "direct",
@@ -98,7 +112,6 @@ def encode_job(
     codec_overrides: dict[str, str] | None = None,
     plan: str = "paths",
 ) -> dict:
-    """Run the encode job; returns a summary dict (rows, bytes, seconds)."""
     t0 = time.time()
     if concurrency is None:
         concurrency = max(2, int(ray.cluster_resources().get("CPU", 8)) - 2)

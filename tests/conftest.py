@@ -14,6 +14,9 @@ def ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    from parquet_go_ray.tuning import apply_data_context_tuning
+
+    apply_data_context_tuning()
     yield
     ray.shutdown()
 
