@@ -395,9 +395,13 @@ def cosine_pairs(
     dedup); LSH/IVF prune candidates for the full corpus."""
     import pyarrow as pa
 
-    mat = ds.select_columns([id_col, vec_col]).repartition(
-        max(1, ds.count() // rows_per_block + 1)
-    ).materialize()
+    # materialize FIRST (count() on a computed lineage would execute it
+    # once just for the row count, then again for the repartition);
+    # count/num_blocks on materialized blocks are metadata-only
+    mat = ds.select_columns([id_col, vec_col]).materialize()
+    target = max(1, mat.count() // rows_per_block + 1)
+    if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
+        mat = mat.repartition(target).materialize()
     refs = mat.to_arrow_refs()
 
     @ray.remote
@@ -405,21 +409,24 @@ def cosine_pairs(
         ids_a = ta.column(id_col).to_numpy().astype(np.int64)
         ids_b = tb.column(id_col).to_numpy().astype(np.int64)
         A = _to_matrix(ta.column(vec_col).to_pylist())
-        B = A if same else _to_matrix(tb.column(vec_col).to_pylist())
         A = A / np.maximum(np.linalg.norm(A, axis=1, keepdims=True), 1e-12)
-        B = B if same else B / np.maximum(
-            np.linalg.norm(B, axis=1, keepdims=True), 1e-12
-        )
+        if same:
+            B = A
+        else:
+            B = _to_matrix(tb.column(vec_col).to_pylist())
+            B = B / np.maximum(np.linalg.norm(B, axis=1, keepdims=True), 1e-12)
         C = A @ B.T
         ia, ib = np.nonzero(C >= threshold)
         if same:
-            # upper triangle only: each unordered pair appears twice in
-            # A x A, once in a cross-block product
+            # each unordered pair appears twice in A x A — keep one
+            # POSITION orientation; ids then still need min/max below,
+            # because a block coalesced from a parallel read is NOT
+            # guaranteed id-sorted (read-completion order is baked into
+            # the block layout — this bit in the gate once)
             keep = ia < ib
-            lo, hi = ids_a[ia[keep]], ids_b[ib[keep]]
-        else:
-            x, y = ids_a[ia], ids_b[ib]
-            lo, hi = np.minimum(x, y), np.maximum(x, y)
+            ia, ib = ia[keep], ib[keep]
+        x, y = ids_a[ia], ids_b[ib]
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
         order = np.lexsort((hi, lo))
         return pa.table({"id_a": lo[order], "id_b": hi[order]})
 

@@ -203,6 +203,46 @@ def test_cosine_pairs_exact_and_layout_independent(planted):
     assert found2 == found
 
 
+def test_cosine_pairs_unsorted_blocks_and_nonunit_norms(ray_session):
+    """Regression for two bugs the unit-norm, id-sorted fixtures masked:
+    (1) a block coalesced from a parallel read is not id-sorted, and the
+    same-block branch once emitted POSITION-ordered (id_a > id_b) pairs;
+    (2) the same-block matmul once used the UNNORMALIZED matrix for the
+    B side, so non-unit-norm vectors scaled the cosine."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import cosine_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((120, 16))
+    dups = base[:15] + rng.standard_normal((15, 16)) * 0.01
+    vecs = np.concatenate([base, dups])
+    # NON-unit norms: scale each vector by a random factor in [0.2, 5]
+    vecs = vecs * rng.uniform(0.2, 5.0, size=(len(vecs), 1))
+    ids = np.concatenate([np.arange(120), 500 + np.arange(15)])
+    # shuffle row order so blocks are NOT id-sorted
+    perm = rng.permutation(len(ids))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids[perm], type=pa.int64()),
+            "embedding": pa.array(list(vecs[perm]), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    C = nrm @ nrm.T
+    iu = np.triu_indices(len(vecs), 1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.95
+    }
+    got = cosine_pairs(ds, threshold=0.95, rows_per_block=32).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+    assert (got["id_a"].to_numpy() < got["id_b"].to_numpy()).all()
+    assert found == truth
+
+
 def test_semantic_dedupe_drops_larger_ids(planted):
     from parquet_go_ray.pipelines.similarity import semantic_dedupe
 
