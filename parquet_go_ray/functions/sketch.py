@@ -58,3 +58,44 @@ def hll_estimate(regs: np.ndarray, p: int = HLL_P) -> float:
     if est <= 2.5 * m and zeros:
         return m * np.log(m / zeros)
     return float(est)
+
+
+# ---- CountMin sketch (Cormode & Muthukrishnan 2005) for heavy-hitter
+# tokens. The scale story: building the exact token frequency table at
+# 10^12 docs shuffles a distinct-token table (10^8+ rows) through a
+# groupby; the sketch path never shuffles a token anywhere — each task
+# folds its batch into a fixed (DEPTH x WIDTH) int64 array plus a
+# bounded candidate dict, partials merge by elementwise SUM (CountMin
+# is a linear sketch) up a two-level tree, and a second streaming pass
+# counts ONLY the broadcast candidates exactly, so the reported top-k
+# counts are EXACT (the sketch only chooses who gets counted).
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 12  # 4096 -> 128 KiB int64 per partial
+# odd multipliers for the per-row index mix (any fixed odd constants)
+_CMS_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9, 0x27D4EB2F165667C5],
+    dtype=np.uint64,
+)
+
+
+def cms_indexes(h: np.ndarray) -> np.ndarray:
+    """(DEPTH, n) column indexes for uint64 hashes."""
+    h = np.asarray(h, dtype=np.uint64)
+    mixed = h[None, :] * _CMS_MULT[:, None]
+    return (mixed >> np.uint64(64 - 12)).astype(np.int64)  # log2(CMS_WIDTH)
+
+
+def cms_update(cms: np.ndarray, h: np.ndarray, counts: np.ndarray) -> None:
+    idx = cms_indexes(h)
+    for r in range(CMS_DEPTH):
+        np.add.at(cms[r], idx[r], counts)
+
+
+def cms_estimate(cms: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Point estimates (upper bounds with prob 1 per row; min over rows)."""
+    idx = cms_indexes(h)
+    est = cms[0][idx[0]]
+    for r in range(1, CMS_DEPTH):
+        np.minimum(est, cms[r][idx[r]], out=est)
+    return est

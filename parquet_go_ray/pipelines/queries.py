@@ -894,6 +894,17 @@ def q_agg_stats(sf_dir):
     )
 
 
+def q_vocab_topk_sketch(sf_dir):
+    """The sketch path to the token frequency table: CountMin-pruned
+    candidates (zero-shuffle streaming pass, 128 KiB partials, linear-
+    sketch merges) + an exact broadcast refine pass — top-k counts are
+    EXACT, so this shares vocab_topk's SQL oracle while never shuffling
+    a token. See pipelines/vocab.py for the scale story."""
+    from .vocab import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_read_split(sf_dir, "documents", columns=["text"]), k=100)
+
+
 def q_distinct_count_hll(sf_dir):
     """Approximate distinct-document count via HyperLogLog (p=12,
     ~1.6% stderr): each task folds its batch into a 4 KiB register
@@ -1426,6 +1437,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
+    "vocab_topk_sketch": q_vocab_topk_sketch,
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
     "distinct_count_hll": q_distinct_count_hll,
@@ -1545,6 +1557,7 @@ ORACLES = {
     "seek_rows": "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id BETWEEN 100 AND 349",
     "stratified_sample": "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20",
     "vocab_topk": "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
+    "vocab_topk_sketch": "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
     "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
