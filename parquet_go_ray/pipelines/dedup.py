@@ -1662,6 +1662,153 @@ def simhash_fingerprints(
     return ds.map_batches(fp, batch_format="pandas")
 
 
+def jaccard_pairs(
+    ds: ray.data.Dataset,
+    threshold_millis: int = 500,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rows_per_block: int = 512,
+    dense_vocab_limit: int = 4096,
+) -> ray.data.Dataset:
+    """EXACT all-pairs k-gram Jaccard near-dup pairs: (id_a < id_b)
+    rows where 1000*|A∩B| >= threshold_millis*|A∪B| — the text-side
+    analogue of `cosine_pairs`, and the oracle-checkable exact
+    companion to the MinHash-LSH path. The threshold compare is pure
+    int64 arithmetic, so it agrees bit-for-bit with the SQL oracle's
+    cross-multiplied HAVING (grams are byte k-grams; on ASCII text they
+    equal SQL substr character k-grams).
+
+    Shape: per-doc sorted distinct gram-hash sets (the winnow kernel
+    with w=1) are computed once into object-store blocks; one Ray task
+    per unordered block pair picks between two exact kernels by the
+    measured LOCAL gram vocabulary:
+    - dense: one-hot (docs x local-vocab) float32 matmul when the two
+      blocks share a small vocabulary (synthetic/templated corpora,
+      near-duplicate-heavy regions) — intersection counts in one BLAS
+      call, immune to the O(sum_g ct_a(g)*ct_b(g)) blowup that
+      duplicate-heavy blocks inflict on merge kernels;
+    - segmented: for large vocabularies (real web text), matching gram
+      runs found by searchsorted and expanded with the vectorized
+      segmented-cartesian trick into one bincount over pair keys —
+      work proportional to the ACTUAL overlap, which is near zero for
+      unrelated blocks.
+    Intersections <= min set size < 2^24, so float32 matmul counts are
+    exact. Quadratic block pairs are intrinsic to exact all-pairs; LSH
+    prunes candidates for the full corpus."""
+    from . import similarity as _sim  # noqa: F401  (doc cross-ref)
+
+    def gram_rows(batch: pa.Table) -> pd.DataFrame:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        sets = hashing.winnow_fingerprints(texts, k=k, w=1)
+        return pd.DataFrame(
+            {
+                id_col: batch.column(id_col).to_numpy().astype(np.int64),
+                "grams": [s.tobytes() for s in sets],
+                "n": np.fromiter(
+                    (s.size for s in sets), dtype=np.int64, count=len(sets)
+                ),
+            }
+        )
+
+    mat = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
+    target = max(1, mat.count() // rows_per_block + 1)
+    if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
+        mat = mat.repartition(target).materialize()
+    refs = mat.to_arrow_refs()
+
+    t1000 = int(threshold_millis)
+
+    def _unpack(t: pa.Table):
+        ids = t.column(id_col).to_numpy().astype(np.int64)
+        sizes = t.column("n").to_numpy().astype(np.int64)
+        blobs = t.column("grams").to_pylist()
+        vals = (
+            np.frombuffer(b"".join(blobs), dtype=np.uint64)
+            if len(blobs)
+            else np.zeros(0, dtype=np.uint64)
+        )
+        doc = np.repeat(np.arange(len(ids), dtype=np.int64), sizes)
+        return ids, sizes, vals, doc
+
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, n_a, va, da = _unpack(ta)
+        if same:
+            ids_b, n_b, vb, db = ids_a, n_a, va, da
+        else:
+            ids_b, n_b, vb, db = _unpack(tb)
+        nA, nB = len(ids_a), len(ids_b)
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+            }
+        )
+        if nA == 0 or nB == 0:
+            return empty
+        u = np.union1d(np.unique(va), np.unique(vb))
+        if len(u) <= dense_vocab_limit:
+            A1 = np.zeros((nA, len(u)), dtype=np.float32)
+            A1[da, np.searchsorted(u, va)] = 1.0
+            if same:
+                B1 = A1
+            else:
+                B1 = np.zeros((nB, len(u)), dtype=np.float32)
+                B1[db, np.searchsorted(u, vb)] = 1.0
+            M = np.rint(A1 @ B1.T).astype(np.int64)
+        else:
+            # sorted order per doc is not global order: sort each side
+            # by gram value once, keep doc tags aligned
+            sa = np.argsort(va, kind="stable")
+            va_s, da_s = va[sa], da[sa]
+            if same:
+                vb_s, db_s = va_s, da_s
+            else:
+                sb = np.argsort(vb, kind="stable")
+                vb_s, db_s = vb[sb], db[sb]
+            common = np.intersect1d(va_s, vb_s)  # unique matched grams
+            al = np.searchsorted(va_s, common, "left")
+            ar = np.searchsorted(va_s, common, "right")
+            bl = np.searchsorted(vb_s, common, "left")
+            br = np.searchsorted(vb_s, common, "right")
+            ac, bc = ar - al, br - bl
+            ppr = ac * bc  # pairs per matched gram
+            E = int(ppr.sum())
+            # A side: each of a run's ac entries repeats bc times
+            totA = int(ac.sum())
+            relA = np.arange(totA, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(ac)[:-1])), ac
+            )
+            posA = np.repeat(al, ac) + relA
+            out_a = np.repeat(da_s[posA], np.repeat(bc, ac))
+            # B side: each run's bc entries tile ac times
+            rel = np.arange(E, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(ppr)[:-1])), ppr
+            )
+            out_b = db_s[np.repeat(bl, ppr) + (rel % np.repeat(bc, ppr))]
+            M = np.bincount(out_a * nB + out_b, minlength=nA * nB).reshape(
+                nA, nB
+            )
+        union = n_a[:, None] + n_b[None, :] - M
+        keep = (1000 * M >= t1000 * np.maximum(union, 1)) & (M > 0)
+        if same:
+            keep &= np.arange(nA)[:, None] < np.arange(nB)[None, :]
+        ia, ib = np.nonzero(keep)
+        x, y = ids_a[ia], ids_b[ib]
+        # min/max, never position order: coalesced blocks are not
+        # id-sorted (see cosine_pairs)
+        lo, hi = np.minimum(x, y), np.maximum(x, y)
+        order = np.lexsort((hi, lo))
+        return pa.table({"id_a": lo[order], "id_b": hi[order]})
+
+    out_refs = []
+    for i in range(len(refs)):
+        for j in range(i, len(refs)):
+            out_refs.append(block_pair.remote(refs[i], refs[j], i == j))
+    return ray.data.from_arrow_refs(out_refs)
+
+
 def ngram_jaccard(a: str, b: str, k: int = 4) -> float:
     """Exact k-gram Jaccard (scalar reference; the pipeline verify
     kernel uses the vectorized hash-set variant in verified_near_dupes)."""

@@ -1170,6 +1170,18 @@ def q_embedding_near_pairs(sf_dir):
     )
 
 
+def q_jaccard_pairs(sf_dir):
+    """Exact all-pairs 4-gram Jaccard near-dup pairs at t=0.5 —
+    integer cross-multiplied threshold, so the Ray kernel and the SQL
+    HAVING compute identical int64 comparisons (no float anywhere)."""
+    from .dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold_millis=500,
+    )
+
+
 def q_embedding_cosine_pairs(sf_dir):
     """Exact embedding-cosine near-dup pairs (blocked all-pairs matmul,
     off-driver) — the oracle-checkable exact form of the embedding
@@ -1456,6 +1468,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
+    "jaccard_pairs": q_jaccard_pairs,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_dedupe": q_embedding_dedupe,
     "multimodal_meta": q_multimodal_meta,
@@ -1694,6 +1707,19 @@ ORACLES = {
     "multimodal_meta": (
         "SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes, "
         "octet_length(CAST(text AS BLOB)) > 0 AS non_empty FROM documents"
+    ),
+    "jaccard_pairs": (
+        "WITH grams AS ("
+        "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram "
+        "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i "
+        "FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m "
+        "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2) "
+        "SELECT id_a, id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE 1000 * m >= 500 * (sa.n + sb.n - m) ORDER BY id_a, id_b"
     ),
     "embedding_cosine_pairs": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
