@@ -1182,6 +1182,25 @@ def q_jaccard_pairs(sf_dir):
     )
 
 
+def q_jaccard_dedupe(sf_dir):
+    """Exact n-gram-Jaccard near-dup REMOVAL: keep doc v iff no u < v
+    has Jaccard(u, v) >= 0.5 — same pair-breaking semantics as
+    embedding_dedupe, driven by the exact blocked pair kernel and the
+    id-only distributed anti-join."""
+    from .dedup import anti_join_ids, jaccard_pairs
+
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = jaccard_pairs(ds, threshold_millis=500)
+
+    def drop_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["id_b"].to_numpy().astype(np.int64)}
+        )
+
+    drops = pairs.map_batches(drop_side, batch_format="pandas")
+    return anti_join_ids(ds.select_columns(["doc_id"]), drops, "doc_id")
+
+
 def q_embedding_cosine_pairs(sf_dir):
     """Exact embedding-cosine near-dup pairs (blocked all-pairs matmul,
     off-driver) — the oracle-checkable exact form of the embedding
@@ -1469,6 +1488,7 @@ QUERIES = {
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
     "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_dedupe": q_jaccard_dedupe,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "embedding_dedupe": q_embedding_dedupe,
     "multimodal_meta": q_multimodal_meta,
@@ -1720,6 +1740,21 @@ ORACLES = {
         "SELECT id_a, id_b FROM inter "
         "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
         "WHERE 1000 * m >= 500 * (sa.n + sb.n - m) ORDER BY id_a, id_b"
+    ),
+    "jaccard_dedupe": (
+        "WITH grams AS ("
+        "SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 4) AS gram "
+        "FROM (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i "
+        "FROM documents)), "
+        "sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id), "
+        "inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS m "
+        "FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "drops AS (SELECT DISTINCT id_b FROM inter "
+        "JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b "
+        "WHERE 1000 * m >= 500 * (sa.n + sb.n - m)) "
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT id_b FROM drops) ORDER BY doc_id"
     ),
     "embedding_cosine_pairs": (
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
