@@ -894,6 +894,70 @@ def q_agg_stats(sf_dir):
     )
 
 
+_TFIDF_TERMS = ("column", "join", "merge", "order", "scan")
+
+
+def q_tfidf_scores(sf_dir):
+    """Retrieval-style TF-IDF scoring of the corpus against a fixed
+    query-term set, with BM25's idf = ln((N - df + .5)/(df + .5) + 1).
+    Two zero-shuffle streaming passes: (1) per-batch document-frequency
+    partials — a fixed |q|-int vector per batch, folded on the driver
+    (batches x 40 B, never a token shuffle); (2) per-batch scores with
+    the idf vector closed over. The emitted score is INTEGER
+    (sum of tf * floor(idf*1000 + .5)), so the only float is the idf
+    quantization itself — a 1-ulp ln() difference between numpy and
+    DuckDB flips the floor only when idf*1000 sits within ~1e-10 of an
+    integer+.5 (probability ~1e-7 per distinct df value)."""
+    terms = np.array(_TFIDF_TERMS, dtype=object)
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tf(df: pd.DataFrame) -> np.ndarray:
+        """(rows, |q|) int64 term-frequency matrix (single-space split)."""
+        toks = df["text"].str.split(" ").explode()
+        hit = toks[toks.isin(terms)]
+        out = np.zeros((len(df), len(terms)), dtype=np.int64)
+        if len(hit):
+            ridx = pd.Series(
+                np.arange(len(df)), index=df.index
+            ).reindex(hit.index).to_numpy()
+            tidx = np.searchsorted(terms, hit.to_numpy(dtype=object))
+            np.add.at(out, (ridx, tidx), 1)
+        return out
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _tf(df)
+        return pd.DataFrame(
+            {
+                "df": [(tf > 0).sum(axis=0).astype(np.int64).tobytes()],
+                "n": np.array([len(df)], dtype=np.int64),
+            }
+        )
+
+    parts = (
+        ds.map_batches(df_partial, batch_format="pandas").to_pandas()
+    )
+    dfv = np.zeros(len(terms), dtype=np.int64)
+    for b in parts["df"]:
+        dfv += np.frombuffer(b, dtype=np.int64)
+    n_docs = int(parts["n"].sum())
+    idf_millis = np.floor(
+        np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0) * 1000 + 0.5
+    ).astype(np.int64)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _tf(df)
+        s = tf @ idf_millis
+        any_hit = tf.sum(axis=1) > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[any_hit].astype(np.int64),
+                "score": s[any_hit].astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 def q_vocab_topk_sketch(sf_dir):
     """The sketch path to the token frequency table: CountMin-pruned
     candidates (zero-shuffle streaming pass, 128 KiB partials, linear-
@@ -1469,6 +1533,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
     "vocab_topk_sketch": q_vocab_topk_sketch,
+    "tfidf_scores": q_tfidf_scores,
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
     "distinct_count_hll": q_distinct_count_hll,
@@ -1591,6 +1656,18 @@ ORACLES = {
     "stratified_sample": "SELECT doc_id, lang FROM documents QUALIFY row_number() OVER (PARTITION BY lang ORDER BY doc_id) <= 20",
     "vocab_topk": "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
     "vocab_topk_sketch": "SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 100",
+    "tfidf_scores": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS c FROM toks "
+        "WHERE token IN ('column','join','merge','order','scan') GROUP BY 1, 2), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS d FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS nn FROM documents), "
+        "idf AS (SELECT token, CAST(floor(ln((nn - d + 0.5)/(d + 0.5) + 1) * 1000 "
+        "+ 0.5) AS BIGINT) AS idf_millis FROM df, n) "
+        "SELECT tf.doc_id, CAST(sum(tf.c * idf.idf_millis) AS BIGINT) AS score "
+        "FROM tf JOIN idf USING (token) GROUP BY tf.doc_id ORDER BY doc_id"
+    ),
     "parquet_wire_lists": "SELECT * FROM embeddings",
     "encode_decode_embeddings": "SELECT * FROM embeddings",
     "encode_decode_orders": "SELECT * FROM orders",
