@@ -247,6 +247,12 @@ def run_bench() -> dict:
         "unigram_logprob",
         # exact embedding-cosine near-dup pairs (blocked matmul)
         "embedding_cosine_pairs",
+        # exact all-pairs n-gram Jaccard (adaptive dense/segmented kernel)
+        "jaccard_pairs",
+        # CountMin-pruned vocabulary with exact refine (zero token shuffle)
+        "vocab_topk_sketch",
+        # retrieval-style scoring, two zero-shuffle passes
+        "tfidf_scores",
         # the flagship LLM-curation composition end to end:
         # quality/lang/length filter -> exact-rep dedup -> near-dup
         # removal via distributed anti-join
@@ -273,6 +279,13 @@ def run_bench() -> dict:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         results[name] = round(best, 3)
+
+    # ANN quality: recall@10 of the IVF store path against the exact
+    # brute-force top-10 on the same query vector (approximate operators
+    # get a measured quality number next to their wall time)
+    exact_ids = set(Q.QUERIES["embedding_topk"](sf_dir)["vec_id"])
+    ivf_ids = set(Q.QUERIES["embedding_topk_ivf"](sf_dir)["vec_id"])
+    detail["ivf_recall_at_10"] = round(len(exact_ids & ivf_ids) / 10, 2)
 
     headline = results["webpages_encode"]
     return {
