@@ -894,6 +894,54 @@ def q_agg_stats(sf_dir):
     )
 
 
+def q_normalize_text(sf_dir):
+    """C4-style text normalization: lowercase, strip non-alphanumerics,
+    collapse whitespace runs, trim. Pure RE2 Arrow kernels (pyarrow and
+    DuckDB both compile RE2, so the regex semantics match exactly);
+    zero-copy batches, no shuffle."""
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        s = pc.utf8_lower(t.column("text"))
+        s = pc.replace_substring_regex(s, pattern="[^a-z0-9 ]+", replacement="")
+        s = pc.replace_substring_regex(s, pattern=" +", replacement=" ")
+        s = pc.utf8_trim(s, characters=" ")
+        return pa.table({"doc_id": t.column("doc_id"), "text": s})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_chunk_documents(sf_dir):
+    """Training-sequence prep: split every doc into tumbling 64-word
+    chunks (the pre-tokenization packing step every LLM data pipeline
+    runs). Emits (doc_id, chunk_idx, chunk) — one vectorized pass over
+    the same block-bounds kernel passage_dedupe uses (byte slices on
+    single-space text equal SQL word-list slices); no shuffle, chunk
+    boundaries are per-doc so block layout cannot change the output."""
+    from ..functions import hashing
+
+    n_words = 64
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pd.DataFrame:
+        texts = [x.encode() for x in t.column("text").to_pylist()]
+        ids = t.column("doc_id").to_numpy().astype(np.int64)
+        didx, bidx, b0, b1 = hashing.block_bounds(texts, n_words)
+        # b0/b1 already index the CONCATENATION of texts
+        blob = hashing._concat_bytes(texts)[0].tobytes()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[didx],
+                "chunk_idx": bidx.astype(np.int64),
+                "chunk": [
+                    blob[b0[i] : b1[i]].decode() for i in range(len(didx))
+                ],
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 _TFIDF_TERMS = ("column", "join", "merge", "order", "scan")
 
 
@@ -1534,6 +1582,8 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "vocab_topk_sketch": q_vocab_topk_sketch,
     "tfidf_scores": q_tfidf_scores,
+    "normalize_text": q_normalize_text,
+    "chunk_documents": q_chunk_documents,
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
     "distinct_count_hll": q_distinct_count_hll,
@@ -1755,6 +1805,18 @@ ORACLES = {
         "SELECT CAST(d.doc_id AS BIGINT) AS doc_id, "
         "CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated "
         "FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id WHERE d.doc_id >= 32"
+    ),
+    "normalize_text": (
+        "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS text FROM documents"
+    ),
+    "chunk_documents": (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
+        "FROM documents WHERE length(text) > 0) "
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "CAST((i.i - 1) / 64 AS BIGINT) AS chunk_idx, "
+        "array_to_string(words[i.i : i.i + 63], ' ') AS chunk "
+        "FROM w, LATERAL (SELECT unnest(generate_series(1, len(words), 64)) AS i) i"
     ),
     "passage_dedupe": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "
