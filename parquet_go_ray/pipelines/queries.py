@@ -923,19 +923,30 @@ def q_chunk_documents(sf_dir):
     n_words = 64
     ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def fn(t: pa.Table) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
         texts = [x.encode() for x in t.column("text").to_pylist()]
         ids = t.column("doc_id").to_numpy().astype(np.int64)
         didx, bidx, b0, b1 = hashing.block_bounds(texts, n_words)
-        # b0/b1 already index the CONCATENATION of texts
-        blob = hashing._concat_bytes(texts)[0].tobytes()
-        return pd.DataFrame(
+        # b0/b1 already index the CONCATENATION of texts; build the
+        # chunk column as ONE vectorized gather + Arrow from_buffers —
+        # no per-chunk Python slicing/decoding
+        buf = hashing._concat_bytes(texts)[0]
+        lens = b1 - b0
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        total = int(off[-1])
+        rel = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], lens)
+        values = buf[rel + np.repeat(b0, lens)]
+        chunk_arr = pa.StringArray.from_buffers(
+            len(lens),
+            pa.py_buffer(off.astype(np.int32).tobytes()),
+            pa.py_buffer(values.tobytes()),
+        )
+        return pa.table(
             {
-                "doc_id": ids[didx],
-                "chunk_idx": bidx.astype(np.int64),
-                "chunk": [
-                    blob[b0[i] : b1[i]].decode() for i in range(len(didx))
-                ],
+                "doc_id": pa.array(ids[didx], type=pa.int64()),
+                "chunk_idx": pa.array(bidx, type=pa.int64()),
+                "chunk": chunk_arr,
             }
         )
 
