@@ -10,6 +10,9 @@ Commands (the pipelines a reference user runs day-to-day):
   describe ENCODED_DIR                  # schema/codec/stats summary
   compact  ENCODED_DIR [--target-mb N]  # bin-pack small shards
   fsck     ENCODED_DIR [--shallow]      # consistency + CRC check
+  curate   INPUT_DIR OUT_DIR [--langs en,de] [--min-chars N] [--gopher]
+           [--dedup-mode pairs|clusters] [--decontaminate-against EVAL.parquet]
+           # full curation chain -> partitioned parquet corpus
   bench    [--scaling]                  # same as bench.py
 
 Global: --address auto attaches to a running cluster (ray job submit).
@@ -226,6 +229,41 @@ def cmd_fsck(args) -> int:
     return 0 if res["ok"] else 1
 
 
+def cmd_curate(args) -> int:
+    """Run the complete curation chain over a directory of document
+    parquet shards and write the curated (doc_id, text) corpus as
+    PARTITIONED parquet (many files, one per output block) — the layout
+    a failed downstream job can resume over shard by shard."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.dedup import curate_corpus_full
+
+    import ray.data
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    ds = ray.data.read_parquet(files)
+    bench_ds = (
+        ray.data.read_parquet(args.decontaminate_against)
+        if args.decontaminate_against
+        else None
+    )
+    out = curate_corpus_full(
+        ds,
+        bench_ds=bench_ds,
+        langs=tuple(args.langs.split(",")) if args.langs else None,
+        min_chars=args.min_chars,
+        jaccard_threshold=args.jaccard_threshold,
+        dedup_mode=args.dedup_mode,
+        quality="gopher" if args.gopher else None,
+    )
+    out.write_parquet(args.out_dir)
+    n = ray.data.read_parquet(args.out_dir).count()
+    print(json.dumps({"kept_docs": int(n), "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
     repo = Path(__file__).resolve().parent.parent
@@ -300,6 +338,20 @@ def main(argv=None) -> int:
     f.add_argument("--shallow", action="store_true",
                    help="skip payload decodes; structure + CRCs only")
     f.set_defaults(fn=cmd_fsck)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("input_dir")
+    cu.add_argument("out_dir")
+    cu.add_argument("--langs", default=None, help="comma-separated keep list")
+    cu.add_argument("--min-chars", type=int, default=0)
+    cu.add_argument("--jaccard-threshold", type=float, default=0.7)
+    cu.add_argument("--dedup-mode", default="pairs", choices=["pairs", "clusters"])
+    cu.add_argument("--gopher", action="store_true", help="apply Gopher quality rules")
+    cu.add_argument(
+        "--decontaminate-against", default=None,
+        help="parquet file/dir of eval docs to decontaminate against",
+    )
+    cu.set_defaults(fn=cmd_curate)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")
