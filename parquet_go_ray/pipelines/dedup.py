@@ -1774,22 +1774,39 @@ def jaccard_pairs(
             br = np.searchsorted(vb_s, common, "right")
             ac, bc = ar - al, br - bl
             ppr = ac * bc  # pairs per matched gram
-            E = int(ppr.sum())
-            # A side: each of a run's ac entries repeats bc times
-            totA = int(ac.sum())
-            relA = np.arange(totA, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(ac)[:-1])), ac
+            # duplicate-heavy blocks can make sum(ppr) huge (every doc
+            # of a near-identical run shares every gram: E ~ ct^2 per
+            # gram); slice the matched-gram runs so the expansion
+            # arrays stay bounded, accumulating the same bincount
+            M = np.zeros(nA * nB, dtype=np.int64)
+            cum = np.concatenate(([0], np.cumsum(ppr)))
+            SLICE = 16_000_000
+            cuts = np.searchsorted(
+                cum, np.arange(0, int(cum[-1]) + SLICE, SLICE)
             )
-            posA = np.repeat(al, ac) + relA
-            out_a = np.repeat(da_s[posA], np.repeat(bc, ac))
-            # B side: each run's bc entries tile ac times
-            rel = np.arange(E, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(ppr)[:-1])), ppr
-            )
-            out_b = db_s[np.repeat(bl, ppr) + (rel % np.repeat(bc, ppr))]
-            M = np.bincount(out_a * nB + out_b, minlength=nA * nB).reshape(
-                nA, nB
-            )
+            cuts = np.unique(np.append(cuts, len(ppr)))
+            for s0, s1 in zip(cuts[:-1], cuts[1:]):
+                acs, bcs = ac[s0:s1], bc[s0:s1]
+                pprs = ppr[s0:s1]
+                E = int(pprs.sum())
+                if E == 0:
+                    continue
+                # A side: each of a run's ac entries repeats bc times
+                totA = int(acs.sum())
+                relA = np.arange(totA, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(acs)[:-1])), acs
+                )
+                posA = np.repeat(al[s0:s1], acs) + relA
+                out_a = np.repeat(da_s[posA], np.repeat(bcs, acs))
+                # B side: each run's bc entries tile ac times
+                rel = np.arange(E, dtype=np.int64) - np.repeat(
+                    np.concatenate(([0], np.cumsum(pprs)[:-1])), pprs
+                )
+                out_b = db_s[
+                    np.repeat(bl[s0:s1], pprs) + (rel % np.repeat(bcs, pprs))
+                ]
+                M += np.bincount(out_a * nB + out_b, minlength=nA * nB)
+            M = M.reshape(nA, nB)
         union = n_a[:, None] + n_b[None, :] - M
         keep = (1000 * M >= t1000 * np.maximum(union, 1)) & (M > 0)
         if same:
