@@ -168,6 +168,13 @@ def _encode_payload(
 ) -> tuple[bytes, int]:
     """Return (payload, flba_width). `ctx` can carry selector artifacts
     (e.g. a trial-trained FSST table) to avoid redundant work."""
+    if R.is_extension(codec):
+        if codec not in R.EXTENSION_CODECS:
+            raise ChunkError(
+                f"extension codec {codec} not registered in this process "
+                "(register_codec must run at worker import — see registry.py)"
+            )
+        return R.EXTENSION_CODECS[codec][0](values), 0
     if codec == R.ARROW_IPC:
         return _ipc_serialize(values), 0
     if ptype == R.BOOLEAN:
@@ -258,6 +265,16 @@ def _decode_payload(
     shared_dict: pa.Array | None = None,
 ):
     """Decode to numpy values / (data, offsets) / pa.Array (null-free)."""
+    if R.is_extension(codec):
+        if codec not in R.EXTENSION_CODECS:
+            raise ChunkError(
+                f"extension codec {codec} not registered in this process "
+                "(register_codec must run at worker import — see registry.py)"
+            )
+        out = R.EXTENSION_CODECS[codec][1](payload, n)
+        if ptype in (R.BOOLEAN, R.INT32, R.INT64, R.FLOAT, R.DOUBLE):
+            return np.asarray(out)
+        return out if isinstance(out, pa.Array) else pa.array(out)
     if codec == R.ARROW_IPC:
         return _ipc_deserialize(payload)
     if ptype == R.BOOLEAN:

@@ -99,6 +99,52 @@ def can_encode(ptype: int, codec: int) -> bool:
     return codec in SUPPORTED.get(ptype, ())
 
 
+# ---- user-extension codecs (§2.7 parity with the reference's public
+# encoding.Encoding interface, encoding/encoding.go:20 + node.go:417).
+# Ids 64-127 are RESERVED for extensions: built-ins stay append-only
+# below 64, so an extension store never collides with a future
+# built-in. An extension encode_fn takes the null-free pyarrow values
+# array and returns payload bytes; decode_fn takes (payload, n) and
+# returns the values back as a pyarrow array (or numpy for numeric
+# types — both are accepted). Registration is PER PROCESS: like a Go
+# user compiling their Encoding into the binary, register at import
+# time of the module your pipeline ships to the workers (e.g. in your
+# map_batches callable's __init__), so every worker process has the
+# codec before it encodes or decodes. Selection is explicit per column
+# (codec_overrides={col: name}) — extensions do not enter the
+# automatic selector, mirroring Node.Encoding()'s per-column contract.
+
+EXTENSION_MIN, EXTENSION_MAX = 64, 127
+EXTENSION_CODECS: dict[int, tuple] = {}  # id -> (encode_fn, decode_fn)
+
+
+def register_codec(
+    codec_id: int,
+    name: str,
+    ptypes: tuple[int, ...],
+    encode_fn,
+    decode_fn,
+) -> None:
+    """Idempotent per-process registration of an extension codec."""
+    if not (EXTENSION_MIN <= codec_id <= EXTENSION_MAX):
+        raise ValueError(
+            f"extension codec ids are {EXTENSION_MIN}-{EXTENSION_MAX}, got {codec_id}"
+        )
+    existing = CODEC_IDS.get(name)
+    if existing is not None and existing != codec_id:
+        raise ValueError(f"codec name {name!r} already taken by id {existing}")
+    CODEC_NAMES[codec_id] = name
+    CODEC_IDS[name] = codec_id
+    EXTENSION_CODECS[codec_id] = (encode_fn, decode_fn)
+    for pt in ptypes:
+        if codec_id not in SUPPORTED[pt]:
+            SUPPORTED[pt] = SUPPORTED[pt] + (codec_id,)
+
+
+def is_extension(codec: int) -> bool:
+    return EXTENSION_MIN <= codec <= EXTENSION_MAX
+
+
 # ---- chunk-level general compression (parity with the reference's
 # compress.Codec layer, compress/compress.go:19-37; applied after the
 # lightweight encoding like pages are compressed after encode,
