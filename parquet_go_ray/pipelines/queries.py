@@ -911,6 +911,49 @@ def q_normalize_text(sf_dir):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
+    (r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+)
+
+
+def redact_pii(col: "pa.ChunkedArray | pa.Array"):
+    """Email/IP/phone redaction as three RE2 passes — pyarrow and
+    DuckDB both compile RE2, so the SQL oracle applies the literally
+    identical patterns. The standard C4/CCNet-style PII scrub stage."""
+    for pat, repl in _PII_PATTERNS:
+        col = pc.replace_substring_regex(col, pattern=pat, replacement=repl)
+    return col
+
+
+def q_redact_pii(sf_dir):
+    """PII redaction, gate form: the corpus carries no PII, so the
+    query first INJECTS deterministic doc_id-derived email/ip/phone
+    strings (identically constructed in SQL), then redacts — proving
+    the scrub on text that actually contains all three kinds."""
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        sid = pc.cast(t.column("doc_id"), pa.string())
+        # pyarrow 16 has no pc.mod — compute the octet in numpy
+        octet = pc.cast(
+            pa.array(t.column("doc_id").to_numpy() % 256, type=pa.int64()),
+            pa.string(),
+        )
+        injected = pc.binary_join_element_wise(
+            t.column("text"),
+            " contact user", sid, "@example.com from 10.0.", octet,
+            ".7 call 555-123-4567 now",
+            "",
+        )
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": redact_pii(injected)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_chunk_documents(sf_dir):
     """Training-sequence prep: split every doc into tumbling 64-word
     chunks (the pre-tokenization packing step every LLM data pipeline
@@ -1595,6 +1638,7 @@ QUERIES = {
     "tfidf_scores": q_tfidf_scores,
     "normalize_text": q_normalize_text,
     "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
     "token_counts_bpe": q_token_counts_bpe,
     "agg_stats": q_agg_stats,
     "distinct_count_hll": q_distinct_count_hll,
@@ -1820,6 +1864,15 @@ ORACLES = {
     "normalize_text": (
         "SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
         "'[^a-z0-9 ]+', '', 'g'), ' +', ' ', 'g')) AS text FROM documents"
+    ),
+    "redact_pii": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 call 555-123-4567 now', "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+        "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'), "
+        "'\\+?\\d[\\d\\- ]{7,}\\d', '[PHONE]', 'g') AS text FROM documents"
     ),
     "chunk_documents": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words "

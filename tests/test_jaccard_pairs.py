@@ -58,3 +58,38 @@ def test_jaccard_pairs_both_kernels(ray_session, corpus, dense_limit):
     assert (got["id_a"].to_numpy() < got["id_b"].to_numpy()).all()
     assert found == truth
     assert len(truth) >= 12  # the planted near-dups are in there
+
+
+def test_jaccard_pairs_random_sweep(ray_session):
+    """Seeded sweep over corpus shapes: doc counts around block
+    boundaries, threshold extremes, duplicate runs — every config must
+    match brute force exactly."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.dedup import jaccard_pairs
+
+    letters = np.array(list("abcdef "))
+    for seed, n_docs, rpb, t1000 in [
+        (1, 10, 4, 300),
+        (2, 33, 8, 500),
+        (3, 25, 25, 800),
+        (4, 40, 7, 1000),
+    ]:
+        rng = np.random.default_rng(seed)
+        docs = [
+            "".join(rng.choice(letters, size=int(rng.integers(8, 60))))
+            for _ in range(n_docs)
+        ]
+        # duplicate a few
+        for i in range(min(4, n_docs // 3)):
+            docs[n_docs - 1 - i] = docs[i]
+        ids = rng.permutation(n_docs).astype(np.int64) * 7 + 3
+        truth = _brute(docs, ids, t1000)
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": ids, "text": docs})
+        ).repartition(3)
+        got = jaccard_pairs(
+            ds, threshold_millis=t1000, rows_per_block=rpb
+        ).to_pandas()
+        found = {(int(a), int(b)) for a, b in zip(got["id_a"], got["id_b"])}
+        assert found == truth, (seed, n_docs, rpb, t1000)
