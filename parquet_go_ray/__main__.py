@@ -257,6 +257,7 @@ def cmd_curate(args) -> int:
         jaccard_threshold=args.jaccard_threshold,
         dedup_mode=args.dedup_mode,
         quality="gopher" if args.gopher else None,
+        redact=args.redact_pii,
     )
     out.write_parquet(args.out_dir)
     n = ray.data.read_parquet(args.out_dir).count()
@@ -347,6 +348,8 @@ def main(argv=None) -> int:
     cu.add_argument("--jaccard-threshold", type=float, default=0.7)
     cu.add_argument("--dedup-mode", default="pairs", choices=["pairs", "clusters"])
     cu.add_argument("--gopher", action="store_true", help="apply Gopher quality rules")
+    cu.add_argument("--redact-pii", action="store_true",
+                    help="scrub emails/IPs/phones from the output text")
     cu.add_argument(
         "--decontaminate-against", default=None,
         help="parquet file/dir of eval docs to decontaminate against",

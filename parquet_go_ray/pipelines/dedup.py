@@ -1601,14 +1601,16 @@ def curate_corpus_full(
     dedup_mode: str = "pairs",
     quality: str | None = None,
     n_words: int = 8,
+    redact: bool = False,
 ) -> ray.data.Dataset:
     """The COMPLETE pre-training curation chain, every stage of which
     is individually gate-checked: language/length/quality filter ->
     exact-dedup representatives -> MinHash-LSH near-dup removal ->
     C4-style passage removal (tumbling repeated blocks edited out of
     the survivors) -> benchmark decontamination (docs overlapping the
-    eval set dropped; skipped when bench_ds is None). Returns the
-    final (doc_id, text) rows — the corpus a training job would read.
+    eval set dropped; skipped when bench_ds is None) -> optional PII
+    redaction (redact=True; map-only, no shuffle). Returns the final
+    (doc_id, text) rows — the corpus a training job would read.
 
     Scale shape is the union of its parts, all documented on the
     stages themselves: id-only shuffles for dedup decisions, text
@@ -1639,6 +1641,19 @@ def curate_corpus_full(
     if bench_ds is not None:
         cleaned = decontaminate(
             cleaned, bench_ds, text_col, id_col, n_words, emit="clean"
+        )
+    if redact:
+        from .queries import redact_pii
+
+        def scrub(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index(text_col),
+                text_col,
+                redact_pii(t.column(text_col)),
+            )
+
+        cleaned = cleaned.map_batches(
+            scrub, batch_format="pyarrow", zero_copy_batch=True
         )
     return cleaned
 
