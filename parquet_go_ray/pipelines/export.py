@@ -154,7 +154,36 @@ def export_parquet_job(
     bloom_columns: tuple[str, ...] = (),
     data_page_version: int = 1,
 ) -> dict:
-    """Export parquet shards through the wire writer; returns a summary."""
+    """Export parquet shards through the wire writer; returns a summary.
+
+    Built (and executed) under the small encode-style streaming
+    runahead: the wire encode is compute/bandwidth bound like the chunk
+    encode, and the large read-side runahead peaks contention — A/B at
+    sf0.1/32 CPUs: buffer 4 = 0.71-0.76 s, 32 = 1.12 s, 2 = 1.52 s."""
+    from ..tuning import ENCODE_RUNAHEAD, runahead
+
+    with runahead(ENCODE_RUNAHEAD):
+        return _export_parquet_job_impl(
+            input_files, output_dir, compression, encodings, rows_per_group,
+            page_rows, resume, columns, override_num_blocks,
+            sorting_columns, bloom_columns, data_page_version,
+        )
+
+
+def _export_parquet_job_impl(
+    input_files: list[str],
+    output_dir: str,
+    compression: str | None = None,
+    encodings: dict[str, str] | None = None,
+    rows_per_group: int | None = 65536,
+    page_rows: int = 8192,
+    resume: bool = True,
+    columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
+    sorting_columns: list[tuple[str, bool, bool]] | None = None,
+    bloom_columns: tuple[str, ...] = (),
+    data_page_version: int = 1,
+) -> dict:
     t0 = time.time()
     input_files = sorted(input_files)
     nblocks = override_num_blocks or len(input_files)
