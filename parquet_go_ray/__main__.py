@@ -12,7 +12,11 @@ Commands (the pipelines a reference user runs day-to-day):
   fsck     ENCODED_DIR [--shallow]      # consistency + CRC check
   curate   INPUT_DIR OUT_DIR [--langs en,de] [--min-chars N] [--gopher]
            [--dedup-mode pairs|clusters] [--decontaminate-against EVAL.parquet]
+           [--redact-pii]
            # full curation chain -> partitioned parquet corpus
+  audit    INPUT_DIR [--text-col text] [--lang-col lang]
+           # corpus report: counts, lang histogram, length percentiles,
+           # Gopher keep rate, HLL duplicate estimate (all bounded partials)
   bench    [--scaling]                  # same as bench.py
 
 Global: --address auto attaches to a running cluster (ray job submit).
@@ -265,6 +269,84 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_audit(args) -> int:
+    """One-shot corpus audit: row count, language histogram, length
+    percentiles, Gopher keep rate, exact-duplicate fraction — every
+    stat a bounded mergeable partial (hashes/counts shuffle, text
+    never does). The 'what am I about to train on' report."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    ds = ray.data.read_parquet(files)
+    cols = set(ds.schema().names)
+    text_col, lang_col = args.text_col, args.lang_col
+
+    def partial(t: pa.Table):
+        import pandas as pd
+
+        from .functions.hashing import content_hash128
+        from .functions.sketch import hll_registers
+        from .functions.text import gopher_quality
+
+        txt = t.column(text_col)
+        lens = pc.utf8_length(txt).to_numpy()
+        h1, _ = content_hash128([x.encode() for x in txt.to_pylist()])
+        keep = int(pc.sum(gopher_quality(txt)["keep"]).as_py() or 0)
+        out = {
+            "n": np.array([len(t)], dtype=np.int64),
+            "keep": np.array([keep], dtype=np.int64),
+            "len_hist": [np.bincount(
+                np.minimum(lens // 64, 1023).astype(np.int64), minlength=1024
+            ).tobytes()],
+            # distinct-count SKETCH, not the hashes themselves: the
+            # driver folds 4 KiB registers per batch, never doc hashes
+            "hll": [hll_registers(h1).tobytes()],
+        }
+        if lang_col in cols:
+            vc = pd.Series(t.column(lang_col).to_pandas()).value_counts()
+            out["langs"] = [dict(zip(vc.index, [int(v) for v in vc]))]
+        else:
+            out["langs"] = [{}]
+        return pd.DataFrame(out)
+
+    from .functions.sketch import hll_estimate, hll_merge
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum())
+    hist = np.zeros(1024, dtype=np.int64)
+    langs: dict = {}
+    regs = None
+    for row in parts.itertuples(index=False):
+        hist += np.frombuffer(row.len_hist, dtype=np.int64)
+        for k, v in row.langs.items():
+            langs[k] = langs.get(k, 0) + v
+        r = np.frombuffer(row.hll, dtype=np.uint8)
+        regs = r if regs is None else hll_merge(regs, r)
+    distinct = int(round(hll_estimate(regs))) if regs is not None else 0
+    cdf = np.cumsum(hist)
+    def pctl(q):
+        r = int(np.searchsorted(cdf, q * n))
+        return int(min(r, 1023) * 64)
+    report = {
+        "docs": n,
+        "distinct_texts_est": min(distinct, n),
+        "duplicate_fraction_est": round(max(0.0, 1 - distinct / max(n, 1)), 4),
+        "gopher_keep_rate": round(float(parts["keep"].sum()) / max(n, 1), 4),
+        "length_p50": pctl(0.5), "length_p90": pctl(0.9), "length_p99": pctl(0.99),
+        "langs": dict(sorted(langs.items(), key=lambda kv: -kv[1])),
+    }
+    print(json.dumps(report))
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.argv = ["bench.py"] + (["--scaling"] if args.scaling else [])
     repo = Path(__file__).resolve().parent.parent
@@ -355,6 +437,12 @@ def main(argv=None) -> int:
         help="parquet file/dir of eval docs to decontaminate against",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    au = sub.add_parser("audit")
+    au.add_argument("input_dir")
+    au.add_argument("--text-col", default="text")
+    au.add_argument("--lang-col", default="lang")
+    au.set_defaults(fn=cmd_audit)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")
