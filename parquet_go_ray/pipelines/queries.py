@@ -1560,6 +1560,45 @@ def q_image_resize(sf_dir):
     )
 
 
+def q_image_resize_raw(sf_dir):
+    """RAW-raster resize — the NO-stub multimodal path: payloads are
+    real H x W x 1 uint8 rasters built deterministically from the doc
+    text bytes with explicit dimension columns, resized by the
+    vectorized bilinear kernel (rows-only: raster bytes aren't
+    SQL-expressible; the kernel itself is pinned by a hand-computed
+    matrix in test_pipeline.py)."""
+    from ..stages.multimodal import RawRasterResizer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_raster(df: pd.DataFrame) -> pd.DataFrame:
+        payloads, hs, ws = [], [], []
+        for t in df["text"]:
+            b = t.encode()[:1024]
+            w = 16
+            h = max(1, len(b) // w)
+            payloads.append(b[: h * w])
+            hs.append(h)
+            ws.append(w)
+        return pd.DataFrame(
+            {
+                "media_id": df["doc_id"].to_numpy().astype(np.int64),
+                "payload": pd.Series(payloads, dtype=object),
+                "height": pd.Series(hs, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "channels": pd.Series([1] * len(df), dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(to_raster, batch_format="pandas").map_batches(
+        RawRasterResizer,
+        fn_constructor_kwargs={"target_h": 8, "target_w": 8},
+        batch_format="pandas",
+        batch_size=64,
+        concurrency=autoscale_concurrency(),
+    )
+
+
 def q_media_features(sf_dir):
     from ..stages.multimodal import MediaFeatureExtractor
 
@@ -1665,6 +1704,7 @@ QUERIES = {
     "media_features": q_media_features,
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
+    "image_resize_raw": q_image_resize_raw,
     "extract_text": q_extract_text,
     "source_reputation": q_source_reputation,
     "gopher_quality": q_gopher_quality,

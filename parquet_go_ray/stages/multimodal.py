@@ -158,6 +158,57 @@ class ImageResizer:
         )
 
 
+class RawRasterResizer:
+    """Actor-pool stage with NO stubbed seam: resizes RAW uint8 rasters
+    (payload = H*W*C bytes, dimensions in explicit height/width/channels
+    columns — the layout a decode stage upstream of this one emits, and
+    the one training pipelines store after decoding once). Vectorized
+    bilinear interpolation (pixel-center convention, float32 accumulate,
+    round-half-up to uint8); only COMPRESSED formats need the PIL seam
+    in ImageResizer. Use with small batch_size — rasters are wide rows."""
+
+    def __init__(self, target_h: int = 64, target_w: int = 64):
+        self.th, self.tw = int(target_h), int(target_w)
+        # precompute nothing global: source dims vary per row; the
+        # per-row index maps below are O(target) numpy ops
+
+    def _bilinear(self, img: np.ndarray) -> np.ndarray:
+        h, w, c = img.shape
+        th, tw = self.th, self.tw
+        fy = np.clip((np.arange(th) + 0.5) * h / th - 0.5, 0, h - 1)
+        fx = np.clip((np.arange(tw) + 0.5) * w / tw - 0.5, 0, w - 1)
+        y0 = np.floor(fy).astype(np.int64)
+        x0 = np.floor(fx).astype(np.int64)
+        y1 = np.minimum(y0 + 1, h - 1)
+        x1 = np.minimum(x0 + 1, w - 1)
+        wy = (fy - y0).astype(np.float32)[:, None, None]
+        wx = (fx - x0).astype(np.float32)[None, :, None]
+        im = img.astype(np.float32)
+        top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
+        bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+        out = top * (1 - wy) + bot * wy
+        return np.floor(out + 0.5).astype(np.uint8)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for payload, h, w, c in zip(
+            batch["payload"], batch["height"], batch["width"], batch["channels"]
+        ):
+            img = np.frombuffer(payload, dtype=np.uint8).reshape(
+                int(h), int(w), int(c)
+            )
+            outs.append(self._bilinear(img).tobytes())
+        return pd.DataFrame(
+            {
+                "media_id": batch["media_id"].to_numpy(),
+                "payload": pd.Series(outs, dtype=object),
+                "height": pd.Series([self.th] * len(batch), dtype="int64"),
+                "width": pd.Series([self.tw] * len(batch), dtype="int64"),
+                "channels": batch["channels"].astype("int64").to_numpy(),
+            }
+        )
+
+
 class MediaFeatureExtractor:
     """Actor-pool stage: decode media bytes -> fixed-size feature vector.
 

@@ -560,3 +560,55 @@ def test_codec_cache_isolated_across_jobs(ray_session, tmp_path):
     enc_bytes(fa, "a_first")  # warm every worker's cache with corpus A
     poisoned_b = enc_bytes(fb, "b_after_a")
     assert poisoned_b == standalone_b
+
+
+def test_raw_raster_resizer_bilinear_real():
+    """RawRasterResizer has NO stubbed seam: exact dims, constant image
+    stays constant, a horizontal gradient stays monotone per row, and a
+    2x2->4x4 upscale reproduces the hand-computed bilinear values."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_go_ray.stages.multimodal import RawRasterResizer
+
+    # constant RGB image -> constant output
+    const = np.full((10, 7, 3), 123, dtype=np.uint8)
+    grad = np.tile(
+        np.linspace(0, 255, 32, dtype=np.uint8)[None, :, None], (8, 1, 3)
+    )
+    batch = pd.DataFrame(
+        {
+            "media_id": np.array([1, 2], dtype=np.int64),
+            "payload": pd.Series([const.tobytes(), grad.tobytes()], dtype=object),
+            "height": [10, 8],
+            "width": [7, 32],
+            "channels": [3, 3],
+        }
+    )
+    out = RawRasterResizer(target_h=4, target_w=16)(batch)
+    assert list(out["height"]) == [4, 4] and list(out["width"]) == [16, 16]
+    a = np.frombuffer(out["payload"].iloc[0], dtype=np.uint8).reshape(4, 16, 3)
+    assert (a == 123).all()
+    g = np.frombuffer(out["payload"].iloc[1], dtype=np.uint8).reshape(4, 16, 3)
+    assert (np.diff(g[0, :, 0].astype(int)) >= 0).all()  # monotone gradient
+    # hand-checked 2x2 -> 4x4 bilinear (pixel-center convention):
+    # fy=fx=[0, .5] weights -> corners exact, midpoints = averages
+    sq = np.array([[0, 100], [200, 60]], dtype=np.uint8)[..., None]
+    b = pd.DataFrame(
+        {
+            "media_id": np.array([3], dtype=np.int64),
+            "payload": pd.Series([sq.tobytes()], dtype=object),
+            "height": [2],
+            "width": [2],
+            "channels": [1],
+        }
+    )
+    r = RawRasterResizer(target_h=4, target_w=4)(b)
+    m = np.frombuffer(r["payload"].iloc[0], dtype=np.uint8).reshape(4, 4)
+    expect = np.array(
+        [[0, 25, 75, 100],
+         [50, 60, 80, 90],
+         [150, 130, 90, 70],
+         [200, 165, 95, 60]]
+    )
+    assert (m == expect).all(), m
