@@ -1599,6 +1599,63 @@ def q_image_resize_raw(sf_dir):
     )
 
 
+def q_video_sample_raw(sf_dir):
+    """RAW-video frame sampling + per-frame resize — the NO-stub
+    multimodal CHAIN: payloads are real n_frames x (H*W*C) uint8 raster
+    stacks built deterministically from the doc text bytes, with the
+    layout in explicit columns (n_frames/height/width/channels/fps).
+    RawVideoFrameSampler slices exact frame bytes (evenly spaced,
+    always including frame 0, fps-derived timestamps) and explodes one
+    row per frame; RawRasterResizer consumes that output directly, so
+    sample -> resize runs with no decoder seam anywhere (rows-only:
+    raster bytes aren't SQL-expressible; the slicing and the bilinear
+    kernel are each pinned by hand-computed cases in test_pipeline.py)."""
+    from ..stages.multimodal import RawRasterResizer, RawVideoFrameSampler
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_video(df: pd.DataFrame) -> pd.DataFrame:
+        h, w = 4, 8
+        fb = h * w
+        payloads, nfs = [], []
+        for t in df["text"]:
+            b = np.frombuffer(t.encode()[:1024] or b"\x00", dtype=np.uint8)
+            n = 1 + int(b.sum()) % 7
+            payloads.append(np.resize(b, n * fb).tobytes())
+            nfs.append(n)
+        n_rows = len(df)
+        return pd.DataFrame(
+            {
+                "media_id": df["doc_id"].to_numpy().astype(np.int64),
+                "payload": pd.Series(payloads, dtype=object),
+                "n_frames": pd.Series(nfs, dtype="int64"),
+                "height": pd.Series([h] * n_rows, dtype="int64"),
+                "width": pd.Series([w] * n_rows, dtype="int64"),
+                "channels": pd.Series([1] * n_rows, dtype="int64"),
+                "fps": pd.Series([25.0] * n_rows, dtype="float64"),
+            }
+        )
+
+    # both stages are stateless (plain int config, no model/index), so
+    # run them as elastic TASKS (instance form), not actor pools: two
+    # chained pools at their floor size would monopolize a small
+    # session's CPUs and starve their own upstream read (the documented
+    # pool>=CPUs deadlock); tasks scale per-batch with no such floor
+    return (
+        ds.map_batches(to_video, batch_format="pandas")
+        .map_batches(
+            RawVideoFrameSampler(n_frames=3),
+            batch_format="pandas",
+            batch_size=64,
+        )
+        .map_batches(
+            RawRasterResizer(target_h=8, target_w=8),
+            batch_format="pandas",
+            batch_size=64,
+        )
+    )
+
+
 def q_media_features(sf_dir):
     from ..stages.multimodal import MediaFeatureExtractor
 
@@ -1705,6 +1762,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     "image_resize": q_image_resize,
     "image_resize_raw": q_image_resize_raw,
+    "video_sample_raw": q_video_sample_raw,
     "extract_text": q_extract_text,
     "source_reputation": q_source_reputation,
     "gopher_quality": q_gopher_quality,

@@ -158,6 +158,54 @@ class ImageResizer:
         )
 
 
+class RawVideoFrameSampler:
+    """Actor-pool stage with NO stubbed seam: samples frames from RAW
+    video payloads — n_frames x (H*W*C) uint8 rasters concatenated,
+    with the layout in explicit columns (n_frames/height/width/
+    channels/fps). Frame extraction is exact byte slicing, timestamps
+    come from fps; evenly spaced sample always including frame 0.
+    Output explodes to one row per sampled frame in the SAME raw-raster
+    layout RawRasterResizer consumes, so sample -> resize chains with
+    no decoder anywhere. Container FORMATS (mp4 etc.) still go through
+    FrameSampler's ffmpeg seam."""
+
+    def __init__(self, n_frames: int = 4):
+        self.n_frames = int(n_frames)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, tss, frames, hs, ws, cs = [], [], [], [], [], [], []
+        for row in batch.itertuples(index=False):
+            fb = int(row.height) * int(row.width) * int(row.channels)
+            total = int(row.n_frames)
+            if len(row.payload) != total * fb:
+                raise ValueError(
+                    f"raw video payload is {len(row.payload)} B, expected "
+                    f"{total} frames x {fb} B"
+                )
+            take = np.unique(
+                np.linspace(0, total - 1, min(self.n_frames, total)).astype(int)
+            )
+            for i in take:
+                ids.append(row.media_id)
+                idxs.append(int(i))
+                tss.append(int(round(i * 1000.0 / float(row.fps))))
+                frames.append(row.payload[i * fb : (i + 1) * fb])
+                hs.append(int(row.height))
+                ws.append(int(row.width))
+                cs.append(int(row.channels))
+        return pd.DataFrame(
+            {
+                "media_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                "payload": pd.Series(frames, dtype=object),
+                "height": pd.Series(hs, dtype="int64"),
+                "width": pd.Series(ws, dtype="int64"),
+                "channels": pd.Series(cs, dtype="int64"),
+            }
+        )
+
+
 class RawRasterResizer:
     """Actor-pool stage with NO stubbed seam: resizes RAW uint8 rasters
     (payload = H*W*C bytes, dimensions in explicit height/width/channels
@@ -198,15 +246,17 @@ class RawRasterResizer:
                 int(h), int(w), int(c)
             )
             outs.append(self._bilinear(img).tobytes())
-        return pd.DataFrame(
-            {
-                "media_id": batch["media_id"].to_numpy(),
-                "payload": pd.Series(outs, dtype=object),
-                "height": pd.Series([self.th] * len(batch), dtype="int64"),
-                "width": pd.Series([self.tw] * len(batch), dtype="int64"),
-                "channels": batch["channels"].astype("int64").to_numpy(),
-            }
-        )
+        # pass through identity columns (media_id, frame_idx, ...) so the
+        # stage composes with RawVideoFrameSampler without losing lineage
+        passthrough = [
+            c for c in batch.columns if c not in ("payload", "height", "width", "channels")
+        ]
+        out = pd.DataFrame({c: batch[c].to_numpy() for c in passthrough})
+        out["payload"] = pd.Series(outs, dtype=object)
+        out["height"] = pd.Series([self.th] * len(batch), dtype="int64")
+        out["width"] = pd.Series([self.tw] * len(batch), dtype="int64")
+        out["channels"] = batch["channels"].astype("int64").to_numpy()
+        return out
 
 
 class MediaFeatureExtractor:

@@ -612,3 +612,64 @@ def test_raw_raster_resizer_bilinear_real():
          [200, 165, 95, 60]]
     )
     assert (m == expect).all(), m
+
+
+def test_raw_video_frame_sampler_exact():
+    """RawVideoFrameSampler has NO stubbed seam: exact byte slicing,
+    evenly spaced frame selection always including frame 0, fps-derived
+    timestamps, and its output chains straight into RawRasterResizer."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_go_ray.stages.multimodal import (
+        RawRasterResizer,
+        RawVideoFrameSampler,
+    )
+
+    h, w, c = 2, 3, 1
+    fb = h * w * c
+    # 10 frames, frame i filled with byte value i*10
+    vid = b"".join(bytes([i * 10]) * fb for i in range(10))
+    # 2 frames only -> sampler must clamp to 2
+    short = b"".join(bytes([7 + i]) * fb for i in range(2))
+    batch = pd.DataFrame(
+        {
+            "media_id": np.array([5, 9], dtype=np.int64),
+            "payload": pd.Series([vid, short], dtype=object),
+            "n_frames": pd.Series([10, 2], dtype="int64"),
+            "height": pd.Series([h, h], dtype="int64"),
+            "width": pd.Series([w, w], dtype="int64"),
+            "channels": pd.Series([c, c], dtype="int64"),
+            "fps": pd.Series([25.0, 50.0], dtype="float64"),
+        }
+    )
+    out = RawVideoFrameSampler(n_frames=4)(batch)
+    # linspace(0, 9, 4) -> frames 0, 3, 6, 9; linspace(0, 1, 2) -> 0, 1
+    assert list(out["media_id"]) == [5, 5, 5, 5, 9, 9]
+    assert list(out["frame_idx"]) == [0, 3, 6, 9, 0, 1]
+    # 25 fps -> 40ms/frame; 50 fps -> 20ms/frame
+    assert list(out["frame_ts_ms"]) == [0, 120, 240, 360, 0, 20]
+    for _, row in out.iterrows():
+        assert len(row["payload"]) == fb
+    assert out["payload"].iloc[1] == bytes([30]) * fb
+    assert out["payload"].iloc[5] == bytes([8]) * fb
+
+    # wrong payload length is a hard error, not silent truncation
+    bad = batch.copy()
+    bad.loc[0, "n_frames"] = 11
+    try:
+        RawVideoFrameSampler(n_frames=4)(bad)
+        assert False, "expected ValueError for mismatched payload length"
+    except ValueError:
+        pass
+
+    # chains into RawRasterResizer with frame identity preserved
+    resized = RawRasterResizer(target_h=4, target_w=4)(out)
+    assert list(resized.columns) == [
+        "media_id", "frame_idx", "frame_ts_ms", "payload",
+        "height", "width", "channels",
+    ]
+    assert list(resized["frame_idx"]) == [0, 3, 6, 9, 0, 1]
+    # constant frame stays constant through bilinear resize
+    r1 = np.frombuffer(resized["payload"].iloc[1], dtype=np.uint8)
+    assert (r1 == 30).all() and len(r1) == 4 * 4 * c
