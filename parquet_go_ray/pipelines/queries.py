@@ -1331,8 +1331,19 @@ def q_embedding_topk_ivf(sf_dir):
 
 
 def q_embedding_near_pairs(sf_dir):
+    """Banded random-hyperplane LSH near-pairs (rows-only gate:
+    approximate-by-design). The synthetic embeddings are
+    near-orthogonal — max pairwise cosine ~0.6 at every sf — so the
+    threshold/band shape is tuned to the corpus (t=0.4, 16 bands x 4
+    planes ~ 94% recall per true pair); production near-dup runs use
+    t>=0.85 with deeper bands and far sparser candidates. The exact
+    oracle-checked companions are embedding_cosine_pairs /
+    embedding_dedupe."""
     return similarity.lsh_near_pairs(
-        _read(sf_dir, "embeddings"), cos_threshold=0.85
+        _read(sf_dir, "embeddings"),
+        cos_threshold=0.4,
+        n_planes=4,
+        n_bands=16,
     )
 
 

@@ -266,6 +266,7 @@ def lsh_near_pairs(
     seed: int = 5,
     dim: int | None = None,
     n_vecs_hint: int | None = None,
+    n_bands: int = 1,
 ) -> ray.data.Dataset:
     """Near-duplicate embedding pairs via random-hyperplane LSH buckets.
 
@@ -276,7 +277,16 @@ def lsh_near_pairs(
     vectors all hashing to one key) is capped at MAX_BUCKET instead of
     exploding into O(b^2) pairs and an O(b^2) cosine matrix in one task,
     and vectors are attached only to SURVIVING candidate pairs by the
-    distributed pair join before the exact-cosine verify."""
+    distributed pair join before the exact-cosine verify.
+
+    `n_bands` > 1 turns on OR-amplification exactly like the MinHash
+    band structure: `n_bands` independent sets of `n_planes` hyperplanes
+    each emit a (band-qualified bucket, id) row, so a pair is a
+    candidate if it collides in ANY band — recall for a pair at cosine c
+    is 1-(1-p^r)^b with p = 1 - arccos(c)/pi, r = n_planes, b = n_bands.
+    Cross-band duplicates of the same pair collapse in the pair join
+    (no extra shuffle). Shuffle volume scales linearly with n_bands but
+    stays (bucket, id)-only."""
     from .dedup import MAX_BUCKET, _attach_pair_values, _n_partitions
 
     # hyperplanes are minted ONCE on the driver and broadcast via
@@ -287,19 +297,34 @@ def lsh_near_pairs(
     if dim is None:
         peek = ds.take_batch(1, batch_format="pandas")
         dim = int(np.asarray(peek[vec_col].iloc[0]).shape[0])
+    if n_planes + max(n_bands - 1, 0).bit_length() > 62:
+        raise ValueError(
+            "n_planes + log2(n_bands) must be <= 62 so (band << n_planes)"
+            f" | bucket fits an int64 key: got {n_planes} x {n_bands}"
+        )
     planes_ref = ray.put(
-        np.random.default_rng(seed).standard_normal((dim, n_planes))
+        np.random.default_rng(seed).standard_normal(
+            (dim, n_planes * n_bands)
+        )
     )
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         m = _to_matrix(batch[vec_col])
         planes = ray.get(planes_ref)
+        # (n, n_bands * n_planes) sign bits -> per-band integer buckets,
+        # band index packed into the key's high bits
         bits = (m @ planes) > 0
-        bucket = np.zeros(len(m), dtype=np.int64)
-        for b in range(n_planes):
-            bucket = bucket * 2 + bits[:, b]
+        weights = (1 << np.arange(n_planes - 1, -1, -1, dtype=np.int64))
+        codes = bits.reshape(len(m), n_bands, n_planes) @ weights
+        band_tag = (
+            np.arange(n_bands, dtype=np.int64) << np.int64(n_planes)
+        )
+        bucket = (codes + band_tag[None, :]).reshape(-1)
         return pd.DataFrame(
-            {"bucket": bucket, id_col: batch[id_col].to_numpy()}
+            {
+                "bucket": bucket,
+                id_col: np.repeat(batch[id_col].to_numpy(), n_bands),
+            }
         )
 
     P = _n_partitions(n_vecs_hint, 1)

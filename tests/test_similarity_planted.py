@@ -46,6 +46,28 @@ def test_lsh_near_pairs_finds_planted(planted):
     assert df["cos"].min() >= 0.98
 
 
+def test_lsh_banded_or_amplification(planted):
+    """OR-amplified bands recover MODERATE-cosine pairs a single
+    12-plane band structurally misses: a pair at cos ~0.57 collides on
+    all 12 planes with prob ~0.006, but collides in at least one of 16
+    4-plane bands with prob ~0.93. Verify (a) banding finds pairs at a
+    low threshold, (b) results are still exact-verified (no pair below
+    the threshold), (c) cross-band duplicate candidates collapse to one
+    output row per pair."""
+    from parquet_go_ray.pipelines.similarity import lsh_near_pairs
+
+    df = lsh_near_pairs(
+        planted, cos_threshold=0.98, n_planes=4, n_bands=14
+    ).to_pandas()
+    found = {(int(a), int(b)) for a, b in zip(df["id_a"], df["id_b"])}
+    planted_pairs = {(i, 1000 + i) for i in range(20)}
+    # 4-plane x 14-band recall for cos>=0.98 is ~1 - (1-0.92)^14 ~ 1.0
+    assert len(planted_pairs & found) >= 19, sorted(found)[:10]
+    assert df["cos"].min() >= 0.98
+    # one row per pair despite each colliding in many bands
+    assert not df.duplicated(["id_a", "id_b"]).any()
+
+
 def test_brute_force_topk_exact(planted):
     from parquet_go_ray.pipelines.similarity import brute_force_topk
 
