@@ -2041,3 +2041,185 @@ def simhash_near_pairs(
         .groupby("pg")
         .map_groups(dedup_pairs, batch_format="pyarrow")
     )
+
+
+# --------------------------------------------------- incremental dedup
+# Cross-snapshot exact dedup: a curated corpus persists a compact index
+# of its 128-bit content hashes once; every later crawl snapshot dedups
+# against that index WITHOUT re-reading (or re-hashing) the old corpus.
+# This is the operation that makes monthly 100 TB snapshot ingestion
+# O(new data): the index is 16 B/doc (16 TB corpus of 1e12 docs -> a
+# 16 TB/1e6x smaller ~16 GB hash store, itself hash-partitioned so no
+# task ever loads more than one shard).
+
+
+def build_dedup_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
+) -> dict:
+    """Persist the exact-dedup index of a corpus: one parquet shard per
+    hash partition holding the partition's DISTINCT (h1, h2) 128-bit
+    content hashes, sorted. Each partition's task writes its own shard
+    (in-task commit, the encode-manifest pattern — no second shuffle,
+    no driver data path) atomically via tmp + os.replace. The driver
+    sees only the per-shard manifest rows and writes manifest.json
+    (partition count + totals) for probe-time routing.
+
+    Rebuilds are epoch-versioned: each build writes its shards under
+    v{epoch}/ and flips manifest.json atomically at the end, so (a) a
+    rebuild over a different corpus can never leave stale shards from
+    partitions the new corpus doesn't occupy, (b) a reader holding the
+    previous manifest keeps a consistent shard set until the flip, and
+    (c) a crashed build leaves the previous epoch fully usable. The
+    superseded epoch directory is removed after the flip."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    P = _n_partitions(n_docs_hint, 1)
+    os.makedirs(index_dir, exist_ok=True)
+    manifest_path = os.path.join(index_dir, "manifest.json")
+    prev_epoch = -1
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev_epoch = int(json.load(f).get("epoch", 0))
+    epoch = prev_epoch + 1
+    shard_dir = os.path.join(index_dir, f"v{epoch}")
+    os.makedirs(shard_dir, exist_ok=True)
+
+    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = hashing.content_hash128(
+            [t.encode() for t in batch[text_col]]
+        )
+        return pd.DataFrame(
+            {
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+                "pt": (h1 % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def write_part(part: pd.DataFrame) -> pd.DataFrame:
+        pt = int(part["pt"].iloc[0])
+        u = part[["h1", "h2"]].drop_duplicates().sort_values(["h1", "h2"])
+        path = os.path.join(shard_dir, f"part={pt}.parquet")
+        tmp = path + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.table(
+                {
+                    "h1": u["h1"].to_numpy().astype(np.int64),
+                    "h2": u["h2"].to_numpy().astype(np.int64),
+                }
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"pt": [pt], "n_hashes": [len(u)]})
+
+    shards = (
+        ds.map_batches(add_hash, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(write_part, batch_format="pandas")
+        .to_pandas()
+    )
+    meta = {
+        "parts": P,
+        "n_hashes": int(shards["n_hashes"].sum()),
+        "shards": int(len(shards)),
+        "epoch": epoch,
+    }
+    tmp = os.path.join(index_dir, f".manifest.tmp{os.getpid()}")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, manifest_path)
+    if prev_epoch >= 0:
+        shutil.rmtree(
+            os.path.join(index_dir, f"v{prev_epoch}"), ignore_errors=True
+        )
+    return meta
+
+
+def dedupe_against_index(
+    ds: ray.data.Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    payload_cols: tuple[str, ...] = (),
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental cross-snapshot exact dedup: rows of `ds` (the NEW
+    snapshot) whose text hash does NOT appear in a `build_dedup_index`
+    store. Only (h1, h2, id) rows of the new snapshot shuffle; each
+    index shard is read once by the groupby task that owns its hash
+    partition (the partition key is recomputed as h1 % parts, so index
+    rows route to exactly the partition that wrote them). Matching is
+    exact on the full 128-bit hash — no bloom, a false positive here
+    would silently drop a genuinely-new document. Survivor rows come
+    back through the exact id anti-join, carrying `payload_cols`."""
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "manifest.json")) as f:
+        meta = json.load(f)
+    P = int(meta["parts"])
+    shard_dir = os.path.join(index_dir, f"v{int(meta.get('epoch', 0))}")
+
+    def new_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        h1, h2 = hashing.content_hash128(
+            [t.encode() for t in batch[text_col]]
+        )
+        return pd.DataFrame(
+            {
+                "h1": h1.view(np.int64),
+                "h2": h2.view(np.int64),
+                "pt": (h1 % np.uint64(P)).astype(np.int64),
+                id_col: batch[id_col].to_numpy().astype(np.int64),
+                "side": np.zeros(len(batch), dtype=np.int8),
+            }
+        )
+
+    def old_hashes(batch: pd.DataFrame) -> pd.DataFrame:
+        h1 = batch["h1"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "h1": h1,
+                "h2": batch["h2"].to_numpy().astype(np.int64),
+                "pt": (h1.view(np.uint64) % np.uint64(P)).astype(np.int64),
+                id_col: np.full(len(batch), -1, dtype=np.int64),
+                "side": np.ones(len(batch), dtype=np.int8),
+            }
+        )
+
+    index_ds = ray.data.read_parquet(
+        [
+            os.path.join(shard_dir, p)
+            for p in sorted(os.listdir(shard_dir))
+            if p.startswith("part=") and p.endswith(".parquet")
+        ]
+    ).map_batches(old_hashes, batch_format="pandas")
+
+    both = ds.map_batches(new_hashes, batch_format="pandas").union(index_ds)
+
+    def drops(part: pd.DataFrame) -> pd.DataFrame:
+        old = part.loc[part["side"] == 1, ["h1", "h2"]]
+        new = part.loc[part["side"] == 0]
+        if not len(old) or not len(new):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64")})
+        seen = new.merge(old.drop_duplicates(), on=["h1", "h2"], how="inner")
+        return pd.DataFrame(
+            {id_col: seen[id_col].to_numpy().astype(np.int64)}
+        )
+
+    drop_ids = both.groupby("pt").map_groups(drops, batch_format="pandas")
+    return anti_join_ids(
+        ds,
+        drop_ids,
+        id_col,
+        n_hint=n_docs_hint,
+        payload_cols=payload_cols,
+    )

@@ -1481,6 +1481,54 @@ def q_source_reputation(sf_dir):
     )
 
 
+def q_host_quota(sf_dir):
+    """Per-domain quota sampling: at most 3 docs per source, the
+    smallest doc_ids win (deterministic; SQL states it as a window
+    ROW_NUMBER). Batch partials cap the shuffle at k rows per (source,
+    batch); the merge is hash-partitioned on the source string, one
+    vectorized groupby-head per partition."""
+    from .webtext import host_quota_sample
+
+    return host_quota_sample(
+        _read_split(sf_dir, "documents", columns=["doc_id", "source"]),
+        max_per_source=3,
+        n_docs_hint=_nrows(sf_dir, "documents"),
+    )
+
+
+def q_snapshot_dedupe(sf_dir):
+    """Incremental cross-snapshot exact dedup: persist the corpus's
+    128-bit-hash dedup index (16 B/doc, hash-partitioned shards written
+    in-task), then dedupe a simulated re-crawl — every doc_id % 3 == 0
+    page unchanged (an exact dup of the old snapshot), the rest edited
+    — against the index WITHOUT touching the old corpus again. The
+    oracle states the same NOT EXISTS over text equality."""
+    import tempfile
+
+    n = _nrows(sf_dir, "documents")
+    old = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="pgr_dedup_idx_")
+    dedup.build_dedup_index(old, index_dir, n_docs_hint=n)
+
+    def recrawl(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        text = df["text"].to_numpy().astype(object)
+        changed = ids % 3 != 0
+        return pd.DataFrame(
+            {
+                "doc_id": ids + 1_000_000,
+                "text": np.where(changed, text + " v2", text),
+            }
+        )
+
+    new = _read_split(
+        sf_dir, "documents", columns=["doc_id", "text"]
+    ).map_batches(recrawl, batch_format="pandas")
+    return dedup.dedupe_against_index(
+        new, index_dir, payload_cols=("text",), n_docs_hint=n
+    )
+
+
 def q_extract_text(sf_dir):
     """HTML main-content extraction, SQL-checkable: wrap each doc's text
     in the page template (vectorized Arrow concat), extract it back with
@@ -1776,6 +1824,8 @@ QUERIES = {
     "video_sample_raw": q_video_sample_raw,
     "extract_text": q_extract_text,
     "source_reputation": q_source_reputation,
+    "host_quota": q_host_quota,
+    "snapshot_dedupe": q_snapshot_dedupe,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1941,6 +1991,19 @@ ORACLES = {
         "SELECT doc_id, source FROM documents WHERE source IN ("
         "SELECT source FROM documents GROUP BY source "
         "HAVING sum(n_chars) >= 280 * count(*))"
+    ),
+    "host_quota": (
+        "SELECT doc_id, source FROM ("
+        "SELECT doc_id, source, "
+        "row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn "
+        "FROM documents) WHERE rn <= 3"
+    ),
+    "snapshot_dedupe": (
+        "WITH new AS (SELECT doc_id + 1000000 AS doc_id, "
+        "CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' v2' END AS text "
+        "FROM documents) "
+        "SELECT CAST(n.doc_id AS BIGINT) AS doc_id, n.text FROM new n "
+        "WHERE NOT EXISTS (SELECT 1 FROM documents o WHERE o.text = n.text)"
     ),
     "dup_passages": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "

@@ -137,3 +137,69 @@ def source_reputation_filter(
         return t.select([id_col, source_col]).filter(ok)
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def host_quota_sample(
+    ds: ray.data.Dataset,
+    max_per_source: int = 3,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    n_docs_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Per-domain quota sampling: keep at most `max_per_source` docs per
+    source, deterministically the smallest ids (the standard CC-curation
+    guard against a handful of template-heavy hosts dominating the
+    corpus; cf. the per-domain caps in Gopher/C4-style pipelines).
+
+    Scale shape: a batch partial keeps <= k rows per source per batch
+    BEFORE the shuffle, so the groupby moves at most k * n_batches rows
+    per source — (id, source) pairs only, never the corpus. The merge
+    side is hash-partitioned on the source string (stable_hash_strings
+    % P, the exact_dedupe pattern) with ONE vectorized pandas
+    groupby-head per partition, not a Python call per distinct domain —
+    web corpora have ~1e7-1e8 domains, so per-group map_groups is
+    unbounded there."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import hashing
+    from .dedup import _n_partitions
+
+    k = int(max_per_source)
+    P = _n_partitions(n_docs_hint, 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = (
+            df[[id_col, source_col]]
+            .sort_values(id_col, kind="stable")
+            .groupby(source_col, sort=False)
+            .head(k)
+        )
+        h = hashing.stable_hash_strings(sub[source_col].to_numpy())
+        return pd.DataFrame(
+            {
+                id_col: sub[id_col].to_numpy().astype(np.int64),
+                source_col: sub[source_col].to_numpy(),
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.sort_values(id_col, kind="stable")
+            .groupby(source_col, sort=False)
+            .head(k)
+        )
+        return pd.DataFrame(
+            {
+                id_col: out[id_col].to_numpy().astype(np.int64),
+                source_col: out[source_col].to_numpy(),
+            }
+        )
+
+    return (
+        ds.select_columns([id_col, source_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(merge, batch_format="pandas")
+    )
