@@ -48,3 +48,86 @@ def extract_host(url_col) -> pa.Array:
         _as_string(url_col), r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?P<host>[^/:?#]+)"
     )
     return pc.utf8_lower(pc.struct_field(m, "host"))
+
+
+# block-level boundaries for the general extractor: splitting on these
+# tags yields candidate text blocks (jusText/Readability's unit of
+# classification). RE2, non-backtracking.
+_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|article|section|aside|nav|header|footer|main|li|ul"
+    r"|ol|table|tr|td|th|blockquote|pre|h[1-6]|br)[^>]*>"
+)
+# RE2 has no backreferences, so script/style pre-removal is one pass per
+# element kind instead of <(script|style)>.*?</\1>
+_SCRIPT_RE = r"(?si)<script[^>]*>.*?</script>"
+_STYLE_RE = r"(?si)<style[^>]*>.*?</style>"
+_LINK_RE = r"(?i)<a[\s>]"
+
+
+def extract_main_text_general(
+    html_col,
+    min_words: int = 5,
+    max_links_per_10_words: int = 1,
+) -> pa.Array:
+    """General density-based boilerplate removal (jusText/Readability
+    family) for arbitrary html — NOT bound to any page template, unlike
+    `extract_main_text`'s <article> fast path.
+
+    Fully vectorized, no per-row Python: script/style elements are
+    removed with RE2 passes, each page is split into candidate blocks at
+    block-level tag boundaries (one big flattened string array across
+    the whole batch), every block is scored with Arrow kernels — word
+    count of its tag-stripped text and anchor-tag count — and blocks
+    survive iff they have >= min_words words AND at most
+    max_links_per_10_words links per 10 words (integer-exact compare,
+    no float density). Surviving block texts re-join per page with a
+    newline via offset arithmetic + pc.binary_join. Pages where nothing
+    survives yield the empty string.
+
+    The classic block-classification heuristics this implements are the
+    stopword-free subset of jusText (Pomikalek 2011): length + link
+    density. Stopword density is available separately via
+    functions.text stopword kernels if a caller wants to compose it."""
+    import numpy as np
+
+    s = _as_string(html_col)
+    if isinstance(s, pa.ChunkedArray):
+        s = s.combine_chunks()
+    s = pc.fill_null(s, "")
+    s = pc.replace_substring_regex(s, _SCRIPT_RE, " ")
+    s = pc.replace_substring_regex(s, _STYLE_RE, " ")
+    blocks = pc.split_pattern_regex(s, _BLOCK_SPLIT_RE)
+    if isinstance(blocks, pa.ChunkedArray):
+        blocks = blocks.combine_chunks()
+    offsets = np.asarray(blocks.offsets)
+    raw = blocks.values  # flattened: every block of every page
+
+    n_links = pc.count_substring_regex(raw, _LINK_RE).to_numpy(
+        zero_copy_only=False
+    )
+    text = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(raw, r"<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    n_words = pc.count_substring_regex(text, r"\S+").to_numpy(
+        zero_copy_only=False
+    )
+    keep = (n_words >= min_words) & (
+        n_links * 10 <= n_words * max_links_per_10_words
+    )
+
+    n_pages = len(offsets) - 1
+    counts = offsets[1:] - offsets[:-1]
+    parent = np.repeat(np.arange(n_pages, dtype=np.int64), counts)
+    kept_parent = parent[keep]
+    kept_counts = np.bincount(kept_parent, minlength=n_pages)
+    new_offsets = np.zeros(n_pages + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=new_offsets[1:])
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32())
+        if new_offsets[-1] < 2**31
+        else pa.array(new_offsets, type=pa.int64()),
+        text.filter(pa.array(keep)),
+    )
+    return pc.binary_join(kept_list, "\n")

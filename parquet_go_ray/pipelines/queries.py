@@ -1481,6 +1481,38 @@ def q_source_reputation(sf_dir):
     )
 
 
+def q_extract_text_general(sf_dir):
+    """Template-INDEPENDENT boilerplate removal: wrap each doc's text in
+    a page template the extractor has never seen — link-dense nav,
+    styled head, inline script, short footer (all DIFFERENT from
+    extract_text's <article> template) — and recover it with the
+    general density-based extractor (block split -> word-count +
+    link-density scoring, all Arrow kernels). Hash-identical to the raw
+    table iff recovery is byte-exact, which it is because every corpus
+    doc has >= 10 single-spaced words and zero links."""
+    from ..functions import webtext as W
+
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        html = pc.binary_join_element_wise(
+            '<html><head><title>t</title><style>body{margin:0}</style>'
+            '</head><body><nav><a href="/">home</a> <a href="/s">all the'
+            ' sections</a> <a href="/c">contact us today</a></nav>'
+            "<div><h2>heading</h2></div><div>",
+            t.column("text"),
+            '</div><footer>&copy; 2020 example</footer>'
+            "<script>var x=1; if (x<2) { x=3; }</script></body></html>",
+            "",
+        )
+        got = W.extract_main_text_general(html)
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "text": pc.cast(got, pa.string())}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def q_host_quota(sf_dir):
     """Per-domain quota sampling: at most 3 docs per source, the
     smallest doc_ids win (deterministic; SQL states it as a window
@@ -1826,6 +1858,7 @@ QUERIES = {
     "source_reputation": q_source_reputation,
     "host_quota": q_host_quota,
     "snapshot_dedupe": q_snapshot_dedupe,
+    "extract_text_general": q_extract_text_general,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1987,6 +2020,7 @@ ORACLES = {
         "FROM documents"
     ),
     "extract_text": "SELECT doc_id, text FROM documents",
+    "extract_text_general": "SELECT doc_id, text FROM documents",
     "source_reputation": (
         "SELECT doc_id, source FROM documents WHERE source IN ("
         "SELECT source FROM documents GROUP BY source "

@@ -59,3 +59,67 @@ def test_extract_detects_corruption(ray_session):
     )
     res = extract_text_verified(ray.data.from_pandas(df))
     assert res["rows"] == 2 and res["mismatches"] == 1 and not res["ok"]
+
+
+class TestGeneralExtractor:
+    """extract_main_text_general: template-independent density-based
+    boilerplate removal, fully Arrow-vectorized."""
+
+    def _extract(self, pages, **kw):
+        import pyarrow as pa
+
+        from parquet_go_ray.functions.webtext import (
+            extract_main_text_general,
+        )
+
+        return [
+            v.as_py() for v in extract_main_text_general(pa.array(pages), **kw)
+        ]
+
+    def test_drops_link_dense_and_short_blocks(self):
+        page = (
+            "<html><head><title>t</title><style>b{}</style></head><body>"
+            '<nav><a href="/">home</a> <a href="/a">about the site</a> '
+            '<a href="/c">contact us today</a></nav>'
+            "<div><p>the quick brown fox jumps over the lazy dog "
+            "daily</p></div>"
+            "<footer>&copy; 2020 example</footer>"
+            "<script>var x=1; if (x<2) { x = 3; }</script></body></html>"
+        )
+        (out,) = self._extract([page])
+        assert out == "the quick brown fox jumps over the lazy dog daily"
+
+    def test_multiple_content_blocks_join_with_newline(self):
+        page = (
+            "<div>first paragraph with enough words to clear the rule</div>"
+            "<div>second paragraph also has enough words to clear it</div>"
+        )
+        (out,) = self._extract([page])
+        assert out == (
+            "first paragraph with enough words to clear the rule\n"
+            "second paragraph also has enough words to clear it"
+        )
+
+    def test_moderate_links_in_long_text_survive(self):
+        words = " ".join(f"w{i}" for i in range(40))
+        page = f'<p>{words} see <a href="/x">this reference</a> too</p>'
+        (out,) = self._extract([page])
+        assert out.startswith("w0 w1") and "reference" in out
+
+    def test_null_empty_and_tagless(self):
+        outs = self._extract(
+            [
+                None,
+                "",
+                "plain words with no markup but easily enough of them here",
+            ]
+        )
+        assert outs[0] == "" and outs[1] == ""
+        assert outs[2].startswith("plain words")
+
+    def test_thresholds_are_parameters(self):
+        page = "<p>five words in here ok</p><p>tiny</p>"
+        (strict,) = self._extract([page], min_words=6)
+        assert strict == ""
+        (loose,) = self._extract([page], min_words=1)
+        assert loose == "five words in here ok\ntiny"
