@@ -555,10 +555,11 @@ def _decode_map(payload, ty, n, n_null, validity) -> pa.Array:
     )
 
 
-def decode_array(buf: bytes, shared_dict: pa.Array | None = None) -> pa.Array:
-    """Decode a chunk blob back to a pyarrow Array (bit-identical).
-    `shared_dict` resolves dict_shared payloads (the file-level dict
-    page decoded by the caller, stages/decode.decode_chunk_table)."""
+def _parse_chunk(buf: bytes):
+    """Header parse + CRC verify shared by decode_array and the
+    encoded-domain predicate path (dict_domain_mask). Returns
+    (codec, ptype, flba_width, n, n_null, ty, validity, payload) with
+    the payload already decompressed."""
     if len(buf) < _HDR.size + 4:
         raise ChunkError(f"buffer too short for a chunk: {len(buf)} bytes")
     (
@@ -584,6 +585,16 @@ def decode_array(buf: bytes, shared_dict: pa.Array | None = None) -> pa.Array:
     payload = buf[pos : pos + payload_len]
     if _flags & 4:
         payload = _decompress(payload)
+    return codec, ptype, flba_width, n, n_null, ty, validity, payload
+
+
+def decode_array(buf: bytes, shared_dict: pa.Array | None = None) -> pa.Array:
+    """Decode a chunk blob back to a pyarrow Array (bit-identical).
+    `shared_dict` resolves dict_shared payloads (the file-level dict
+    page decoded by the caller, stages/decode.decode_chunk_table)."""
+    codec, ptype, flba_width, n, n_null, ty, validity, payload = (
+        _parse_chunk(buf)
+    )
 
     if ptype == R.P_LIST:
         return _decode_list(payload, ty, n, n_null, validity)
@@ -706,3 +717,39 @@ def _decode_list(payload, ty, n, n_null, validity) -> pa.Array:
     if storage.type != ty:
         storage = storage.cast(ty)
     return storage
+
+
+def dict_domain_mask(
+    buf: bytes, wanted, shared_dict: pa.Array | None = None
+):
+    """Row-level membership mask evaluated in the ENCODED domain.
+
+    For DICT / dict_shared chunks the predicate runs against the
+    dictionary (O(dict) value comparisons) and then tests int codes —
+    no row value is ever materialized, which is the classic
+    late-materialization win for low-cardinality columns (the
+    reference's dictionary pages admit the same trick via
+    Page.Dictionary, page.go). Nulls are False. Returns None when the
+    chunk's codec has no encoded domain to evaluate in — the caller
+    decodes and filters normally, so exactness never depends on which
+    codec the selector picked."""
+    codec, ptype, flba_width, n, n_null, _ty, validity, payload = (
+        _parse_chunk(buf)
+    )
+    if ptype in (R.P_LIST, R.P_STRUCT, R.P_MAP, R.OTHER):
+        return None
+    if codec == R.DICT:
+        nonnull = dictionary.domain_mask(
+            payload, R.PTYPE_NAMES[ptype], wanted, flba_width
+        )
+    elif codec == R.DICT_SHARED:
+        if shared_dict is None:
+            raise ChunkError("dict_shared chunk requires the file's dict page")
+        nonnull = dictionary.domain_mask_shared(payload, shared_dict, wanted)
+    else:
+        return None
+    if n_null:
+        full = np.zeros(n, dtype=bool)
+        full[_valid_mask(validity, n)] = nonnull
+        return full
+    return nonnull

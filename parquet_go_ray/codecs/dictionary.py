@@ -162,3 +162,39 @@ def _plain_decode_values(buf: bytes, ptype: str, n: int, flba_width: int) -> pa.
         "DOUBLE": np.float64,
     }[ptype]
     return pa.array(plain.decode_fixed(buf, dtype, n))
+
+
+def domain_match_codes(values: pa.Array, wanted) -> np.ndarray:
+    """Dictionary codes whose VALUE is in `wanted` — O(dict-size) value
+    comparisons instead of O(rows). str coerces to bytes for binary
+    dictionaries (chunk byte-array dicts store large_binary)."""
+    import pyarrow.compute as pc
+
+    ty = values.type
+    if pa.types.is_binary(ty) or pa.types.is_large_binary(ty):
+        wanted = [
+            w.encode() if isinstance(w, str) else bytes(w) for w in wanted
+        ]
+        value_set = pa.array(wanted, type=ty)
+    else:
+        value_set = pa.array(list(wanted)).cast(ty)
+    m = pc.is_in(values, value_set=value_set)
+    return np.nonzero(m.to_numpy(zero_copy_only=False))[0]
+
+
+def domain_mask(buf: bytes, ptype: str, wanted, flba_width: int = 0) -> np.ndarray:
+    """Membership mask over a DICT chunk's rows, evaluated in the
+    encoded domain: decode the dictionary + the int index stream only —
+    the take() that materializes row values never runs."""
+    values, indexes = decode(buf, ptype, 0, flba_width)
+    return np.isin(indexes, domain_match_codes(values, wanted))
+
+
+def domain_mask_shared(buf: bytes, shared_values: pa.Array, wanted) -> np.ndarray:
+    """domain_mask for a dict_shared (index-only) chunk payload against
+    the file-level dict page."""
+    _size, pos = uvarint_decode(buf, 0)
+    width = buf[pos]
+    n_idx, p = uvarint_decode(buf, pos + 1)
+    indexes = rle.decode(buf[p:], width, n_idx)
+    return np.isin(indexes, domain_match_codes(shared_values, wanted))

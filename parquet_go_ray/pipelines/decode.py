@@ -296,3 +296,56 @@ def decode_dataset(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+def search_dict_domain(
+    encoded_dir: str,
+    column: str,
+    values,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Membership search evaluated in the DICTIONARY domain of the
+    encoded store (late materialization): each task matches `values`
+    against its chunks' dictionaries once — O(dict) comparisons — and
+    tests int codes, so the search column's row values are never
+    materialized, and a chunk group with zero matches skips decoding
+    its other columns entirely. Complements decode_dataset_pruned:
+    stats pruning wins on range predicates over ordered columns; the
+    dictionary domain wins on equality/membership over low-cardinality
+    columns whose every chunk spans the full value range (lang,
+    event_type, source), where min/max stats keep everything. Non-dict
+    chunks fall back to decode + compare inside the same task, so
+    exactness never depends on the selector's codec choice."""
+    from ..stages.decode import search_chunk_table
+
+    files = chunk_files(encoded_dir)
+    if not files:
+        import pyarrow as pa
+
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = None
+    if columns is not None:
+        read_cols = sorted(set(columns) | {column})
+
+    def search(batch):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        filters = (
+            [("column", "in", read_cols)] if read_cols is not None else None
+        )
+        outs = []
+        col = "path" if "path" in batch.column_names else "item"
+        for path in batch.column(col).to_pylist():
+            chunks = pq.read_table(path, filters=filters)
+            if chunks.num_rows:
+                t = search_chunk_table(chunks, column, values, columns=columns)
+                if t.num_rows:
+                    outs.append(t)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
+        search, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -580,6 +580,22 @@ def q_search_pruned_store(sf_dir):
     return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
 
 
+def q_search_dict_domain(sf_dir):
+    """Membership search evaluated in the store's DICTIONARY domain
+    (late materialization — page.Dictionary-style, page.go): lang codes
+    tested as ints, zero-match chunk groups never decode their other
+    columns. The case stats pruning can't touch: every chunk's
+    lang range spans the predicate."""
+    from .decode import search_dict_domain
+
+    return search_dict_domain(
+        _doc_store(sf_dir),
+        "lang",
+        ["en", "de"],
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+
 def q_point_lookup_bloom(sf_dir):
     """Bloom-sidecar point lookup on the encoded store (bloom.go:16-55)."""
     from .decode import point_lookup
@@ -1859,6 +1875,7 @@ QUERIES = {
     "host_quota": q_host_quota,
     "snapshot_dedupe": q_snapshot_dedupe,
     "extract_text_general": q_extract_text_general,
+    "search_dict_domain": q_search_dict_domain,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1944,6 +1961,10 @@ ORACLES = {
         "SELECT * FROM documents WHERE n_chars >= 100 AND n_chars <= 300"
     ),
     "point_lookup_bloom": "SELECT * FROM documents WHERE doc_id IN (5, 105, 205)",
+    "search_dict_domain": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang IN ('en', 'de')"
+    ),
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",
