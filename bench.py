@@ -253,6 +253,15 @@ def run_bench() -> dict:
         "vocab_topk_sketch",
         # retrieval-style scoring, two zero-shuffle passes
         "tfidf_scores",
+        # per-domain quota sampling (k-bounded partials, source-hash merge)
+        "host_quota",
+        # incremental cross-snapshot dedup (build the 16 B/doc hash
+        # index, then dedupe a simulated re-crawl against it)
+        "snapshot_dedupe",
+        # template-independent density-based boilerplate removal
+        "extract_text_general",
+        # encoded-domain membership search (dictionary codes, group skip)
+        "search_dict_domain",
         # the flagship LLM-curation composition end to end:
         # quality/lang/length filter -> exact-rep dedup -> near-dup
         # removal via distributed anti-join
