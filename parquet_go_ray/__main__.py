@@ -269,6 +269,55 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_index_build(args) -> int:
+    """Persist the exact-dedup index (16 B/doc content hashes, one
+    shard per hash partition, epoch-versioned) of a curated corpus —
+    the artifact later snapshots dedupe against without re-reading
+    this corpus."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    import ray.data
+
+    from .pipelines.dedup import build_dedup_index
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    ds = ray.data.read_parquet(files, columns=[args.id_col, args.text_col])
+    meta = build_dedup_index(
+        ds, args.index_dir, text_col=args.text_col, id_col=args.id_col
+    )
+    print(json.dumps({**meta, "index_dir": args.index_dir}))
+    return 0
+
+
+def cmd_snapshot_dedupe(args) -> int:
+    """Dedupe a NEW crawl snapshot against an existing dedup index
+    (incremental cross-snapshot exact dedup) and write the surviving
+    docs as partitioned parquet."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    import ray.data
+
+    from .pipelines.dedup import dedupe_against_index
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    ds = ray.data.read_parquet(files, columns=[args.id_col, args.text_col])
+    out = dedupe_against_index(
+        ds,
+        args.index_dir,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        payload_cols=(args.text_col,),
+    )
+    out.write_parquet(args.out_dir)
+    n = ray.data.read_parquet(args.out_dir).count()
+    print(json.dumps({"kept_docs": int(n), "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_audit(args) -> int:
     """One-shot corpus audit: row count, language histogram, length
     percentiles, Gopher keep rate, exact-duplicate fraction — every
@@ -437,6 +486,21 @@ def main(argv=None) -> int:
         help="parquet file/dir of eval docs to decontaminate against",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    ib = sub.add_parser("index-build")
+    ib.add_argument("input_dir")
+    ib.add_argument("index_dir")
+    ib.add_argument("--text-col", default="text")
+    ib.add_argument("--id-col", default="doc_id")
+    ib.set_defaults(fn=cmd_index_build)
+
+    sd = sub.add_parser("snapshot-dedupe")
+    sd.add_argument("input_dir")
+    sd.add_argument("index_dir")
+    sd.add_argument("out_dir")
+    sd.add_argument("--text-col", default="text")
+    sd.add_argument("--id-col", default="doc_id")
+    sd.set_defaults(fn=cmd_snapshot_dedupe)
 
     au = sub.add_parser("audit")
     au.add_argument("input_dir")
