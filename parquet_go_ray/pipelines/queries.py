@@ -580,6 +580,22 @@ def q_search_pruned_store(sf_dir):
     return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
 
 
+def q_shuffle_train_order(sf_dir):
+    """Deterministic global shuffle (training-order prep): sort by a
+    keyed hash of doc_id — order is a pure function of (ids, seed),
+    identical across cluster sizes and block layouts. The gate uses the
+    SQL-expressible knuth32 key so DuckDB verifies the key values;
+    the layout-independence of the ORDER itself is pytest-asserted
+    (hash compare is order-insensitive by design)."""
+    from .relational import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _read_split(sf_dir, "documents", columns=["doc_id", "source"]),
+        seed=7,
+        key="knuth32",
+    )
+
+
 def q_search_dict_domain(sf_dir):
     """Membership search evaluated in the store's DICTIONARY domain
     (late materialization — page.Dictionary-style, page.go): lang codes
@@ -1876,6 +1892,7 @@ QUERIES = {
     "snapshot_dedupe": q_snapshot_dedupe,
     "extract_text_general": q_extract_text_general,
     "search_dict_domain": q_search_dict_domain,
+    "shuffle_train_order": q_shuffle_train_order,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1964,6 +1981,11 @@ ORACLES = {
     "search_dict_domain": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang IN ('en', 'de')"
+    ),
+    "shuffle_train_order": (
+        "SELECT doc_id, source, "
+        "((doc_id + 7) * 2654435761) % 4294967296 AS shuffle_key "
+        "FROM documents"
     ),
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",

@@ -317,3 +317,50 @@ def windowed_agg(
         .groupby("pt")
         .map_groups(final_part, batch_format="pandas")
     )
+
+
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    key: str = "splitmix",
+) -> ray.data.Dataset:
+    """Reproducible global shuffle for training-order preparation: sort
+    by a keyed hash of the id column.
+
+    Unlike `ds.random_shuffle()`, whose output depends on the block
+    layout of the moment, this order is a pure function of (ids, seed):
+    a re-run, a resumed run, or a differently-sized cluster produces the
+    IDENTICAL row order — the property training reproducibility and
+    mid-epoch resume both need. New epochs = new seeds. The exchange is
+    Ray's sample-partitioned range sort (the same machinery as
+    SortingWriter), so the shuffle scales exactly like any other sort.
+
+    key="splitmix" uses the 64-bit splitmix finalizer (full avalanche);
+    key="knuth32" uses (id * 2654435761) % 2^32 — a weaker mix kept
+    because it is expressible in portable SQL for cross-engine
+    verification (the gate oracle). Ties (possible under knuth32)
+    break on the id so the order stays total and deterministic."""
+    import numpy as np
+
+    from ..functions import hashing
+
+    def add_key(df):
+        ids = df[id_col].to_numpy().astype(np.int64)
+        if key == "splitmix":
+            k = hashing.splitmix64(
+                ids.view(np.uint64) ^ np.uint64(seed)
+            ).view(np.int64)
+        elif key == "knuth32":
+            k = (
+                (ids + np.int64(seed)) * np.int64(2654435761)
+            ) % np.int64(1 << 32)
+        else:
+            raise ValueError(f"unknown shuffle key {key!r}")
+        df = df.copy()
+        df["shuffle_key"] = k
+        return df
+
+    return ds.map_batches(add_key, batch_format="pandas").sort(
+        ["shuffle_key", id_col]
+    )

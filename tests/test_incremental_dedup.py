@@ -127,3 +127,33 @@ def test_host_quota_shuffled_blocks(ray_session):
     got = set(zip(out["doc_id"], out["source"]))
     want = set(zip(exp["doc_id"], exp["source"]))
     assert got == want
+
+
+def test_deterministic_shuffle_layout_independent(ray_session):
+    """The shuffled ORDER is a pure function of (ids, seed): identical
+    across block layouts and runs; a new seed produces a different
+    order; splitmix keys have no id-order correlation."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.relational import deterministic_shuffle
+
+    n = 5000
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids)})
+
+    def order(blocks, seed):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = deterministic_shuffle(ds, seed=seed).to_pandas()
+        return out["doc_id"].to_numpy()
+
+    o4 = order(4, seed=0)
+    o32 = order(32, seed=0)
+    assert (o4 == o32).all(), "order depends on block layout"
+    o_seed1 = order(4, seed=1)
+    assert not (o4 == o_seed1).all(), "seed does not change the order"
+    # shuffled: rank-vs-id correlation near zero (a sorted pass-through
+    # would be 1.0)
+    rank_of = np.empty(n, dtype=np.int64)
+    rank_of[o4] = np.arange(n)
+    corr = np.corrcoef(ids, rank_of)[0, 1]
+    assert abs(corr) < 0.05, corr
