@@ -580,6 +580,26 @@ def q_search_pruned_store(sf_dir):
     return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
 
 
+def q_pack_sequences(sf_dir):
+    """Training-sequence packing: docs folded into 256-token sequences
+    (big+smalls, deterministic per contiguous id-range bucket). The
+    per-doc token counts are SQL-checkable; the bin assignment is bin
+    packing, not SQL — so the oracle checks (doc_id, n_tokens) and the
+    packing invariants (fill <= cap, one seq per doc, layout
+    independence) are pytest-asserted."""
+    from .lm import pack_sequences
+
+    out = pack_sequences(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
+        max_tokens=256,
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "n_tokens"]]
+
+    return out.map_batches(project, batch_format="pandas")
+
+
 def q_shuffle_train_order(sf_dir):
     """Deterministic global shuffle (training-order prep): sort by a
     keyed hash of doc_id — order is a pure function of (ids, seed),
@@ -1893,6 +1913,7 @@ QUERIES = {
     "extract_text_general": q_extract_text_general,
     "search_dict_domain": q_search_dict_domain,
     "shuffle_train_order": q_shuffle_train_order,
+    "pack_sequences": q_pack_sequences,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -1986,6 +2007,10 @@ ORACLES = {
         "SELECT doc_id, source, "
         "((doc_id + 7) * 2654435761) % 4294967296 AS shuffle_key "
         "FROM documents"
+    ),
+    "pack_sequences": (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
+        "AS BIGINT) AS n_tokens FROM documents"
     ),
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",

@@ -54,3 +54,88 @@ def test_unigram_logprob_planted(ray_session):
         out = unigram_logprob_scores(ds).to_pandas()
         got = dict(zip(out["doc_id"], out["nll_e4"]))
         assert got == expect, f"npart={npart}"
+
+
+class TestPackSequences:
+    def _table(self, toks):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(len(toks), dtype=np.int64)
+                ),
+                "n_tokens": pa.array(
+                    np.asarray(toks, dtype=np.int64)
+                ),
+            }
+        )
+
+    def test_invariants_and_layout_independence(self, ray_session):
+        import pandas as pd
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import pack_sequences
+
+        rng = np.random.default_rng(4)
+        toks = rng.integers(20, 900, 10_000)
+        t = self._table(toks)
+        out = pack_sequences(
+            ray.data.from_arrow(t).repartition(16), max_tokens=2048
+        ).to_pandas()
+        # every doc packed exactly once
+        assert len(out) == len(toks)
+        assert out["doc_id"].nunique() == len(toks)
+        g = out.groupby("seq_id")["n_tokens"].sum()
+        assert (g <= 2048).all()
+        # seq_fill column agrees with the per-seq sum
+        fills = out.groupby("seq_id")["seq_fill"].first()
+        assert (fills == g).all()
+        # decent packing: big+smalls folding on this distribution
+        assert toks.sum() / (g.size * 2048) > 0.85
+        # identical packing under a different block layout
+        out2 = pack_sequences(
+            ray.data.from_arrow(t).repartition(3), max_tokens=2048
+        ).to_pandas()
+        pd.testing.assert_frame_equal(
+            out.sort_values("doc_id").reset_index(drop=True),
+            out2.sort_values("doc_id").reset_index(drop=True),
+        )
+
+    def test_overflow_doc_gets_own_sequence(self, ray_session):
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import pack_sequences
+
+        out = (
+            pack_sequences(
+                ray.data.from_arrow(self._table([5000, 100, 50])),
+                max_tokens=2048,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["seq_id"].iloc[0] != out["seq_id"].iloc[1]
+        assert out["seq_id"].iloc[1] == out["seq_id"].iloc[2]
+        assert out["seq_fill"].tolist() == [5000, 150, 150]
+
+    def test_text_tokenization_path(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import pack_sequences
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["three word doc", "two words"]),
+            }
+        )
+        out = (
+            pack_sequences(ray.data.from_arrow(t), max_tokens=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert out["n_tokens"].tolist() == [3, 2]
+        # 3 + 2 > 4: separate sequences
+        assert out["seq_id"].nunique() == 2
