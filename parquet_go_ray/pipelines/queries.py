@@ -580,6 +580,17 @@ def q_search_pruned_store(sf_dir):
     return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
 
 
+def q_text_semantic_pairs(sf_dir):
+    """Raw text -> hashing-trick embeddings -> exact cosine near-dup
+    pairs: the complete model-free semantic-dedup pipeline (rows-only:
+    float embeddings are not SQL-expressible; the kernel and the
+    composition each have planted-corpus pytests)."""
+    return similarity.text_semantic_pairs(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"]),
+        threshold=0.8,
+    )
+
+
 def q_pack_sequences(sf_dir):
     """Training-sequence packing: docs folded into 256-token sequences
     (big+smalls, deterministic per contiguous id-range bucket). The
@@ -1914,6 +1925,7 @@ QUERIES = {
     "search_dict_domain": q_search_dict_domain,
     "shuffle_train_order": q_shuffle_train_order,
     "pack_sequences": q_pack_sequences,
+    "text_semantic_pairs": q_text_semantic_pairs,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,

@@ -487,3 +487,58 @@ def semantic_dedupe(
 
     drops = pairs.map_batches(drop_side, batch_format="pandas")
     return anti_join_ids(ds.select_columns([id_col]), drops, id_col)
+
+
+def hash_embed(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    k: int = 3,
+    seed: int = 17,
+) -> ray.data.Dataset:
+    """Text -> deterministic hashing-trick embeddings (map-only, zero
+    shuffle): (id, embedding list<double>, unit norm). The model-free
+    featurizer that lets every embedding operator (cosine_pairs,
+    semantic_dedupe, lsh_near_pairs, IVF stores) run on raw text with
+    no external model; swap in a learned encoder by replacing this one
+    stage with an actor-pool map_batches of the same signature."""
+    import pandas as pd
+
+    from ..functions.hashing import hash_embeddings
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        m = hash_embeddings(
+            [t.encode() for t in df[text_col]], dim=dim, k=k, seed=seed
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy().astype(np.int64),
+                "embedding": list(m),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+def text_semantic_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 256,
+    rows_per_block: int = 256,
+) -> ray.data.Dataset:
+    """Raw text -> hash embeddings -> exact blocked cosine pairs: the
+    complete semantic near-dup pipeline with no model dependency. At
+    corpus scale swap cosine_pairs for lsh_near_pairs (the embed stage
+    is identical)."""
+    emb = hash_embed(ds, text_col=text_col, id_col=id_col, dim=dim)
+
+    def rename(df):
+        return df.rename(columns={id_col: "vec_id"})
+
+    emb = emb.map_batches(rename, batch_format="pandas")
+    return cosine_pairs(
+        emb, threshold=threshold, rows_per_block=rows_per_block
+    )

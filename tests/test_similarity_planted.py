@@ -273,3 +273,61 @@ def test_semantic_dedupe_drops_larger_ids(planted):
     )
     # every planted dup (id 1000+i) is similar to its smaller base id
     assert kept == set(range(200))
+
+
+class TestHashEmbeddings:
+    """Hashing-trick text embeddings: deterministic, unit-norm, and
+    cosine tracks shingle-profile similarity."""
+
+    def test_kernel_properties(self):
+        from parquet_go_ray.functions.hashing import hash_embeddings
+
+        texts = [
+            b"the quick brown fox jumps over the lazy dog",
+            b"the quick brown fox jumps over the lazy dog",
+            b"the quick brown fox jumps over the lazy cat",
+            b"freight schedules for the northern rail corridor",
+        ]
+        m = hash_embeddings(texts)
+        assert np.allclose(np.linalg.norm(m, axis=1), 1.0)
+        assert m[0] @ m[1] > 0.999  # identical
+        assert m[0] @ m[2] > 0.85  # one-word edit
+        assert m[0] @ m[3] < 0.3  # unrelated
+        # deterministic across calls and batch composition
+        m2 = hash_embeddings(texts[2:])
+        assert np.allclose(m[2], m2[0])
+
+    def test_composed_pipeline_finds_planted_pairs(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from parquet_go_ray.pipelines.similarity import text_semantic_pairs
+
+        rng = np.random.default_rng(8)
+        letters = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+        vocab = [
+            "".join(rng.choice(letters, 6)) for _ in range(500)
+        ]
+        base = [
+            " ".join(rng.choice(vocab, 40)) for _ in range(100)
+        ]
+        # plant near-dups: doc 1000+i = doc i with one token changed
+        dups = [
+            t.rsplit(" ", 1)[0] + " changed" for t in base[:10]
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    list(range(100)) + list(range(1000, 1010)),
+                    type=pa.int64(),
+                ),
+                "text": pa.array(base + dups),
+            }
+        )
+        out = text_semantic_pairs(
+            ray.data.from_arrow(t).repartition(8), threshold=0.8
+        ).to_pandas()
+        found = {(int(a), int(b)) for a, b in zip(out["id_a"], out["id_b"])}
+        assert {(i, 1000 + i) for i in range(10)} <= found
+        # nothing random crosses 0.8
+        assert all(b - a == 1000 for a, b in found), sorted(found)[:5]
