@@ -269,6 +269,45 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Ingest a directory of JSONL / CSV / parquet files into an
+    encoded chunk store: non-parquet sources stream through ray.data
+    readers into a parquet staging layout (one shard per output block —
+    the resumable unit), then the normal path-planned encode job runs
+    over the staged shards. Parquet input skips the staging pass."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    import ray.data
+
+    from .pipelines.encode import encode_job
+
+    fmt = args.format
+    pats = {"jsonl": "*.jsonl", "csv": "*.csv", "parquet": "*.parquet"}
+    files = sorted(str(p) for p in Path(args.input_dir).glob(pats[fmt]))
+    if not files:
+        print(f"no {pats[fmt]} files under {args.input_dir}", file=sys.stderr)
+        return 2
+    if fmt == "parquet":
+        shard_files = files
+    else:
+        staging = args.staging or str(Path(args.out_dir) / "_staged")
+        ds = (
+            ray.data.read_json(files)
+            if fmt == "jsonl"
+            else ray.data.read_csv(files)
+        )
+        ds.write_parquet(staging)
+        shard_files = sorted(str(p) for p in Path(staging).glob("*.parquet"))
+    summary = encode_job(
+        shard_files,
+        args.out_dir,
+        rows_per_chunk=args.rows_per_chunk,
+        compression=args.compression,
+        bloom_columns=tuple(args.bloom.split(",")) if args.bloom else (),
+    )
+    print(json.dumps({"format": fmt, **{k: summary[k] for k in ("rows", "sec") if k in summary}, "out_dir": args.out_dir}))
+    return 0
+
+
 def cmd_index_build(args) -> int:
     """Persist the exact-dedup index (16 B/doc content hashes, one
     shard per hash partition, epoch-versioned) of a curated corpus —
@@ -486,6 +525,16 @@ def main(argv=None) -> int:
         help="parquet file/dir of eval docs to decontaminate against",
     )
     cu.set_defaults(fn=cmd_curate)
+
+    ig = sub.add_parser("ingest")
+    ig.add_argument("input_dir")
+    ig.add_argument("out_dir")
+    ig.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "parquet"])
+    ig.add_argument("--staging", default=None)
+    ig.add_argument("--rows-per-chunk", type=int, default=4096)
+    ig.add_argument("--compression", default=None)
+    ig.add_argument("--bloom", default=None, help="comma-separated bloom columns")
+    ig.set_defaults(fn=cmd_ingest)
 
     ib = sub.add_parser("index-build")
     ib.add_argument("input_dir")
