@@ -583,3 +583,29 @@ def hash_embeddings(
     norms = np.linalg.norm(out, axis=1)
     np.divide(out, norms[:, None], out=out, where=norms[:, None] > 0)
     return out
+
+
+def _spread_bits31(x: np.ndarray) -> np.ndarray:
+    """Spread each of the low 31 bits of x to every other bit position
+    (b30..b0 -> bit positions 60,58,...,0) — classic 2-D Morton
+    spreading with mask-shift passes, vectorized over uint64."""
+    x = np.asarray(x, dtype=np.uint64) & _U64((1 << 31) - 1)
+    x = (x | (x << _U64(16))) & _U64(0x0000FFFF0000FFFF)
+    x = (x | (x << _U64(8))) & _U64(0x00FF00FF00FF00FF)
+    x = (x | (x << _U64(4))) & _U64(0x0F0F0F0F0F0F0F0F)
+    x = (x | (x << _U64(2))) & _U64(0x3333333333333333)
+    x = (x | (x << _U64(1))) & _U64(0x5555555555555555)
+    return x
+
+
+def morton_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Z-order (Morton) key interleaving two nonnegative int columns,
+    each quantized by the CALLER to <= 31 bits. Sorting by this key
+    clusters rows so that a range predicate on EITHER column maps to
+    a bounded set of key ranges — the multi-column locality a single-
+    column sort cannot give (Morton 1966; standard in columnar stores
+    as Z-ORDER BY). Returns nonnegative int64 keys (a in even bit
+    positions, b in odd)."""
+    return (
+        _spread_bits31(a) | (_spread_bits31(b) << _U64(1))
+    ).view(np.int64)

@@ -24,6 +24,9 @@ Modes:
 - "actor_cached": actor pool holding per-partition FSST/dict
   symbol-table state across batches (stages/encode.CachedStateEncoder).
 - "sorted": global url sample-sort before encoding (front-coding case).
+- "zorder": global sample-sort on a Morton key over two int-like
+  columns — range predicates on EITHER column prune chunk stats
+  (Z-ORDER BY clustering; single-column sort helps only its own column).
 
 At 100 TB: lineage rows are ~1e-5 of the data volume; the manifest
 groupby moves only those. Chunk files land under one directory per
@@ -111,6 +114,7 @@ def _encode_job_impl(
     bloom_columns: tuple[str, ...] = ("url",),
     codec_overrides: dict[str, str] | None = None,
     plan: str = "paths",
+    zorder_cols: tuple[str, str] = ("warc_ts", "n_chars"),
 ) -> dict:
     t0 = time.time()
     if concurrency is None:
@@ -276,6 +280,88 @@ def _encode_job_impl(
             batch_format="pyarrow",
             batch_size=None,
             zero_copy_batch=True,
+        )
+        skipped = 0
+    elif mode == "zorder":
+        # Z-ORDER BY clustering: one global sample sort on the Morton
+        # interleave of two int-like columns, then encode. Chunk
+        # [vmin, vmax] stats on BOTH columns become tight, so
+        # decode_dataset_pruned range queries on either column prune —
+        # the multi-column locality a single-column sort can't give.
+        import pyarrow.compute as _pc
+
+        from ..functions.hashing import morton_key
+        from ..sources.pathwise import read_parquet_pathwise
+
+        ca, cb = zorder_cols
+
+        def _as_i64(col):
+            return _pc.cast(col, pa.int64())
+
+        # bounds pass: 32 bytes per batch reach the driver, columns
+        # pruned at the read (the quantizer needs global min/max)
+        def _bounds(t: pa.Table) -> pa.Table:
+            va = _as_i64(t.column(ca).combine_chunks())
+            vb = _as_i64(t.column(cb).combine_chunks())
+            return pa.table(
+                {
+                    "a_min": [_pc.min(va).as_py()],
+                    "a_max": [_pc.max(va).as_py()],
+                    "b_min": [_pc.min(vb).as_py()],
+                    "b_max": [_pc.max(vb).as_py()],
+                }
+            )
+
+        bp = (
+            ray.data.read_parquet(input_files, columns=[ca, cb])
+            .map_batches(_bounds, batch_format="pyarrow")
+            .to_pandas()
+        )
+        a_min, a_max = int(bp["a_min"].min()), int(bp["a_max"].max())
+        b_min, b_max = int(bp["b_min"].min()), int(bp["b_max"].max())
+
+        def _quant(v: np.ndarray, lo: int, hi: int) -> np.ndarray:
+            span = hi - lo
+            v = v.astype(np.int64) - lo
+            if span >= (1 << 31):
+                v = (v.astype(np.float64) * (((1 << 31) - 1) / span)).astype(
+                    np.int64
+                )
+            return v
+
+        def add_zkey(t: pa.Table) -> pa.Table:
+            va = _as_i64(t.column(ca).combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            vb = _as_i64(t.column(cb).combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
+            key = morton_key(_quant(va, a_min, a_max), _quant(vb, b_min, b_max))
+            return t.append_column("_zkey", pa.array(key, type=pa.int64()))
+
+        def drop_zkey(t: pa.Table) -> pa.Table:
+            return t.drop_columns(["_zkey"])
+
+        ds = read_parquet_pathwise(input_files, columns=columns)
+        encoder = ChunkEncoder(
+            output_dir=output_dir,
+            rows_per_chunk=rows_per_chunk,
+            skip_completed=False,
+            compression=compression,
+            bloom_columns=bloom_columns,
+            default_shard="zorder",
+        )
+        encoder.shard_per_call = True
+        lineage = (
+            ds.map_batches(add_zkey, batch_format="pyarrow")
+            .sort("_zkey")
+            .map_batches(drop_zkey, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                encoder,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
         )
         skipped = 0
     elif mode == "lang_salted":

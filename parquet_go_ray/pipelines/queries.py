@@ -324,6 +324,32 @@ def q_encode_decode_documents(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "documents"))
 
 
+def q_encode_decode_zorder(sf_dir):
+    """Z-ORDER BY clustering round-trip: documents encoded via the
+    Morton-key global sort on (doc_id, n_chars), decoded back
+    value-identical (the clustering changes LAYOUT, never content).
+    The both-column pruning win is asserted in test_pruning.py."""
+    import hashlib
+    import os
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .decode import decode_dataset
+    from .encode import encode_job
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_zorder_v{FORMAT_VERSION}_{key}"
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        encode_job(
+            [f"{sf_dir}/documents.parquet"],
+            out,
+            mode="zorder",
+            rows_per_chunk=512,
+            bloom_columns=(),
+            zorder_cols=("doc_id", "n_chars"),
+        )
+    return decode_dataset(out)
+
+
 def q_encode_decode_events(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "events"))
 
@@ -1926,6 +1952,7 @@ QUERIES = {
     "shuffle_train_order": q_shuffle_train_order,
     "pack_sequences": q_pack_sequences,
     "text_semantic_pairs": q_text_semantic_pairs,
+    "encode_decode_zorder": q_encode_decode_zorder,
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
@@ -2025,6 +2052,7 @@ ORACLES = {
         "AS BIGINT) AS n_tokens FROM documents"
     ),
     "encode_decode_documents": "SELECT * FROM documents",
+    "encode_decode_zorder": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",
     "parquet_wire_roundtrip": "SELECT * FROM lineitem",

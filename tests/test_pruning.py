@@ -131,3 +131,60 @@ def test_point_lookup_missing_key(ray_session, encoded_store):
     _, out = encoded_store
     ds = point_lookup(out, "url", ["https://nonexistent.example/x"])
     assert ds.count() == 0
+
+
+def test_zorder_mode_prunes_both_columns(ray_session, tmp_path):
+    """mode="zorder" clusters on the Morton interleave of two columns:
+    a range predicate on EITHER column prunes chunk stats (vs a random
+    layout where nothing prunes), and pruned decodes stay exact."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.decode import (
+        chunk_groups_pruned,
+        decode_dataset_pruned,
+    )
+    from parquet_go_ray.pipelines.encode import encode_job
+
+    rng = np.random.default_rng(1)
+    n = 40_000
+    t = pa.table(
+        {
+            "doc_id": pa.array(rng.permutation(n).astype(np.int64)),
+            "warc_ts": pa.array(
+                rng.integers(0, 10_000, n).astype(np.int64)
+            ),
+            "n_chars": pa.array(
+                rng.integers(0, 5_000, n).astype(np.int64)
+            ),
+        }
+    )
+    src = str(tmp_path / "src.parquet")
+    pq.write_table(t, src)
+    direct = str(tmp_path / "direct")
+    zorder = str(tmp_path / "zorder")
+    encode_job([src], direct, rows_per_chunk=1024, bloom_columns=())
+    encode_job(
+        [src],
+        zorder,
+        mode="zorder",
+        rows_per_chunk=1024,
+        bloom_columns=(),
+        zorder_cols=("warc_ts", "n_chars"),
+    )
+    for col, lo, hi in [("warc_ts", 1000, 1500), ("n_chars", 2000, 2400)]:
+        _, kept_d = chunk_groups_pruned(direct, col, lo, hi)
+        _, kept_z = chunk_groups_pruned(zorder, col, lo, hi)
+        # random layout: every chunk spans the range -> nothing prunes;
+        # z-order: a small fraction survives ON BOTH columns
+        assert len(kept_d) == 40
+        assert len(kept_z) <= (len(kept_d) * 11) // 20, (col, len(kept_z))
+        out = decode_dataset_pruned(zorder, col, lo, hi).to_pandas()
+        vals = t[col].to_numpy()
+        assert len(out) == int(((vals >= lo) & (vals <= hi)).sum())
+        got = np.sort(out[col].to_numpy())
+        exp = np.sort(vals[(vals >= lo) & (vals <= hi)])
+        assert (got == exp).all()
