@@ -131,3 +131,38 @@ def extract_main_text_general(
         text.filter(pa.array(keep)),
     )
     return pc.binary_join(kept_list, "\n")
+
+
+def canonicalize_urls(url_col) -> pa.Array:
+    """Canonical form of each url — the dedup key a crawl pipeline
+    groups on (the same page is typically crawled under many spellings):
+
+      1. fragment stripped (#... never reaches the server),
+      2. utm_* tracking params removed (with their separator),
+      3. the first '&' promoted to '?' if the '?' was removed in 2,
+      4. scheme and host lowercased (they are case-insensitive; the
+         path is NOT touched — it is case-sensitive),
+      5. trailing '/' and trailing '?' stripped.
+
+    Every step is one RE2 pass (pyarrow and DuckDB both compile RE2, so
+    the SQL oracle runs the LITERAL same patterns — the redact_pii
+    verification pattern). No per-row Python."""
+    u = _as_string(url_col)
+    if isinstance(u, pa.ChunkedArray):
+        u = u.combine_chunks()
+    c = pc.replace_substring_regex(u, r"#.*", "")
+    c = pc.replace_substring_regex(c, r"[?&]utm_[a-zA-Z]+=[^&]*", "")
+    c = pc.replace_substring_regex(c, r"^([^?]*)&", r"\1?")
+    # lowercase the scheme://host prefix in place (one anchored match)
+    m = pc.extract_regex(c, r"^(?P<pfx>[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)")
+    pfx = pc.struct_field(m, "pfx")
+    rest = pc.replace_substring_regex(
+        c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+", ""
+    )
+    lowered = pc.binary_join_element_wise(
+        pc.utf8_lower(pc.fill_null(pfx, "")), rest, ""
+    )
+    c = pc.if_else(pc.is_valid(pfx), lowered, c)
+    c = pc.replace_substring_regex(c, r"/$", "")
+    c = pc.replace_substring_regex(c, r"\?$", "")
+    return c

@@ -1602,6 +1602,110 @@ def q_extract_text_general(sf_dir):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _built_urls(t: pa.Table) -> pa.Array:
+    """Deterministic doc_id-derived url construction shared by the
+    canonicalization gates (identically constructed in SQL): mixed-case
+    scheme+host, utm params on even ids, fragment on ids % 3 == 0,
+    trailing slash on query-less ids % 5 == 0."""
+    ids = t.column("doc_id").to_numpy()
+    path = pc.cast(pa.array(ids % 50, type=pa.int64()), pa.string())
+    ref = pc.cast(pa.array(ids % 7, type=pa.int64()), pa.string())
+    qpart = pc.if_else(
+        pa.array(ids % 2 == 0),
+        pc.binary_join_element_wise("?utm_source=feed&ref=", ref, ""),
+        pa.scalar("", type=pa.string()),
+    )
+    fpart = pc.if_else(
+        pa.array(ids % 3 == 0),
+        pa.scalar("#s", type=pa.string()),
+        pa.scalar("", type=pa.string()),
+    )
+    spart = pc.if_else(
+        pa.array((ids % 2 == 1) & (ids % 5 == 0)),
+        pa.scalar("/", type=pa.string()),
+        pa.scalar("", type=pa.string()),
+    )
+    return pc.binary_join_element_wise(
+        "HTTPS://WWW.",
+        pc.cast(t.column("source"), pa.string()),
+        "/Dir/",
+        path,
+        qpart,
+        fpart,
+        spart,
+        "",
+    )
+
+
+_URL_BUILD_SQL = (
+    "'HTTPS://WWW.' || source || '/Dir/' || (doc_id % 50) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' || (doc_id % 7) "
+    "ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '#s' ELSE '' END) || "
+    "(CASE WHEN doc_id % 2 = 1 AND doc_id % 5 = 0 THEN '/' ELSE '' END)"
+)
+
+# the LITERAL same RE2 chain as functions.webtext.canonicalize_urls
+_URL_CANON_SQL = (
+    "regexp_replace(regexp_replace("
+    "lower(regexp_extract(c3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', 0)) || "
+    "regexp_replace(c3, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+', ''), "
+    "'/$', ''), '\\?$', '')"
+)
+_URL_C3_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(u, '#.*', ''), "
+    "'[?&]utm_[a-zA-Z]+=[^&]*', '', 'g'), '^([^?]*)&', '\\1?')"
+)
+
+
+def q_canonicalize_urls(sf_dir):
+    """URL canonicalization (the crawl-dedup key): fragment + utm
+    stripping, separator fix-up, scheme/host lowercasing, trailing
+    / and ? removal — every step one RE2 pass, the SQL oracle running
+    the literal same patterns over identically-constructed urls."""
+    from ..functions.webtext import canonicalize_urls
+
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "url": pc.cast(
+                    canonicalize_urls(_built_urls(t)), pa.string()
+                ),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_canonical_url_dedupe(sf_dir):
+    """Crawl dedup by canonical url: many spellings of the same page
+    (utm junk, fragments, case, trailing slash) collapse to one
+    canonical key; keep the smallest doc_id per key. Composition of
+    canonicalize_urls + the exact_dedupe hash partitioning, with the
+    canonical string riding the one shuffle as the dedup key."""
+    from ..functions.webtext import canonicalize_urls
+
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text": pc.cast(
+                    canonicalize_urls(_built_urls(t)), pa.string()
+                ),
+            }
+        )
+
+    n = _nrows(sf_dir, "documents")
+    return dedup.exact_dedupe(
+        ds.map_batches(fn, batch_format="pyarrow"), n_docs_hint=n
+    )
+
+
 def q_host_quota(sf_dir):
     """Per-domain quota sampling: at most 3 docs per source, the
     smallest doc_ids win (deterministic; SQL states it as a window
@@ -1947,6 +2051,8 @@ QUERIES = {
     "source_reputation": q_source_reputation,
     "host_quota": q_host_quota,
     "snapshot_dedupe": q_snapshot_dedupe,
+    "canonicalize_urls": q_canonicalize_urls,
+    "canonical_url_dedupe": q_canonical_url_dedupe,
     "extract_text_general": q_extract_text_general,
     "search_dict_domain": q_search_dict_domain,
     "shuffle_train_order": q_shuffle_train_order,
@@ -2133,6 +2239,18 @@ ORACLES = {
         "SELECT doc_id, source FROM documents WHERE source IN ("
         "SELECT source FROM documents GROUP BY source "
         "HAVING sum(n_chars) >= 280 * count(*))"
+    ),
+    "canonicalize_urls": (
+        "WITH b AS (SELECT doc_id, " + _URL_BUILD_SQL + " AS u FROM documents), "
+        "s AS (SELECT doc_id, " + _URL_C3_SQL + " AS c3 FROM b) "
+        "SELECT doc_id, " + _URL_CANON_SQL + " AS url FROM s"
+    ),
+    "canonical_url_dedupe": (
+        "WITH b AS (SELECT doc_id, " + _URL_BUILD_SQL + " AS u FROM documents), "
+        "s AS (SELECT doc_id, " + _URL_C3_SQL + " AS c3 FROM b), "
+        "c AS (SELECT doc_id, " + _URL_CANON_SQL + " AS url FROM s) "
+        "SELECT CAST(min(doc_id) AS BIGINT) AS keep_id, "
+        "CAST(count(*) AS BIGINT) AS n_dups FROM c GROUP BY url"
     ),
     "host_quota": (
         "SELECT doc_id, source FROM ("
