@@ -1962,6 +1962,149 @@ def q_media_features(sf_dir):
     )
 
 
+def q_topk_per_group(sf_dir):
+    """Group-wise top-k selection: the 3 longest docs per language,
+    doc_id breaking ties — the 'best k per group' ending of every
+    curation pipeline. k-bounded partials BEFORE the shuffle (<= k rows
+    per group per batch of (lang, n_chars, doc_id) triples), then a
+    hash-partitioned vectorized merge: the corpus never moves. SQL
+    states it as the ROW_NUMBER window."""
+    return relational.topk_per_group(
+        _read_split(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]),
+        group_col="lang",
+        score_col="n_chars",
+        id_col="doc_id",
+        k=3,
+        n_rows_hint=_nrows(sf_dir, "documents"),
+    )
+
+
+def q_anti_join(sf_dir):
+    """Broadcast EXACT anti-join: drop every document whose source also
+    published an outlier-length page (max n_chars > 530) — the
+    blocklist-join shape (banned hosts / opted-out domains). The
+    blocklist is computed distributed (groupby max = mergeable
+    partials), broadcast once via ray.put, and probed zero-copy in
+    every task; the corpus itself never shuffles. Exactness matters: a
+    bloom FP here would silently drop a kept document, so unlike
+    bloom_semi_join no filter approximation is admissible."""
+    docs = _read(sf_dir, "documents")
+    heads = (
+        _read(sf_dir, "documents", columns=["source", "n_chars"])
+        .groupby("source")
+        .max("n_chars")
+    )
+    block = heads.map_batches(
+        lambda t: t.filter(
+            pc.greater(t.column("max(n_chars)"), pa.scalar(530, pa.int64()))
+        ).select(["source"]),
+        batch_format="pyarrow",
+    )
+    return relational.anti_join_broadcast(docs, "source", block)
+
+
+_RANGE_WINDOWS = [
+    ("y1995", "1995-01-01", "1996-01-01"),
+    ("y1996", "1996-01-01", "1997-01-01"),
+    ("y1997", "1997-01-01", "1998-01-01"),
+    ("mid9697", "1996-07-01", "1997-07-01"),
+    ("late", "1998-01-01", "2002-01-01"),
+    ("q1_99", "1999-01-01", "1999-04-01"),
+]
+
+
+def q_range_join(sf_dir):
+    """Interval (range) join: orders joined to OVERLAPPING calendar
+    windows — one order can land in several windows, which is what
+    separates a range join from bucketing. Broadcast map-side
+    evaluation: the window list rides the task closure, one vectorized
+    mask per window per batch, zero shuffle (SCALE.md documents the
+    large-interval-side variant this deliberately is not)."""
+    from datetime import datetime
+
+    iv = [
+        (n, datetime.fromisoformat(lo), datetime.fromisoformat(hi))
+        for n, lo, hi in _RANGE_WINDOWS
+    ]
+    return relational.interval_join_broadcast(
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]),
+        value_col="o_orderdate",
+        intervals=iv,
+        out_cols=["o_orderkey"],
+    )
+
+
+def q_bm25_scores(sf_dir):
+    """BM25 ranking of the corpus against the fixed query-term set
+    (k1=1.2, b=0.75) — tfidf_scores plus the document-length
+    normalization real retrieval uses. Same two zero-shuffle streaming
+    passes: (1) per-batch (df, n, dl_sum) partials — a fixed-size
+    vector per batch folded on the driver; (2) per-batch scores with
+    (idf, avgdl) closed over. Exact-mirrored float discipline: ln() is
+    quantized to integer millis exactly like tfidf_scores, and every
+    remaining op (*, /, +) is correctly-rounded IEEE double evaluated
+    with the IDENTICAL expression tree in numpy and DuckDB, so each
+    per-term contribution quantizes to the same integer on both sides
+    and the final score is an order-free integer sum."""
+    terms = np.array(_TFIDF_TERMS, dtype=object)
+    K1, B = 1.2, 0.75
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _tf_dl(df: pd.DataFrame):
+        toks = df["text"].str.split(" ")
+        dl = toks.str.len().to_numpy().astype(np.int64)
+        ex = toks.explode()
+        hit = ex[ex.isin(terms)]
+        tf = np.zeros((len(df), len(terms)), dtype=np.int64)
+        if len(hit):
+            ridx = pd.Series(
+                np.arange(len(df)), index=df.index
+            ).reindex(hit.index).to_numpy()
+            tidx = np.searchsorted(terms, hit.to_numpy(dtype=object))
+            np.add.at(tf, (ridx, tidx), 1)
+        return tf, dl
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _tf_dl(df)
+        return pd.DataFrame(
+            {
+                "df": [(tf > 0).sum(axis=0).astype(np.int64).tobytes()],
+                "n": np.array([len(df)], dtype=np.int64),
+                "dl_sum": np.array([int(dl.sum())], dtype=np.int64),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    dfv = np.zeros(len(terms), dtype=np.int64)
+    for b in parts["df"]:
+        dfv += np.frombuffer(b, dtype=np.int64)
+    n_docs = int(parts["n"].sum())
+    avgdl = np.float64(int(parts["dl_sum"].sum())) / np.float64(n_docs)
+    idf_millis = np.floor(
+        np.log((n_docs - dfv + 0.5) / (dfv + 0.5) + 1.0) * 1000 + 0.5
+    ).astype(np.int64)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        tf, dl = _tf_dl(df)
+        tf_f = tf.astype(np.float64)
+        # norm = k1 * (1 - b + b * (dl / avgdl)), shaped (rows, 1); the
+        # SQL oracle spells the identical tree so IEEE rounding matches
+        norm = (K1 * (0.25 + 0.75 * (dl.astype(np.float64) / avgdl)))[:, None]
+        contrib = (idf_millis[None, :] * (tf_f * 2.2)) / (tf_f + norm)
+        ci = np.floor(contrib * 1000.0 + 0.5).astype(np.int64)
+        ci[tf == 0] = 0
+        s = ci.sum(axis=1)
+        any_hit = tf.sum(axis=1) > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy()[any_hit].astype(np.int64),
+                "score": s[any_hit],
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
 # --------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2062,9 +2205,50 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "repetition_scores": q_repetition_scores,
     "stopword_fraction": q_stopword_fraction,
+    "topk_per_group": q_topk_per_group,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
+    "bm25_scores": q_bm25_scores,
 }
 
 ORACLES = {
+    "topk_per_group": (
+        "SELECT lang, n_chars, doc_id FROM documents "
+        "QUALIFY row_number() OVER "
+        "(PARTITION BY lang ORDER BY n_chars DESC, doc_id) <= 3"
+    ),
+    "anti_join": (
+        "SELECT * FROM documents WHERE source NOT IN "
+        "(SELECT source FROM documents GROUP BY source "
+        "HAVING max(n_chars) > 530)"
+    ),
+    "range_join": (
+        "SELECT o_orderkey, w.window_name FROM orders JOIN (VALUES "
+        + ", ".join(
+            f"('{n}', TIMESTAMP '{lo}', TIMESTAMP '{hi}')"
+            for n, lo, hi in _RANGE_WINDOWS
+        )
+        + ") AS w(window_name, lo, hi) "
+        "ON o_orderdate >= w.lo AND o_orderdate < w.hi"
+    ),
+    "bm25_scores": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS c FROM toks "
+        "WHERE token IN ('column','join','merge','order','scan') GROUP BY 1, 2), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS d FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS nn, sum(dl) AS dl_sum FROM dls), "
+        "idf AS (SELECT token, CAST(floor(ln((nn - d + 0.5)/(d + 0.5) + 1) * 1000 "
+        "+ 0.5) AS BIGINT) AS idf_millis FROM df, n) "
+        "SELECT tf.doc_id, CAST(sum(CAST(floor("
+        "idf.idf_millis * (tf.c * 2.2) / (tf.c + "
+        "(1.2 * (0.25 + 0.75 * (dls.dl / (n.dl_sum / nn))))) "
+        "* 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score "
+        "FROM tf JOIN idf USING (token) JOIN dls USING (doc_id), n "
+        "GROUP BY tf.doc_id ORDER BY doc_id"
+    ),
     "filter_rows": "SELECT * FROM documents WHERE lang = 'en' AND n_chars > 300",
     "transform_project": (
         "SELECT doc_id, n_chars * 2 AS n_chars_2x, upper(lang) AS lang_uc "

@@ -364,3 +364,135 @@ def deterministic_shuffle(
     return ds.map_batches(add_key, batch_format="pandas").sort(
         ["shuffle_key", id_col]
     )
+
+
+def topk_per_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    k: int,
+    n_rows_hint: int | None = None,
+) -> ray.data.Dataset:
+    """Group-wise top-k by score (highest `score_col` wins, `id_col`
+    ascending breaks ties) — the 'best k examples per language /
+    domain / cluster' selection every curation pipeline ends with.
+
+    Scale shape (the host_quota discipline): a batch partial keeps at
+    most k rows per group per batch BEFORE any exchange, so the shuffle
+    carries <= k * n_batches rows per group of (group, score, id)
+    triples — never the corpus, never the payload. The merge side is
+    hash-partitioned on the group value with ONE vectorized
+    sort+groupby-head per partition (no per-group Python at web-scale
+    group cardinalities). Rebuilding full rows for the winners is the
+    caller's id-join if needed; emitting ids keeps the exchange k-bounded.
+    """
+    from .dedup import _n_partitions
+
+    kk = int(k)
+    P = _n_partitions(n_rows_hint, 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sub = (
+            df[[group_col, score_col, id_col]]
+            .sort_values(
+                [score_col, id_col], ascending=[False, True], kind="stable"
+            )
+            .groupby(group_col, sort=False)
+            .head(kk)
+        )
+        g = sub[group_col].to_numpy()
+        h = stable_hash_strings(g.astype(object))
+        return pd.DataFrame(
+            {
+                group_col: g,
+                score_col: sub[score_col].to_numpy(),
+                id_col: sub[id_col].to_numpy().astype(np.int64),
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            part.sort_values(
+                [score_col, id_col], ascending=[False, True], kind="stable"
+            )
+            .groupby(group_col, sort=False)
+            .head(kk)
+        )
+        return out[[group_col, score_col, id_col]].reset_index(drop=True)
+
+    return (
+        ds.select_columns([group_col, score_col, id_col])
+        .map_batches(partial, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def anti_join_broadcast(
+    ds: ray.data.Dataset,
+    key_col: str,
+    keys_small: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Broadcast ANTI join: keep rows of `ds` whose `key_col` does NOT
+    appear in `keys_small` (a blocklist join — banned hosts, revoked
+    licenses, opted-out domains).
+
+    The small side is materialized ONCE into the object store
+    (`ray.put`) and probed zero-copy inside every task — the corpus
+    never shuffles, the exchange is |blocklist| bytes total. This is
+    the complement of bloom_semi_join, but EXACT and inverted: a false
+    positive here would silently drop a kept row, so no filter
+    approximation is admissible (same reasoning as the curation
+    chain's exact anti-join, dedup.py::anti_join_ids)."""
+    import pyarrow.compute as _pc
+
+    small = pa.concat_tables(
+        ray.get(keys_small.to_arrow_refs()), promote_options="default"
+    )
+    block_ref = ray.put(small.column(0).combine_chunks())
+
+    def drop(t: pa.Table) -> pa.Table:
+        block = ray.get(block_ref)
+        mask = _pc.is_in(t.column(key_col), value_set=block)
+        return t.filter(_pc.invert(mask))
+
+    return ds.map_batches(drop, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_join_broadcast(
+    ds: ray.data.Dataset,
+    value_col: str,
+    intervals: list[tuple],
+    out_cols: list[str],
+    name_col: str = "window_name",
+) -> ray.data.Dataset:
+    """Broadcast INTERVAL (range) join: each row joins every interval
+    `(name, lo, hi)` with lo <= value < hi — overlapping intervals fan
+    a row out to multiple matches (calendar windows, SLA bands,
+    retention tiers). Ray Data has no native range join; against a
+    SMALL interval table the right shape is a broadcast map-side join:
+    the interval list rides the closure (bytes), each task evaluates
+    all intervals against its batch with one vectorized mask per
+    interval, and NOTHING shuffles. The per-interval loop is over
+    |intervals| (small by precondition), never over rows; a large
+    interval side would instead need the sorted-endpoint partition
+    strategy documented in SCALE.md."""
+
+    def fan(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        parts = []
+        for name, lo, hi in intervals:
+            mask = pc.and_(
+                pc.greater_equal(v, pa.scalar(lo)), pc.less(v, pa.scalar(hi))
+            )
+            sub = t.filter(mask).select(out_cols)
+            parts.append(
+                sub.append_column(
+                    name_col, pa.array([name] * sub.num_rows, pa.string())
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(fan, batch_format="pyarrow", zero_copy_batch=True)
