@@ -2105,6 +2105,109 @@ def q_bm25_scores(sf_dir):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def q_top_revenue_customers(sf_dir):
+    """TPC-H Q3/Q10-shaped multi-join analytics: lineitem ⋈ orders ⋈
+    customer, revenue per customer over the 1996 ship year, top 10.
+    The composition the engine's join/agg primitives exist for, staged
+    scale-first: (1) lineitem filtered AND pre-aggregated to
+    (orderkey, cents) partials inside each batch BEFORE any exchange;
+    (2) a bucket-partitioned join with orders on orderkey (both sides
+    large; B sized from row count), each bucket emitting (custkey,
+    cents) partials — never row-level join output; (3) a tiny
+    groupby-sum over customer count rows; (4) customer names broadcast;
+    (5) global top-10 via sort+limit on the already-small aggregate.
+    Revenue is exact integer cents — floor(ep * (1 - disc) * 100 + .5)
+    with the identical IEEE tree in numpy and the SQL oracle — so sums
+    are order-free and the hash compare is exact."""
+    import ray as _ray
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    B = max(16, -(-orders.count() // JOIN_BUCKET_TARGET_ROWS))
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        ep = df["l_extendedprice"].to_numpy()[m]
+        disc = df["l_discount"].to_numpy()[m]
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        ok = df["l_orderkey"].to_numpy()[m]
+        agg = pd.DataFrame({"key": ok, "cents": cents}).groupby(
+            "key", sort=False, as_index=False
+        )["cents"].sum()
+        return pd.DataFrame(
+            {
+                "key": agg["key"].astype(np.int64),
+                "cents": agg["cents"].astype(np.int64),
+                "cust": np.int64(-1),
+                "bucket": (agg["key"] % B).astype("int32"),
+            }
+        )
+
+    def o_tag(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "key": k,
+                "cents": np.int64(0),
+                "cust": df["o_custkey"].to_numpy().astype(np.int64),
+                "bucket": (k % B).astype("int32"),
+            }
+        )
+
+    both = li.map_batches(li_partial, batch_format="pandas").union(
+        orders.map_batches(o_tag, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        fact = g[g["cust"] < 0][["key", "cents"]]
+        dim = g[g["cust"] >= 0][["key", "cust"]].drop_duplicates("key")
+        out = fact.merge(dim, on="key", how="inner")
+        agg = out.groupby("cust", sort=False, as_index=False)["cents"].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": agg["cust"].astype(np.int64),
+                "cents": agg["cents"].astype(np.int64),
+            }
+        )
+
+    per_cust = (
+        both.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("o_custkey")
+        .sum("cents")
+    )
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .drop_duplicates("c_custkey")
+    )
+    names_ref = _ray.put(names)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        nm = _ray.get(names_ref).rename(columns={"c_custkey": "o_custkey"})
+        out = df.merge(nm, on="o_custkey", how="inner")
+        return pd.DataFrame(
+            {
+                "c_custkey": out["o_custkey"].astype(np.int64),
+                "c_name": out["c_name"],
+                "revenue_cents": out["sum(cents)"].astype(np.int64),
+            }
+        )
+
+    return (
+        per_cust.map_batches(attach, batch_format="pandas")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 # --------------------------------------------------------------- registry
 
 QUERIES = {
@@ -2209,6 +2312,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "range_join": q_range_join,
     "bm25_scores": q_bm25_scores,
+    "top_revenue_customers": q_top_revenue_customers,
 }
 
 ORACLES = {
@@ -2230,6 +2334,17 @@ ORACLES = {
         )
         + ") AS w(window_name, lo, hi) "
         "ON o_orderdate >= w.lo AND o_orderdate < w.hi"
+    ),
+    "top_revenue_customers": (
+        "WITH li AS (SELECT l_orderkey, CAST(floor(l_extendedprice * "
+        "(1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01'), "
+        "agg AS (SELECT o_custkey, SUM(cents) AS revenue FROM li "
+        "JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey) "
+        "SELECT c_custkey, c_name, CAST(revenue AS BIGINT) AS revenue_cents "
+        "FROM agg JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY revenue_cents DESC, c_custkey LIMIT 10"
     ),
     "bm25_scores": (
         "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
