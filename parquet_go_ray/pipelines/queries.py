@@ -2105,6 +2105,37 @@ def q_bm25_scores(sf_dir):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def q_quantile_sketch(sf_dir):
+    """Approximate quantiles of an UNBOUNDED double column via the
+    mergeable KLL sketch (functions/sketch.py::KLLSketch): each task
+    folds its batch into ~k*log(n/k) retained doubles, partials merge
+    associatively on the driver (sketch bytes only — the value column
+    never shuffles). The exact histogram-CDF operator
+    (length_percentiles) needs a bounded value domain; this is the
+    general-domain path. rows-only gate entry (approximate by design;
+    test_quantile_sketch.py pins the <=1% rank-error envelope and
+    bit-reproducibility)."""
+    from ..functions.sketch import KLLSketch
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = KLLSketch().update(df["value"].to_numpy())
+        return pd.DataFrame({"sketch": [s.to_bytes()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged = KLLSketch()
+    for blob in parts["sketch"]:
+        merged.merge(KLLSketch.from_bytes(blob))
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    return pd.DataFrame(
+        {
+            "q": np.array(qs, dtype=np.float64),
+            "value_est": np.array([merged.quantile(q) for q in qs]),
+        }
+    )
+
+
 def q_top_revenue_customers(sf_dir):
     """TPC-H Q3/Q10-shaped multi-join analytics: lineitem ⋈ orders ⋈
     customer, revenue per customer over the 1996 ship year, top 10.
@@ -2313,6 +2344,7 @@ QUERIES = {
     "range_join": q_range_join,
     "bm25_scores": q_bm25_scores,
     "top_revenue_customers": q_top_revenue_customers,
+    "quantile_sketch": q_quantile_sketch,
 }
 
 ORACLES = {
