@@ -269,6 +269,12 @@ def run_bench() -> dict:
         # ... and the COMPLETE chain with passage removal +
         # decontamination stacked on top (checkpointed seams)
         "curate_corpus_full",
+        # round-4 late additions: multi-join analytics, BM25 retrieval
+        # scoring, group-wise top-k, KLL quantile sketch
+        "top_revenue_customers",
+        "bm25_scores",
+        "topk_per_group",
+        "quantile_sketch",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

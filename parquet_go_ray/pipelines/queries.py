@@ -2105,6 +2105,140 @@ def q_bm25_scores(sf_dir):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def q_dataset_split(sf_dir):
+    """Deterministic train/valid/test split assignment (98/1/1) by a
+    hash of the doc id — the split is a pure function of the id, so it
+    survives re-crawls, resumes, corpus growth and cluster-size changes
+    (rows only ever ADD to a split, never migrate), unlike
+    ds.train_test_split whose assignment depends on block layout.
+    Map-only, zero shuffle; knuth32 mix so the oracle states the same
+    function in portable SQL."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        m = (((ids + 13) * np.int64(2654435761)) % np.int64(1 << 32)) % 100
+        split = np.where(m < 98, "train", np.where(m < 99, "valid", "test"))
+        return pd.DataFrame({"doc_id": ids, "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def q_weighted_sample(sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res): rank every doc by ln(u)/w with u a hash-derived uniform and
+    w = n_chars, keep the global top 100 — longer docs proportionally
+    likelier, yet the draw is a PURE FUNCTION of (doc_id, seed): rerun,
+    resume, and cluster-size invariant (the deterministic_shuffle
+    commitment, applied to importance sampling). u uses the knuth32 mix
+    exactly because it is portable SQL — the oracle states the same
+    key. Scale shape: per-batch partial top-100 bounds what leaves each
+    task to k rows; the final merge sees k*batches rows, never the
+    corpus. ln() 1-ulp divergence between numpy and DuckDB can only
+    flip the boundary pair if two keys land within ~1e-16 relative —
+    negligible even at 10^8 docs."""
+    ds = _read_split(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    K = 100
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        w = df["n_chars"].to_numpy().astype(np.float64)
+        mix = ((ids + 7) * np.int64(2654435761)) % np.int64(1 << 32)
+        u = (mix.astype(np.float64) + 1.0) / np.float64((1 << 32) + 1)
+        key = np.log(u) / w
+        out = pd.DataFrame({"doc_id": ids, "key": key})
+        return out.nlargest(K, "key")
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.nlargest(K, "key")
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy().astype(np.int64)})
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas")
+    )
+
+
+def q_cdf_ranks(sf_dir):
+    """Within-group rank (score calibration: where does each doc sit in
+    its language's length distribution?). Computed WITHOUT a sort
+    shuffle: n_chars is bounded-domain, so pass 1 builds per-(lang,
+    value) histogram partials (distinct-value-bounded, the
+    length_percentiles discipline), the merged per-lang CDF is
+    broadcast once, and pass 2 maps each row to rank = CDF(value-1)+1 —
+    SQL's RANK() semantics (ties share the smallest rank). Corpus never
+    moves; the exchange is the histogram."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def hist_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["lang", "n_chars"], as_index=False).size()
+        return g.rename(columns={"size": "c"})
+
+    hist = (
+        ds.map_batches(hist_partial, batch_format="pandas")
+        .to_pandas()
+        .groupby(["lang", "n_chars"], as_index=False)["c"]
+        .sum()
+    )
+    # per-lang cumulative counts of STRICTLY smaller values -> rank base
+    hist = hist.sort_values(["lang", "n_chars"], kind="stable")
+    hist["below"] = hist.groupby("lang")["c"].cumsum() - hist["c"]
+    lut = {
+        lang: (g["n_chars"].to_numpy(), g["below"].to_numpy())
+        for lang, g in hist.groupby("lang")
+    }
+    lut_ref = _ray.put(lut)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        table = _ray.get(lut_ref)
+        ranks = np.empty(len(df), dtype=np.int64)
+        langs = df["lang"].to_numpy()
+        vals = df["n_chars"].to_numpy()
+        for lang in pd.unique(langs):
+            m = langs == lang
+            v, below = table[lang]
+            ranks[m] = below[np.searchsorted(v, vals[m])] + 1
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy().astype(np.int64),
+                "lang": langs,
+                "len_rank": ranks,
+            }
+        )
+
+    return ds.map_batches(attach, batch_format="pandas")
+
+
+def q_group_distinct(sf_dir):
+    """Exact distinct-count per group (distinct users per event type):
+    per-batch LOCAL dedup first, so the exchange carries distinct
+    (event_type, user_id) pairs per batch — bounded by the true distinct
+    count times batch overlap, never the event count — then one
+    dedup+count over the pair stream. The sketch-sized alternative is
+    per-group HLL registers; this is the exact form."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users": np.array([g["user_id"].nunique()], dtype=np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(local, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(count, batch_format="pandas")
+    )
+
+
 def q_quantile_sketch(sf_dir):
     """Approximate quantiles of an UNBOUNDED double column via the
     mergeable KLL sketch (functions/sketch.py::KLLSketch): each task
@@ -2203,16 +2337,35 @@ def q_top_revenue_customers(sf_dir):
         agg = out.groupby("cust", sort=False, as_index=False)["cents"].sum()
         return pd.DataFrame(
             {
-                "o_custkey": agg["cust"].astype(np.int64),
+                "cust": agg["cust"].astype(np.int64),
                 "cents": agg["cents"].astype(np.int64),
+                # second-stage key: ALL of a customer's per-orderkey-
+                # bucket partials share cust % B, so one map_groups
+                # completes each customer's total exactly
+                "bucket2": (agg["cust"] % B).astype("int32"),
             }
         )
 
-    per_cust = (
+    def sum_topk_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # exact per-customer totals (this bucket owns every partial of
+        # its customers), then a top-10 PARTIAL: the global top-10 is a
+        # subset of the per-bucket top-10s, so only 10 rows leave
+        agg = g.groupby("cust", sort=False, as_index=False)["cents"].sum()
+        agg = agg.sort_values(
+            ["cents", "cust"], ascending=[False, True], kind="stable"
+        ).head(10)
+        return pd.DataFrame(
+            {
+                "o_custkey": agg["cust"].astype(np.int64),
+                "revenue_cents": agg["cents"].astype(np.int64),
+            }
+        )
+
+    cand = (
         both.groupby("bucket")
         .map_groups(join_bucket, batch_format="pandas")
-        .groupby("o_custkey")
-        .sum("cents")
+        .groupby("bucket2")
+        .map_groups(sum_topk_bucket, batch_format="pandas")
     )
     names = (
         _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
@@ -2221,21 +2374,24 @@ def q_top_revenue_customers(sf_dir):
     )
     names_ref = _ray.put(names)
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        # <= 10*B candidate rows: one vectorized merge, not a sort shuffle
+        top = df.sort_values(
+            ["revenue_cents", "o_custkey"], ascending=[False, True], kind="stable"
+        ).head(10)
         nm = _ray.get(names_ref).rename(columns={"c_custkey": "o_custkey"})
-        out = df.merge(nm, on="o_custkey", how="inner")
+        out = top.merge(nm, on="o_custkey", how="inner")
         return pd.DataFrame(
             {
                 "c_custkey": out["o_custkey"].astype(np.int64),
                 "c_name": out["c_name"],
-                "revenue_cents": out["sum(cents)"].astype(np.int64),
+                "revenue_cents": out["revenue_cents"].astype(np.int64),
             }
         )
 
-    return (
-        per_cust.map_batches(attach, batch_format="pandas")
-        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
-        .limit(10)
+    # batch_size=None: the single repartitioned block arrives whole
+    return cand.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
     )
 
 
@@ -2345,6 +2501,10 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "top_revenue_customers": q_top_revenue_customers,
     "quantile_sketch": q_quantile_sketch,
+    "weighted_sample": q_weighted_sample,
+    "cdf_ranks": q_cdf_ranks,
+    "group_distinct": q_group_distinct,
+    "dataset_split": q_dataset_split,
 }
 
 ORACLES = {
@@ -2366,6 +2526,27 @@ ORACLES = {
         )
         + ") AS w(window_name, lo, hi) "
         "ON o_orderdate >= w.lo AND o_orderdate < w.hi"
+    ),
+    "dataset_split": (
+        "SELECT doc_id, CASE "
+        "WHEN (((doc_id + 13) * 2654435761) % 4294967296) % 100 < 98 THEN 'train' "
+        "WHEN (((doc_id + 13) * 2654435761) % 4294967296) % 100 < 99 THEN 'valid' "
+        "ELSE 'test' END AS split FROM documents"
+    ),
+    "weighted_sample": (
+        "SELECT doc_id FROM (SELECT doc_id, "
+        "ln((((doc_id + 7) * 2654435761) % 4294967296 + 1.0) / 4294967297.0) "
+        "/ n_chars AS key FROM documents) "
+        "ORDER BY key DESC LIMIT 100"
+    ),
+    "cdf_ranks": (
+        "SELECT doc_id, lang, CAST(rank() OVER "
+        "(PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS len_rank "
+        "FROM documents"
+    ),
+    "group_distinct": (
+        "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+        "FROM events GROUP BY event_type"
     ),
     "top_revenue_customers": (
         "WITH li AS (SELECT l_orderkey, CAST(floor(l_extendedprice * "
