@@ -2105,6 +2105,87 @@ def q_bm25_scores(sf_dir):
     return ds.map_batches(score, batch_format="pandas")
 
 
+def q_snapshot_diff(sf_dir):
+    """Incremental crawl diff: classify every page across two snapshots
+    as added / removed / changed / unchanged — the bookkeeping step
+    before an incremental re-encode (only 'added'+'changed' need work,
+    'removed' become tombstone candidates). The simulated re-crawl is a
+    pure function of the old snapshot: ids %7==0 dropped (dead pages),
+    ids %3!=0 edited, ids+10^6 for a 5% tail appended as new pages.
+
+    Scale shape: each side ships (doc_id, content_hash128) — 24 B/row,
+    never the text — into id-hash partitions; the classify is one
+    vectorized merge per partition. The oracle states the same FULL
+    OUTER JOIN on doc_id with text equality (exact, since the 128-bit
+    content hash stands in for text equality at 2^-64 collision odds)."""
+    from ..functions.hashing import content_hash128
+    from .dedup import _n_partitions
+
+    n = _nrows(sf_dir, "documents")
+    P = _n_partitions(n, 1)
+    old = _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def recrawl(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        text = df["text"].to_numpy().astype(object)
+        keep = ids % 7 != 0
+        ids_k, text_k = ids[keep], text[keep]
+        changed = ids_k % 3 != 0
+        out_ids = [ids_k]
+        out_text = [np.where(changed, text_k + " v2", text_k)]
+        new_mask = ids % 20 == 0
+        out_ids.append(ids[new_mask] + 1_000_000)
+        out_text.append(text[new_mask] + " fresh page")
+        return pd.DataFrame(
+            {
+                "doc_id": np.concatenate(out_ids),
+                "text": np.concatenate(out_text),
+            }
+        )
+
+    new = _read_split(sf_dir, "documents", columns=["doc_id", "text"]).map_batches(
+        recrawl, batch_format="pandas"
+    )
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy().astype(np.int64)
+            h1, _h2 = content_hash128([t.encode() for t in df["text"]])
+            return pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "h": h1.view(np.int64),
+                    "side": np.int8(side),
+                    "pt": (ids % P).astype(np.int64),
+                }
+            )
+
+        return fn
+
+    both = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas")
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["doc_id", "h"]]
+        nn = g[g["side"] == 1][["doc_id", "h"]]
+        m = o.merge(nn, on="doc_id", how="outer", suffixes=("_o", "_n"))
+        status = np.where(
+            m["h_o"].isna(),
+            "added",
+            np.where(
+                m["h_n"].isna(),
+                "removed",
+                np.where(m["h_o"] == m["h_n"], "unchanged", "changed"),
+            ),
+        )
+        return pd.DataFrame(
+            {"doc_id": m["doc_id"].astype(np.int64), "status": status}
+        )
+
+    return both.groupby("pt").map_groups(classify, batch_format="pandas")
+
+
 def q_dataset_split(sf_dir):
     """Deterministic train/valid/test split assignment (98/1/1) by a
     hash of the doc id — the split is a pure function of the id, so it
@@ -2237,6 +2318,44 @@ def q_group_distinct(sf_dir):
         .groupby("event_type")
         .map_groups(count, batch_format="pandas")
     )
+
+
+def q_group_quantile_sketch(sf_dir):
+    """Per-group approximate quantiles (value distribution per event
+    type) via one KLL sketch per group: batch partials hold a dict of
+    group -> sketch bytes (group-count bounded, like the per-group HLL
+    alternative), merged associatively. Group cardinality here is
+    event-type-sized; web-scale group counts (per-domain) would route
+    through the hash-partitioned merge instead — documented at the
+    operator. rows-only gate entry (approximate by design; pytest pins
+    the per-group 1% rank-error envelope)."""
+    from ..functions.sketch import KLLSketch
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type", sort=False):
+            rows.append((et, KLLSketch().update(g["value"].to_numpy()).to_bytes()))
+        return pd.DataFrame(rows, columns=["event_type", "sketch"])
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    merged: dict[str, KLLSketch] = {}
+    for et, blob in zip(parts["event_type"], parts["sketch"]):
+        s = KLLSketch.from_bytes(blob)
+        if et in merged:
+            merged[et].merge(s)
+        else:
+            merged[et] = s
+    qs = (0.5, 0.9, 0.99)
+    out = {
+        "event_type": sorted(merged),
+        **{
+            f"p{int(q * 100)}": [merged[et].quantile(q) for et in sorted(merged)]
+            for q in qs
+        },
+    }
+    return pd.DataFrame(out)
 
 
 def q_quantile_sketch(sf_dir):
@@ -2505,6 +2624,8 @@ QUERIES = {
     "cdf_ranks": q_cdf_ranks,
     "group_distinct": q_group_distinct,
     "dataset_split": q_dataset_split,
+    "snapshot_diff": q_snapshot_diff,
+    "group_quantile_sketch": q_group_quantile_sketch,
 }
 
 ORACLES = {
@@ -2526,6 +2647,19 @@ ORACLES = {
         )
         + ") AS w(window_name, lo, hi) "
         "ON o_orderdate >= w.lo AND o_orderdate < w.hi"
+    ),
+    "snapshot_diff": (
+        "WITH new AS ("
+        "SELECT doc_id, CASE WHEN doc_id % 3 <> 0 THEN text || ' v2' "
+        "ELSE text END AS text FROM documents WHERE doc_id % 7 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text || ' fresh page' AS text "
+        "FROM documents WHERE doc_id % 20 = 0) "
+        "SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, "
+        "CASE WHEN o.doc_id IS NULL THEN 'added' "
+        "WHEN n.doc_id IS NULL THEN 'removed' "
+        "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status "
+        "FROM documents o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
     ),
     "dataset_split": (
         "SELECT doc_id, CASE "

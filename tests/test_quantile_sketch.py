@@ -75,6 +75,22 @@ def test_nan_and_empty_handling():
     assert s.rank(1.5) == 1
 
 
+def test_group_gate_query_distributed(ray_session, sf_dir):
+    import duckdb
+
+    from parquet_go_ray.pipelines.queries import QUERIES
+
+    out = QUERIES["group_quantile_sketch"](sf_dir)
+    assert list(out.columns) == ["event_type", "p50", "p90", "p99"]
+    df = duckdb.sql(
+        f"SELECT event_type, value FROM read_parquet('{sf_dir}/events.parquet')"
+    ).df()
+    for _, row in out.iterrows():
+        vals = np.sort(df[df["event_type"] == row["event_type"]]["value"].to_numpy())
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            assert _rank_err(vals, row[col], q) <= 0.01, (row["event_type"], col)
+
+
 def test_gate_query_distributed(ray_session, sf_dir):
     import duckdb
 
