@@ -222,6 +222,33 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_delete(args) -> int:
+    """Record a tombstone delete (no data rewritten; reads filter it
+    immediately). Values are parsed as int when possible, else kept as
+    strings — matching the column's type is the caller's contract."""
+    from .pipelines.tombstone import delete_where
+
+    vals = []
+    for v in args.values:
+        try:
+            vals.append(int(v))
+        except ValueError:
+            vals.append(v)
+    print(json.dumps(delete_where(args.encoded_dir, args.column, vals)))
+    return 0
+
+
+def cmd_purge(args) -> int:
+    """Physically reclaim tombstoned rows (stats-pruned shard rewrites
+    under the compaction intent-log protocol), then retire the
+    tombstone files."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.tombstone import purge_tombstones
+
+    print(json.dumps(purge_tombstones(args.encoded_dir)))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Distributed store consistency check (manifest vs files vs CRCs);
     exit 1 when errors are found."""
@@ -509,6 +536,16 @@ def main(argv=None) -> int:
     f.add_argument("--shallow", action="store_true",
                    help="skip payload decodes; structure + CRCs only")
     f.set_defaults(fn=cmd_fsck)
+
+    dl = sub.add_parser("delete")
+    dl.add_argument("encoded_dir")
+    dl.add_argument("column")
+    dl.add_argument("values", nargs="+")
+    dl.set_defaults(fn=cmd_delete)
+
+    pg = sub.add_parser("purge")
+    pg.add_argument("encoded_dir")
+    pg.set_defaults(fn=cmd_purge)
 
     cu = sub.add_parser("curate")
     cu.add_argument("input_dir")

@@ -189,7 +189,9 @@ def decode_dataset_pruned(
     )
     if residual:
         ds = _residual_filter(ds, column, lo, hi)
-    return ds
+    from .tombstone import anti_filter, load_tombstones
+
+    return anti_filter(ds, load_tombstones(encoded_dir))
 
 
 def _residual_filter(ds: ray.data.Dataset, column: str, lo, hi) -> ray.data.Dataset:
@@ -268,34 +270,50 @@ def point_lookup(
         mask = pc.is_in(t.column(column), value_set=__import__("pyarrow").array(list(keyset)))
         return t.filter(mask)
 
-    return ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(exact, batch_format="pyarrow", zero_copy_batch=True)
+    from .tombstone import anti_filter, load_tombstones
+
+    # a point lookup must not resurrect deleted rows
+    return anti_filter(ds, load_tombstones(encoded_dir))
 
 
 def decode_dataset(
     encoded_dir: str,
     columns: list[str] | None = None,
     concurrency: int | None = None,
+    apply_tombstones: bool = True,
 ) -> ray.data.Dataset:
     """Decode the store as a streaming Dataset. With `columns`, each task
     reads chunk files with a parquet row filter on the `column` field, so
     only the requested columns' payloads are read and decoded (the
-    reference's selected-columns page read, column.go:541-690)."""
+    reference's selected-columns page read, column.go:541-690).
+    Surviving tombstones (pipelines/tombstone.py) are applied as a
+    vectorized anti-filter; a projection that excludes a tombstoned
+    column transparently decodes it for the filter and drops it."""
     from ..state import manifest
+    from .tombstone import anti_filter, load_tombstones
 
     manifest.check_format_version(encoded_dir, "decode")
     files = chunk_files(encoded_dir)
     if not files:
         raise FileNotFoundError(f"no encoded chunks under {encoded_dir}")
+    tombs = load_tombstones(encoded_dir) if apply_tombstones else {}
+    decode_cols, drop = columns, []
+    if tombs and columns is not None:
+        drop = [c for c in tombs if c not in columns]
+        if drop:
+            decode_cols = list(columns) + drop
     # path-based tasks (pq.read_table in-task) rather than
     # read_binary_files: the file bytes never round-trip through the
     # object store, and column projection pushes into the parquet read
     ds = ray.data.from_items(files, override_num_blocks=len(files))
-    return ds.map_batches(
-        ChunkFileDecoder(columns=columns),
+    ds = ds.map_batches(
+        ChunkFileDecoder(columns=decode_cols),
         batch_format="pyarrow",
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+    return anti_filter(ds, tombs, drop=drop)
 
 
 def search_dict_domain(

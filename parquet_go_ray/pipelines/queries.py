@@ -350,6 +350,36 @@ def q_encode_decode_zorder(sf_dir):
     return decode_dataset(out)
 
 
+def q_encode_decode_deleted(sf_dir):
+    """Tombstone-delete read path (pipelines/tombstone.py): encode the
+    documents table, record a delete of every doc_id ending in 3 (a
+    KB-scale tombstone file — no data rewritten), decode. The anti-
+    filter must hide exactly those rows; the oracle states the same
+    NOT-IN. The store is rebuilt per run (deletes mutate it), under
+    /tmp per the scratch contract."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .decode import decode_dataset
+    from .encode import encode_job
+    from .tombstone import delete_where
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_tombstone_v{FORMAT_VERSION}_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    encode_job(
+        [f"{sf_dir}/documents.parquet"],
+        out,
+        rows_per_chunk=512,
+        bloom_columns=(),
+    )
+    n = _nrows(sf_dir, "documents")
+    delete_where(out, "doc_id", list(range(3, n, 10)))
+    return decode_dataset(out)
+
+
 def q_encode_decode_events(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "events"))
 
@@ -2626,6 +2656,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "snapshot_diff": q_snapshot_diff,
     "group_quantile_sketch": q_group_quantile_sketch,
+    "encode_decode_deleted": q_encode_decode_deleted,
 }
 
 ORACLES = {
@@ -2804,6 +2835,7 @@ ORACLES = {
         "AS BIGINT) AS n_tokens FROM documents"
     ),
     "encode_decode_documents": "SELECT * FROM documents",
+    "encode_decode_deleted": "SELECT * FROM documents WHERE doc_id % 10 <> 3",
     "encode_decode_zorder": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",

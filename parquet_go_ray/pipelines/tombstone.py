@@ -1,0 +1,267 @@
+"""Row deletion on the encode store WITHOUT rewriting it: tombstones.
+
+No analogue in the reference (parquet-go files are write-once,
+writer.go); this exists because a 100 TB corpus store receives deletion
+obligations (opt-outs, retractions, right-to-be-forgotten batches) long
+before its next full rewrite. Two-phase delta-lake shape:
+
+  1. `delete_where(store, column, values)` appends a TOMBSTONE file —
+     KBs of typed values, atomic rename, zero data touched. The read
+     paths (`decode_dataset`, `decode_dataset_pruned`, `point_lookup`)
+     load surviving tombstones ONCE at plan time (driver-side, metadata
+     scale) and apply them as a vectorized anti-filter (invert(is_in))
+     after decode. Deletes are small by contract — corpus-scale removal
+     is a curation rewrite, not a tombstone.
+  2. `purge_tombstones(store)` physically reclaims: only shards whose
+     per-chunk [vmin, vmax] stats CAN contain a tombstoned value
+     (conservative on missing / truncated / cross-typed stats) are
+     re-encoded without the matching rows, under the compaction
+     intent-log protocol (`purge-<hash>` groups, pipelines/compact.py);
+     the tombstone files present at plan time are removed only after
+     every candidate shard commits. A crash mid-purge leaves the
+     tombstones in place, so reads stay correct and a re-run completes
+     the remainder — idempotent, never duplicates or resurrects rows.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+_COLUMN_META = b"tombstone_column"
+
+
+def _tomb_dir(store_dir: str) -> Path:
+    return Path(store_dir) / "tombstones"
+
+
+def delete_where(store_dir: str, column: str, values) -> dict:
+    """Record a deletion: every row whose `column` equals any of
+    `values` disappears from subsequent reads. Values keep their Arrow
+    type (string keys, int ids, ...). Idempotent: re-issuing the same
+    delete is a no-op (content-addressed file name)."""
+    from ..state import manifest
+
+    manifest.check_format_version(store_dir, "delete")
+    arr = pa.array(values)
+    arr = pc.unique(arr)
+    if not len(arr):
+        return {"column": column, "values": 0, "file": None}
+    tid = hashlib.sha1(
+        column.encode() + b"\x00" + str(arr.to_pylist()).encode()
+    ).hexdigest()[:12]
+    d = _tomb_dir(store_dir)
+    d.mkdir(parents=True, exist_ok=True)
+    dest = d / f"ts-{tid}.parquet"
+    if not dest.exists():
+        t = pa.table({"value": arr}).replace_schema_metadata(
+            {_COLUMN_META: column.encode()}
+        )
+        tmp = d / f".ts-{tid}.tmp{os.getpid()}"
+        pq.write_table(t, tmp)
+        os.replace(tmp, dest)
+    return {"column": column, "values": len(arr), "file": str(dest)}
+
+
+def load_tombstones(store_dir: str) -> dict[str, pa.Array]:
+    """column -> deduped value array, across every surviving tombstone
+    file. Driver-side by design: tombstones are KB-scale metadata."""
+    out: dict[str, list[pa.Array]] = {}
+    d = _tomb_dir(store_dir)
+    if not d.is_dir():
+        return {}
+    for p in sorted(d.glob("ts-*.parquet")):
+        t = pq.read_table(p)
+        col = (t.schema.metadata or {}).get(_COLUMN_META)
+        if col is None:
+            continue
+        out.setdefault(col.decode(), []).append(
+            t.column("value").combine_chunks()
+        )
+    return {
+        c: pc.unique(pa.concat_arrays(arrs)) for c, arrs in out.items()
+    }
+
+
+def anti_filter(
+    ds: ray.data.Dataset,
+    tombs: dict[str, pa.Array],
+    drop: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Apply tombstones to a decoded Dataset: one vectorized
+    invert(is_in) per tombstoned column, then drop any columns that
+    were decoded only for the filter. The tombstone dict rides the
+    object store once (`ray.put`), not per batch."""
+    if not tombs:
+        return ds
+    ref = ray.put(tombs)
+    drop = list(drop or [])
+
+    def filt(t: pa.Table) -> pa.Table:
+        tb = ray.get(ref)
+        for col, vals in tb.items():
+            if col in t.column_names:
+                t = t.filter(
+                    pc.invert(
+                        pc.is_in(t.column(col), value_set=vals)
+                    )
+                )
+        if drop:
+            t = t.drop_columns([c for c in drop if c in t.column_names])
+        return t
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _maybe_contains(vmin_json, vmax_json, values: list) -> bool:
+    """Conservative per-chunk candidacy: False ONLY when the stats
+    prove no tombstoned value can be in [vmin, vmax]. Missing stats,
+    truncated-to-+inf vmax, or cross-typed comparisons stay True."""
+    try:
+        vmin = json.loads(vmin_json) if vmin_json else None
+        vmax = json.loads(vmax_json) if vmax_json else None
+        for v in values:
+            lo_ok = vmin is None or vmin <= v
+            hi_ok = vmax is None or v <= vmax
+            if lo_ok and hi_ok:
+                return True
+        return False
+    except Exception:
+        return True
+
+
+def purge_tombstones(
+    store_dir: str,
+    rows_per_chunk: int = 4096,
+    compression: str | None = None,
+) -> dict:
+    """Physically remove tombstoned rows, then retire the tombstone
+    files that were present at plan time. Safe to re-run."""
+    from ..state import manifest
+    from .compact import _drop_shard, _recover, _write_members
+
+    manifest.check_format_version(store_dir, "purge")
+    _recover(store_dir)
+    tombs = load_tombstones(store_dir)
+    tomb_files = sorted(_tomb_dir(store_dir).glob("ts-*.parquet"))
+    if not tombs:
+        return {"shards_rewritten": 0, "rows_removed": 0, "tombstones_retired": 0}
+
+    # candidate shards from the per-chunk stats (metadata-scale scan)
+    candidates: set[str] = set()
+    all_shards = manifest.completed_shards(store_dir)
+    for col, vals in tombs.items():
+        pyvals = vals.to_pylist()
+        lt = manifest.lineage_table(
+            store_dir,
+            columns=["shard", "column", "vmin", "vmax"],
+            filters=[("column", "==", col)],
+        )
+        if lt is None:
+            candidates |= all_shards
+            continue
+        seen_for_col: set[str] = set()
+        for r in lt.to_pylist():
+            seen_for_col.add(r["shard"])
+            if r["shard"] in candidates:
+                continue
+            if _maybe_contains(r.get("vmin"), r.get("vmax"), pyvals):
+                candidates.add(r["shard"])
+        # shards with no lineage row for the column (legacy/json-only
+        # manifests) stay conservative
+        candidates |= all_shards - seen_for_col
+    candidates &= all_shards
+    if not candidates:
+        for p in tomb_files:
+            p.unlink()
+        return {
+            "shards_rewritten": 0,
+            "rows_removed": 0,
+            "tombstones_retired": len(tomb_files),
+        }
+
+    tombs_ref = ray.put(tombs)
+
+    def purge_shard(batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_chunk_table
+        from ..stages.encode import ChunkEncoder, lineage_of, write_chunk_file
+
+        out = []
+        tb = ray.get(tombs_ref)
+        for shard in batch.column("item").to_pylist():
+            gid = "purge-" + hashlib.sha1(shard.encode()).hexdigest()[:12]
+            if (manifest.manifest_dir(store_dir) / f"{gid}.json").exists():
+                # a retried task already committed this purge group
+                _drop_shard(store_dir, shard)
+                mf = manifest.manifest_dir(store_dir) / f"{gid}.members.json"
+                if mf.exists():
+                    mf.unlink()
+                out.append({"shard": shard, "removed": 0})
+                continue
+            parts = []
+            for f in sorted((Path(store_dir) / "data" / shard).glob("*.parquet")):
+                parts.append(decode_chunk_table(pq.read_table(f)))
+            parts = [p for p in parts if p.num_columns]
+            if not parts:
+                out.append({"shard": shard, "removed": 0})
+                continue
+            rows = pa.concat_tables(parts, promote_options="default")
+            before = rows.num_rows
+            for col, vals in tb.items():
+                if col in rows.column_names:
+                    rows = rows.filter(
+                        pc.invert(pc.is_in(rows.column(col), value_set=vals))
+                    )
+            removed = before - rows.num_rows
+            if removed == 0:
+                out.append({"shard": shard, "removed": 0})
+                continue
+            _write_members(store_dir, gid, [shard])
+            if rows.num_rows:
+                enc = ChunkEncoder(
+                    output_dir=store_dir,
+                    rows_per_chunk=rows_per_chunk,
+                    skip_completed=False,
+                    compression=compression,
+                )
+                chunks = pa.concat_tables(
+                    enc._encode_groups(rows, gid, enc._cache())
+                )
+                chunks = write_chunk_file(chunks, store_dir)
+                manifest.record_shard_table(store_dir, gid, lineage_of(chunks))
+            # (whole-shard deletion commits NO new manifest: dropping the
+            # member is the entire change. A crash before the drop rolls
+            # the intent back and the still-present tombstones keep reads
+            # correct until the re-run — the safe direction either way.)
+            _drop_shard(store_dir, shard)
+            (manifest.manifest_dir(store_dir) / f"{gid}.members.json").unlink()
+            out.append({"shard": shard, "removed": removed})
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema([("shard", pa.string()), ("removed", pa.int64())]),
+        )
+
+    res = (
+        ray.data.from_items(sorted(candidates), override_num_blocks=len(candidates))
+        .map_batches(purge_shard, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # every candidate committed: the tombstones recorded at plan time
+    # are fully materialized into the data — retire them
+    for p in tomb_files:
+        if p.exists():
+            p.unlink()
+    return {
+        "shards_rewritten": int((res["removed"] > 0).sum()),
+        "rows_removed": int(res["removed"].sum()),
+        "tombstones_retired": len(tomb_files),
+    }

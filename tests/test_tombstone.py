@@ -1,0 +1,189 @@
+"""Tombstone deletes: read-path filtering, projection interaction,
+physical purge with stats-pruned shard selection, crash recovery,
+idempotence, and point-lookup integration."""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.pipelines import tombstone
+from parquet_go_ray.pipelines.decode import decode_dataset, point_lookup
+from parquet_go_ray.pipelines.encode import encode_job
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session, sf_dir):
+    out = str(tmp_path / "store")
+    encode_job(
+        [f"{sf_dir}/documents.parquet"], out, rows_per_chunk=128,
+        bloom_columns=("doc_id",),
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    return out, docs
+
+
+def test_delete_hides_rows(store):
+    out, docs = store
+    dead = [5, 17, 42, 300]
+    tombstone.delete_where(out, "doc_id", dead)
+    got = decode_dataset(out).to_pandas()
+    assert set(docs["doc_id"]) - set(dead) == set(got["doc_id"])
+    assert len(got) == len(docs) - len(set(dead) & set(docs["doc_id"]))
+
+
+def test_delete_is_idempotent_and_typed(store):
+    out, docs = store
+    r1 = tombstone.delete_where(out, "doc_id", [1, 2, 2, 3])
+    r2 = tombstone.delete_where(out, "doc_id", [1, 2, 3])
+    assert r1["file"] == r2["file"]  # content-addressed: same file
+    assert r1["values"] == 3
+    # a second delete on a STRING column stacks with the first
+    lang = docs["lang"].iloc[0]
+    tombstone.delete_where(out, "lang", [lang])
+    got = decode_dataset(out).to_pandas()
+    assert lang not in set(got["lang"])
+    assert not ({1, 2, 3} & set(got["doc_id"]))
+
+
+def test_projection_excluding_tombstone_column_still_filters(store):
+    out, docs = store
+    tombstone.delete_where(out, "doc_id", [7, 8, 9])
+    got = decode_dataset(out, columns=["text", "lang", "doc_id"]).to_pandas()
+    n_expected = len(docs) - len({7, 8, 9} & set(docs["doc_id"]))
+    assert len(got) == n_expected
+    # projection that EXCLUDES doc_id: the filter column is decoded for
+    # the anti-filter and dropped afterwards
+    got2 = decode_dataset(out, columns=["text", "lang"]).to_pandas()
+    assert list(got2.columns) == ["text", "lang"]
+    assert len(got2) == n_expected
+
+
+def test_point_lookup_does_not_resurrect(store, ray_session):
+    out, _docs = store
+    tombstone.delete_where(out, "doc_id", [105])
+    got = point_lookup(out, "doc_id", [5, 105]).to_pandas()
+    assert set(got["doc_id"]) == {5}
+
+
+def test_purge_reclaims_and_retires(store):
+    out, docs = store
+    dead = list(range(0, 50))
+    tombstone.delete_where(out, "doc_id", dead)
+    res = tombstone.purge_tombstones(out)
+    assert res["rows_removed"] == len(set(dead) & set(docs["doc_id"]))
+    assert res["tombstones_retired"] == 1
+    assert not list(Path(out, "tombstones").glob("ts-*"))
+    # rows are PHYSICALLY gone: reading with tombstones off shows them deleted
+    got = decode_dataset(out, apply_tombstones=False).to_pandas()
+    assert not (set(dead) & set(got["doc_id"]))
+    assert len(got) == len(docs) - len(set(dead) & set(docs["doc_id"]))
+    # second purge is a no-op
+    res2 = tombstone.purge_tombstones(out)
+    assert res2["rows_removed"] == 0
+
+
+def test_purge_prunes_untouched_shards(tmp_path, ray_session, sf_dir):
+    # 4 id-disjoint input files -> 4 shards with disjoint doc_id stats;
+    # deleting the global min id must rewrite ONLY the shard owning it
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    n = docs.num_rows
+    paths = []
+    for i in range(4):
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(docs.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4), p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=128, bloom_columns=())
+    shards_before = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in Path(out, "data").iterdir()
+    }
+    assert len(shards_before) == 4
+    lo = int(docs.column("doc_id").to_pandas().min())
+    tombstone.delete_where(out, "doc_id", [lo])
+    res = tombstone.purge_tombstones(out)
+    assert res["rows_removed"] == 1
+    assert res["shards_rewritten"] == 1
+    surviving = {
+        p.name: max(f.stat().st_mtime_ns for f in p.glob("*.parquet"))
+        for p in Path(out, "data").iterdir()
+    }
+    untouched = {
+        n_
+        for n_ in shards_before
+        if n_ in surviving and surviving[n_] == shards_before[n_]
+    }
+    # the three id-disjoint shards were neither rewritten nor dropped
+    assert len(untouched) == 3, "purge touched stats-excluded shards"
+
+
+def test_purge_crash_recovery_rolls_back(store):
+    out, docs = store
+    tombstone.delete_where(out, "doc_id", [11])
+    # simulate a crash: intent written, nothing committed
+    from parquet_go_ray.pipelines.compact import _write_members
+
+    _write_members(out, "purge-deadbeef", ["no-such-shard"])
+    res = tombstone.purge_tombstones(out)
+    assert res["rows_removed"] == 1
+    got = decode_dataset(out, apply_tombstones=False).to_pandas()
+    assert 11 not in set(got["doc_id"])
+    assert len(got) == len(docs) - 1
+    # no leftover intent files
+    assert not list(Path(out, "_manifest").glob("*.members.json"))
+
+
+def test_cli_delete_purge(store):
+    import json
+    import subprocess
+    import sys
+
+    out, docs = store
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray", "delete", out, "doc_id",
+         "21", "22"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout)["values"] == 2
+    r = subprocess.run(
+        [sys.executable, "-m", "parquet_go_ray", "--num-cpus", "4",
+         "purge", out],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-500:]
+    assert json.loads(r.stdout)["rows_removed"] == 2
+    got = decode_dataset(out, apply_tombstones=False).to_pandas()
+    assert not ({21, 22} & set(got["doc_id"]))
+
+
+def test_gate_query_matches_oracle(ray_session, sf_dir):
+    import duckdb
+
+    from parquet_go_ray.pipelines.queries import ORACLES, QUERIES
+
+    got = (
+        QUERIES["encode_decode_deleted"](sf_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = (
+        con.execute(ORACLES["encode_decode_deleted"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[sorted(got.columns)], want[sorted(want.columns)]
+    )
