@@ -68,13 +68,16 @@ def cmd_encode(args) -> int:
         print(f"no parquet files under {args.input_dir}", file=sys.stderr)
         return 2
     overrides = dict(kv.split("=", 1) for kv in args.codec) or None
+    compression = args.compression
+    if compression and "=" in compression:
+        compression = dict(kv.split("=", 1) for kv in compression.split(","))
     summary = encode_job(
         files,
         args.out_dir,
         mode=args.mode,
         rows_per_chunk=args.rows_per_chunk,
         resume=not args.no_resume,
-        compression=args.compression,
+        compression=compression,
         codec_overrides=overrides,
     )
     print(json.dumps(summary))
@@ -494,7 +497,12 @@ def main(argv=None) -> int:
         "--codec", action="append", default=[], metavar="COL=CODEC",
         help="per-column codec override (struct-tag parity, e.g. text=fsst)",
     )
-    e.add_argument("--compression", default=None)
+    e.add_argument(
+        "--compression", default=None,
+        help="page-compression codec for every column (e.g. zstd), or "
+        "per-column pairs 'text=zstd,props=snappy,*=lz4' ('*' = default; "
+        "columns without an entry stay uncompressed)",
+    )
     e.add_argument("--rows-per-chunk", type=int, default=4096)
     e.add_argument("--no-resume", action="store_true")
     e.set_defaults(fn=cmd_encode)

@@ -219,6 +219,16 @@ def _namespace_cache(store: dict[str, dict], ns: str) -> dict:
     return cache
 
 
+def _comp_for(compression, name: str) -> str | None:
+    """Resolve per-column compression (reference parity: per-column
+    compress.Codec via struct tags / WriterConfig, config.go:202-216).
+    A plain string applies to every column; a dict maps column -> codec
+    with '*' as the default (None/missing = uncompressed)."""
+    if isinstance(compression, dict):
+        return compression.get(name, compression.get("*"))
+    return compression
+
+
 def _encode_column_cached(
     arr: pa.Array,
     name: str,
@@ -309,13 +319,14 @@ def encode_table(
     for i, name in enumerate(table.column_names):
         arr = table.column(name).combine_chunks()
         codec = (codec_overrides or {}).get(name)
+        comp = _comp_for(compression, name)
         if cache is not None:
             blob = _encode_column_cached(
-                arr, name, codec, compression, cache, shared_dicts
+                arr, name, codec, comp, cache, shared_dicts
             )
         else:
             ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
-            blob = chunk_mod.encode_array(arr, codec, compression, ctx)
+            blob = chunk_mod.encode_array(arr, codec, comp, ctx)
         vmin, vmax = _stat_bounds(arr)
         bloom = None
         if name in bloom_columns and table.num_rows:
@@ -647,7 +658,7 @@ def _dict_page_rows(
         # accumulated dictionary is empty (an all-null chunk run), or
         # that chunk becomes undecodable
         values = st.values_array()
-        blob = chunk_mod.encode_array(values, None, compression)
+        blob = chunk_mod.encode_array(values, None, _comp_for(compression, name))
         rows["chunk_id"].append("__dict__")
         rows["shard"].append(shard)
         rows["file"].append("")
