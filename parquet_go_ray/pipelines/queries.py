@@ -380,6 +380,62 @@ def q_encode_decode_deleted(sf_dir):
     return decode_dataset(out)
 
 
+def q_upsert_snapshot(sf_dir):
+    """Merge-on-write upsert into the encode store
+    (pipelines/tombstone.py::upsert_files): encode the corpus, apply a
+    deterministic crawl increment — every doc_id %5==0 page re-crawled
+    with edited text, every %20==0 page appearing anew under id+10^6 —
+    and decode. Old versions must be gone, new versions and new pages
+    visible; the oracle states the same three-way UNION."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .decode import decode_dataset
+    from .encode import encode_job
+    from .tombstone import upsert_files
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_upsert_v{FORMAT_VERSION}_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    encode_job(
+        [f"{sf_dir}/documents.parquet"],
+        out,
+        rows_per_chunk=512,
+        bloom_columns=(),
+    )
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = docs.column("doc_id").to_numpy()
+    changed = docs.filter(pa.array(ids % 5 == 0))
+    changed = changed.set_column(
+        changed.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(changed.column("text"), " v2", ""),
+    )
+    new = docs.filter(pa.array(ids % 20 == 0))
+    new = new.set_column(
+        new.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(new.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+    )
+    new = new.set_column(
+        new.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(new.column("text"), " fresh page", ""),
+    )
+    inc_dir = tempfile.mkdtemp(prefix="pgr_upsert_inc_")
+    inc = os.path.join(inc_dir, "increment-0.parquet")
+    pq.write_table(
+        pa.concat_tables([changed, new]), inc
+    )
+    upsert_files(out, [inc], key_col="doc_id", rows_per_chunk=512)
+    return decode_dataset(out)
+
+
 def q_encode_decode_events(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "events"))
 
@@ -2657,6 +2713,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "group_quantile_sketch": q_group_quantile_sketch,
     "encode_decode_deleted": q_encode_decode_deleted,
+    "upsert_snapshot": q_upsert_snapshot,
 }
 
 ORACLES = {
@@ -2836,6 +2893,15 @@ ORACLES = {
     ),
     "encode_decode_documents": "SELECT * FROM documents",
     "encode_decode_deleted": "SELECT * FROM documents WHERE doc_id % 10 <> 3",
+    "upsert_snapshot": (
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id, text || ' v2' AS text, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text || ' fresh page' AS text, "
+        "lang, source, n_chars FROM documents WHERE doc_id % 20 = 0"
+    ),
     "encode_decode_zorder": "SELECT * FROM documents",
     "encode_decode_events": "SELECT * FROM events",
     "encode_decode_lineitem": "SELECT * FROM lineitem",

@@ -52,7 +52,9 @@ def delete_where(store_dir: str, column: str, values) -> dict:
     from ..state import manifest
 
     manifest.check_format_version(store_dir, "delete")
-    arr = pa.array(values)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    arr = values if isinstance(values, pa.Array) else pa.array(values)
     arr = pc.unique(arr)
     if not len(arr):
         return {"column": column, "values": 0, "file": None}
@@ -137,6 +139,70 @@ def _maybe_contains(vmin_json, vmax_json, values: list) -> bool:
         return False
     except Exception:
         return True
+
+
+def upsert_files(
+    store_dir: str,
+    files: list[str],
+    key_col: str,
+    rows_per_chunk: int = 4096,
+    compression=None,
+) -> dict:
+    """Upsert new/changed rows into an existing store — the write side
+    of the incremental-crawl loop (snapshot_diff classifies,
+    upsert_files applies 'added'+'changed'). MERGE-ON-WRITE sequence:
+
+      1. tombstone the incoming keys (delete_where)
+      2. purge them physically (purge_tombstones) — ONLY old shards
+         exist at this point, and only the stats-candidate subset
+         rewrites, so a lazy tombstone can never hide the new versions
+      3. append the new rows as ordinary shards (resumable encode_job)
+
+    Crash-safe at every seam: a crash before 2 completes leaves the
+    tombstone filtering old versions (reads see the pre-upsert corpus
+    minus the keys — the transient merge state); a crash during 3
+    resumes (completed shards skip). Re-running the whole upsert is
+    idempotent. The key list is read COLUMN-PRUNED from the incoming
+    files; an upsert batch is bounded by the crawl increment, not the
+    corpus."""
+    from ..state import manifest
+    from .encode import encode_job
+
+    # shard identity is the input file STEM (resume contract): an
+    # increment file reusing an existing shard's name would be silently
+    # resume-skipped in step 3 — refuse up front
+    existing = manifest.completed_shards(store_dir)
+    clash = sorted({Path(f).stem for f in files} & existing)
+    if clash:
+        raise ValueError(
+            f"upsert_files: increment file stems collide with existing "
+            f"shards {clash[:5]} — name crawl increments uniquely "
+            f"(e.g. docs-<snapshot>-<n>.parquet)"
+        )
+
+    keys = pa.concat_arrays(
+        [
+            pq.read_table(f, columns=[key_col]).column(key_col).combine_chunks()
+            for f in files
+        ]
+    )
+    tomb = delete_where(store_dir, key_col, keys)
+    purged = purge_tombstones(
+        store_dir, rows_per_chunk=rows_per_chunk, compression=compression
+    )
+    summary = encode_job(
+        files,
+        store_dir,
+        rows_per_chunk=rows_per_chunk,
+        compression=compression,
+        resume=True,
+    )
+    return {
+        "keys_tombstoned": tomb["values"],
+        "rows_replaced": purged["rows_removed"],
+        "rows_appended": summary["rows"],
+        "shards_written": summary["shards_written"],
+    }
 
 
 def purge_tombstones(

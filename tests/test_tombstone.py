@@ -162,6 +162,40 @@ def test_cli_delete_purge(store):
     assert not ({21, 22} & set(got["doc_id"]))
 
 
+def test_upsert_files_merge_on_write(store, tmp_path, sf_dir):
+    out, docs = store
+    # increment: 20 CHANGED docs (same ids, edited text) + 10 NEW docs
+    changed = docs.head(20).copy()
+    changed["text"] = changed["text"] + " v2"
+    new = docs.tail(10).copy()
+    new["doc_id"] = new["doc_id"] + 1_000_000
+    inc = pd.concat([changed, new], ignore_index=True)
+    inc_path = str(tmp_path / "increment-0.parquet")
+    pq.write_table(pa.Table.from_pandas(inc, preserve_index=False), inc_path)
+
+    res = tombstone.upsert_files(out, [inc_path], key_col="doc_id")
+    assert res["keys_tombstoned"] == 30
+    assert res["rows_replaced"] == 20  # only the changed ids existed
+    assert res["rows_appended"] == 30
+
+    got = decode_dataset(out).to_pandas()
+    assert len(got) == len(docs) + 10
+    m = got.set_index("doc_id")["text"]
+    for _, row in changed.iterrows():
+        assert m[row["doc_id"]] == row["text"]  # new version visible
+    assert set(new["doc_id"]).issubset(set(got["doc_id"]))
+    # no tombstones survive a completed upsert (merge-on-write)
+    assert not list(Path(out, "tombstones").glob("ts-*"))
+
+
+def test_upsert_refuses_stem_collision(store, tmp_path, sf_dir):
+    out, docs = store
+    clash = str(tmp_path / "documents.parquet")
+    pq.write_table(pa.Table.from_pandas(docs.head(2), preserve_index=False), clash)
+    with pytest.raises(ValueError, match="collide"):
+        tombstone.upsert_files(out, [clash], key_col="doc_id")
+
+
 def test_gate_query_matches_oracle(ray_session, sf_dir):
     import duckdb
 
