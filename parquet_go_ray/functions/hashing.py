@@ -609,3 +609,64 @@ def morton_key(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (
         _spread_bits31(a) | (_spread_bits31(b) << _U64(1))
     ).view(np.int64)
+
+
+# --- deterministic bucket assignment (storage-partitioned joins) ---------
+#
+# Two encode stores bucketed with the SAME (num_buckets, hash kind) are
+# co-partitioned by construction: equal join keys land in equal bucket
+# indexes on both sides, so a join between them needs no shuffle at any
+# scale (one task per bucket pair). The hash must therefore be a pure
+# function of the key VALUE — never of column name, table, or process —
+# and versioned: a store records ("pgr-bucket-v1", kind) in its job
+# meta, and storage_partitioned_join refuses to pair stores whose specs
+# differ.
+
+BUCKET_HASH_VERSION = "pgr-bucket-v1"
+
+
+def bucket_kind(dtype) -> str:
+    """'int' | 'str' — the value domain the bucket hash runs in. Int and
+    string keys use different hash functions (splitmix64 vs the string
+    hash), so a cross-kind join cannot be co-bucketed; the spec records
+    the kind to make that mismatch an explicit error."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(dtype):
+        return "int"
+    if (
+        pa.types.is_string(dtype)
+        or pa.types.is_large_string(dtype)
+        or pa.types.is_binary(dtype)
+        or pa.types.is_large_binary(dtype)
+    ):
+        return "str"
+    raise TypeError(f"unsupported bucket key type {dtype}")
+
+
+def bucket_ids(values, num_buckets: int) -> np.ndarray:
+    """Deterministic int32 bucket index per value (nulls -> bucket 0;
+    null keys never match an equi-join anyway). Accepts a pyarrow
+    Array/ChunkedArray or numpy array; integers are mixed through
+    splitmix64 (identity % B would put every key of one customer range
+    in one bucket), strings through the fixed-key string hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if isinstance(values, pa.Array):
+        kind = bucket_kind(values.type)
+        if kind == "int":
+            v = pc.fill_null(values, 0).cast(pa.int64()).to_numpy()
+            h = splitmix64(v.view(np.uint64))
+        else:
+            v = pc.fill_null(values, "").to_numpy(zero_copy_only=False)
+            h = stable_hash_strings(v)
+    else:
+        v = np.asarray(values)
+        if v.dtype.kind in "iu":
+            h = splitmix64(v.astype(np.int64).view(np.uint64))
+        else:
+            h = stable_hash_strings(v)
+    return (h % _U64(max(1, num_buckets))).astype(np.int32)

@@ -115,6 +115,8 @@ def _encode_job_impl(
     codec_overrides: dict[str, str] | None = None,
     plan: str = "paths",
     zorder_cols: tuple[str, str] = ("warc_ts", "n_chars"),
+    bucket_key: str = "url",
+    num_buckets: int = 32,
 ) -> dict:
     t0 = time.time()
     if concurrency is None:
@@ -127,17 +129,29 @@ def _encode_job_impl(
     done = manifest.completed_shards(output_dir) if resume else set()
     # job meta (incl. format_version) goes down BEFORE any chunk is
     # written so even a crashed run leaves a version-stamped store
-    manifest.write_job_meta(
-        output_dir,
-        {
-            "mode": mode,
-            "compression": compression,
-            "rows_per_chunk": rows_per_chunk,
-            "salts": salts,
-            "input_files": len(input_files),
-            "format_version": _FORMAT_VERSION,
-        },
-    )
+    job_meta = {
+        "mode": mode,
+        "compression": compression,
+        "rows_per_chunk": rows_per_chunk,
+        "salts": salts,
+        "input_files": len(input_files),
+        "format_version": _FORMAT_VERSION,
+    }
+    if mode == "bucket":
+        # the co-partitioning contract: storage_partitioned_join pairs
+        # two stores only when these specs agree (same bucket count,
+        # same hash version, same key kind)
+        from ..functions.hashing import BUCKET_HASH_VERSION, bucket_kind
+        import pyarrow.parquet as _pq
+
+        key_field = _pq.read_schema(input_files[0]).field(bucket_key)
+        job_meta["bucketing"] = {
+            "key": bucket_key,
+            "num_buckets": int(num_buckets),
+            "hash": BUCKET_HASH_VERSION,
+            "kind": bucket_kind(key_field.type),
+        }
+    manifest.write_job_meta(output_dir, job_meta)
 
     if mode in ("direct", "lang_local"):
         pending = [f for f in input_files if Path(f).stem not in done]
@@ -362,6 +376,84 @@ def _encode_job_impl(
                 batch_size=None,
                 zero_copy_batch=True,
             )
+        )
+        skipped = 0
+    elif mode == "bucket":
+        # hash-bucketed layout (the storage-partitioned-join producer):
+        # one explicit groupby shuffle on bucket = hash(key) % B, after
+        # which every bucket is a deterministic shard of the store.
+        # The payoff is not this job but every DOWNSTREAM equi-join on
+        # the key: two co-bucketed stores join with zero shuffle forever
+        # (pipelines/spj.py), amortizing one shuffle across all joins —
+        # at 100 TB that trades one all-to-all now for none later.
+        from ..functions.hashing import bucket_ids
+        from ..sources.pathwise import read_parquet_pathwise
+
+        ds = read_parquet_pathwise(input_files, columns=columns)
+        job_epoch = t0
+
+        def add_bucket(batch: pa.Table) -> pa.Table:
+            b = bucket_ids(batch.column(bucket_key), num_buckets)
+            return batch.append_column("_bucket", pa.array(b, type=pa.int32()))
+
+        def encode_bucket(group: pa.Table) -> pa.Table:
+            from ..codecs.registry import CODEC_IDS
+            from ..stages.encode import (
+                SUMMARY_SCHEMA,
+                _COLUMN_CACHE,
+                _dict_page_rows,
+                _namespace_cache,
+                summary_row,
+            )
+
+            bucket = group.column("_bucket")[0].as_py()
+            shard = f"bucket={bucket:05d}"
+            if resume and shard in manifest.completed_shards_cached(
+                output_dir, job_epoch
+            ):
+                return pa.table(
+                    {f.name: [] for f in SUMMARY_SCHEMA}, schema=SUMMARY_SCHEMA
+                )
+            group = group.drop_columns(["_bucket"])
+            # buckets are hash-mixed (no per-bucket content skew), so one
+            # per-store selection namespace serves every bucket a worker
+            # encodes; other stores on the same reused worker stay invisible
+            cache = _namespace_cache(_COLUMN_CACHE, f"bucket|{output_dir}")
+            overrides = {
+                k: CODEC_IDS[v] for k, v in (codec_overrides or {}).items()
+            }
+            shared: dict | None = {} if group.num_rows > rows_per_chunk else None
+            groups = []
+            for start in range(0, group.num_rows, rows_per_chunk):
+                piece = group.slice(start, rows_per_chunk)
+                groups.append(
+                    encode_table(
+                        piece,
+                        shard,
+                        codec_overrides=overrides,
+                        compression=compression,
+                        bloom_columns=bloom_columns,
+                        cache=cache,
+                        shared_dicts=shared,
+                    )
+                )
+            if shared:
+                groups.append(_dict_page_rows(shared, shard, compression))
+            chunks = write_chunk_file(pa.concat_tables(groups), output_dir)
+            lin = lineage_of(chunks)
+            # one map_groups call owns its bucket entirely: manifest
+            # committed in-task, nothing further shuffles
+            manifest.record_shard_table(output_dir, shard, lin)
+            return pa.Table.from_pylist(
+                [summary_row(shard, lin, True)], schema=SUMMARY_SCHEMA
+            )
+
+        lineage = (
+            ds.map_batches(
+                add_bucket, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("_bucket")
+            .map_groups(encode_bucket, batch_format="pyarrow")
         )
         skipped = 0
     elif mode == "lang_salted":

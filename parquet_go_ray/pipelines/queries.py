@@ -641,6 +641,57 @@ def q_hash_join_broadcast(sf_dir):
     return orders.map_batches(join_batch, batch_format="pandas")
 
 
+def q_spj_join(sf_dir):
+    """Storage-partitioned join (pipelines/spj.py): orders and customer
+    are each bucket-encoded on their custkey with the same bucketing
+    spec (mode='bucket', hash(key) % 16), then equi-joined with ZERO
+    shuffle — one task per bucket decodes both stores' bucket files and
+    hash-joins locally. The write-time shuffle amortizes over every
+    subsequent join on the key (the lakehouse SPJ pattern); the stores
+    are cached per sf_dir so repeat queries exercise the join alone."""
+    import hashlib
+    import os
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .encode import encode_job
+    from .spj import storage_partitioned_join
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    stores = {
+        "orders": (f"/tmp/graft_spjo_v{FORMAT_VERSION}_{key}", "o_custkey"),
+        "customer": (f"/tmp/graft_spjc_v{FORMAT_VERSION}_{key}", "c_custkey"),
+    }
+    for table, (out, bkey) in stores.items():
+        if not os.path.exists(os.path.join(out, "_manifest")):
+            encode_job(
+                [f"{sf_dir}/{table}.parquet"],
+                out,
+                mode="bucket",
+                bucket_key=bkey,
+                num_buckets=16,
+                rows_per_chunk=2048,
+                bloom_columns=(),
+            )
+    ds = storage_partitioned_join(
+        stores["orders"][0],
+        stores["customer"][0],
+        "o_custkey",
+        "c_custkey",
+        left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        right_columns=["c_custkey", "c_name"],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.schema.get_field_index("o_totalprice"),
+            "o_totalprice",
+            pc.round(t.column("o_totalprice"), 2),
+        )
+        return t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
 def q_json_props_extract(sf_dir):
     """Extract the integer k from the JSON props column (vectorized
     regex on both sides — no JSON library dependency)."""
@@ -2640,6 +2691,7 @@ QUERIES = {
     "encode_decode_nested": q_encode_decode_nested,
     "hash_join": q_hash_join,
     "hash_join_broadcast": q_hash_join_broadcast,
+    "spj_join": q_spj_join,
     "wire_page_index_range": q_wire_page_index_range,
     "fingerprint_winnow": q_fingerprint_winnow,
     "wire_bloom_lookup": q_wire_bloom_lookup,
@@ -2939,6 +2991,10 @@ ORACLES = {
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
     ),
     "hash_join_broadcast": (
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
+        "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "spj_join": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
     ),
