@@ -753,3 +753,41 @@ def dict_domain_mask(
         full[_valid_mask(validity, n)] = nonnull
         return full
     return nonnull
+
+
+def dict_domain_counts(buf: bytes, shared_dict: pa.Array | None = None):
+    """Per-distinct-value row counts evaluated in the ENCODED domain —
+    the GROUP-BY-count sibling of dict_domain_mask: decode the
+    dictionary and the int index stream only, then np.bincount the
+    codes. Row values are never materialized; only the dictionary
+    (n_distinct values) is. Returns (values, counts, n_null) with
+    `values` in the chunk's logical type and counts aligned to it, or
+    None when the chunk's codec has no encoded domain (the caller
+    decodes and value_counts normally, so results never depend on the
+    selector's codec choice). Nulls are excluded from counts and
+    reported separately (SQL GROUP BY surfaces them as their own
+    group)."""
+    codec, ptype, flba_width, n, n_null, ty, validity, payload = (
+        _parse_chunk(buf)
+    )
+    if ptype in (R.P_LIST, R.P_STRUCT, R.P_MAP, R.OTHER):
+        return None
+    if codec == R.DICT:
+        values, indexes = dictionary.decode(
+            payload, R.PTYPE_NAMES[ptype], 0, flba_width
+        )
+        values = _reassemble(
+            values, ty, ptype, len(values), 0, b"", flba_width
+        )
+    elif codec == R.DICT_SHARED:
+        if shared_dict is None:
+            raise ChunkError("dict_shared chunk requires the file's dict page")
+        # the dict page stores values in their stored form (e.g.
+        # large_binary for strings); surface them in this chunk's
+        # logical type so counts from shared and chunk-local dicts concat
+        values = _cast_back(shared_dict, ty)
+        indexes = dictionary.shared_indexes(payload)
+    else:
+        return None
+    counts = np.bincount(indexes, minlength=len(values)).astype(np.int64)
+    return values, counts, n_null

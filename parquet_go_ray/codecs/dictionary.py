@@ -198,3 +198,12 @@ def domain_mask_shared(buf: bytes, shared_values: pa.Array, wanted) -> np.ndarra
     n_idx, p = uvarint_decode(buf, pos + 1)
     indexes = rle.decode(buf[p:], width, n_idx)
     return np.isin(indexes, domain_match_codes(shared_values, wanted))
+
+
+def shared_indexes(buf: bytes) -> np.ndarray:
+    """Just the int index stream of a dict_shared (index-only) payload —
+    the encoded-domain entry point shared by masks and group counts."""
+    _size, pos = uvarint_decode(buf, 0)
+    width = buf[pos]
+    n_idx, p = uvarint_decode(buf, pos + 1)
+    return rle.decode(buf[p:], width, n_idx).astype(np.int64)

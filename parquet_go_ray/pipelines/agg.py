@@ -1,0 +1,242 @@
+"""Aggregate pushdown over the encode store: answers that never decode
+row values.
+
+Two levels, mirroring what a columnar engine gets from its metadata:
+
+- ``aggregate_meta``: COUNT/COUNT(col)/MIN/MAX straight from the
+  manifest's ColumnIndex-style per-chunk stats (column_index.go:259-272
+  parity) — no chunk file is ever opened. The manifest is ~1e-5 of the
+  data; it is read as a column-pruned, predicate-pushed Dataset so the
+  fold is distributed, and only per-task partials (a few numbers)
+  reach the driver.
+
+- ``group_count_store``: GROUP BY <col> COUNT(*) evaluated in the
+  ENCODED domain (codecs/chunk.dict_domain_counts): each task reads
+  only its chunk files' rows for the one column, bincounts the
+  dictionary CODES, and ships (value, count) partials — the row values
+  themselves are materialized nowhere; only each chunk's dictionary
+  (n_distinct values) is. Chunks whose codec has no encoded domain
+  fall back to decode + value_counts inside the same task, so results
+  never depend on the selector's codec choice. The merge is a Ray
+  groupby over distinct-value-bounded partials.
+
+Both fall back to the decode path when the store carries tombstones
+(deleted rows are invisible to chunk stats; correctness beats the
+shortcut).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _manifest_files(store: str) -> list[str]:
+    from ..state import manifest as M
+
+    return sorted(
+        str(p)
+        for p in M.manifest_dir(store).glob("*.parquet")
+        if not p.name.startswith(".")
+    )
+
+
+def aggregate_meta(store: str, column: str) -> pa.Table:
+    """One-row (n_rows, n_nulls, vmin, vmax) for `column`, from manifest
+    stats alone. Exact for numeric/temporal columns; string stats are
+    TRUNCATED at write time (parquet convention) so callers needing
+    exact string bounds must decode. Falls back to a decode-based scan
+    when tombstones exist."""
+    from ..state import manifest as M
+    from .tombstone import load_tombstones
+
+    M.check_format_version(store, "aggregate")
+    if load_tombstones(store):
+        import pyarrow.compute as pc
+
+        from .decode import decode_dataset
+
+        def part(t: pa.Table) -> pa.Table:
+            col = t.column(column)
+            return pa.table(
+                {
+                    "n": [t.num_rows],
+                    "nn": [col.null_count],
+                    "vmin": [json.dumps(pc.min(col).as_py(), default=str)],
+                    "vmax": [json.dumps(pc.max(col).as_py(), default=str)],
+                }
+            )
+
+        parts = (
+            decode_dataset(store, columns=[column])
+            .map_batches(part, batch_format="pyarrow")
+            .to_pandas()
+        )
+    else:
+
+        def fold(batch: pa.Table) -> pa.Table:
+            keep = [
+                i
+                for i, cid in enumerate(batch.column("chunk_id").to_pylist())
+                if cid != "__dict__"
+            ]
+            batch = batch.take(keep)
+            lo = [json.loads(v) for v in batch.column("vmin").to_pylist() if v]
+            hi = [json.loads(v) for v in batch.column("vmax").to_pylist() if v]
+            return pa.table(
+                {
+                    "n": pa.array(
+                        [int(np.sum(batch.column("n").to_numpy()))], pa.int64()
+                    ),
+                    "nn": pa.array(
+                        [int(np.sum(batch.column("n_null").to_numpy()))],
+                        pa.int64(),
+                    ),
+                    "vmin": pa.array(
+                        [json.dumps(min(lo)) if lo else None], pa.string()
+                    ),
+                    "vmax": pa.array(
+                        [json.dumps(max(hi)) if hi else None], pa.string()
+                    ),
+                }
+            )
+
+        files = _manifest_files(store)
+        if not files:
+            raise FileNotFoundError(f"no manifest under {store}")
+        import pyarrow.compute as pc
+
+        parts = (
+            ray.data.read_parquet(
+                files,
+                columns=["chunk_id", "column", "n", "n_null", "vmin", "vmax"],
+                filter=(pc.field("column") == column),
+            )
+            .map_batches(fold, batch_format="pyarrow")
+            .to_pandas()
+        )
+    lo = [json.loads(v) for v in parts["vmin"].dropna()]
+    hi = [json.loads(v) for v in parts["vmax"].dropna()]
+    return pa.table(
+        {
+            "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
+            "n_nulls": pa.array([int(parts["nn"].sum())], pa.int64()),
+            "vmin": [min(lo) if lo else None],
+            "vmax": [max(hi) if hi else None],
+        }
+    )
+
+
+def group_count_store(
+    store: str, column: str, out_value: str = "value", out_count: str = "n"
+) -> ray.data.Dataset:
+    """GROUP BY `column` COUNT(*) over the store, counted in the encoded
+    domain wherever the chunk is dictionary-coded. Shuffle volume is
+    (value, count) partials — bounded by distinct values × tasks, never
+    row count. Null keys count into a null group, as SQL does."""
+    from ..codecs import chunk as chunk_mod
+    from ..state import manifest as M
+    from .decode import chunk_files
+    from .tombstone import load_tombstones
+
+    M.check_format_version(store, "aggregate")
+    if load_tombstones(store):
+        from .decode import decode_dataset
+
+        ds = decode_dataset(store, columns=[column])
+
+        def vc(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.value_counts(t.column(column).combine_chunks())
+            return pa.table(
+                {"value": c.field("values"), "n": c.field("counts").cast(pa.int64())}
+            )
+
+        parts = ds.map_batches(vc, batch_format="pyarrow")
+    else:
+        files = chunk_files(store)
+        if not files:
+            raise FileNotFoundError(f"no encoded chunks under {store}")
+
+        def count_file(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            col = "path" if "path" in batch.column_names else "item"
+            vals, cnts = [], []
+            nulls = 0
+            for path in batch.column(col).to_pylist():
+                chunks = pq.read_table(
+                    path, filters=[("column", "==", column)]
+                )
+                shared = None
+                for cid, payload in zip(
+                    chunks.column("chunk_id").to_pylist(),
+                    chunks.column("payload").to_pylist(),
+                ):
+                    if cid == "__dict__":
+                        shared = chunk_mod.decode_array(payload)
+                for cid, payload in zip(
+                    chunks.column("chunk_id").to_pylist(),
+                    chunks.column("payload").to_pylist(),
+                ):
+                    if cid == "__dict__":
+                        continue
+                    got = chunk_mod.dict_domain_counts(payload, shared)
+                    if got is not None:
+                        v, c, nn = got
+                        nulls += nn
+                        keep = c > 0  # dict may hold values from other chunks
+                        vals.append(v.filter(pa.array(keep)))
+                        cnts.append(c[keep])
+                    else:
+                        arr = chunk_mod.decode_array(payload, shared_dict=shared)
+                        nulls += arr.null_count
+                        vc_ = pc.value_counts(arr.drop_null())
+                        vals.append(vc_.field("values"))
+                        cnts.append(
+                            vc_.field("counts").cast(pa.int64()).to_numpy()
+                        )
+            if not vals:
+                raise chunk_mod.ChunkError(
+                    f"column {column!r} missing from chunk files"
+                )
+            value = pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals])
+            n = pa.array(np.concatenate([np.asarray(c) for c in cnts]), pa.int64())
+            t = pa.table({"value": value, "n": n})
+            # combine within the task so partials are distinct-bounded
+            t = pa.TableGroupBy(t, "value").aggregate([("n", "sum")])
+            t = t.rename_columns(["value", "n"])
+            if nulls:
+                t = pa.concat_tables(
+                    [
+                        t,
+                        pa.table(
+                            {
+                                "value": pa.array([None], t.column("value").type),
+                                "n": pa.array([nulls], pa.int64()),
+                            }
+                        ),
+                    ]
+                )
+            return t
+
+        parts = ray.data.from_items(
+            files, override_num_blocks=max(1, min(64, len(files)))
+        ).map_batches(count_file, batch_format="pyarrow", batch_size=None)
+
+    merged = parts.groupby("value").sum("n")
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns([out_value, out_count])
+        return t.set_column(
+            1, out_count, t.column(out_count).cast(pa.int64())
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

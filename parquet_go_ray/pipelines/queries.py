@@ -743,6 +743,30 @@ def q_search_pruned_store(sf_dir):
     return decode_dataset_pruned(_doc_store(sf_dir), "n_chars", 100, 300)
 
 
+def q_store_group_count(sf_dir):
+    """GROUP BY COUNT evaluated in the ENCODED domain
+    (pipelines/agg.group_count_store): dictionary codes are bincounted
+    per chunk — row values never materialize, only each chunk's
+    dictionary does — and only (value, count) partials shuffle. The
+    low-cardinality case where min/max stats cannot prune but the
+    encoded domain answers the whole query."""
+    from .agg import group_count_store
+
+    return group_count_store(
+        _doc_store(sf_dir), "lang", out_value="lang", out_count="n"
+    )
+
+
+def q_store_agg_meta(sf_dir):
+    """Metadata-only aggregate (pipelines/agg.aggregate_meta): COUNT /
+    COUNT(col) / MIN / MAX for a numeric column folded from the
+    manifest's per-chunk stats — no chunk file is opened at all (the
+    ColumnIndex-as-aggregate-index trick, column_index.go:259-272)."""
+    from .agg import aggregate_meta
+
+    return aggregate_meta(_doc_store(sf_dir), "n_chars")
+
+
 def q_text_semantic_pairs(sf_dir):
     """Raw text -> hashing-trick embeddings -> exact cosine near-dup
     pairs: the complete model-free semantic-dedup pipeline (rows-only:
@@ -2673,6 +2697,8 @@ QUERIES = {
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
+    "store_group_count": q_store_group_count,
+    "store_agg_meta": q_store_agg_meta,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
@@ -2928,6 +2954,15 @@ ORACLES = {
     ),
     "search_pruned_store": (
         "SELECT * FROM documents WHERE n_chars >= 100 AND n_chars <= 300"
+    ),
+    "store_group_count": (
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
+    ),
+    "store_agg_meta": (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, "
+        "CAST(min(n_chars) AS BIGINT) AS vmin, "
+        "CAST(max(n_chars) AS BIGINT) AS vmax FROM documents"
     ),
     "point_lookup_bloom": "SELECT * FROM documents WHERE doc_id IN (5, 105, 205)",
     "search_dict_domain": (

@@ -1,0 +1,137 @@
+"""Aggregate pushdown over the encode store (pipelines/agg.py):
+metadata-only aggregates from manifest stats, encoded-domain group
+counts from dictionary codes, codec-choice independence, null groups,
+and the tombstone fallback."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.codecs import chunk as chunk_mod
+from parquet_go_ray.codecs import registry as R
+from parquet_go_ray.pipelines.agg import aggregate_meta, group_count_store
+from parquet_go_ray.pipelines.encode import encode_job
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    rng = np.random.default_rng(3)
+    langs = rng.choice(["en", "de", "fr", None], size=2000, p=[0.5, 0.25, 0.2, 0.05])
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(2000, dtype=np.int64)),
+            "lang": pa.array([l if l is not None else None for l in langs]),
+            "n_chars": pa.array(rng.integers(10, 999, size=2000), pa.int64()),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=256, bloom_columns=())
+    return out, t.to_pandas()
+
+
+def test_aggregate_meta_matches(store):
+    out, df = store
+    got = aggregate_meta(out, "n_chars").to_pylist()[0]
+    assert got["n_rows"] == len(df)
+    assert got["n_nulls"] == int(df["n_chars"].isna().sum())
+    assert got["vmin"] == int(df["n_chars"].min())
+    assert got["vmax"] == int(df["n_chars"].max())
+
+
+def test_aggregate_meta_never_opens_chunks(store, monkeypatch):
+    """The metadata path must not read a single chunk file."""
+    out, _ = store
+    import parquet_go_ray.stages.decode as dec
+
+    def boom(*a, **k):
+        raise AssertionError("chunk decode called on the metadata path")
+
+    monkeypatch.setattr(dec, "decode_chunk_table", boom)
+    monkeypatch.setattr(chunk_mod, "decode_array", boom)
+    got = aggregate_meta(out, "n_chars").to_pylist()[0]
+    assert got["n_rows"] == 2000
+
+
+def test_group_count_matches_pandas_with_nulls(store):
+    out, df = store
+    got = (
+        group_count_store(out, "lang")
+        .to_pandas()
+        .sort_values("value", na_position="last")
+        .reset_index(drop=True)
+    )
+    ref = df["lang"].value_counts(dropna=False)
+    for _, row in got.iterrows():
+        key = row["value"]
+        if pd.isna(key):
+            assert row["n"] == int(df["lang"].isna().sum())
+        else:
+            assert row["n"] == int(ref[key])
+    assert got["n"].sum() == len(df)
+
+
+def test_group_count_codec_independent(tmp_path, ray_session, store):
+    """Forcing plain/FSST (no encoded domain) must give identical counts
+    via the decode fallback."""
+    out, df = store
+    p = str(tmp_path / "docs.parquet")
+    out2 = str(tmp_path / "store_plain")
+    encode_job(
+        [p], out2, rows_per_chunk=256, bloom_columns=(),
+        codec_overrides={"lang": "plain"},
+    )
+    a = group_count_store(out, "lang").to_pandas()
+    b = group_count_store(out2, "lang").to_pandas()
+    ka = {(None if pd.isna(r["value"]) else r["value"]): r["n"] for _, r in a.iterrows()}
+    kb = {(None if pd.isna(r["value"]) else r["value"]): r["n"] for _, r in b.iterrows()}
+    assert ka == kb
+
+
+def test_group_count_int_column(store):
+    out, df = store
+    got = group_count_store(out, "n_chars").to_pandas()
+    ref = df["n_chars"].value_counts()
+    assert len(got) == df["n_chars"].nunique()
+    sample = got.head(20)
+    for _, row in sample.iterrows():
+        assert row["n"] == int(ref[row["value"]])
+
+
+def test_tombstones_respected(store):
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    out, df = store
+    delete_where(out, "doc_id", list(range(0, 2000, 2)))
+    live = df[df["doc_id"] % 2 == 1]
+    got = aggregate_meta(out, "n_chars").to_pylist()[0]
+    assert got["n_rows"] == len(live)
+    assert got["vmin"] == int(live["n_chars"].min())
+    gc = group_count_store(out, "lang").to_pandas()
+    assert gc["n"].sum() == len(live)
+    en = gc[gc["value"] == "en"]["n"].iloc[0]
+    assert en == int((live["lang"] == "en").sum())
+
+
+def test_shared_dict_counts(tmp_path, ray_session):
+    """A multi-chunk-group file uses file-level shared dict pages; the
+    encoded-domain counts must resolve codes against the dict page and
+    drop values absent from a given chunk."""
+    t = pa.table(
+        {
+            "k": pa.array(
+                ["a"] * 600 + ["b"] * 600 + ["c"] * 600
+            ),
+            "x": pa.array(np.arange(1800, dtype=np.int64)),
+        }
+    )
+    p = str(tmp_path / "t.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "s")
+    encode_job([p], out, rows_per_chunk=512, bloom_columns=(),
+               codec_overrides={"k": "dict"})
+    got = group_count_store(out, "k").to_pandas().set_index("value")["n"]
+    assert got.to_dict() == {"a": 600, "b": 600, "c": 600}
