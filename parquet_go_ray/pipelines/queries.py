@@ -767,6 +767,28 @@ def q_store_agg_meta(sf_dir):
     return aggregate_meta(_doc_store(sf_dir), "n_chars")
 
 
+def q_text_index_search(sf_dir):
+    """Inverted-index conjunctive search (pipelines/textindex.py): the
+    postings live in a token-bucketed encode store, so the query opens
+    ONLY the two queried tokens' hash buckets, decodes only chunks whose
+    token dictionary/stats admit a match, and merges doc_id counts —
+    corpus text never moves. Index cached per sf_dir; the oracle states
+    the same space-delimited token membership in SQL."""
+    import hashlib
+    import os
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .textindex import build_text_index, search_docs
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_txtidx_v{FORMAT_VERSION}_{key}"
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        build_text_index(
+            [f"{sf_dir}/documents.parquet"], out, num_buckets=16
+        )
+    return search_docs(out, ["scan", "column"])
+
+
 def q_text_semantic_pairs(sf_dir):
     """Raw text -> hashing-trick embeddings -> exact cosine near-dup
     pairs: the complete model-free semantic-dedup pipeline (rows-only:
@@ -2699,6 +2721,7 @@ QUERIES = {
     "search_pruned_store": q_search_pruned_store,
     "store_group_count": q_store_group_count,
     "store_agg_meta": q_store_agg_meta,
+    "text_index_search": q_text_index_search,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
@@ -2963,6 +2986,11 @@ ORACLES = {
         "CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, "
         "CAST(min(n_chars) AS BIGINT) AS vmin, "
         "CAST(max(n_chars) AS BIGINT) AS vmax FROM documents"
+    ),
+    "text_index_search": (
+        "SELECT doc_id FROM documents "
+        "WHERE (' ' || text || ' ') LIKE '% scan %' "
+        "AND (' ' || text || ' ') LIKE '% column %'"
     ),
     "point_lookup_bloom": "SELECT * FROM documents WHERE doc_id IN (5, 105, 205)",
     "search_dict_domain": (

@@ -1,0 +1,132 @@
+"""Inverted text index (pipelines/textindex.py): build + AND/OR search
+vs a pandas oracle, hash-pruned I/O (non-queried buckets never open),
+absent tokens, and the bucketed-store metadata contract."""
+
+import os
+import shutil
+import stat
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.functions.hashing import bucket_ids
+from parquet_go_ray.pipelines.textindex import (
+    build_text_index,
+    lookup_postings,
+    search_docs,
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+
+
+@pytest.fixture()
+def index(tmp_path, ray_session):
+    rng = np.random.default_rng(11)
+    texts = [
+        " ".join(rng.choice(WORDS, size=rng.integers(3, 12)))
+        for _ in range(800)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(800, dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "idx")
+    info = build_text_index([p], out, num_buckets=8, rows_per_chunk=512)
+    assert info["buckets"] >= 1 and info["postings"] > 0
+    return out, t.to_pandas()
+
+
+def _docs_with(df, *toks, any_=False):
+    sets = [
+        set(df[df["text"].map(lambda s: tok in s.split(" "))]["doc_id"])
+        for tok in toks
+    ]
+    out = sets[0]
+    for s in sets[1:]:
+        out = out | s if any_ else out & s
+    return out
+
+
+def test_and_search_matches(index):
+    out, df = index
+    got = set(search_docs(out, ["alpha", "gamma"]).to_pandas()["doc_id"])
+    assert got == _docs_with(df, "alpha", "gamma")
+
+
+def test_or_search_matches(index):
+    out, df = index
+    got = set(
+        search_docs(out, ["alpha", "gamma"], mode="or").to_pandas()["doc_id"]
+    )
+    assert got == _docs_with(df, "alpha", "gamma", any_=True)
+
+
+def test_single_token(index):
+    out, df = index
+    got = set(search_docs(out, ["theta"]).to_pandas()["doc_id"])
+    assert got == _docs_with(df, "theta")
+
+
+def test_absent_token_empty(index):
+    out, _ = index
+    got = search_docs(out, ["nonexistentword"]).to_pandas()
+    assert len(got) == 0
+
+
+def test_postings_are_distinct_per_doc(index):
+    """A doc repeating a token many times contributes ONE posting."""
+    out, df = index
+    posts = lookup_postings(out, ["alpha"]).to_pandas()
+    assert posts.duplicated(["token", "doc_id"]).sum() == 0
+    assert set(posts["doc_id"]) == _docs_with(df, "alpha")
+
+
+def test_io_pruned_to_queried_buckets(index):
+    """chmod-000 every bucket the queried token does NOT hash to; the
+    search must still succeed — proof the non-queried buckets are never
+    opened (hash-pruned I/O, the point of the bucketed layout)."""
+    out, df = index
+    tok = "alpha"
+    b = int(bucket_ids(pa.array([tok]), 8)[0])
+    data = os.path.join(out, "data")
+    locked = []
+    try:
+        for d in os.listdir(data):
+            if d != f"bucket={b:05d}":
+                p = os.path.join(data, d)
+                os.chmod(p, 0)
+                locked.append(p)
+        got = set(search_docs(out, [tok]).to_pandas()["doc_id"])
+        assert got == _docs_with(df, tok)
+    finally:
+        for p in locked:
+            os.chmod(p, stat.S_IRWXU)
+
+
+def test_index_store_is_cobucketed(index):
+    """The index IS a bucketed encode store: its meta satisfies the SPJ
+    co-partitioning contract against itself."""
+    from parquet_go_ray.pipelines.spj import check_cobucketed
+
+    out, _ = index
+    assert check_cobucketed(out, out) == 8
+
+
+def test_rejects_non_index_store(tmp_path, ray_session, index):
+    from parquet_go_ray.pipelines.encode import encode_job
+
+    out, _ = index
+    plain = str(tmp_path / "plain")
+    encode_job(
+        [str(tmp_path / "docs.parquet")], plain,
+        rows_per_chunk=256, bloom_columns=(),
+    )
+    with pytest.raises(ValueError, match="not a text index"):
+        search_docs(plain, ["alpha"])
