@@ -774,19 +774,40 @@ def q_text_index_search(sf_dir):
     token dictionary/stats admit a match, and merges doc_id counts —
     corpus text never moves. Index cached per sf_dir; the oracle states
     the same space-delimited token membership in SQL."""
+    from .textindex import search_docs
+
+    return search_docs(_text_index(sf_dir), ["scan", "column"])
+
+
+def _text_index(sf_dir: str) -> str:
+    """Build (once per sf_dir) the cached inverted index over the
+    documents table. i2 = tf+dl postings schema."""
     import hashlib
     import os
 
     from ..codecs.registry import FORMAT_VERSION
-    from .textindex import build_text_index, search_docs
+    from .textindex import build_text_index
 
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_txtidx_v{FORMAT_VERSION}_{key}"
+    out = f"/tmp/graft_txtidx_i2_v{FORMAT_VERSION}_{key}"
     if not os.path.exists(os.path.join(out, "_manifest")):
-        build_text_index(
-            [f"{sf_dir}/documents.parquet"], out, num_buckets=16
-        )
-    return search_docs(out, ["scan", "column"])
+        build_text_index([f"{sf_dir}/documents.parquet"], out, num_buckets=16)
+    return out
+
+
+def q_text_index_bm25(sf_dir):
+    """BM25 ranking computed from the inverted index ALONE
+    (textindex.search_ranked): tf/dl ride the postings, df is the
+    bucket-local posting count, (n_docs, dl_sum) come from the index
+    meta — the corpus is never read at query time. Integer-exact
+    against the same SQL oracle as the corpus-side bm25_scores, which
+    is the real check: index-derived statistics reproduce the
+    corpus-wide computation bit-for-bit."""
+    from .textindex import search_ranked
+
+    return search_ranked(
+        _text_index(sf_dir), ["column", "join", "merge", "order", "scan"]
+    )
 
 
 def q_text_semantic_pairs(sf_dir):
@@ -2722,6 +2743,7 @@ QUERIES = {
     "store_group_count": q_store_group_count,
     "store_agg_meta": q_store_agg_meta,
     "text_index_search": q_text_index_search,
+    "text_index_bm25": q_text_index_bm25,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
@@ -2991,6 +3013,26 @@ ORACLES = {
         "SELECT doc_id FROM documents "
         "WHERE (' ' || text || ' ') LIKE '% scan %' "
         "AND (' ' || text || ' ') LIKE '% column %'"
+    ),
+    # identical statement to bm25_scores: the index-derived statistics
+    # must reproduce the corpus-wide computation integer-exactly
+    "text_index_bm25": (
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+        "FROM documents), "
+        "tf AS (SELECT doc_id, token, count(*) AS c FROM toks "
+        "WHERE token IN ('column','join','merge','order','scan') GROUP BY 1, 2), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS d FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS nn, sum(dl) AS dl_sum FROM dls), "
+        "idf AS (SELECT token, CAST(floor(ln((nn - d + 0.5)/(d + 0.5) + 1) * 1000 "
+        "+ 0.5) AS BIGINT) AS idf_millis FROM df, n) "
+        "SELECT tf.doc_id, CAST(sum(CAST(floor("
+        "idf.idf_millis * (tf.c * 2.2) / (tf.c + "
+        "(1.2 * (0.25 + 0.75 * (dls.dl / (n.dl_sum / nn))))) "
+        "* 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score "
+        "FROM tf JOIN idf USING (token) JOIN dls USING (doc_id), n "
+        "GROUP BY tf.doc_id ORDER BY doc_id"
     ),
     "point_lookup_bloom": "SELECT * FROM documents WHERE doc_id IN (5, 105, 205)",
     "search_dict_domain": (

@@ -36,6 +36,15 @@ import ray.data
 
 TOKENIZER = "space-split-v1"
 
+_EMPTY_POSTINGS = pa.table(
+    {
+        "token": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "tf": pa.array([], pa.int64()),
+        "dl": pa.array([], pa.int64()),
+    }
+)
+
 
 def build_text_index(
     input_files: list[str],
@@ -78,17 +87,40 @@ def build_text_index(
     )
 
     def pairs(batch: pa.Table) -> pa.Table:
-        """(token, doc_id) per DISTINCT token per doc — all Arrow
-        kernels: split -> flatten with parent indices -> distinct."""
+        """(token, doc_id, tf, dl) per distinct token per doc — all
+        Arrow kernels: split -> flatten with parent indices -> group
+        count. `dl` (document length = split-piece count, the BM25
+        normalizer) rides every posting row Lucene-style, so ranking
+        needs no doc-side join; empty-string pieces are indexed like
+        any token (never queried, but they make sum(tf) == sum of dl
+        over distinct docs, which is how finalize recovers dl_sum from
+        the index without re-reading the corpus)."""
         toks = pc.split_pattern(
             batch.column(text_col).combine_chunks(), pattern=" "
         )
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks)
-        ids = batch.column(id_col).combine_chunks().take(parent)
-        t = pa.table({"token": flat, "doc_id": ids})
-        t = t.filter(pc.not_equal(t.column("token"), ""))
-        t = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate([])
+        ids = batch.column(id_col).combine_chunks()
+        t = pa.table({"token": flat, "doc_id": ids.take(parent)})
+        t = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate(
+            [("token", "count")]
+        )
+        t = t.rename_columns(["token", "doc_id", "tf"])
+        # per-doc length joined back by doc position (batch-local ids)
+        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids_np = ids.to_numpy(zero_copy_only=False)
+        order = np.argsort(ids_np, kind="stable")
+        pos = np.searchsorted(
+            ids_np[order], t.column("doc_id").to_numpy(zero_copy_only=False)
+        )
+        t = t.append_column(
+            "dl", pa.array(dl[order[pos]].astype(np.int64), pa.int64())
+        )
+        t = t.set_column(
+            t.schema.get_field_index("tf"),
+            "tf",
+            t.column("tf").cast(pa.int64()),
+        )
         b = bucket_ids(t.column("token"), num_buckets)
         return t.append_column("_bucket", pa.array(b, type=pa.int32()))
 
@@ -123,11 +155,50 @@ def build_text_index(
         .map_groups(encode_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    # corpus constants for BM25: n_docs is footer metadata (no data
+    # read); dl_sum folds the tf column of the just-written index —
+    # a column-projected pass over the COMPACT index, never a second
+    # read of the corpus (sum of tf across all postings == sum of
+    # split-piece counts across docs, because "" pieces are indexed)
+    n_docs = sum(pq.read_metadata(f).num_rows for f in input_files)
+    dl_sum = _sum_tf(out_dir)
+    meta = manifest.load_job_meta(out_dir) or {}
+    meta["n_docs"] = int(n_docs)
+    meta["dl_sum"] = int(dl_sum)
+    manifest.write_job_meta(out_dir, meta)
     return {
         "postings": int(summary["rows"].sum()),
         "buckets": int(summary["shard"].nunique()),
         "enc_nbytes": int(summary["enc_nbytes"].sum()),
+        "n_docs": int(n_docs),
+        "dl_sum": int(dl_sum),
     }
+
+
+def _sum_tf(index_dir: str) -> int:
+    """Distributed sum of the index's tf column (column-projected chunk
+    reads; per-task partials are one integer)."""
+    from ..codecs import chunk as chunk_mod
+    from .decode import chunk_files
+
+    files = chunk_files(index_dir)
+
+    def part(batch: pa.Table) -> pa.Table:
+        col = "path" if "path" in batch.column_names else "item"
+        total = 0
+        for path in batch.column(col).to_pylist():
+            chunks = pq.read_table(path, filters=[("column", "==", "tf")])
+            for payload in chunks.column("payload").to_pylist():
+                arr = chunk_mod.decode_array(payload)
+                total += int(pc.sum(arr).as_py() or 0)
+        return pa.table({"s": pa.array([total], pa.int64())})
+
+    parts = (
+        ray.data.from_items(files, override_num_blocks=max(1, min(64, len(files))))
+        .map_batches(part, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return int(parts["s"].sum())
 
 
 def _index_meta(index_dir: str) -> dict:
@@ -164,14 +235,7 @@ def lookup_postings(index_dir: str, tokens: list[str]) -> ray.data.Dataset:
     if not files:
         # every queried token hashes to a bucket no posting ever reached:
         # provably zero matches without opening anything
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                }
-            )
-        )
+        return ray.data.from_arrow(_EMPTY_POSTINGS)
 
     def probe(batch: pa.Table) -> pa.Table:
         from ..stages.decode import search_chunk_table
@@ -184,12 +248,7 @@ def lookup_postings(index_dir: str, tokens: list[str]) -> ray.data.Dataset:
             if got.num_rows:
                 outs.append(got)
         if not outs:
-            return pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "doc_id": pa.array([], pa.int64()),
-                }
-            )
+            return _EMPTY_POSTINGS
         return pa.concat_tables(outs)
 
     return ray.data.from_items(
@@ -220,3 +279,84 @@ def search_docs(
         return t.filter(m).select(["doc_id"])
 
     return counts.map_batches(keep, batch_format="pyarrow")
+
+
+def search_ranked(
+    index_dir: str, tokens: list[str], k: int | None = None
+) -> ray.data.Dataset:
+    """BM25-ranked disjunctive search (k1=1.2, b=0.75) computed from the
+    INDEX ALONE: tf and dl ride each posting row, df per term is the
+    posting count inside that term's bucket (exact — a token's every
+    posting lives in its one bucket), and (n_docs, dl_sum) were folded
+    into the index meta at build. The corpus is never touched.
+
+    Scores use the repo's exact-integer BM25 discipline (ln quantized
+    to millis, per-term contributions floored to integer millis, final
+    score an order-free integer sum), so results hash-match the
+    corpus-side q_bm25_scores / the DuckDB oracle for the same terms.
+
+    The matched postings are materialized once (they are the PRUNED
+    read — k tokens' buckets, not the corpus) because df must be global
+    before scoring; with k given, per-partition top-k partials merge to
+    the final k rows."""
+    meta = _index_meta(index_dir)
+    if "n_docs" not in meta or "dl_sum" not in meta:
+        raise ValueError(
+            f"{index_dir} predates ranked search — rebuild the index"
+        )
+    tokens = sorted({t for t in tokens if t})
+    n_docs = int(meta["n_docs"])
+    avgdl = np.float64(int(meta["dl_sum"])) / np.float64(n_docs)
+    posts = lookup_postings(index_dir, tokens).materialize()
+    dfs = posts.groupby("token").count().to_pandas()
+    df_map = dict(zip(dfs["token"], dfs["count()"].astype(np.int64)))
+    idf_millis = {
+        t: int(
+            np.floor(
+                np.log((n_docs - d + 0.5) / (d + 0.5) + 1.0) * 1000 + 0.5
+            )
+        )
+        for t, d in df_map.items()
+    }
+
+    def contrib(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = np.array(
+            [idf_millis[x] for x in t.column("token").to_pylist()],
+            dtype=np.int64,
+        )
+        # the identical IEEE expression tree as q_bm25_scores / the SQL
+        norm = 1.2 * (0.25 + 0.75 * (dl / avgdl))
+        c = np.floor((idf * (tf * 2.2)) / (tf + norm) * 1000.0 + 0.5)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "contrib": pa.array(c.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scores = (
+        posts.map_batches(contrib, batch_format="pyarrow")
+        .groupby("doc_id")
+        .sum("contrib")
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["doc_id", "score"])
+        return t.set_column(1, "score", t.column("score").cast(pa.int64()))
+
+    scores = scores.map_batches(finish, batch_format="pyarrow")
+    if k is not None:
+        # per-partition top-k partials, then one k-sized merge
+        def topk(t: pa.Table) -> pa.Table:
+            return t.sort_by(
+                [("score", "descending"), ("doc_id", "ascending")]
+            ).slice(0, k)
+
+        part = scores.map_batches(topk, batch_format="pyarrow").to_pandas()
+        part = part.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(k)
+        return ray.data.from_pandas(part.reset_index(drop=True))
+    return scores

@@ -130,3 +130,72 @@ def test_rejects_non_index_store(tmp_path, ray_session, index):
     )
     with pytest.raises(ValueError, match="not a text index"):
         search_docs(plain, ["alpha"])
+
+
+def test_bm25_matches_duckdb(index, tmp_path):
+    """Index-only BM25 must integer-match the corpus-side SQL."""
+    import duckdb
+
+    from parquet_go_ray.pipelines.textindex import search_ranked
+
+    out, df = index
+    terms = ("alpha", "gamma", "zeta")
+    got = (
+        search_ranked(out, list(terms))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    inlist = ",".join(f"'{t}'" for t in terms)
+    ref = con.execute(
+        "WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents), "
+        "dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents), "
+        f"tf AS (SELECT doc_id, token, count(*) AS c FROM toks WHERE token IN ({inlist}) GROUP BY 1, 2), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS d FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS nn, sum(dl) AS dl_sum FROM dls), "
+        "idf AS (SELECT token, CAST(floor(ln((nn - d + 0.5)/(d + 0.5) + 1) * 1000 + 0.5) AS BIGINT) AS idf_millis FROM df, n) "
+        "SELECT tf.doc_id, CAST(sum(CAST(floor(idf.idf_millis * (tf.c * 2.2) / (tf.c + "
+        "(1.2 * (0.25 + 0.75 * (dls.dl / (n.dl_sum / nn))))) * 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score "
+        "FROM tf JOIN idf USING (token) JOIN dls USING (doc_id), n "
+        "GROUP BY tf.doc_id ORDER BY doc_id"
+    ).df()
+    assert len(got) == len(ref)
+    assert (got["doc_id"].to_numpy() == ref["doc_id"].to_numpy()).all()
+    assert (got["score"].to_numpy() == ref["score"].to_numpy()).all()
+
+
+def test_bm25_topk(index):
+    from parquet_go_ray.pipelines.textindex import search_ranked
+
+    out, _ = index
+    full = (
+        search_ranked(out, ["alpha", "gamma"])
+        .to_pandas()
+        .sort_values(["score", "doc_id"], ascending=[False, True])
+        .reset_index(drop=True)
+    )
+    top = search_ranked(out, ["alpha", "gamma"], k=5).to_pandas()
+    assert len(top) == 5
+    assert (top["doc_id"].to_numpy() == full.head(5)["doc_id"].to_numpy()).all()
+    assert (top["score"].to_numpy() == full.head(5)["score"].to_numpy()).all()
+
+
+def test_bm25_rejects_stale_index(index, tmp_path, ray_session):
+    """An index whose meta lacks the BM25 constants must fail loudly."""
+    import json
+
+    from parquet_go_ray.pipelines.textindex import search_ranked
+    from parquet_go_ray.state import manifest
+
+    out, _ = index
+    meta = manifest.load_job_meta(out)
+    stale = {k: v for k, v in meta.items() if k not in ("n_docs", "dl_sum")}
+    manifest.write_job_meta(out, stale)
+    try:
+        with pytest.raises(ValueError, match="rebuild"):
+            search_ranked(out, ["alpha"])
+    finally:
+        manifest.write_job_meta(out, meta)
