@@ -791,3 +791,24 @@ def dict_domain_counts(buf: bytes, shared_dict: pa.Array | None = None):
         return None
     counts = np.bincount(indexes, minlength=len(values)).astype(np.int64)
     return values, counts, n_null
+
+
+def dict_domain_values(buf: bytes):
+    """Distinct non-null values of a DICT chunk from its dictionary
+    alone — the index stream is never decoded (codes outnumber the
+    dictionary by orders of magnitude on low-cardinality columns).
+    Exact because a chunk-local dictionary is built first-seen from the
+    chunk's OWN values: every entry occurs at least once. Returns
+    (values, n_null), or None for dict_shared chunks (the file-level
+    dictionary is a superset of any one chunk — the caller must count
+    codes via dict_domain_counts) and for codecs with no encoded
+    domain."""
+    codec, ptype, flba_width, n, n_null, ty, validity, payload = (
+        _parse_chunk(buf)
+    )
+    if ptype in (R.P_LIST, R.P_STRUCT, R.P_MAP, R.OTHER) or codec != R.DICT:
+        return None
+    values = dictionary.decode_values(
+        payload, R.PTYPE_NAMES[ptype], flba_width
+    )
+    return _reassemble(values, ty, ptype, len(values), 0, b"", flba_width), n_null

@@ -207,3 +207,11 @@ def shared_indexes(buf: bytes) -> np.ndarray:
     width = buf[pos]
     n_idx, p = uvarint_decode(buf, pos + 1)
     return rle.decode(buf[p:], width, n_idx).astype(np.int64)
+
+
+def decode_values(buf: bytes, ptype: str, flba_width: int = 0) -> pa.Array:
+    """Just the dictionary VALUES of a dict payload — the index stream
+    is never touched (DISTINCT pushdown reads dictionaries, not codes)."""
+    n_dict, pos = uvarint_decode(buf, 0)
+    dlen, pos = uvarint_decode(buf, pos)
+    return _plain_decode_values(buf[pos : pos + dlen], ptype, n_dict, flba_width)

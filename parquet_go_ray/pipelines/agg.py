@@ -32,6 +32,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray.data
@@ -238,5 +239,102 @@ def group_count_store(
         return t.set_column(
             1, out_count, t.column(out_count).cast(pa.int64())
         )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_store(
+    store: str, column: str, out_value: str = "value"
+) -> ray.data.Dataset:
+    """SELECT DISTINCT `column` evaluated from chunk DICTIONARIES: a
+    chunk-local dictionary is built first-seen from the chunk's own
+    values, so its entries ARE the chunk's distinct set — no index
+    stream, let alone row values, is decoded (dict_domain_values).
+    dict_shared chunks fall back to code counts (the file dictionary is
+    a superset of any one chunk) and other codecs to decode + unique,
+    inside the same task. Shuffle volume: per-task distinct values
+    only. Null appears as its own row when present, as SQL DISTINCT
+    surfaces it."""
+    from ..codecs import chunk as chunk_mod
+    from ..state import manifest as M
+    from .decode import chunk_files
+    from .tombstone import load_tombstones
+
+    M.check_format_version(store, "aggregate")
+    if load_tombstones(store):
+        from .decode import decode_dataset
+
+        ds = decode_dataset(store, columns=[column])
+
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"value": pc.unique(t.column(column).combine_chunks())}
+            )
+
+        parts = ds.map_batches(uniq, batch_format="pyarrow")
+    else:
+        files = chunk_files(store)
+        if not files:
+            raise FileNotFoundError(f"no encoded chunks under {store}")
+
+        def distinct_file(batch: pa.Table) -> pa.Table:
+            col = "path" if "path" in batch.column_names else "item"
+            vals = []
+            saw_null = False
+            for path in batch.column(col).to_pylist():
+                chunks = pq.read_table(
+                    path, filters=[("column", "==", column)]
+                )
+                shared = None
+                payloads = chunks.column("payload").to_pylist()
+                cids = chunks.column("chunk_id").to_pylist()
+                for cid, payload in zip(cids, payloads):
+                    if cid == "__dict__":
+                        shared = chunk_mod.decode_array(payload)
+                for cid, payload in zip(cids, payloads):
+                    if cid == "__dict__":
+                        continue
+                    got = chunk_mod.dict_domain_values(payload)
+                    if got is not None:
+                        v, nn = got
+                    else:
+                        counted = chunk_mod.dict_domain_counts(
+                            payload, shared
+                        )
+                        if counted is not None:
+                            dv, c, nn = counted
+                            v = dv.filter(pa.array(c > 0))
+                        else:
+                            arr = chunk_mod.decode_array(
+                                payload, shared_dict=shared
+                            )
+                            nn = arr.null_count
+                            v = pc.unique(arr.drop_null())
+                    saw_null = saw_null or nn > 0
+                    vals.append(
+                        v.combine_chunks()
+                        if isinstance(v, pa.ChunkedArray)
+                        else v
+                    )
+            if not vals:
+                raise chunk_mod.ChunkError(
+                    f"column {column!r} missing from chunk files"
+                )
+            value = pc.unique(pa.concat_arrays(vals))
+            t = pa.table({"value": value})
+            if saw_null:
+                t = pa.concat_tables(
+                    [t, pa.table({"value": pa.array([None], value.type)})]
+                )
+            return t
+
+        parts = ray.data.from_items(
+            files, override_num_blocks=max(1, min(64, len(files)))
+        ).map_batches(distinct_file, batch_format="pyarrow", batch_size=None)
+
+    merged = parts.groupby("value").count()
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["value"]).rename_columns([out_value])
 
     return merged.map_batches(finish, batch_format="pyarrow")

@@ -767,6 +767,16 @@ def q_store_agg_meta(sf_dir):
     return aggregate_meta(_doc_store(sf_dir), "n_chars")
 
 
+def q_store_distinct(sf_dir):
+    """SELECT DISTINCT from chunk dictionaries (agg.distinct_store):
+    chunk-local dictionaries ARE their chunks' distinct sets, so neither
+    the index streams nor any row value decodes; only per-task distinct
+    values shuffle."""
+    from .agg import distinct_store
+
+    return distinct_store(_doc_store(sf_dir), "lang", out_value="lang")
+
+
 def q_text_index_search(sf_dir):
     """Inverted-index conjunctive search (pipelines/textindex.py): the
     postings live in a token-bucketed encode store, so the query opens
@@ -2742,6 +2752,7 @@ QUERIES = {
     "search_pruned_store": q_search_pruned_store,
     "store_group_count": q_store_group_count,
     "store_agg_meta": q_store_agg_meta,
+    "store_distinct": q_store_distinct,
     "text_index_search": q_text_index_search,
     "text_index_bm25": q_text_index_bm25,
     "point_lookup_bloom": q_point_lookup_bloom,
@@ -3003,6 +3014,7 @@ ORACLES = {
     "store_group_count": (
         "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
     ),
+    "store_distinct": "SELECT DISTINCT lang FROM documents",
     "store_agg_meta": (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, "

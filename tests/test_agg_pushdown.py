@@ -42,18 +42,21 @@ def test_aggregate_meta_matches(store):
     assert got["vmax"] == int(df["n_chars"].max())
 
 
-def test_aggregate_meta_never_opens_chunks(store, monkeypatch):
-    """The metadata path must not read a single chunk file."""
+def test_aggregate_meta_never_opens_chunks(store):
+    """The metadata path must not read a single chunk file: chmod-000
+    the whole data directory (workers included) — the manifest-only
+    fold must still answer."""
+    import os
+    import stat
+
     out, _ = store
-    import parquet_go_ray.stages.decode as dec
-
-    def boom(*a, **k):
-        raise AssertionError("chunk decode called on the metadata path")
-
-    monkeypatch.setattr(dec, "decode_chunk_table", boom)
-    monkeypatch.setattr(chunk_mod, "decode_array", boom)
-    got = aggregate_meta(out, "n_chars").to_pylist()[0]
-    assert got["n_rows"] == 2000
+    data = os.path.join(out, "data")
+    os.chmod(data, 0)
+    try:
+        got = aggregate_meta(out, "n_chars").to_pylist()[0]
+        assert got["n_rows"] == 2000
+    finally:
+        os.chmod(data, stat.S_IRWXU)
 
 
 def test_group_count_matches_pandas_with_nulls(store):
@@ -135,3 +138,59 @@ def test_shared_dict_counts(tmp_path, ray_session):
                codec_overrides={"k": "dict"})
     got = group_count_store(out, "k").to_pandas().set_index("value")["n"]
     assert got.to_dict() == {"a": 600, "b": 600, "c": 600}
+
+
+def test_distinct_matches_pandas_with_nulls(store):
+    from parquet_go_ray.pipelines.agg import distinct_store
+
+    out, df = store
+    got = distinct_store(out, "lang").to_pandas()["value"]
+    want = set(df["lang"].dropna().unique())
+    got_nonnull = set(got.dropna())
+    assert got_nonnull == want
+    assert got.isna().sum() == (1 if df["lang"].isna().any() else 0)
+
+
+def test_distinct_codec_independent(tmp_path, ray_session, store):
+    from parquet_go_ray.pipelines.agg import distinct_store
+
+    out, df = store
+    p = str(tmp_path / "docs.parquet")
+    out2 = str(tmp_path / "store_plain2")
+    encode_job(
+        [p], out2, rows_per_chunk=256, bloom_columns=(),
+        codec_overrides={"lang": "plain"},
+    )
+    a = set(distinct_store(out, "lang").to_pandas()["value"].dropna())
+    b = set(distinct_store(out2, "lang").to_pandas()["value"].dropna())
+    assert a == b
+
+
+def test_distinct_kernel_skips_index_stream(monkeypatch):
+    """dict_domain_values must parse only the dictionary — the index
+    stream decoder must never run (in-process kernel check)."""
+    import parquet_go_ray.codecs.rle as rle_mod
+
+    arr = pa.array(["x", "y", "x", "z", None])
+    blob = chunk_mod.encode_array(arr, R.CODEC_IDS["dict"])
+
+    def boom(*a, **k):
+        raise AssertionError("index stream decoded on the values-only path")
+
+    monkeypatch.setattr(rle_mod, "decode", boom)
+    v, nn = chunk_mod.dict_domain_values(blob)
+    assert set(v.to_pylist()) == {"x", "y", "z"} and nn == 1
+
+
+def test_distinct_respects_tombstones(store):
+    from parquet_go_ray.pipelines.agg import distinct_store
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    out, df = store
+    keep_ids = df[df["lang"] == "fr"]["doc_id"]
+    # delete every non-fr doc: distinct must shrink to {fr}
+    dead = df[df["lang"] != "fr"]["doc_id"].tolist()
+    dead += df[df["lang"].isna()]["doc_id"].tolist()
+    delete_where(out, "doc_id", dead)
+    got = set(distinct_store(out, "lang").to_pandas()["value"].dropna())
+    assert got == {"fr"}
