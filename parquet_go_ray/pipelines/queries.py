@@ -820,6 +820,55 @@ def q_text_index_bm25(sf_dir):
     )
 
 
+def q_text_index_update(sf_dir):
+    """Incremental index maintenance (textindex.update_text_index):
+    build the index, apply a deterministic crawl increment (every
+    doc_id %5==0 re-crawled with edited text, every %20==0 appearing
+    anew under id+10^6), then BM25-rank over the UPDATED index. The
+    oracle states the same BM25 over the updated corpus in SQL, so a
+    hash match proves the merge-on-write update (probe -> tombstone ->
+    layout-preserving purge -> generation append -> meta delta) leaves
+    the index integer-identical to a fresh rebuild."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .textindex import build_text_index, search_ranked, update_text_index
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_txtupd_v{FORMAT_VERSION}_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    build_text_index([f"{sf_dir}/documents.parquet"], out, num_buckets=16)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = docs.column("doc_id").to_numpy()
+    changed = docs.filter(pa.array(ids % 5 == 0))
+    changed = changed.set_column(
+        changed.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(changed.column("text"), " v2 scan", ""),
+    )
+    new = docs.filter(pa.array(ids % 20 == 0))
+    new = new.set_column(
+        new.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(new.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+    )
+    new = new.set_column(
+        new.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(new.column("text"), " fresh page column", ""),
+    )
+    inc_dir = tempfile.mkdtemp(prefix="pgr_txtinc_")
+    inc = os.path.join(inc_dir, "inc-0.parquet")
+    pq.write_table(pa.concat_tables([changed, new]), inc)
+    update_text_index(out, [inc])
+    return search_ranked(out, ["column", "join", "merge", "order", "scan"])
+
+
 def q_text_semantic_pairs(sf_dir):
     """Raw text -> hashing-trick embeddings -> exact cosine near-dup
     pairs: the complete model-free semantic-dedup pipeline (rows-only:
@@ -2755,6 +2804,7 @@ QUERIES = {
     "store_distinct": q_store_distinct,
     "text_index_search": q_text_index_search,
     "text_index_bm25": q_text_index_bm25,
+    "text_index_update": q_text_index_update,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
@@ -3025,6 +3075,33 @@ ORACLES = {
         "SELECT doc_id FROM documents "
         "WHERE (' ' || text || ' ') LIKE '% scan %' "
         "AND (' ' || text || ' ') LIKE '% column %'"
+    ),
+    # BM25 over the UPDATED corpus (the q_text_index_update increment
+    # expressed as SQL), proving incremental maintenance == rebuild
+    "text_index_update": (
+        "WITH documents2 AS ("
+        "SELECT * FROM documents WHERE doc_id % 5 != 0 "
+        "UNION ALL SELECT * REPLACE (text || ' v2 scan' AS text) "
+        "FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL SELECT * REPLACE (doc_id + 1000000 AS doc_id, "
+        "text || ' fresh page column' AS text) "
+        "FROM documents WHERE doc_id % 20 = 0), "
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents2), "
+        "dls AS (SELECT doc_id, len(string_split(text, ' ')) AS dl "
+        "FROM documents2), "
+        "tf AS (SELECT doc_id, token, count(*) AS c FROM toks "
+        "WHERE token IN ('column','join','merge','order','scan') GROUP BY 1, 2), "
+        "df AS (SELECT token, count(DISTINCT doc_id) AS d FROM tf GROUP BY token), "
+        "n AS (SELECT count(*) AS nn, sum(dl) AS dl_sum FROM dls), "
+        "idf AS (SELECT token, CAST(floor(ln((nn - d + 0.5)/(d + 0.5) + 1) * 1000 "
+        "+ 0.5) AS BIGINT) AS idf_millis FROM df, n) "
+        "SELECT tf.doc_id, CAST(sum(CAST(floor("
+        "idf.idf_millis * (tf.c * 2.2) / (tf.c + "
+        "(1.2 * (0.25 + 0.75 * (dls.dl / (n.dl_sum / nn))))) "
+        "* 1000.0 + 0.5) AS BIGINT)) AS BIGINT) AS score "
+        "FROM tf JOIN idf USING (token) JOIN dls USING (doc_id), n "
+        "GROUP BY tf.doc_id ORDER BY doc_id"
     ),
     # identical statement to bm25_scores: the index-derived statistics
     # must reproduce the corpus-wide computation integer-exactly

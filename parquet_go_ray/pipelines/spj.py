@@ -32,7 +32,9 @@ import pyarrow.parquet as pq
 
 import ray.data
 
-_BUCKET_RE = re.compile(r"^bucket=(\d+)$")
+# optional "+g<hex>" generation suffix: incremental appends land as new
+# shards of the same bucket (textindex.update_text_index)
+_BUCKET_RE = re.compile(r"^bucket=(\d+)(?:\+g[0-9a-f]+)?$")
 
 
 def _bucket_spec(store: str) -> dict:

@@ -25,6 +25,7 @@ SQL-checkable.
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 
 import numpy as np
@@ -46,55 +47,22 @@ _EMPTY_POSTINGS = pa.table(
 )
 
 
-def build_text_index(
-    input_files: list[str],
-    out_dir: str,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_buckets: int = 32,
-    rows_per_chunk: int = 8192,
-) -> dict:
-    """Build the inverted index store; returns the encode summary."""
-    from ..codecs.registry import FORMAT_VERSION
-    from ..functions.hashing import BUCKET_HASH_VERSION, bucket_ids
-    from ..sources.pathwise import read_parquet_pathwise
-    from ..stages.encode import (
-        SUMMARY_SCHEMA,
-        _COLUMN_CACHE,
-        _namespace_cache,
-        encode_table,
-        lineage_of,
-        summary_row,
-        write_chunk_file,
-    )
-    from ..state import manifest
+def _make_pairs(text_col: str, id_col: str, num_buckets: int):
+    """Batch transform emitting BOTH index row families from ONE corpus
+    read / ONE shuffle, separated by disjoint bucket ranges:
 
-    manifest.write_job_meta(
-        out_dir,
-        {
-            "mode": "text_index",
-            "tokenizer": TOKENIZER,
-            "text_col": text_col,
-            "id_col": id_col,
-            "format_version": FORMAT_VERSION,
-            "bucketing": {
-                "key": "token",
-                "num_buckets": int(num_buckets),
-                "hash": BUCKET_HASH_VERSION,
-                "kind": "str",
-            },
-        },
-    )
+    - postings (token, doc_id, tf, dl), _bucket = hash(token) % B —
+      per distinct token per doc, all Arrow kernels. `dl` (document
+      length = split-piece count, the BM25 normalizer) rides every
+      posting row Lucene-style so ranking needs no doc-side join.
+    - doc rows (doc_id, dl), _bucket = B + hash(doc_id) % B — the
+      doc-length side table that makes membership probes and the
+      (n_docs, dl_sum) corpus constants hash-pruned and incrementally
+      maintainable (update_text_index) without ever rescanning the
+      whole index."""
+    from ..functions.hashing import bucket_ids
 
     def pairs(batch: pa.Table) -> pa.Table:
-        """(token, doc_id, tf, dl) per distinct token per doc — all
-        Arrow kernels: split -> flatten with parent indices -> group
-        count. `dl` (document length = split-piece count, the BM25
-        normalizer) rides every posting row Lucene-style, so ranking
-        needs no doc-side join; empty-string pieces are indexed like
-        any token (never queried, but they make sum(tf) == sum of dl
-        over distinct docs, which is how finalize recovers dl_sum from
-        the index without re-reading the corpus)."""
         toks = pc.split_pattern(
             batch.column(text_col).combine_chunks(), pattern=" "
         )
@@ -106,15 +74,23 @@ def build_text_index(
             [("token", "count")]
         )
         t = t.rename_columns(["token", "doc_id", "tf"])
-        # per-doc length joined back by doc position (batch-local ids)
-        dl = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        dl = pc.list_value_length(toks).cast(pa.int64())
+        dl_np = dl.to_numpy(zero_copy_only=False)
         ids_np = ids.to_numpy(zero_copy_only=False)
         order = np.argsort(ids_np, kind="stable")
         pos = np.searchsorted(
             ids_np[order], t.column("doc_id").to_numpy(zero_copy_only=False)
         )
         t = t.append_column(
-            "dl", pa.array(dl[order[pos]].astype(np.int64), pa.int64())
+            "dl",
+            pa.array(
+                np.asarray(dl_np, dtype=np.float64)[order[pos]].astype(
+                    np.int64
+                ),
+                pa.int64(),
+            )
+            if dl.null_count
+            else pa.array(dl_np[order[pos]].astype(np.int64), pa.int64()),
         )
         t = t.set_column(
             t.schema.get_field_index("tf"),
@@ -122,14 +98,57 @@ def build_text_index(
             t.column("tf").cast(pa.int64()),
         )
         b = bucket_ids(t.column("token"), num_buckets)
-        return t.append_column("_bucket", pa.array(b, type=pa.int32()))
+        t = t.append_column("_bucket", pa.array(b, type=pa.int32()))
+        docs = pa.table(
+            {
+                "token": pa.array([None] * len(ids), pa.string()),
+                "doc_id": ids,
+                "tf": pa.array(
+                    np.zeros(len(ids), dtype=np.int64), pa.int64()
+                ),
+                "dl": dl,
+                "_bucket": pa.array(
+                    bucket_ids(ids, num_buckets) + np.int32(num_buckets),
+                    type=pa.int32(),
+                ),
+            }
+        )
+        return pa.concat_tables([t, docs])
+
+    return pairs
+
+
+def _make_encode_bucket(
+    out_dir: str, num_buckets: int, rows_per_chunk: int, gen: str | None
+):
+    """Bucket-group encoder handling both shard families; `gen` suffixes
+    shard names for incremental appends (unique manifest entries — an
+    update never overwrites a base shard's manifest)."""
+    from ..stages.encode import (
+        SUMMARY_SCHEMA,
+        _COLUMN_CACHE,
+        _namespace_cache,
+        encode_table,
+        lineage_of,
+        summary_row,
+        write_chunk_file,
+    )
+    from ..state import manifest
+
+    suffix = f"+g{gen}" if gen else ""
 
     def encode_bucket(group: pa.Table) -> pa.Table:
         bucket = group.column("_bucket")[0].as_py()
-        shard = f"bucket={bucket:05d}"
-        group = group.drop_columns(["_bucket"]).sort_by(
-            [("token", "ascending"), ("doc_id", "ascending")]
-        )
+        if bucket >= num_buckets:
+            shard = f"docs={bucket - num_buckets:05d}{suffix}"
+            group = group.select(["doc_id", "dl"]).sort_by(
+                [("doc_id", "ascending")]
+            )
+        else:
+            shard = f"bucket={bucket:05d}{suffix}"
+            group = group.drop_columns(["_bucket"]).sort_by(
+                [("token", "ascending"), ("doc_id", "ascending")]
+            )
         cache = _namespace_cache(_COLUMN_CACHE, f"textindex|{out_dir}")
         parts = []
         for start in range(0, group.num_rows, rows_per_chunk):
@@ -148,26 +167,63 @@ def build_text_index(
             [summary_row(shard, lin, True)], schema=SUMMARY_SCHEMA
         )
 
+    return encode_bucket
+
+
+def build_text_index(
+    input_files: list[str],
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 32,
+    rows_per_chunk: int = 8192,
+) -> dict:
+    """Build the inverted index store; returns the encode summary."""
+    from ..codecs.registry import FORMAT_VERSION
+    from ..functions.hashing import BUCKET_HASH_VERSION
+    from ..sources.pathwise import read_parquet_pathwise
+    from ..state import manifest
+
+    manifest.write_job_meta(
+        out_dir,
+        {
+            "mode": "text_index",
+            "tokenizer": TOKENIZER,
+            "text_col": text_col,
+            "id_col": id_col,
+            "format_version": FORMAT_VERSION,
+            "bucketing": {
+                "key": "token",
+                "num_buckets": int(num_buckets),
+                "hash": BUCKET_HASH_VERSION,
+                "kind": "str",
+            },
+        },
+    )
     ds = read_parquet_pathwise(input_files, columns=[id_col, text_col])
     summary = (
-        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(
+            _make_pairs(text_col, id_col, num_buckets),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
         .groupby("_bucket")
-        .map_groups(encode_bucket, batch_format="pyarrow")
+        .map_groups(
+            _make_encode_bucket(out_dir, num_buckets, rows_per_chunk, None),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    # corpus constants for BM25: n_docs is footer metadata (no data
-    # read); dl_sum folds the tf column of the just-written index —
-    # a column-projected pass over the COMPACT index, never a second
-    # read of the corpus (sum of tf across all postings == sum of
-    # split-piece counts across docs, because "" pieces are indexed)
-    n_docs = sum(pq.read_metadata(f).num_rows for f in input_files)
-    dl_sum = _sum_tf(out_dir)
+    # corpus constants for BM25, folded from the doc-length side table
+    # (one distributed pass over the COMPACT doc shards — never a
+    # second read of the corpus)
+    n_docs, dl_sum = _doc_stats(out_dir)
     meta = manifest.load_job_meta(out_dir) or {}
     meta["n_docs"] = int(n_docs)
     meta["dl_sum"] = int(dl_sum)
     manifest.write_job_meta(out_dir, meta)
     return {
-        "postings": int(summary["rows"].sum()),
+        "postings": int(summary["rows"].sum()) - n_docs,
         "buckets": int(summary["shard"].nunique()),
         "enc_nbytes": int(summary["enc_nbytes"].sum()),
         "n_docs": int(n_docs),
@@ -175,30 +231,66 @@ def build_text_index(
     }
 
 
-def _sum_tf(index_dir: str) -> int:
-    """Distributed sum of the index's tf column (column-projected chunk
-    reads; per-task partials are one integer)."""
-    from ..codecs import chunk as chunk_mod
-    from .decode import chunk_files
+_DOC_RE = re.compile(r"^docs=(\d+)(?:\+g[0-9a-f]+)?$")
 
-    files = chunk_files(index_dir)
+
+def _doc_files(index_dir: str) -> dict[int, list[str]]:
+    """doc-bucket index -> chunk files (all generations)."""
+    from ..state import manifest
+
+    t = manifest.lineage_table(index_dir, columns=["shard", "file"])
+    root = Path(index_dir) / "data"
+    out: dict[int, set[str]] = {}
+    if t is None:
+        return {}
+    for s, f in zip(t.column("shard").to_pylist(), t.column("file").to_pylist()):
+        m = _DOC_RE.match(s)
+        if m:
+            out.setdefault(int(m.group(1)), set()).add(
+                str(root / s / f"{f}.parquet")
+            )
+    return {b: sorted(fs) for b, fs in out.items()}
+
+
+def _doc_stats(index_dir: str, buckets: set[int] | None = None) -> tuple[int, int]:
+    """(n_docs, dl_sum) folded from the doc-length shards — per-task
+    partials are two integers. `buckets` restricts to a subset (used by
+    update to fold only its new generation's rows via _probe_docs
+    instead)."""
+    from ..codecs import chunk as chunk_mod
+
+    by_bucket = _doc_files(index_dir)
+    files = sorted(
+        f
+        for b, fs in by_bucket.items()
+        if buckets is None or b in buckets
+        for f in fs
+    )
+    if not files:
+        return 0, 0
 
     def part(batch: pa.Table) -> pa.Table:
         col = "path" if "path" in batch.column_names else "item"
-        total = 0
+        n = 0
+        s = 0
         for path in batch.column(col).to_pylist():
-            chunks = pq.read_table(path, filters=[("column", "==", "tf")])
+            chunks = pq.read_table(path, filters=[("column", "==", "dl")])
             for payload in chunks.column("payload").to_pylist():
                 arr = chunk_mod.decode_array(payload)
-                total += int(pc.sum(arr).as_py() or 0)
-        return pa.table({"s": pa.array([total], pa.int64())})
+                n += len(arr)
+                s += int(pc.sum(arr).as_py() or 0)
+        return pa.table(
+            {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
+        )
 
     parts = (
-        ray.data.from_items(files, override_num_blocks=max(1, min(64, len(files))))
+        ray.data.from_items(
+            files, override_num_blocks=max(1, min(64, len(files)))
+        )
         .map_batches(part, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
-    return int(parts["s"].sum())
+    return int(parts["n"].sum()), int(parts["s"].sum())
 
 
 def _index_meta(index_dir: str) -> dict:
@@ -360,3 +452,177 @@ def search_ranked(
         ).head(k)
         return ray.data.from_pandas(part.reset_index(drop=True))
     return scores
+
+
+def _purge_rename(shard: str) -> str:
+    """Layout-preserving purge shard name: keep the bucket prefix, swap
+    the generation suffix for a deterministic purge hash — hash pruning
+    survives the rewrite."""
+    import hashlib
+
+    base = shard.split("+g")[0]
+    h = hashlib.sha1(("purge|" + shard).encode()).hexdigest()[:8]
+    return f"{base}+g{h}"
+
+
+def _probe_docs(index_dir: str, ids) -> pa.Table:
+    """(doc_id, dl) rows for the given ids that EXIST in the index —
+    hash-pruned: only the ids' doc buckets open, and inside a bucket the
+    membership test runs in the encoded domain / falls back to decode +
+    filter (search_chunk_table). Used by update_text_index for
+    replacement detection; the id list is a crawl increment, bounded by
+    contract."""
+    from ..functions.hashing import bucket_ids
+    from ..stages.decode import search_chunk_table
+
+    meta = _index_meta(index_dir)
+    nb = int(meta["bucketing"]["num_buckets"])
+    ids = pa.array(sorted(set(pa.array(ids).to_pylist())), pa.int64())
+    wanted = set(bucket_ids(ids, nb).tolist())
+    by_bucket = _doc_files(index_dir)
+    files = sorted(
+        f for b, fs in by_bucket.items() if b in wanted for f in fs
+    )
+    id_list = ids.to_pylist()
+
+    def probe(batch: pa.Table) -> pa.Table:
+        col = "path" if "path" in batch.column_names else "item"
+        outs = []
+        for path in batch.column(col).to_pylist():
+            chunks = pq.read_table(path)
+            got = search_chunk_table(chunks, "doc_id", id_list)
+            if got.num_rows:
+                outs.append(got.select(["doc_id", "dl"]))
+        if not outs:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "dl": pa.array([], pa.int64()),
+                }
+            )
+        return pa.concat_tables(outs)
+
+    if not files:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "dl": pa.array([], pa.int64())}
+        )
+    got = (
+        ray.data.from_items(files, override_num_blocks=len(files))
+        .map_batches(probe, batch_format="pyarrow", batch_size=None)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    return pa.concat_tables([_ray.get(r) for r in got])
+
+
+def update_text_index(
+    index_dir: str,
+    increment_files: list[str],
+    rows_per_chunk: int = 8192,
+) -> dict:
+    """Incrementally maintain the index across a crawl increment —
+    docs whose ids already exist are REPLACED, new ids are added.
+    Merge-on-write, mirroring the store's upsert_files protocol:
+
+      1. probe the doc-length shards for the increment's ids
+         (hash-pruned reads; captures each replaced doc's old dl)
+      2. tombstone the replaced ids, then physically purge them —
+         stats-candidate chunks only; after the purge no tombstone
+         survives, so queries stay filter-free
+      3. append the increment's postings + doc rows as a new
+         GENERATION of shards (`bucket=NNNNN+g<hex>`) — base shard
+         manifests are never touched, and a crashed append re-runs
+         idempotently (same content, new generation)
+      4. fold the increment's (n_docs, dl_sum) deltas into the meta
+         using the probed old lengths — no full-index rescan, exact
+
+    The index's answers after an update are identical to a fresh
+    rebuild over the updated corpus (asserted integer-exactly by the
+    BM25 gate query's oracle)."""
+    import uuid
+
+    from ..sources.pathwise import read_parquet_pathwise
+    from ..state import manifest
+    from .tombstone import delete_where, purge_tombstones
+
+    meta = _index_meta(index_dir)
+    manifest.check_format_version(index_dir, "update")
+    nb = int(meta["bucketing"]["num_buckets"])
+    text_col, id_col = meta["text_col"], meta["id_col"]
+
+    inc_ids = pa.concat_arrays(
+        [
+            pq.read_table(f, columns=[id_col])
+            .column(id_col)
+            .combine_chunks()
+            .cast(pa.int64())
+            for f in increment_files
+        ]
+    )
+    found = _probe_docs(index_dir, inc_ids)
+    replaced = found.column("doc_id").to_pylist()
+    old_dl = int(pc.sum(found.column("dl")).as_py() or 0)
+    if replaced:
+        delete_where(index_dir, "doc_id", replaced)
+        purge_tombstones(
+            index_dir,
+            rows_per_chunk=rows_per_chunk,
+            rename=_purge_rename,
+        )
+
+    gen = uuid.uuid4().hex[:8]
+    ds = read_parquet_pathwise(increment_files, columns=[id_col, text_col])
+    summary = (
+        ds.map_batches(
+            _make_pairs(text_col, id_col, nb),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("_bucket")
+        .map_groups(
+            _make_encode_bucket(index_dir, nb, rows_per_chunk, gen),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    # increment constants folded from the NEW generation's doc shards
+    # (compact, driver-side: generation size == crawl increment size)
+    inc_docs, inc_dl = _gen_doc_stats(index_dir, gen)
+    meta = _index_meta(index_dir)
+    meta["n_docs"] = int(meta["n_docs"]) + inc_docs - len(replaced)
+    meta["dl_sum"] = int(meta["dl_sum"]) + inc_dl - old_dl
+    manifest.write_job_meta(index_dir, meta)
+    return {
+        "replaced": len(replaced),
+        "added": inc_docs - len(replaced),
+        "generation": gen,
+        "n_docs": meta["n_docs"],
+        "dl_sum": meta["dl_sum"],
+    }
+
+
+def _gen_doc_stats(index_dir: str, gen: str) -> tuple[int, int]:
+    """(n_docs, dl_sum) of one generation's doc shards only."""
+    from ..codecs import chunk as chunk_mod
+    from ..state import manifest
+
+    t = manifest.lineage_table(index_dir, columns=["shard", "file"])
+    root = Path(index_dir) / "data"
+    files = sorted(
+        {
+            str(root / s / f"{f}.parquet")
+            for s, f in zip(
+                t.column("shard").to_pylist(), t.column("file").to_pylist()
+            )
+            if s.startswith("docs=") and s.endswith(f"+g{gen}")
+        }
+    )
+    n = s_ = 0
+    for path in files:
+        chunks = pq.read_table(path, filters=[("column", "==", "dl")])
+        for payload in chunks.column("payload").to_pylist():
+            arr = chunk_mod.decode_array(payload)
+            n += len(arr)
+            s_ += int(pc.sum(arr).as_py() or 0)
+    return n, s_

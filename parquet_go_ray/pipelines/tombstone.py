@@ -209,9 +209,18 @@ def purge_tombstones(
     store_dir: str,
     rows_per_chunk: int = 4096,
     compression: str | None = None,
+    rename=None,
 ) -> dict:
     """Physically remove tombstoned rows, then retire the tombstone
-    files that were present at plan time. Safe to re-run."""
+    files that were present at plan time. Safe to re-run.
+
+    `rename(shard) -> new_shard` overrides the rewritten shard's name
+    (default: "purge-<sha>"). Bucketed layouts (spj / textindex) pass a
+    renamer that keeps the bucket prefix (`bucket=00004` ->
+    `bucket=00004+g<hex>`) so hash pruning survives the rewrite; the
+    function must be DETERMINISTIC in the input name (retry idempotence
+    keys on it) and must never return its input (the old shard is
+    dropped after the new one commits)."""
     from ..state import manifest
     from .compact import _drop_shard, _recover, _write_members
 
@@ -264,7 +273,15 @@ def purge_tombstones(
         out = []
         tb = ray.get(tombs_ref)
         for shard in batch.column("item").to_pylist():
-            gid = "purge-" + hashlib.sha1(shard.encode()).hexdigest()[:12]
+            gid = (
+                rename(shard)
+                if rename is not None
+                else "purge-" + hashlib.sha1(shard.encode()).hexdigest()[:12]
+            )
+            if gid == shard:
+                raise ValueError(
+                    f"purge rename must produce a NEW shard name, got {gid!r}"
+                )
             if (manifest.manifest_dir(store_dir) / f"{gid}.json").exists():
                 # a retried task already committed this purge group
                 _drop_shard(store_dir, shard)

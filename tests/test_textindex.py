@@ -199,3 +199,107 @@ def test_bm25_rejects_stale_index(index, tmp_path, ray_session):
             search_ranked(out, ["alpha"])
     finally:
         manifest.write_job_meta(out, meta)
+
+
+def _rank(out, terms):
+    from parquet_go_ray.pipelines.textindex import search_ranked
+
+    return (
+        search_ranked(out, terms)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_update_equals_rebuild(tmp_path, ray_session, index):
+    """After replace+add increments, the updated index must score BM25
+    identically to a fresh index over the updated corpus."""
+    from parquet_go_ray.pipelines.textindex import (
+        build_text_index,
+        update_text_index,
+    )
+
+    out, df = index
+    # increment: replace docs 0..49 with edited text, add 50 new docs
+    rng = np.random.default_rng(5)
+    rep = df.head(50).copy()
+    rep["text"] = rep["text"] + " zeta zeta"
+    newd = pd.DataFrame(
+        {
+            "doc_id": np.arange(10_000, 10_050, dtype=np.int64),
+            "text": [
+                " ".join(rng.choice(WORDS, size=5)) for _ in range(50)
+            ],
+        }
+    )
+    inc = pd.concat([rep, newd], ignore_index=True)
+    incp = str(tmp_path / "inc.parquet")
+    pq.write_table(pa.Table.from_pandas(inc, preserve_index=False), incp)
+    info = update_text_index(out, [incp])
+    assert info["replaced"] == 50 and info["added"] == 50
+
+    updated = pd.concat([df.iloc[50:], inc], ignore_index=True)
+    refp = str(tmp_path / "updated.parquet")
+    pq.write_table(pa.Table.from_pandas(updated, preserve_index=False), refp)
+    ref_idx = str(tmp_path / "refidx")
+    build_text_index([refp], ref_idx, num_buckets=8, rows_per_chunk=512)
+
+    terms = ["alpha", "zeta", "theta"]
+    a, b = _rank(out, terms), _rank(ref_idx, terms)
+    pd.testing.assert_frame_equal(a, b)
+    # replaced docs must rank with their NEW text (zeta boost visible)
+    assert set(a[a["doc_id"] < 50]["doc_id"]) == set(range(50))
+
+
+def test_update_twice_is_consistent(tmp_path, ray_session, index):
+    """A second increment touching the first increment's docs (purging a
+    generation shard) stays exact."""
+    from parquet_go_ray.pipelines.textindex import update_text_index
+
+    out, df = index
+    inc1 = pd.DataFrame(
+        {"doc_id": np.array([1, 2], dtype=np.int64),
+         "text": ["alpha beta", "gamma gamma delta"]}
+    )
+    p1 = str(tmp_path / "i1.parquet")
+    pq.write_table(pa.Table.from_pandas(inc1, preserve_index=False), p1)
+    update_text_index(out, [p1])
+    inc2 = pd.DataFrame(
+        {"doc_id": np.array([2, 3], dtype=np.int64),
+         "text": ["epsilon", "alpha epsilon epsilon"]}
+    )
+    p2 = str(tmp_path / "i2.parquet")
+    pq.write_table(pa.Table.from_pandas(inc2, preserve_index=False), p2)
+    info = update_text_index(out, [p2])
+    assert info["replaced"] == 2  # docs 2 and 3 both existed
+    got = _rank(out, ["epsilon"])
+    assert set(got["doc_id"]) >= {2, 3}
+    # doc 2's first-increment text must be fully gone
+    from parquet_go_ray.pipelines.textindex import lookup_postings
+
+    posts = lookup_postings(out, ["gamma"]).to_pandas()
+    assert 2 not in set(posts["doc_id"])
+
+
+def test_purge_rename_preserves_bucket(ray_session):
+    from parquet_go_ray.pipelines.spj import _BUCKET_RE
+    from parquet_go_ray.pipelines.textindex import _purge_rename
+
+    for shard in ("bucket=00004", "bucket=00004+gdeadbeef"):
+        renamed = _purge_rename(shard)
+        assert renamed != shard
+        assert _BUCKET_RE.match(renamed)
+        assert renamed.startswith("bucket=00004+g")
+        assert _purge_rename(shard) == renamed  # deterministic
+
+
+def test_probe_docs_finds_exact_ids(index):
+    from parquet_go_ray.pipelines.textindex import _probe_docs
+
+    out, df = index
+    got = _probe_docs(out, [0, 5, 799, 12345])
+    found = set(got.to_pandas()["doc_id"])
+    assert found == {0, 5, 799}
+    dl = got.to_pandas().set_index("doc_id")["dl"]
+    assert int(dl[5]) == len(df.iloc[5]["text"].split(" "))
