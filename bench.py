@@ -275,6 +275,18 @@ def run_bench() -> dict:
         "bm25_scores",
         "topk_per_group",
         "quantile_sketch",
+        # storage-partitioned join + zero-shuffle groupby (stores cached
+        # after rep 1: the min measures the join/aggregate itself)
+        "spj_join",
+        "spj_groupby",
+        # aggregate pushdown over the encode store (manifest stats /
+        # dictionary domain)
+        "store_group_count",
+        "store_distinct",
+        # inverted-index search + index-only BM25 (index cached after
+        # rep 1; hash-pruned bucket reads)
+        "text_index_search",
+        "text_index_bm25",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

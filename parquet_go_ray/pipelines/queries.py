@@ -649,32 +649,11 @@ def q_spj_join(sf_dir):
     hash-joins locally. The write-time shuffle amortizes over every
     subsequent join on the key (the lakehouse SPJ pattern); the stores
     are cached per sf_dir so repeat queries exercise the join alone."""
-    import hashlib
-    import os
-
-    from ..codecs.registry import FORMAT_VERSION
-    from .encode import encode_job
     from .spj import storage_partitioned_join
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    stores = {
-        "orders": (f"/tmp/graft_spjo_v{FORMAT_VERSION}_{key}", "o_custkey"),
-        "customer": (f"/tmp/graft_spjc_v{FORMAT_VERSION}_{key}", "c_custkey"),
-    }
-    for table, (out, bkey) in stores.items():
-        if not os.path.exists(os.path.join(out, "_manifest")):
-            encode_job(
-                [f"{sf_dir}/{table}.parquet"],
-                out,
-                mode="bucket",
-                bucket_key=bkey,
-                num_buckets=16,
-                rows_per_chunk=2048,
-                bloom_columns=(),
-            )
     ds = storage_partitioned_join(
-        stores["orders"][0],
-        stores["customer"][0],
+        _spj_store(sf_dir, "orders", "o_custkey"),
+        _spj_store(sf_dir, "customer", "c_custkey"),
         "o_custkey",
         "c_custkey",
         left_columns=["o_orderkey", "o_custkey", "o_totalprice"],
@@ -688,6 +667,51 @@ def q_spj_join(sf_dir):
             pc.round(t.column("o_totalprice"), 2),
         )
         return t.select(["o_orderkey", "o_custkey", "o_totalprice", "c_name"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _spj_store(sf_dir: str, table: str, bucket_key: str) -> str:
+    """Bucket-encode a testdata table once per sf_dir (num_buckets=16)."""
+    import hashlib
+    import os
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .encode import encode_job
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_spj_{table}_v{FORMAT_VERSION}_{key}"
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        encode_job(
+            [f"{sf_dir}/{table}.parquet"],
+            out,
+            mode="bucket",
+            bucket_key=bucket_key,
+            num_buckets=16,
+            rows_per_chunk=2048,
+            bloom_columns=(),
+        )
+    return out
+
+
+def q_spj_groupby(sf_dir):
+    """GROUP BY the bucket key with ZERO shuffle
+    (spj.storage_partitioned_groupby): the bucketed layout localizes
+    every key to one bucket, so each task computes COMPLETE groups —
+    the usual partial-aggregate-then-merge collapses to one stage with
+    no exchange at all."""
+    from .spj import storage_partitioned_groupby
+
+    ds = storage_partitioned_groupby(
+        _spj_store(sf_dir, "orders", "o_custkey"),
+        [("o_orderkey", "count"), ("o_orderkey", "min"), ("o_orderkey", "max")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["o_custkey", "n_orders", "min_ok", "max_ok"])
+        return t.set_column(
+            1, "n_orders", t.column("n_orders").cast(pa.int64())
+        )
 
     return ds.map_batches(finish, batch_format="pyarrow")
 
@@ -2824,6 +2848,7 @@ QUERIES = {
     "hash_join": q_hash_join,
     "hash_join_broadcast": q_hash_join_broadcast,
     "spj_join": q_spj_join,
+    "spj_groupby": q_spj_groupby,
     "wire_page_index_range": q_wire_page_index_range,
     "fingerprint_winnow": q_fingerprint_winnow,
     "wire_bloom_lookup": q_wire_bloom_lookup,
@@ -3191,6 +3216,11 @@ ORACLES = {
     "spj_join": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, "
         "c_name FROM orders JOIN customer ON o_custkey = c_custkey"
+    ),
+    "spj_groupby": (
+        "SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, "
+        "min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok "
+        "FROM orders GROUP BY o_custkey"
     ),
     "wire_page_index_range": (
         "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice "

@@ -212,3 +212,60 @@ def storage_partitioned_join(
     return ds.map_batches(
         join_bucket, batch_format="pyarrow", batch_size=None
     )
+
+
+def storage_partitioned_groupby(
+    store: str,
+    aggregations: list[tuple[str, str]],
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """GROUP BY the store's bucket key with ZERO shuffle: the bucketed
+    layout puts every occurrence of a key in exactly one bucket, so each
+    bucket task decodes its files and computes COMPLETE groups locally
+    (pyarrow hash aggregate) — no combiner/merge stage exists at all.
+    The pre-aggregation-then-small-groupby pattern collapses to just
+    the pre-aggregation.
+
+    `aggregations` is a list of (column, arrow_fn) pairs, e.g.
+    [("o_totalprice", "sum"), ("o_orderkey", "count")]; output columns
+    follow Arrow naming (`o_totalprice_sum`). Tombstones apply in-task
+    before grouping."""
+    from ..state import manifest
+    from .tombstone import load_tombstones
+
+    manifest.check_format_version(store, "groupby")
+    spec = _bucket_spec(store)
+    key = spec["key"]
+    need = list(
+        dict.fromkeys(
+            [key]
+            + [c for c, _ in aggregations if c != key]
+            + (columns or [])
+        )
+    )
+    tombs = load_tombstones(store)
+    by_bucket = _bucket_files(store)
+    if not by_bucket:
+        raise FileNotFoundError(f"no bucket shards under {store}")
+    items = [
+        {"bucket": b, "files": fs} for b, fs in sorted(by_bucket.items())
+    ]
+
+    def agg_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            t = _decode_files(row["files"], need, tombs)
+            if t.num_rows == 0:
+                continue
+            outs.append(
+                pa.TableGroupBy(t, key).aggregate(
+                    [(c, f) for c, f in aggregations]
+                )
+            )
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(agg_bucket, batch_format="pyarrow", batch_size=None)

@@ -161,3 +161,47 @@ def test_spj_applies_tombstones(pair):
     ref = facts[facts["k"] >= 5].merge(dims, left_on="k", right_on="dk")
     assert len(out) == len(ref)
     assert out["k"].min() >= 5
+
+
+def test_spj_groupby_matches_pandas(pair):
+    from parquet_go_ray.pipelines.spj import storage_partitioned_groupby
+
+    fstore, _, facts, _ = pair
+    got = (
+        storage_partitioned_groupby(fstore, [("v", "count"), ("v", "sum")])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = (
+        facts.groupby("k")["v"]
+        .agg(["count", "sum"])
+        .reset_index()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (got["k"].to_numpy() == ref["k"].to_numpy()).all()
+    assert (got["v_count"].to_numpy() == ref["count"].to_numpy()).all()
+    assert np.allclose(got["v_sum"].to_numpy(), ref["sum"].to_numpy())
+
+
+def test_spj_groupby_respects_tombstones(pair):
+    from parquet_go_ray.pipelines.spj import storage_partitioned_groupby
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    fstore, _, facts, _ = pair
+    delete_where(fstore, "k", [7])
+    got = storage_partitioned_groupby(fstore, [("v", "count")]).to_pandas()
+    assert 7 not in set(got["k"])
+    live = facts[facts["k"] != 7]
+    assert got["v_count"].sum() == len(live)
+
+
+def test_spj_groupby_groups_are_complete(pair):
+    """No key may appear twice in the output (the zero-shuffle claim:
+    each key's rows are entirely within one bucket task)."""
+    from parquet_go_ray.pipelines.spj import storage_partitioned_groupby
+
+    fstore, _, _, _ = pair
+    got = storage_partitioned_groupby(fstore, [("v", "count")]).to_pandas()
+    assert not got["k"].duplicated().any()
