@@ -338,6 +338,49 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_text_index(args) -> int:
+    """Build (or incrementally update) the inverted text index over a
+    parquet corpus directory."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.textindex import build_text_index, update_text_index
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    if args.update:
+        info = update_text_index(args.index_dir, files)
+    else:
+        info = build_text_index(
+            files,
+            args.index_dir,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            num_buckets=args.buckets,
+        )
+    print(json.dumps({**info, "index_dir": args.index_dir}))
+    return 0
+
+
+def cmd_search(args) -> int:
+    """Query the inverted index: doc-id search (AND/OR) or BM25 top-k."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.textindex import search_docs, search_ranked
+
+    if args.rank:
+        ds = search_ranked(args.index_dir, args.tokens, k=args.k)
+    else:
+        ds = search_docs(args.index_dir, args.tokens, mode=args.mode)
+    rows = ds.to_pandas()
+    if args.rank:
+        rows = rows.sort_values(
+            ["score", "doc_id"], ascending=[False, True]
+        ).head(args.k or len(rows))
+    print(rows.to_string(index=False))
+    print(json.dumps({"matches": len(rows)}))
+    return 0
+
+
 def cmd_index_build(args) -> int:
     """Persist the exact-dedup index (16 B/doc content hashes, one
     shard per hash partition, epoch-versioned) of a curated corpus —
@@ -595,6 +638,27 @@ def main(argv=None) -> int:
     sd.add_argument("--text-col", default="text")
     sd.add_argument("--id-col", default="doc_id")
     sd.set_defaults(fn=cmd_snapshot_dedupe)
+
+    ti = sub.add_parser("text-index")
+    ti.add_argument("input_dir")
+    ti.add_argument("index_dir")
+    ti.add_argument("--text-col", default="text")
+    ti.add_argument("--id-col", default="doc_id")
+    ti.add_argument("--buckets", type=int, default=32)
+    ti.add_argument(
+        "--update",
+        action="store_true",
+        help="apply input as a crawl increment to an existing index",
+    )
+    ti.set_defaults(fn=cmd_text_index)
+
+    se = sub.add_parser("search")
+    se.add_argument("index_dir")
+    se.add_argument("tokens", nargs="+")
+    se.add_argument("--mode", choices=("and", "or"), default="and")
+    se.add_argument("--rank", action="store_true", help="BM25 ranking")
+    se.add_argument("--k", type=int, default=None)
+    se.set_defaults(fn=cmd_search)
 
     au = sub.add_parser("audit")
     au.add_argument("input_dir")
