@@ -49,28 +49,40 @@ def _manifest_files(store: str) -> list[str]:
 
 
 def aggregate_meta(store: str, column: str) -> pa.Table:
-    """One-row (n_rows, n_nulls, vmin, vmax) for `column`, from manifest
-    stats alone. Exact for numeric/temporal columns; string stats are
-    TRUNCATED at write time (parquet convention) so callers needing
-    exact string bounds must decode. Falls back to a decode-based scan
-    when tombstones exist."""
+    """One-row (n_rows, n_nulls, vmin, vmax, vsum) for `column`, from
+    manifest stats alone. COUNT/MIN/MAX/SUM are exact for integer /
+    boolean columns (chunk sums serialize as arbitrary-precision ints);
+    float sums are a deterministic fold of per-chunk IEEE partials;
+    string stats are TRUNCATED at write time (parquet convention) so
+    callers needing exact string bounds must decode. `vsum` is null
+    when any chunk predates the sum stat or the type isn't summable.
+    Falls back to a decode-based scan when tombstones exist."""
     from ..state import manifest as M
     from .tombstone import load_tombstones
 
     M.check_format_version(store, "aggregate")
     if load_tombstones(store):
-        import pyarrow.compute as pc
-
         from .decode import decode_dataset
 
         def part(t: pa.Table) -> pa.Table:
-            col = t.column(column)
+            from ..stages.encode import _stat_sum
+
+            col = t.column(column).combine_chunks()
+            vsum = _stat_sum(col)
             return pa.table(
                 {
-                    "n": [t.num_rows],
-                    "nn": [col.null_count],
-                    "vmin": [json.dumps(pc.min(col).as_py(), default=str)],
-                    "vmax": [json.dumps(pc.max(col).as_py(), default=str)],
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "nn": pa.array([col.null_count], pa.int64()),
+                    "vmin": pa.array(
+                        [json.dumps(pc.min(col).as_py(), default=str)],
+                        pa.string(),
+                    ),
+                    "vmax": pa.array(
+                        [json.dumps(pc.max(col).as_py(), default=str)],
+                        pa.string(),
+                    ),
+                    "vsum": pa.array([vsum], pa.string()),
+                    "sum_missing": pa.array([vsum is None], pa.bool_()),
                 }
             )
 
@@ -80,16 +92,30 @@ def aggregate_meta(store: str, column: str) -> pa.Table:
             .to_pandas()
         )
     else:
+        # pre-vsum stores lack the column entirely: detect from the
+        # first manifest footer (metadata-only) and degrade to
+        # vsum=null rather than erroring
+        files = _manifest_files(store)
+        if not files:
+            raise FileNotFoundError(f"no manifest under {store}")
+        have_vsum = "vsum" in pq.read_schema(files[0]).names
+        cols = ["chunk_id", "column", "n", "n_null", "vmin", "vmax"]
+        if have_vsum:
+            cols.append("vsum")
 
         def fold(batch: pa.Table) -> pa.Table:
-            keep = [
-                i
-                for i, cid in enumerate(batch.column("chunk_id").to_pylist())
-                if cid != "__dict__"
-            ]
-            batch = batch.take(keep)
+            batch = batch.filter(
+                pc.not_equal(batch.column("chunk_id"), "__dict__")
+            )
             lo = [json.loads(v) for v in batch.column("vmin").to_pylist() if v]
             hi = [json.loads(v) for v in batch.column("vmax").to_pylist() if v]
+            sums = (
+                batch.column("vsum").to_pylist()
+                if "vsum" in batch.column_names
+                else [None] * batch.num_rows
+            )
+            missing = any(v is None for v in sums)
+            total = sum(json.loads(v) for v in sums if v is not None)
             return pa.table(
                 {
                     "n": pa.array(
@@ -105,18 +131,15 @@ def aggregate_meta(store: str, column: str) -> pa.Table:
                     "vmax": pa.array(
                         [json.dumps(max(hi)) if hi else None], pa.string()
                     ),
+                    "vsum": pa.array([json.dumps(total)], pa.string()),
+                    "sum_missing": pa.array([missing], pa.bool_()),
                 }
             )
-
-        files = _manifest_files(store)
-        if not files:
-            raise FileNotFoundError(f"no manifest under {store}")
-        import pyarrow.compute as pc
 
         parts = (
             ray.data.read_parquet(
                 files,
-                columns=["chunk_id", "column", "n", "n_null", "vmin", "vmax"],
+                columns=cols,
                 filter=(pc.field("column") == column),
             )
             .map_batches(fold, batch_format="pyarrow")
@@ -124,12 +147,17 @@ def aggregate_meta(store: str, column: str) -> pa.Table:
         )
     lo = [json.loads(v) for v in parts["vmin"].dropna()]
     hi = [json.loads(v) for v in parts["vmax"].dropna()]
+    if parts["sum_missing"].any():
+        vsum = None
+    else:
+        vsum = sum(json.loads(v) for v in parts["vsum"].dropna())
     return pa.table(
         {
             "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
             "n_nulls": pa.array([int(parts["nn"].sum())], pa.int64()),
             "vmin": [min(lo) if lo else None],
             "vmax": [max(hi) if hi else None],
+            "vsum": [vsum],
         }
     )
 

@@ -749,7 +749,8 @@ def _doc_store(sf_dir: str) -> str:
     from .encode import encode_job
 
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_docstore_v{FORMAT_VERSION}_{key}"
+    # m2 = manifest schema with per-chunk sums (vsum)
+    out = f"/tmp/graft_docstore_m2_v{FORMAT_VERSION}_{key}"
     encode_job(
         [f"{sf_dir}/documents.parquet"],
         out,
@@ -3094,7 +3095,8 @@ ORACLES = {
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, "
         "CAST(min(n_chars) AS BIGINT) AS vmin, "
-        "CAST(max(n_chars) AS BIGINT) AS vmax FROM documents"
+        "CAST(max(n_chars) AS BIGINT) AS vmax, "
+        "CAST(sum(n_chars) AS BIGINT) AS vsum FROM documents"
     ),
     "text_index_search": (
         "SELECT doc_id FROM documents "

@@ -55,6 +55,12 @@ CHUNK_SCHEMA = pa.schema(
         # strings truncated to 64 chars), null for binary/nested
         pa.field("vmin", pa.string()),
         pa.field("vmax", pa.string()),
+        # JSON-encoded sum of the non-null values — SUM/AVG aggregate
+        # pushdown from the manifest alone (agg.aggregate_meta). EXACT
+        # for integer/boolean columns (Python ints serialize with
+        # arbitrary precision); floats carry a per-chunk IEEE sum and
+        # are flagged approximate by the aggregator; null elsewhere
+        pa.field("vsum", pa.string()),
         # optional split-block-style bloom sidecar for key columns
         # (bloom.go:99-117 parity): probe before decode
         pa.field("bloom", pa.large_binary()),
@@ -104,6 +110,27 @@ def _stat_bounds(arr: pa.Array):
     except Exception:
         pass
     return None, None
+
+
+def _stat_sum(arr: pa.Array):
+    """JSON-encoded sum of the non-null values for summable types
+    (int/uint/bool: exact — Python ints are arbitrary-precision; float:
+    the chunk's IEEE partial sum), else None."""
+    import json
+
+    import pyarrow.compute as pc
+
+    ty = arr.type
+    if len(arr) == arr.null_count:
+        return json.dumps(0)
+    try:
+        if pa.types.is_integer(ty) or pa.types.is_boolean(ty):
+            return json.dumps(int(pc.sum(arr).as_py()))
+        if pa.types.is_floating(ty):
+            return json.dumps(float(pc.sum(arr).as_py()))
+    except Exception:
+        pass
+    return None
 
 
 def _truncate_upper(s: str, limit: int = _STAT_TRUNC) -> str | None:
@@ -328,6 +355,7 @@ def encode_table(
             ctx = column_ctx.setdefault(name, {}) if column_ctx is not None else None
             blob = chunk_mod.encode_array(arr, codec, comp, ctx)
         vmin, vmax = _stat_bounds(arr)
+        vsum = _stat_sum(arr)
         bloom = None
         if name in bloom_columns and table.num_rows:
             from ..functions.hashing import BloomFilter
@@ -348,6 +376,7 @@ def encode_table(
         rows["crc32"].append(zlib.crc32(blob))
         rows["vmin"].append(vmin)
         rows["vmax"].append(vmax)
+        rows["vsum"].append(vsum)
         rows["bloom"].append(bloom)
         rows["payload"].append(blob)
     return pa.table(rows, schema=CHUNK_SCHEMA)
@@ -672,6 +701,7 @@ def _dict_page_rows(
         rows["crc32"].append(zlib.crc32(blob))
         rows["vmin"].append(None)
         rows["vmax"].append(None)
+        rows["vsum"].append(None)
         rows["bloom"].append(None)
         rows["payload"].append(blob)
     return pa.table(rows, schema=CHUNK_SCHEMA)

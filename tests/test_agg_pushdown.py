@@ -194,3 +194,35 @@ def test_distinct_respects_tombstones(store):
     delete_where(out, "doc_id", dead)
     got = set(distinct_store(out, "lang").to_pandas()["value"].dropna())
     assert got == {"fr"}
+
+
+def test_sum_pushdown_exact(store):
+    """SUM/AVG from manifest sums alone — no chunk opens (chmod probe)."""
+    import os
+    import stat
+
+    out, df = store
+    data = os.path.join(out, "data")
+    os.chmod(data, 0)
+    try:
+        got = aggregate_meta(out, "n_chars").to_pylist()[0]
+        assert got["vsum"] == int(df["n_chars"].sum())
+    finally:
+        os.chmod(data, stat.S_IRWXU)
+
+
+def test_sum_pushdown_tombstone_fallback(store):
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    out, df = store
+    delete_where(out, "doc_id", list(range(0, 2000, 3)))
+    live = df[df["doc_id"] % 3 != 0]
+    got = aggregate_meta(out, "n_chars").to_pylist()[0]
+    assert got["vsum"] == int(live["n_chars"].sum())
+    assert got["n_rows"] == len(live)
+
+
+def test_sum_null_for_string_columns(store):
+    out, _ = store
+    got = aggregate_meta(out, "lang").to_pylist()[0]
+    assert got["vsum"] is None
