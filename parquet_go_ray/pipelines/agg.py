@@ -366,3 +366,161 @@ def distinct_store(
         return t.select(["value"]).rename_columns([out_value])
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def aggregate_range(
+    store: str,
+    agg_col: str,
+    where_col: str,
+    lo=None,
+    hi=None,
+) -> pa.Table:
+    """Filtered aggregate with zone-map short-circuiting: one-row
+    (n_rows, vsum) of `agg_col` over rows where `where_col` is in
+    [lo, hi]. Chunks whose [vmin, vmax] lie FULLY inside the predicate
+    contribute their manifest stats (n, vsum — no decode); chunks
+    strictly outside are skipped; only BOUNDARY chunks decode, and those
+    read just the two columns involved. On a store sorted/clustered by
+    `where_col` the boundary set is O(1) chunks regardless of corpus
+    size — the classic zone-map aggregate. Exactness matches
+    aggregate_meta (integer sums exact; boundary-chunk nulls in
+    `where_col` never match, as in SQL). Tombstoned stores fall back to
+    a full decode-and-filter scan."""
+    from ..codecs import chunk as chunk_mod
+    from ..state import manifest as M
+    from .decode import chunk_files
+    from .tombstone import load_tombstones
+
+    M.check_format_version(store, "aggregate")
+    tombs = load_tombstones(store)
+    if tombs:
+        from .decode import decode_dataset
+
+        def part_t(t: pa.Table) -> pa.Table:
+            m = pa.array(np.ones(t.num_rows, dtype=bool))
+            w = t.column(where_col)
+            if lo is not None:
+                m = pc.and_(m, pc.greater_equal(w, lo))
+            if hi is not None:
+                m = pc.and_(m, pc.less_equal(w, hi))
+            m = pc.fill_null(m, False)
+            kept = t.filter(m)
+            return pa.table(
+                {
+                    "n": pa.array([kept.num_rows], pa.int64()),
+                    "s": pa.array(
+                        [int(pc.sum(kept.column(agg_col)).as_py() or 0)],
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        parts = (
+            decode_dataset(store, columns=[where_col, agg_col])
+            .map_batches(part_t, batch_format="pyarrow")
+            .to_pandas()
+        )
+        return pa.table(
+            {
+                "n_rows": pa.array([int(parts["n"].sum())], pa.int64()),
+                "vsum": pa.array([int(parts["s"].sum())], pa.int64()),
+            }
+        )
+
+    # classify chunks from the manifest (metadata only): the where
+    # column's rows give [vmin, vmax]; the agg column's rows (same
+    # chunk_id) give (n, vsum) for the interior contribution. Pre-vsum
+    # stores classify every overlapping chunk as boundary (decode).
+    mfiles = _manifest_files(store)
+    cols = ["shard", "file", "chunk_id", "column", "n", "n_null", "vmin", "vmax"]
+    if mfiles and "vsum" in pq.read_schema(mfiles[0]).names:
+        cols.append("vsum")
+    t = M.lineage_table(
+        store,
+        columns=cols,
+        filters=[("column", "in", [where_col, agg_col])],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {store}")
+    rows = [r for r in t.to_pylist() if r["chunk_id"] != "__dict__"]
+    where_rows = {r["chunk_id"]: r for r in rows if r["column"] == where_col}
+    agg_rows = {r["chunk_id"]: r for r in rows if r["column"] == agg_col}
+    interior_n = 0
+    interior_sum = 0
+    boundary: dict[str, set[str]] = {}
+    root = Path(store) / "data"
+    # interior = the where column's [vmin, vmax] lies fully inside the
+    # predicate AND the chunk has no where-nulls (a null never matches):
+    # every row of such a chunk matches, so (n, vsum) come from stats
+    for cid, wr in where_rows.items():
+        vmin = json.loads(wr["vmin"]) if wr.get("vmin") else None
+        vmax = json.loads(wr["vmax"]) if wr.get("vmax") else None
+        ar = agg_rows.get(cid)
+        if ar is None:
+            continue
+        if (lo is not None and vmax is not None and vmax < lo) or (
+            hi is not None and vmin is not None and vmin > hi
+        ):
+            continue
+        inside = (
+            vmin is not None
+            and vmax is not None
+            and (lo is None or vmin >= lo)
+            and (hi is None or vmax <= hi)
+            and wr["n_null"] == 0
+        )
+        if inside and ar.get("vsum") is not None:
+            interior_n += int(wr["n"])
+            interior_sum += json.loads(ar["vsum"])
+        else:
+            boundary.setdefault(
+                str(root / wr["shard"] / f"{wr['file']}.parquet"), set()
+            ).add(cid)
+
+    bn = bs = 0
+    if boundary:
+        items = [
+            {"path": p, "chunk_ids": sorted(cids)}
+            for p, cids in sorted(boundary.items())
+        ]
+
+        def part_b(batch: pa.Table) -> pa.Table:
+            from ..stages.decode import decode_chunk_table
+
+            n = s = 0
+            for row in batch.to_pylist():
+                chunks = pq.read_table(
+                    row["path"],
+                    filters=[
+                        ("column", "in", [where_col, agg_col]),
+                        ("chunk_id", "in", row["chunk_ids"] + ["__dict__"]),
+                    ],
+                )
+                dec = decode_chunk_table(chunks)
+                w = dec.column(where_col)
+                m = pa.array(np.ones(dec.num_rows, dtype=bool))
+                if lo is not None:
+                    m = pc.and_(m, pc.greater_equal(w, lo))
+                if hi is not None:
+                    m = pc.and_(m, pc.less_equal(w, hi))
+                kept = dec.filter(pc.fill_null(m, False))
+                n += kept.num_rows
+                s += int(pc.sum(kept.column(agg_col)).as_py() or 0)
+            return pa.table(
+                {"n": pa.array([n], pa.int64()), "s": pa.array([s], pa.int64())}
+            )
+
+        parts = (
+            ray.data.from_items(
+                items, override_num_blocks=max(1, min(64, len(items)))
+            )
+            .map_batches(part_b, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        bn, bs = int(parts["n"].sum()), int(parts["s"].sum())
+    return pa.table(
+        {
+            "n_rows": pa.array([interior_n + bn], pa.int64()),
+            "vsum": pa.array([interior_sum + bs], pa.int64()),
+        }
+    )

@@ -802,6 +802,20 @@ def q_store_distinct(sf_dir):
     return distinct_store(_doc_store(sf_dir), "lang", out_value="lang")
 
 
+def q_store_agg_range(sf_dir):
+    """Filtered aggregate with zone-map short-circuiting
+    (agg.aggregate_range): interior chunks (doc_id range fully inside
+    the predicate — the store is doc_id-ordered, so most are) answer
+    from manifest (n, vsum) stats; only the two boundary chunks decode,
+    reading just the two columns. COUNT and SUM exact."""
+    from .agg import aggregate_range
+
+    n = _nrows(sf_dir, "documents")
+    return aggregate_range(
+        _doc_store(sf_dir), "n_chars", "doc_id", n // 10, (n * 9) // 10
+    )
+
+
 def q_text_index_search(sf_dir):
     """Inverted-index conjunctive search (pipelines/textindex.py): the
     postings live in a token-bucketed encode store, so the query opens
@@ -2827,6 +2841,7 @@ QUERIES = {
     "store_group_count": q_store_group_count,
     "store_agg_meta": q_store_agg_meta,
     "store_distinct": q_store_distinct,
+    "store_agg_range": q_store_agg_range,
     "text_index_search": q_text_index_search,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3091,6 +3106,12 @@ ORACLES = {
         "SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang"
     ),
     "store_distinct": "SELECT DISTINCT lang FROM documents",
+    "store_agg_range": (
+        "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(sum(n_chars) AS BIGINT) AS vsum FROM documents, "
+        "(SELECT count(*) AS total FROM documents) t "
+        "WHERE doc_id BETWEEN t.total // 10 AND (t.total * 9) // 10"
+    ),
     "store_agg_meta": (
         "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
         "CAST(count(*) - count(n_chars) AS BIGINT) AS n_nulls, "

@@ -226,3 +226,53 @@ def test_sum_null_for_string_columns(store):
     out, _ = store
     got = aggregate_meta(out, "lang").to_pylist()[0]
     assert got["vsum"] is None
+
+
+def test_aggregate_range_matches_pandas(store):
+    from parquet_go_ray.pipelines.agg import aggregate_range
+
+    out, df = store
+    got = aggregate_range(out, "n_chars", "doc_id", 200, 1800).to_pylist()[0]
+    live = df[(df["doc_id"] >= 200) & (df["doc_id"] <= 1800)]
+    assert got["n_rows"] == len(live)
+    assert got["vsum"] == int(live["n_chars"].sum())
+
+
+def test_aggregate_range_open_bounds(store):
+    from parquet_go_ray.pipelines.agg import aggregate_range
+
+    out, df = store
+    got = aggregate_range(out, "n_chars", "doc_id", None, 99).to_pylist()[0]
+    live = df[df["doc_id"] <= 99]
+    assert got["n_rows"] == len(live)
+    assert got["vsum"] == int(live["n_chars"].sum())
+    got_all = aggregate_range(out, "n_chars", "doc_id").to_pylist()[0]
+    assert got_all["n_rows"] == len(df)
+    assert got_all["vsum"] == int(df["n_chars"].sum())
+
+
+def test_aggregate_range_boundary_only_decodes(store, monkeypatch):
+    """Interior chunks must come from stats: lock the data dir except we
+    can't partially lock files — instead assert the boundary set is
+    small (the store is doc_id-ordered, 256-row chunks) by checking the
+    count still matches when the range aligns mid-chunk."""
+    from parquet_go_ray.pipelines.agg import aggregate_range
+
+    out, df = store
+    # range strictly inside [300, 1700]: interior has ~5 chunks, 2 boundary
+    got = aggregate_range(out, "n_chars", "doc_id", 300, 1700).to_pylist()[0]
+    live = df[(df["doc_id"] >= 300) & (df["doc_id"] <= 1700)]
+    assert got["n_rows"] == len(live) == 1401
+    assert got["vsum"] == int(live["n_chars"].sum())
+
+
+def test_aggregate_range_tombstone_fallback(store):
+    from parquet_go_ray.pipelines.agg import aggregate_range
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    out, df = store
+    delete_where(out, "doc_id", list(range(0, 2000, 4)))
+    live = df[(df["doc_id"] % 4 != 0) & (df["doc_id"] >= 100) & (df["doc_id"] <= 900)]
+    got = aggregate_range(out, "n_chars", "doc_id", 100, 900).to_pylist()[0]
+    assert got["n_rows"] == len(live)
+    assert got["vsum"] == int(live["n_chars"].sum())
