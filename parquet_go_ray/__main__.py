@@ -342,8 +342,16 @@ def cmd_text_index(args) -> int:
     """Build (or incrementally update) the inverted text index over a
     parquet corpus directory."""
     _init_ray(args.num_cpus, getattr(args, "address", None))
-    from .pipelines.textindex import build_text_index, update_text_index
+    from .pipelines.textindex import (
+        build_text_index,
+        compact_index,
+        update_text_index,
+    )
 
+    if args.compact:
+        info = compact_index(args.index_dir)
+        print(json.dumps({**info, "index_dir": args.index_dir}))
+        return 0
     files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
     if not files:
         print(f"no parquet files under {args.input_dir}", file=sys.stderr)
@@ -649,6 +657,11 @@ def main(argv=None) -> int:
         "--update",
         action="store_true",
         help="apply input as a crawl increment to an existing index",
+    )
+    ti.add_argument(
+        "--compact",
+        action="store_true",
+        help="merge shard generations (input_dir ignored)",
     )
     ti.set_defaults(fn=cmd_text_index)
 

@@ -626,3 +626,113 @@ def _gen_doc_stats(index_dir: str, gen: str) -> tuple[int, int]:
             n += len(arr)
             s_ += int(pc.sum(arr).as_py() or 0)
     return n, s_
+
+
+def compact_index(index_dir: str, rows_per_chunk: int = 8192) -> dict:
+    """Merge each bucket's shard GENERATIONS back into one shard — the
+    maintenance step that bounds file counts after a stream of
+    update_text_index increments. One task per multi-generation bucket
+    decodes its families' files, re-sorts, re-encodes as a single new
+    generation (deterministic name from the member set, so retries are
+    idempotent) and drops the members under the compaction intent-log
+    crash protocol (pipelines/compact.py): a crash before commit rolls
+    back, after commit finishes the drops. Query results are unchanged
+    by construction; the meta constants don't move."""
+    import hashlib
+
+    from ..state import manifest
+    from .compact import _drop_shard, _recover, _write_members
+
+    manifest.check_format_version(index_dir, "compact")
+    _index_meta(index_dir)
+    _recover(index_dir)
+
+    # group shards by (family, bucket) from the manifest (metadata only)
+    groups: dict[str, list[str]] = {}
+    for shard in manifest.completed_shards(index_dir):
+        base = shard.split("+g")[0]
+        if _BUCKET_RE_ANY.match(shard):
+            groups.setdefault(base, []).append(shard)
+    todo = {b: sorted(ss) for b, ss in groups.items() if len(ss) > 1}
+    if not todo:
+        return {"buckets_compacted": 0, "shards_merged": 0}
+
+    items = [{"base": b, "members": ms} for b, ms in sorted(todo.items())]
+
+    def compact_bucket(batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_chunk_table
+        from ..stages.encode import (
+            _COLUMN_CACHE,
+            _namespace_cache,
+            encode_table,
+            lineage_of,
+            write_chunk_file,
+        )
+
+        out = []
+        for row in batch.to_pylist():
+            base, members = row["base"], row["members"]
+            gid = (
+                base
+                + "+g"
+                + hashlib.sha1(("|".join(members)).encode()).hexdigest()[:8]
+            )
+            if (manifest.manifest_dir(index_dir) / f"{gid}.json").exists():
+                for m in members:  # retried task: finish the drops
+                    _drop_shard(index_dir, m)
+                mf = manifest.manifest_dir(index_dir) / f"{gid}.members.json"
+                if mf.exists():
+                    mf.unlink()
+                out.append({"base": base, "merged": len(members)})
+                continue
+            parts = []
+            for m in members:
+                for f in sorted(
+                    (Path(index_dir) / "data" / m).glob("*.parquet")
+                ):
+                    parts.append(decode_chunk_table(pq.read_table(f)))
+            rows_t = pa.concat_tables(
+                [p for p in parts if p.num_columns],
+                promote_options="default",
+            )
+            sort_keys = (
+                [("token", "ascending"), ("doc_id", "ascending")]
+                if "token" in rows_t.column_names
+                else [("doc_id", "ascending")]
+            )
+            rows_t = rows_t.sort_by(sort_keys)
+            _write_members(index_dir, gid, members)
+            cache = _namespace_cache(_COLUMN_CACHE, f"textindex|{index_dir}")
+            chunks = []
+            for start in range(0, rows_t.num_rows, rows_per_chunk):
+                chunks.append(
+                    encode_table(
+                        rows_t.slice(start, rows_per_chunk),
+                        gid,
+                        bloom_columns=(),
+                        cache=cache,
+                    )
+                )
+            written = write_chunk_file(pa.concat_tables(chunks), index_dir)
+            manifest.record_shard_table(index_dir, gid, lineage_of(written))
+            for m in members:
+                _drop_shard(index_dir, m)
+            (manifest.manifest_dir(index_dir) / f"{gid}.members.json").unlink()
+            out.append({"base": base, "merged": len(members)})
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema([("base", pa.string()), ("merged", pa.int64())]),
+        )
+
+    res = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(compact_bucket, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "buckets_compacted": int(len(res)),
+        "shards_merged": int(res["merged"].sum()),
+    }
+
+
+_BUCKET_RE_ANY = re.compile(r"^(bucket|docs)=(\d+)(?:\+g[0-9a-f]+)?$")

@@ -303,3 +303,54 @@ def test_probe_docs_finds_exact_ids(index):
     assert found == {0, 5, 799}
     dl = got.to_pandas().set_index("doc_id")["dl"]
     assert int(dl[5]) == len(df.iloc[5]["text"].split(" "))
+
+
+def test_compact_index_merges_generations(tmp_path, ray_session, index):
+    """Two updates -> multi-generation buckets; compaction merges each
+    bucket family to one shard and leaves every query answer unchanged."""
+    from parquet_go_ray.pipelines.textindex import (
+        compact_index,
+        search_docs,
+        update_text_index,
+    )
+    from parquet_go_ray.state import manifest
+
+    out, df = index
+    for j, ids in enumerate(([5, 6], [7, 8])):
+        inc = pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64),
+             "text": [f"alpha beta round{j}" for _ in ids]}
+        )
+        p = str(tmp_path / f"ci{j}.parquet")
+        pq.write_table(pa.Table.from_pandas(inc, preserve_index=False), p)
+        update_text_index(out, [p])
+    before = _rank(out, ["alpha", "beta", "gamma"])
+    n_shards_before = len(manifest.completed_shards(out))
+    info = compact_index(out)
+    assert info["buckets_compacted"] >= 1
+    n_shards_after = len(manifest.completed_shards(out))
+    assert n_shards_after < n_shards_before
+    after = _rank(out, ["alpha", "beta", "gamma"])
+    pd.testing.assert_frame_equal(before, after)
+    # every bucket family now has exactly one shard
+    bases = {}
+    for s in manifest.completed_shards(out):
+        bases.setdefault(s.split("+g")[0], []).append(s)
+    assert all(len(v) == 1 for v in bases.values())
+    # idempotent re-run
+    info2 = compact_index(out)
+    assert info2["buckets_compacted"] == 0
+
+
+def test_compact_index_crash_rollback(tmp_path, ray_session, index):
+    """A members intent file without its commit marker must roll back on
+    the next compaction (_recover), leaving queries intact."""
+    from parquet_go_ray.pipelines.compact import _write_members
+    from parquet_go_ray.pipelines.textindex import compact_index
+
+    out, _ = index
+    before = _rank(out, ["alpha"])
+    _write_members(out, "bucket=00000+gdeadbee0", ["bucket=99999"])
+    compact_index(out)
+    after = _rank(out, ["alpha"])
+    pd.testing.assert_frame_equal(before, after)
