@@ -830,7 +830,7 @@ def q_text_index_search(sf_dir):
 
 def _text_index(sf_dir: str) -> str:
     """Build (once per sf_dir) the cached inverted index over the
-    documents table. i2 = tf+dl postings schema."""
+    documents table. i3 = positional postings schema (tf+dl+pos)."""
     import hashlib
     import os
 
@@ -838,10 +838,24 @@ def _text_index(sf_dir: str) -> str:
     from .textindex import build_text_index
 
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    out = f"/tmp/graft_txtidx_i2_v{FORMAT_VERSION}_{key}"
+    out = f"/tmp/graft_txtidx_i3_v{FORMAT_VERSION}_{key}"
     if not os.path.exists(os.path.join(out, "_manifest")):
         build_text_index([f"{sf_dir}/documents.parquet"], out, num_buckets=16)
     return out
+
+
+def q_text_index_phrase(sf_dir):
+    """Exact phrase search from POSITIONAL postings
+    (textindex.phrase_docs): per-doc position lists ride the posting
+    rows, so "part filter" matches only docs where the split-pieces are
+    CONSECUTIVE — the tokens' two hash buckets are the only I/O, and the
+    adjacency verify shuffles just the candidate docs' posting rows.
+    The oracle states the same adjacency as a single-space LIKE (the
+    tokenizer is exact single-space split, so piece adjacency == one
+    literal space between the words)."""
+    from .textindex import phrase_docs
+
+    return phrase_docs(_text_index(sf_dir), "part filter")
 
 
 def q_text_index_bm25(sf_dir):
@@ -2843,6 +2857,7 @@ QUERIES = {
     "store_distinct": q_store_distinct,
     "store_agg_range": q_store_agg_range,
     "text_index_search": q_text_index_search,
+    "text_index_phrase": q_text_index_phrase,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
     "point_lookup_bloom": q_point_lookup_bloom,
@@ -3123,6 +3138,10 @@ ORACLES = {
         "SELECT doc_id FROM documents "
         "WHERE (' ' || text || ' ') LIKE '% scan %' "
         "AND (' ' || text || ' ') LIKE '% column %'"
+    ),
+    "text_index_phrase": (
+        "SELECT doc_id FROM documents "
+        "WHERE (' ' || text || ' ') LIKE '% part filter %'"
     ),
     # BM25 over the UPDATED corpus (the q_text_index_update increment
     # expressed as SQL), proving incremental maintenance == rebuild

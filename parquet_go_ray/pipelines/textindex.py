@@ -43,6 +43,7 @@ _EMPTY_POSTINGS = pa.table(
         "doc_id": pa.array([], pa.int64()),
         "tf": pa.array([], pa.int64()),
         "dl": pa.array([], pa.int64()),
+        "pos": pa.array([], pa.list_(pa.int32())),
     }
 )
 
@@ -69,34 +70,52 @@ def _make_pairs(text_col: str, id_col: str, num_buckets: int):
         flat = pc.list_flatten(toks)
         parent = pc.list_parent_indices(toks)
         ids = batch.column(id_col).combine_chunks()
-        t = pa.table({"token": flat, "doc_id": ids.take(parent)})
-        t = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate(
-            [("token", "count")]
-        )
-        t = t.rename_columns(["token", "doc_id", "tf"])
+        # in-doc position of every token instance (split-piece index):
+        # arange over the flat stream minus each doc's start offset —
+        # the positional payload phrase queries verify adjacency against
         dl = pc.list_value_length(toks).cast(pa.int64())
         dl_np = dl.to_numpy(zero_copy_only=False)
+        lens_i = np.nan_to_num(
+            np.asarray(dl_np, dtype=np.float64), nan=0.0
+        ).astype(np.int64)
+        starts = np.zeros(len(lens_i), dtype=np.int64)
+        np.cumsum(lens_i[:-1], out=starts[1:])
+        pos_in_doc = (
+            np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens_i)
+        ).astype(np.int32)
+        t = pa.table(
+            {
+                "token": flat,
+                "doc_id": ids.take(parent),
+                "pos": pa.array(pos_in_doc, pa.int32()),
+            }
+        )
+        t = pa.TableGroupBy(t, ["token", "doc_id"]).aggregate(
+            [("pos", "list"), ("pos", "count")]
+        )
+        t = t.rename_columns(["token", "doc_id", "pos", "tf"])
         ids_np = ids.to_numpy(zero_copy_only=False)
         order = np.argsort(ids_np, kind="stable")
-        pos = np.searchsorted(
+        loc = np.searchsorted(
             ids_np[order], t.column("doc_id").to_numpy(zero_copy_only=False)
         )
         t = t.append_column(
             "dl",
             pa.array(
-                np.asarray(dl_np, dtype=np.float64)[order[pos]].astype(
+                np.asarray(dl_np, dtype=np.float64)[order[loc]].astype(
                     np.int64
                 ),
                 pa.int64(),
             )
             if dl.null_count
-            else pa.array(dl_np[order[pos]].astype(np.int64), pa.int64()),
+            else pa.array(dl_np[order[loc]].astype(np.int64), pa.int64()),
         )
         t = t.set_column(
             t.schema.get_field_index("tf"),
             "tf",
             t.column("tf").cast(pa.int64()),
         )
+        t = t.select(["token", "doc_id", "tf", "dl", "pos"])
         b = bucket_ids(t.column("token"), num_buckets)
         t = t.append_column("_bucket", pa.array(b, type=pa.int32()))
         docs = pa.table(
@@ -107,6 +126,9 @@ def _make_pairs(text_col: str, id_col: str, num_buckets: int):
                     np.zeros(len(ids), dtype=np.int64), pa.int64()
                 ),
                 "dl": dl,
+                "pos": pa.array(
+                    [None] * len(ids), pa.list_(pa.int32())
+                ),
                 "_bucket": pa.array(
                     bucket_ids(ids, num_buckets) + np.int32(num_buckets),
                     type=pa.int32(),
@@ -355,7 +377,11 @@ def search_docs(
     The merge is a doc_id count aggregate over matching postings —
     keyed 8-byte rows, text never moves."""
     tokens = sorted(set(tokens))
-    posts = lookup_postings(index_dir, tokens)
+    # membership needs only the 8-byte doc_id keys — the tf/dl/pos
+    # payload stays put
+    posts = lookup_postings(index_dir, tokens).map_batches(
+        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
+    )
     if mode == "or":
         uniq = posts.groupby("doc_id").count()
         return uniq.map_batches(
@@ -399,7 +425,16 @@ def search_ranked(
     tokens = sorted({t for t in tokens if t})
     n_docs = int(meta["n_docs"])
     avgdl = np.float64(int(meta["dl_sum"])) / np.float64(n_docs)
-    posts = lookup_postings(index_dir, tokens).materialize()
+    # ranking reads tf/dl only — shed the positional payload before the
+    # materialize so position lists never leave the probe tasks
+    posts = (
+        lookup_postings(index_dir, tokens)
+        .map_batches(
+            lambda t: t.select(["token", "doc_id", "tf", "dl"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
     dfs = posts.groupby("token").count().to_pandas()
     df_map = dict(zip(dfs["token"], dfs["count()"].astype(np.int64)))
     idf_millis = {
@@ -736,3 +771,43 @@ def compact_index(index_dir: str, rows_per_chunk: int = 8192) -> dict:
 
 
 _BUCKET_RE_ANY = re.compile(r"^(bucket|docs)=(\d+)(?:\+g[0-9a-f]+)?$")
+
+
+def phrase_docs(index_dir: str, phrase: str) -> ray.data.Dataset:
+    """Exact phrase search from the positional postings: doc_ids whose
+    token stream contains the phrase's tokens CONSECUTIVELY. Candidate
+    postings come from the tokens' buckets only (hash-pruned, like any
+    lookup); adjacency is verified per candidate doc by intersecting
+    position sets — start positions of token_0 survive iff start+i is a
+    position of token_i for every i. The verify shuffle carries only
+    the candidate docs' posting rows (k rows × positions per doc)."""
+    tokens = [t for t in phrase.split(" ") if t]
+    if not tokens:
+        raise ValueError("empty phrase")
+    if len(tokens) == 1:
+        return search_docs(index_dir, tokens)
+    posts = lookup_postings(index_dir, tokens)
+    if "pos" not in posts.schema().names:
+        raise ValueError(
+            f"{index_dir} predates positional postings — rebuild the index"
+        )
+    need = list(tokens)
+
+    def check(group: pa.Table) -> pa.Table:
+        by_tok: dict[str, np.ndarray] = {}
+        for row in group.to_pylist():
+            if row["pos"] is not None:
+                by_tok[row["token"]] = np.asarray(row["pos"], dtype=np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        if any(t not in by_tok for t in need):
+            return empty
+        starts = by_tok[need[0]]
+        for i, t in enumerate(need[1:], 1):
+            starts = starts[np.isin(starts + i, by_tok[t])]
+            if starts.size == 0:
+                return empty
+        return pa.table(
+            {"doc_id": pa.array([group.column("doc_id")[0].as_py()], pa.int64())}
+        )
+
+    return posts.groupby("doc_id").map_groups(check, batch_format="pyarrow")

@@ -80,6 +80,56 @@ def test_absent_token_empty(index):
     assert len(got) == 0
 
 
+def _phrase_oracle(df, phrase):
+    return set(
+        df[df["text"].map(lambda s: f" {phrase} " in f" {s} ")]["doc_id"]
+    )
+
+
+def test_phrase_search_matches(index):
+    from parquet_go_ray.pipelines.textindex import phrase_docs
+
+    out, df = index
+    for phrase in ("alpha gamma", "beta beta", "delta epsilon zeta"):
+        got = set(phrase_docs(out, phrase).to_pandas()["doc_id"])
+        want = _phrase_oracle(df, phrase)
+        assert got == want, phrase
+        # sanity: the phrase verify strictly prunes the AND candidates
+        assert got <= _docs_with(df, *phrase.split(" "))
+
+
+def test_phrase_planted_adjacency(tmp_path, ray_session):
+    """Adjacency, not co-occurrence: docs with the tokens present but
+    never consecutive (or in the wrong order, or split by another
+    token) must NOT match; multi-space runs produce empty split pieces
+    that break adjacency exactly like the single-space LIKE oracle."""
+    from parquet_go_ray.pipelines.textindex import phrase_docs
+
+    texts = [
+        "the quick brown fox",  # 0: match
+        "quick the brown fox",  # 1: wrong order
+        "the slow quick brown",  # 2: "the quick" absent, tokens present
+        "a the quick b the quick c",  # 3: match (twice)
+        "the  quick",  # 4: double space -> empty piece between
+        "the quick",  # 5: match
+        "quick brown the",  # 6: tokens present, not adjacent
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "idx")
+    build_text_index([p], out, num_buckets=4, rows_per_chunk=512)
+    got = set(phrase_docs(out, "the quick").to_pandas()["doc_id"])
+    assert got == {0, 3, 5}
+    got3 = set(phrase_docs(out, "the quick brown").to_pandas()["doc_id"])
+    assert got3 == {0}
+
+
 def test_postings_are_distinct_per_doc(index):
     """A doc repeating a token many times contributes ONE posting."""
     out, df = index
