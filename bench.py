@@ -287,6 +287,9 @@ def run_bench() -> dict:
         # rep 1; hash-pruned bucket reads)
         "text_index_search",
         "text_index_bm25",
+        # positional-adjacency phrase search (position lists move only
+        # for the phrase tokens' candidate docs)
+        "text_index_phrase",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -21,6 +21,13 @@ Scale: the only all-to-all is the build's (token, doc_id) pair shuffle
 queried tokens only. The tokenizer (split on single spaces, empties
 dropped) deliberately matches the vocab_topk oracle so results stay
 SQL-checkable.
+
+Positions: each posting carries the token's in-doc position list
+(`pos`, list<int32> — ~half the index's encoded bytes at ratio ~0.24),
+enabling exact phrase search (phrase_docs) by intersecting shifted
+position sets per candidate doc. Boolean/ranked queries pass a column
+projection to lookup_postings so the positional payload is filtered
+out at the chunk-file read and never costs them anything.
 """
 
 from __future__ import annotations
@@ -324,11 +331,18 @@ def _index_meta(index_dir: str) -> dict:
     return meta
 
 
-def lookup_postings(index_dir: str, tokens: list[str]) -> ray.data.Dataset:
+def lookup_postings(
+    index_dir: str,
+    tokens: list[str],
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
     """(token, doc_id) postings for the queried tokens. I/O is pruned
-    twice: only the tokens' hash buckets open at all, and inside a
+    three ways: only the tokens' hash buckets open at all, inside a
     bucket the encoded-domain membership test decodes only chunks whose
-    dictionary (or stats range) can contain a queried token."""
+    dictionary (or stats range) can contain a queried token, and with
+    `columns` given, non-selected payload rows (e.g. the positional
+    lists, half the index's bytes) never leave storage — the chunk file
+    is read with a parquet row filter on the column name."""
     from ..functions.hashing import bucket_ids
     from ..state import manifest
     from .spj import _bucket_files
@@ -346,10 +360,19 @@ def lookup_postings(index_dir: str, tokens: list[str]) -> ray.data.Dataset:
     files = sorted(
         f for b, fs in by_bucket.items() if b in wanted_buckets for f in fs
     )
+    empty = (
+        _EMPTY_POSTINGS
+        if columns is None
+        else _EMPTY_POSTINGS.select(columns)
+    )
     if not files:
         # every queried token hashes to a bucket no posting ever reached:
         # provably zero matches without opening anything
-        return ray.data.from_arrow(_EMPTY_POSTINGS)
+        return ray.data.from_arrow(empty)
+    # the predicate column must be present in each decoded chunk group
+    read_cols = (
+        None if columns is None else sorted(set(columns) | {"token"})
+    )
 
     def probe(batch: pa.Table) -> pa.Table:
         from ..stages.decode import search_chunk_table
@@ -357,12 +380,19 @@ def lookup_postings(index_dir: str, tokens: list[str]) -> ray.data.Dataset:
         col = "path" if "path" in batch.column_names else "item"
         outs = []
         for path in batch.column(col).to_pylist():
-            chunks = pq.read_table(path)
-            got = search_chunk_table(chunks, "token", list(tokens))
+            chunks = pq.read_table(
+                path,
+                filters=None
+                if read_cols is None
+                else [("column", "in", read_cols)],
+            )
+            got = search_chunk_table(
+                chunks, "token", list(tokens), columns=columns
+            )
             if got.num_rows:
                 outs.append(got)
         if not outs:
-            return _EMPTY_POSTINGS
+            return empty
         return pa.concat_tables(outs)
 
     return ray.data.from_items(
@@ -378,10 +408,8 @@ def search_docs(
     keyed 8-byte rows, text never moves."""
     tokens = sorted(set(tokens))
     # membership needs only the 8-byte doc_id keys — the tf/dl/pos
-    # payload stays put
-    posts = lookup_postings(index_dir, tokens).map_batches(
-        lambda t: t.select(["doc_id"]), batch_format="pyarrow"
-    )
+    # payload never even leaves the chunk files
+    posts = lookup_postings(index_dir, tokens, columns=["doc_id"])
     if mode == "or":
         uniq = posts.groupby("doc_id").count()
         return uniq.map_batches(
@@ -425,16 +453,11 @@ def search_ranked(
     tokens = sorted({t for t in tokens if t})
     n_docs = int(meta["n_docs"])
     avgdl = np.float64(int(meta["dl_sum"])) / np.float64(n_docs)
-    # ranking reads tf/dl only — shed the positional payload before the
-    # materialize so position lists never leave the probe tasks
-    posts = (
-        lookup_postings(index_dir, tokens)
-        .map_batches(
-            lambda t: t.select(["token", "doc_id", "tf", "dl"]),
-            batch_format="pyarrow",
-        )
-        .materialize()
-    )
+    # ranking reads tf/dl only — the positional payload (half the
+    # index's bytes) is filtered out at the chunk-file read itself
+    posts = lookup_postings(
+        index_dir, tokens, columns=["token", "doc_id", "tf", "dl"]
+    ).materialize()
     dfs = posts.groupby("token").count().to_pandas()
     df_map = dict(zip(dfs["token"], dfs["count()"].astype(np.int64)))
     idf_millis = {
