@@ -755,6 +755,64 @@ def dict_domain_mask(
     return nonnull
 
 
+def dict_domain_mask_pred(
+    buf: bytes, pred, shared_dict: pa.Array | None = None
+):
+    """dict_domain_mask generalized to an arbitrary vectorized predicate
+    over the DICTIONARY values (`pred: pa.Array -> bool mask`, nulls in
+    the result treated as False): the predicate runs once over the
+    n_distinct dictionary entries — O(dict) pattern evaluations instead
+    of O(rows) — then row membership is an integer test on the codes.
+    This is how LIKE-style prefix/suffix/substring predicates stay in
+    the encoded domain. Returns None when the chunk's codec has no
+    dictionary to evaluate in (caller decodes and applies `pred` to the
+    rows, so exactness never depends on the selector's codec choice)."""
+    import pyarrow.compute as pc
+
+    codec, ptype, flba_width, n, n_null, _ty, validity, payload = (
+        _parse_chunk(buf)
+    )
+    if ptype in (R.P_LIST, R.P_STRUCT, R.P_MAP, R.OTHER):
+        return None
+    if codec == R.DICT:
+        values, indexes = dictionary.decode(
+            payload, R.PTYPE_NAMES[ptype], 0, flba_width
+        )
+    elif codec == R.DICT_SHARED:
+        if shared_dict is None:
+            raise ChunkError("dict_shared chunk requires the file's dict page")
+        values = shared_dict
+        indexes = dictionary.shared_indexes(payload)
+    else:
+        return None
+    m = pred(values)
+    if isinstance(m, (pa.Array, pa.ChunkedArray)):
+        m = pc.fill_null(m, False).to_numpy(zero_copy_only=False)
+    codes = np.nonzero(np.asarray(m, dtype=bool))[0]
+    nonnull = np.isin(indexes, codes)
+    if n_null:
+        full = np.zeros(n, dtype=bool)
+        full[_valid_mask(validity, n)] = nonnull
+        return full
+    return nonnull
+
+
+def null_mask(buf: bytes) -> np.ndarray:
+    """Row mask of NULLs parsed from the chunk header's validity bitmap
+    ALONE — the encoded payload is never touched. IS NULL predicates
+    need no value decode at all: null-count stats classify chunks
+    driver-side, and boundary chunks resolve row-level from this
+    bitmap."""
+    _codec, _ptype, _flba, n, n_null, _ty, validity, _payload = (
+        _parse_chunk(buf)
+    )
+    if not n_null:
+        return np.zeros(n, dtype=bool)
+    m = np.ones(n, dtype=bool)
+    m[_valid_mask(validity, n)] = False
+    return m
+
+
 def dict_domain_counts(buf: bytes, shared_dict: pa.Array | None = None):
     """Per-distinct-value row counts evaluated in the ENCODED domain —
     the GROUP-BY-count sibling of dict_domain_mask: decode the

@@ -367,3 +367,149 @@ def search_dict_domain(
     return ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
         search, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def isnull_scan(
+    encoded_dir: str,
+    column: str,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """IS NULL scan answered from null-count STATISTICS: the manifest's
+    per-chunk (n, n_null) classify chunks driver-side over metadata —
+    n_null == 0 chunks are skipped without opening their file,
+    n_null == n chunks match wholesale (only output columns decode),
+    and boundary chunks resolve row-level from the chunk header's
+    validity bitmap (chunk_mod.null_mask) — the predicate column's
+    encoded payload is NEVER decoded on any path. The IS NULL sibling
+    of aggregate_range's three-way zone-map classification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..stages.decode import isnull_chunk_table
+    from ..state import manifest
+
+    t = manifest.lineage_table(
+        encoded_dir,
+        columns=["shard", "file", "chunk_id", "n", "n_null"],
+        filters=[("column", "==", column)],
+    )
+    if t is None:
+        return ray.data.from_arrow(pa.table({}))
+    root = Path(encoded_dir) / "data"
+    files: set[str] = set()
+    keep_ids: set[str] = set()
+    full_ids: set[str] = set()
+    for r in t.to_pylist():
+        if not r["n_null"]:
+            continue  # provably no NULL rows: file may never open
+        files.add(str(root / r["shard"] / f"{r['file']}.parquet"))
+        keep_ids.add(r["chunk_id"])
+        if r["n_null"] == r["n"]:
+            full_ids.add(r["chunk_id"])
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = None
+    if columns is not None:
+        read_cols = sorted(set(columns) | {column})
+    id_list = sorted(keep_ids) + ["__dict__"]
+
+    def scan(batch):
+        filters = [("chunk_id", "in", id_list)]
+        if read_cols is not None:
+            filters.append(("column", "in", read_cols))
+        outs = []
+        col = "path" if "path" in batch.column_names else "item"
+        for path in batch.column(col).to_pylist():
+            chunks = pq.read_table(path, filters=filters)
+            if chunks.num_rows:
+                got = isnull_chunk_table(chunks, column, full_ids, columns)
+                if got.num_rows:
+                    outs.append(got)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        sorted(files), override_num_blocks=len(files)
+    ).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def search_pattern(
+    encoded_dir: str,
+    column: str,
+    mode: str,
+    needle: str,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """LIKE-style pattern search over the encoded store, evaluated in
+    the DICTIONARY domain: 'prefix' (LIKE 'x%'), 'suffix' (LIKE '%x')
+    and 'contains' (LIKE '%x%'). The pattern kernel runs once over each
+    chunk's n_distinct dictionary entries (O(dict), not O(rows)); row
+    membership is then an integer test on the codes, and a zero-match
+    chunk group never decodes its other columns. 'prefix' additionally
+    prunes chunks driver-side from the manifest's [vmin, vmax] stats —
+    matching rows live in [needle, next-prefix), exactly the range scan
+    the reference's Search admits (search.go:6-116) — so on a store
+    clustered by `column` only the boundary region's files open at all.
+    Suffix/contains have no order relation for stats to use; they rely
+    on the dictionary domain alone. Non-dict chunks fall back to decode
+    + the same kernel, so results never depend on codec choice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..stages.decode import search_chunk_table
+
+    kernels = {
+        "prefix": pc.starts_with,
+        "suffix": pc.ends_with,
+        "contains": pc.match_substring,
+    }
+    if mode not in kernels:
+        raise ValueError(f"unknown pattern mode {mode!r}")
+    if not needle:
+        raise ValueError("empty pattern")
+    kern = kernels[mode]
+
+    def pred(values):
+        return kern(values, pattern=needle)
+
+    chunk_ids = None
+    if mode == "prefix" and ord(needle[-1]) < 0x10FFFF:
+        # strings with this prefix sort inside [needle, next-prefix)
+        hi = needle[:-1] + chr(ord(needle[-1]) + 1)
+        files, chunk_ids = chunk_groups_pruned(
+            encoded_dir, column, lo=needle, hi=hi
+        )
+    else:
+        files = chunk_files(encoded_dir)
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = None
+    if columns is not None:
+        read_cols = sorted(set(columns) | {column})
+    id_list = sorted(chunk_ids) + ["__dict__"] if chunk_ids else None
+
+    def search(batch):
+        filters = []
+        if read_cols is not None:
+            filters.append(("column", "in", read_cols))
+        if id_list is not None:
+            filters.append(("chunk_id", "in", id_list))
+        outs = []
+        col = "path" if "path" in batch.column_names else "item"
+        for path in batch.column(col).to_pylist():
+            chunks = pq.read_table(path, filters=filters or None)
+            if chunks.num_rows:
+                t = search_chunk_table(
+                    chunks, column, columns=columns, pred=pred
+                )
+                if t.num_rows:
+                    outs.append(t)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        files, override_num_blocks=len(files)
+    ).map_batches(search, batch_format="pyarrow", zero_copy_batch=True)

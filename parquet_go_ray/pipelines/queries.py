@@ -858,6 +858,95 @@ def q_text_index_phrase(sf_dir):
     return phrase_docs(_text_index(sf_dir), "part filter")
 
 
+def q_text_index_near(sf_dir):
+    """Proximity search from the positional index
+    (textindex.near_docs): docs where 'scan' and 'filter' occur within
+    3 split-piece positions of each other, either order — two hash
+    buckets of I/O, per-candidate verify via one binary search per
+    occurrence. Oracle: DuckDB zipped unnest/generate_subscripts
+    positions (1-based there, 0-based here — gaps are identical)."""
+    from .textindex import near_docs
+
+    return near_docs(_text_index(sf_dir), "scan", "filter", window=3)
+
+
+def q_store_pattern_prefix(sf_dir):
+    """LIKE 'src1%' evaluated in the store's DICTIONARY domain
+    (decode.search_pattern): the prefix kernel runs over each chunk's
+    ~20 distinct source values, never its rows, and [vmin, vmax] stats
+    pre-prune chunks to the [needle, next-prefix) range driver-side
+    (a no-op on this unclustered store; the clustered case is
+    pytest-asserted with never-opened files)."""
+    from .decode import search_pattern
+
+    return search_pattern(
+        _doc_store(sf_dir),
+        "source",
+        "prefix",
+        "src1",
+        columns=["doc_id", "source"],
+    )
+
+
+def q_store_pattern_suffix(sf_dir):
+    """LIKE '%3' through the same dictionary-domain pattern path —
+    suffix has no order relation for stats, so this exercises the
+    pure late-materialization case."""
+    from .decode import search_pattern
+
+    return search_pattern(
+        _doc_store(sf_dir),
+        "source",
+        "suffix",
+        "3",
+        columns=["doc_id", "source"],
+    )
+
+
+def _null_store(sf_dir: str) -> str:
+    """documents with lang nullified where doc_id % 7 == 0, encoded into
+    a cached chunk store — the fixture for null-statistics pushdown
+    (the driver tables themselves carry no NULLs)."""
+    import hashlib
+    import os
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .encode import encode_job
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_nullstore_v{FORMAT_VERSION}_{key}"
+    if not os.path.exists(os.path.join(out, "_manifest")):
+        t = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = t.column("doc_id").to_numpy()
+        nullify = pa.array(ids % 7 == 0)
+        li = t.schema.get_field_index("lang")
+        t = t.set_column(
+            li,
+            "lang",
+            pc.if_else(
+                nullify,
+                pa.nulls(len(t), t.column("lang").type),
+                t.column("lang").combine_chunks(),
+            ),
+        )
+        src = f"{out}.src.parquet"
+        pq.write_table(t, src)
+        encode_job([src], out, rows_per_chunk=512)
+    return out
+
+
+def q_store_null_scan(sf_dir):
+    """IS NULL answered from null-count statistics (decode.isnull_scan):
+    n_null == 0 chunks never open, n_null == n chunks match wholesale,
+    boundary chunks resolve from the header validity bitmap — the lang
+    payload itself is never decoded on any path."""
+    from .decode import isnull_scan
+
+    return isnull_scan(_null_store(sf_dir), "lang", columns=["doc_id"])
+
+
 def q_text_index_bm25(sf_dir):
     """BM25 ranking computed from the inverted index ALONE
     (textindex.search_ranked): tf/dl ride the postings, df is the
@@ -2858,6 +2947,10 @@ QUERIES = {
     "store_agg_range": q_store_agg_range,
     "text_index_search": q_text_index_search,
     "text_index_phrase": q_text_index_phrase,
+    "text_index_near": q_text_index_near,
+    "store_pattern_prefix": q_store_pattern_prefix,
+    "store_pattern_suffix": q_store_pattern_suffix,
+    "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
     "point_lookup_bloom": q_point_lookup_bloom,
@@ -3142,6 +3235,24 @@ ORACLES = {
     "text_index_phrase": (
         "SELECT doc_id FROM documents "
         "WHERE (' ' || text || ' ') LIKE '% part filter %'"
+    ),
+    "text_index_near": (
+        "WITH p AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token, "
+        "generate_subscripts(string_split(text, ' '), 1) AS pos "
+        "FROM documents), "
+        "a AS (SELECT doc_id, pos FROM p WHERE token = 'scan'), "
+        "b AS (SELECT doc_id, pos FROM p WHERE token = 'filter') "
+        "SELECT DISTINCT a.doc_id FROM a JOIN b USING (doc_id) "
+        "WHERE abs(a.pos - b.pos) <= 3"
+    ),
+    "store_pattern_prefix": (
+        "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%'"
+    ),
+    "store_pattern_suffix": (
+        "SELECT doc_id, source FROM documents WHERE source LIKE '%3'"
+    ),
+    "store_null_scan": (
+        "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
     ),
     # BM25 over the UPDATED corpus (the q_text_index_update increment
     # expressed as SQL), proving incremental maintenance == rebuild

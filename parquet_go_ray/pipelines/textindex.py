@@ -834,3 +834,52 @@ def phrase_docs(index_dir: str, phrase: str) -> ray.data.Dataset:
         )
 
     return posts.groupby("doc_id").map_groups(check, batch_format="pyarrow")
+
+
+def near_docs(
+    index_dir: str, token_a: str, token_b: str, window: int = 4
+) -> ray.data.Dataset:
+    """Proximity search from the positional postings: doc_ids where
+    `token_a` and `token_b` occur within `window` split-piece positions
+    of each other (either order). Same pruning shape as phrase_docs —
+    two hash buckets of I/O, then a per-candidate-doc verify over the
+    two position arrays: for each position p of token_a, the nearest
+    position of token_b is found by one binary search (the arrays are
+    ascending by construction) and the doc matches iff some gap is
+    ≤ window."""
+    if token_a == token_b:
+        raise ValueError("proximity needs two distinct tokens")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    posts = lookup_postings(index_dir, [token_a, token_b])
+    if "pos" not in posts.schema().names:
+        raise ValueError(
+            f"{index_dir} predates positional postings — rebuild the index"
+        )
+
+    def check(group: pa.Table) -> pa.Table:
+        by_tok: dict[str, np.ndarray] = {}
+        for row in group.to_pylist():
+            if row["pos"] is not None:
+                by_tok[row["token"]] = np.asarray(row["pos"], dtype=np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64())})
+        a = by_tok.get(token_a)
+        b = by_tok.get(token_b)
+        if a is None or b is None:
+            return empty
+        # nearest b-position to each a-position via binary search
+        j = np.searchsorted(b, a)
+        right = b[np.minimum(j, len(b) - 1)] - a
+        left = a - b[np.maximum(j - 1, 0)]
+        gap = np.minimum(np.abs(right), np.abs(left))
+        if not (gap <= window).any():
+            return empty
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [group.column("doc_id")[0].as_py()], pa.int64()
+                )
+            }
+        )
+
+    return posts.groupby("doc_id").map_groups(check, batch_format="pyarrow")

@@ -122,11 +122,84 @@ class ChunkFileDecoder:
         return pa.concat_tables(outs)
 
 
+def isnull_chunk_table(
+    chunks: pa.Table,
+    column: str,
+    full_ids: set[str],
+    columns: list[str] | None = None,
+) -> pa.Table:
+    """Rows where `column` IS NULL, without ever decoding that column's
+    payload: chunk groups in `full_ids` (n_null == n from the manifest)
+    match wholesale — only the OUTPUT columns decode; other groups build
+    the row mask from the chunk header's validity bitmap
+    (chunk_mod.null_mask). The caller is expected to have pruned
+    n_null == 0 chunks driver-side from the stats, so everything that
+    reaches here contributes rows."""
+    import pyarrow.compute as pc
+
+    shared_dicts: dict[str, pa.Array] = {}
+    dict_mask = pc.equal(chunks.column("codec"), "dict_page")
+    if pc.any(dict_mask).as_py():
+        pages = chunks.filter(dict_mask)
+        for col, payload in zip(pages.column("column"), pages.column("payload")):
+            shared_dicts[col.as_py()] = chunk_mod.decode_array(payload.as_py())
+        chunks = chunks.filter(pc.invert(dict_mask))
+    ids = chunks.column("chunk_id").to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        return pa.table({})
+    change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+    starts = np.concatenate(([0], change, [len(ids)]))
+    tables = []
+    for a, b in zip(starts[:-1], starts[1:]):
+        group = chunks.slice(int(a), int(b - a))
+        names = group.column("column").to_pylist()
+        payloads = group.column("payload")
+        crcs = group.column("crc32")
+        sel = None
+        if group.column("chunk_id")[0].as_py() not in full_ids:
+            try:
+                pred_i = names.index(column)
+            except ValueError:
+                raise chunk_mod.ChunkError(
+                    f"null-scan column {column!r} missing from chunk group"
+                ) from None
+            blob = payloads[pred_i].as_py()
+            if zlib.crc32(blob) != crcs[pred_i].as_py():
+                raise ValueError(
+                    f"chunk payload checksum mismatch for column {column}"
+                )
+            mask = chunk_mod.null_mask(blob)
+            if not mask.any():
+                continue
+            sel = pa.array(mask)
+        order = np.argsort(
+            group.column("col_idx").to_numpy(zero_copy_only=False)
+        )
+        out_names, out_arrays = [], []
+        for i in order:
+            name = names[int(i)]
+            if columns is not None and name not in columns:
+                continue
+            cb = payloads[int(i)].as_py()
+            if zlib.crc32(cb) != crcs[int(i)].as_py():
+                raise ValueError(
+                    f"chunk payload checksum mismatch for column {name}"
+                )
+            arr = chunk_mod.decode_array(cb, shared_dict=shared_dicts.get(name))
+            out_names.append(name)
+            out_arrays.append(arr if sel is None else arr.filter(sel))
+        tables.append(pa.table(dict(zip(out_names, out_arrays))))
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables)
+
+
 def search_chunk_table(
     chunks: pa.Table,
     column: str,
-    wanted,
+    wanted=None,
     columns: list[str] | None = None,
+    pred=None,
 ) -> pa.Table:
     """decode_chunk_table with an ENCODED-DOMAIN predicate: the search
     column's mask comes from chunk_mod.dict_domain_mask (dictionary
@@ -137,8 +210,18 @@ def search_chunk_table(
     value range, so stats keep everything while the dictionary knows
     the group has no matching rows at all. Chunks whose codec has no
     encoded domain (dict_domain_mask -> None) fall back to decode +
-    pc.is_in, so results never depend on the selector's codec choice."""
+    pc.is_in, so results never depend on the selector's codec choice.
+
+    With `pred` (instead of `wanted`): an arbitrary vectorized predicate
+    (pa.Array -> bool mask, nulls False) evaluated over the DICTIONARY
+    values — O(dict) pattern evaluations — falling back to pred over the
+    decoded rows for non-dict codecs. The pred sees storage-typed values
+    (byte-array dictionaries are large_binary), so use type-agnostic
+    kernels (pc.starts_with & friends accept binary inputs)."""
     import pyarrow.compute as pc
+
+    if (wanted is None) == (pred is None):
+        raise ValueError("pass exactly one of wanted / pred")
 
     shared_dicts: dict[str, pa.Array] = {}
     dict_mask = pc.equal(chunks.column("codec"), "dict_page")
@@ -169,22 +252,35 @@ def search_chunk_table(
             raise ValueError(
                 f"chunk payload checksum mismatch for column {column}"
             )
-        mask = chunk_mod.dict_domain_mask(
-            blob, wanted, shared_dict=shared_dicts.get(column)
-        )
+        if pred is not None:
+            mask = chunk_mod.dict_domain_mask_pred(
+                blob, pred, shared_dict=shared_dicts.get(column)
+            )
+        else:
+            mask = chunk_mod.dict_domain_mask(
+                blob, wanted, shared_dict=shared_dicts.get(column)
+            )
         pred_arr = None
         if mask is None:  # codec has no encoded domain: decode + compare
             pred_arr = chunk_mod.decode_array(
                 blob, shared_dict=shared_dicts.get(column)
             )
-            vs = pa.array(list(wanted))
-            if pa.types.is_string(pred_arr.type) or pa.types.is_large_string(
-                pred_arr.type
-            ):
-                vs = vs.cast(pred_arr.type)
-            mask = pc.is_in(pred_arr, value_set=vs).to_numpy(
-                zero_copy_only=False
-            )
+            if pred is not None:
+                m = pred(pred_arr)
+                if isinstance(m, (pa.Array, pa.ChunkedArray)):
+                    m = pc.fill_null(m, False).to_numpy(
+                        zero_copy_only=False
+                    )
+                mask = np.asarray(m, dtype=bool)
+            else:
+                vs = pa.array(list(wanted))
+                if pa.types.is_string(
+                    pred_arr.type
+                ) or pa.types.is_large_string(pred_arr.type):
+                    vs = vs.cast(pred_arr.type)
+                mask = pc.is_in(pred_arr, value_set=vs).to_numpy(
+                    zero_copy_only=False
+                )
         if not mask.any():
             continue  # whole group skipped: other columns never decode
         sel = pa.array(mask)

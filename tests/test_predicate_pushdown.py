@@ -1,0 +1,182 @@
+"""Predicate pushdown operators over the encode store
+(pipelines/decode.py): LIKE-style pattern search in the dictionary
+domain (search_pattern), prefix stats-pruning on a clustered store
+(never-opened files proven by chmod-000), IS NULL from null-count
+statistics + header validity bitmaps (isnull_scan), and positional
+proximity search (textindex.near_docs)."""
+
+import os
+import stat
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.pipelines.decode import isnull_scan, search_pattern
+from parquet_go_ray.pipelines.encode import encode_job
+
+SOURCES = [f"host{i}.example" for i in range(17)] + ["alpha.net", "beta.org"]
+
+
+@pytest.fixture()
+def pattern_store(tmp_path, ray_session):
+    rng = np.random.default_rng(5)
+    src = rng.choice(SOURCES, size=3000)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(3000, dtype=np.int64)),
+            "source": pa.array(src),
+            "n_chars": pa.array(rng.integers(1, 999, size=3000), pa.int64()),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=256, bloom_columns=())
+    return out, t.to_pandas()
+
+
+@pytest.mark.parametrize(
+    "mode,needle,like",
+    [
+        ("prefix", "host1", lambda s: s.startswith("host1")),
+        ("suffix", ".org", lambda s: s.endswith(".org")),
+        ("contains", "lph", lambda s: "lph" in s),
+    ],
+)
+def test_pattern_modes_match_pandas(pattern_store, mode, needle, like):
+    out, df = pattern_store
+    got = (
+        search_pattern(out, "source", mode, needle, columns=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = df[df["source"].map(like)]["doc_id"].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want.tolist()
+
+
+def test_pattern_no_match_empty(pattern_store):
+    out, _ = pattern_store
+    assert len(search_pattern(out, "source", "prefix", "zzz").to_pandas()) == 0
+
+
+def test_pattern_prefix_prunes_clustered_store(tmp_path, ray_session):
+    """On a store clustered by the column (here: one key range per input
+    shard), prefix search must not OPEN shards outside [needle,
+    next-prefix): chmod-000 every other shard directory and query."""
+    letters = ["apple", "berry", "cedar", "delta"]
+    paths = []
+    for i, w in enumerate(letters):
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(i * 100, (i + 1) * 100, dtype=np.int64)
+                ),
+                "source": pa.array([f"{w}{j % 7}" for j in range(100)]),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    blocked = [
+        os.path.join(out, "data", f"part{i}") for i in (0, 2, 3)
+    ]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = (
+            search_pattern(out, "source", "prefix", "berry", columns=["doc_id"])
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got["doc_id"].tolist() == list(range(100, 200))
+    finally:
+        for d in blocked:
+            os.chmod(d, stat.S_IRWXU)
+
+
+@pytest.fixture()
+def null_store(tmp_path, ray_session):
+    """part0: mixed nulls; part1: lang entirely NULL; part2: no nulls."""
+    tables = []
+    paths = []
+    for i in range(3):
+        n = 300
+        ids = np.arange(i * n, (i + 1) * n, dtype=np.int64)
+        if i == 0:
+            lang = [None if j % 5 == 0 else "en" for j in range(n)]
+        elif i == 1:
+            lang = [None] * n
+        else:
+            lang = ["de"] * n
+        t = pa.table(
+            {"doc_id": pa.array(ids), "lang": pa.array(lang, pa.string())}
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        tables.append(t)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    df = pa.concat_tables(tables).to_pandas()
+    return out, df
+
+
+def test_isnull_scan_matches_pandas(null_store):
+    out, df = null_store
+    got = (
+        isnull_scan(out, "lang", columns=["doc_id"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = df[df["lang"].isna()]["doc_id"].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want.tolist()
+
+
+def test_isnull_scan_skips_null_free_shard(null_store):
+    """part2 has n_null == 0 in every chunk: its files must never open."""
+    out, df = null_store
+    blocked = os.path.join(out, "data", "part2")
+    os.chmod(blocked, 0)
+    try:
+        got = isnull_scan(out, "lang", columns=["doc_id"]).to_pandas()
+        want = df[df["lang"].isna()]["doc_id"]
+        assert sorted(got["doc_id"]) == sorted(want)
+    finally:
+        os.chmod(blocked, stat.S_IRWXU)
+
+
+def test_isnull_scan_no_nulls_is_empty(pattern_store):
+    out, _ = pattern_store
+    assert len(isnull_scan(out, "source").to_pandas()) == 0
+
+
+def test_near_docs_planted(tmp_path, ray_session):
+    from parquet_go_ray.pipelines.textindex import build_text_index, near_docs
+
+    texts = [
+        "a x b",  # 0: gap 2
+        "a b",  # 1: gap 1
+        "a x x x x b",  # 2: gap 5
+        "b x a",  # 3: gap 2, reversed order
+        "a x x x b x x a",  # 4: min gap 3 (the SECOND a)
+        "a only here",  # 5: b absent
+        "x b x",  # 6: a absent
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "idx")
+    build_text_index([p], out, num_buckets=4, rows_per_chunk=512)
+    for window, want in [(1, {1}), (2, {0, 1, 3}), (3, {0, 1, 3, 4})]:
+        got = set(near_docs(out, "a", "b", window=window).to_pandas()["doc_id"])
+        assert got == want, window
