@@ -442,8 +442,9 @@ def search_pattern(
     columns: list[str] | None = None,
 ) -> ray.data.Dataset:
     """LIKE-style pattern search over the encoded store, evaluated in
-    the DICTIONARY domain: 'prefix' (LIKE 'x%'), 'suffix' (LIKE '%x')
-    and 'contains' (LIKE '%x%'). The pattern kernel runs once over each
+    the DICTIONARY domain: 'prefix' (LIKE 'x%'), 'suffix' (LIKE '%x'),
+    'contains' (LIKE '%x%') and 'regex' (unanchored RE2, the engine
+    DuckDB's regexp_matches also uses). The pattern kernel runs once over each
     chunk's n_distinct dictionary entries (O(dict), not O(rows)); row
     membership is then an integer test on the codes, and a zero-match
     chunk group never decodes its other columns. 'prefix' additionally
@@ -464,6 +465,7 @@ def search_pattern(
         "prefix": pc.starts_with,
         "suffix": pc.ends_with,
         "contains": pc.match_substring,
+        "regex": pc.match_substring_regex,  # RE2, same engine as DuckDB
     }
     if mode not in kernels:
         raise ValueError(f"unknown pattern mode {mode!r}")

@@ -903,6 +903,43 @@ def q_store_pattern_suffix(sf_dir):
     )
 
 
+def q_derived_column(sf_dir):
+    """Derived-column FAMILY (pipelines/derive.py): a token-count
+    column is backfilled onto the cached document store WITHOUT
+    rewriting it — per-shard tasks decode only `text`, encode the new
+    column as parallel chunk files with the base's chunk_ids — and the
+    zip read emits (doc_id, n_tokens) with no join and no shuffle.
+    Resume-skips on the cached store, so only the first run derives."""
+    from .derive import add_derived_column, decode_with_family
+
+    store = _doc_store(sf_dir)
+
+    def n_tokens(t: pa.Table) -> pa.Array:
+        return pc.list_value_length(
+            pc.split_pattern(t.column("text").combine_chunks(), pattern=" ")
+        ).cast(pa.int64())
+
+    add_derived_column(store, "ntok", "n_tokens", n_tokens, ["text"])
+    return decode_with_family(
+        store, families=["ntok"], columns=["doc_id", "n_tokens"]
+    )
+
+
+def q_store_pattern_regex(sf_dir):
+    """Unanchored RE2 match through the dictionary-domain pattern path —
+    both engines (pyarrow and DuckDB) compile the identical RE2, so the
+    oracle is exact."""
+    from .decode import search_pattern
+
+    return search_pattern(
+        _doc_store(sf_dir),
+        "source",
+        "regex",
+        "^src1[0-9]$",
+        columns=["doc_id", "source"],
+    )
+
+
 def _null_store(sf_dir: str) -> str:
     """documents with lang nullified where doc_id % 7 == 0, encoded into
     a cached chunk store — the fixture for null-statistics pushdown
@@ -2950,6 +2987,8 @@ QUERIES = {
     "text_index_near": q_text_index_near,
     "store_pattern_prefix": q_store_pattern_prefix,
     "store_pattern_suffix": q_store_pattern_suffix,
+    "store_pattern_regex": q_store_pattern_regex,
+    "derived_column": q_derived_column,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3250,6 +3289,14 @@ ORACLES = {
     ),
     "store_pattern_suffix": (
         "SELECT doc_id, source FROM documents WHERE source LIKE '%3'"
+    ),
+    "store_pattern_regex": (
+        "SELECT doc_id, source FROM documents "
+        "WHERE regexp_matches(source, '^src1[0-9]$')"
+    ),
+    "derived_column": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents"
     ),
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"

@@ -1,0 +1,133 @@
+"""Derived-column families (pipelines/derive.py): backfill a column
+onto an existing store without rewriting it, zip-read base + family,
+projection, resume, base immutability, stale-family detection."""
+
+import hashlib
+import os
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.pipelines.derive import (
+    add_derived_column,
+    decode_with_family,
+    list_families,
+)
+from parquet_go_ray.pipelines.encode import encode_job
+
+
+# nested closures: cloudpickle serializes these by VALUE (a test-module
+# top-level function would be pickled by reference and fail on workers)
+def _double():
+    def f(t: pa.Table) -> pa.Array:
+        return pc.multiply(
+            t.column("n_chars").combine_chunks(), pa.scalar(2, pa.int64())
+        )
+
+    return f
+
+
+def _srclen():
+    def f(t: pa.Table) -> pa.Array:
+        return pc.utf8_length(t.column("source").combine_chunks()).cast(
+            pa.int64()
+        )
+
+    return f
+
+
+@pytest.fixture()
+def store(tmp_path, ray_session):
+    rng = np.random.default_rng(9)
+    paths = []
+    tables = []
+    for i in range(3):
+        n = 400
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(i * n, (i + 1) * n, dtype=np.int64)
+                ),
+                "source": pa.array(
+                    [f"host{int(x)}.example" for x in rng.integers(0, 9, n)]
+                ),
+                "n_chars": pa.array(rng.integers(1, 999, n), pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+        tables.append(t)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=128, bloom_columns=())
+    return out, pa.concat_tables(tables).to_pandas()
+
+
+def _data_digest(store_dir):
+    h = hashlib.sha256()
+    for p in sorted(Path(store_dir, "data").rglob("*.parquet")):
+        h.update(p.read_bytes())
+    return h.hexdigest()
+
+
+def test_derive_and_zip_read(store):
+    out, df = store
+    before = _data_digest(out)
+    info = add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    assert info["rows"] == len(df) and info["shards"] == 3
+    # the base store's bytes are untouched — derive is O(new column)
+    assert _data_digest(out) == before
+    assert list_families(out) == {"dbl": "n2"}
+    got = (
+        decode_with_family(out)
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n2"].tolist() == (df["n_chars"] * 2).tolist()
+    assert got["n_chars"].tolist() == df["n_chars"].tolist()
+
+
+def test_derive_projection_and_resume(store):
+    out, df = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    again = add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    assert again["shards"] == 0 and again["skipped"] == 3
+    got = (
+        decode_with_family(out, columns=["doc_id", "n2"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert list(got.columns) == ["doc_id", "n2"]
+    assert got["n2"].tolist() == (df["n_chars"] * 2).tolist()
+
+
+def test_two_families_zip(store):
+    out, df = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    add_derived_column(out, "slen", "src_len", _srclen(), ["source"])
+    got = (
+        decode_with_family(out, columns=["doc_id", "n2", "src_len"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n2"].tolist() == (df["n_chars"] * 2).tolist()
+    assert got["src_len"].tolist() == df["source"].str.len().tolist()
+
+
+def test_stale_family_fails_loudly(store):
+    out, _ = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    victim = sorted(Path(out, "families", "dbl", "data").rglob("*.parquet"))[0]
+    os.unlink(victim)
+    with pytest.raises(Exception, match="rewritten|sibling"):
+        decode_with_family(out, families=["dbl"]).to_pandas()
+
+
+def test_unknown_family_rejected(store):
+    out, _ = store
+    with pytest.raises(FileNotFoundError):
+        decode_with_family(out, families=["nope"])

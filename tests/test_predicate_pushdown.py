@@ -44,6 +44,12 @@ def pattern_store(tmp_path, ray_session):
         ("prefix", "host1", lambda s: s.startswith("host1")),
         ("suffix", ".org", lambda s: s.endswith(".org")),
         ("contains", "lph", lambda s: "lph" in s),
+        (
+            "regex",
+            r"^host1?[0-9]\.example$",
+            lambda s: __import__("re").match(r"^host1?[0-9]\.example$", s)
+            is not None,
+        ),
     ],
 )
 def test_pattern_modes_match_pandas(pattern_store, mode, needle, like):
