@@ -290,6 +290,12 @@ def run_bench() -> dict:
         # positional-adjacency phrase search (position lists move only
         # for the phrase tokens' candidate docs)
         "text_index_phrase",
+        "text_index_near",
+        # dictionary-domain LIKE/regex + null-stats pushdown + derived
+        # column family zip read (store/family cached after rep 1)
+        "store_pattern_prefix",
+        "store_null_scan",
+        "derived_column",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -371,11 +371,26 @@ def cmd_text_index(args) -> int:
 
 
 def cmd_search(args) -> int:
-    """Query the inverted index: doc-id search (AND/OR) or BM25 top-k."""
+    """Query the inverted index: doc-id search (AND/OR), BM25 top-k,
+    exact phrase, or proximity (--near, two tokens within --window)."""
     _init_ray(args.num_cpus, getattr(args, "address", None))
-    from .pipelines.textindex import search_docs, search_ranked
+    from .pipelines.textindex import (
+        near_docs,
+        phrase_docs,
+        search_docs,
+        search_ranked,
+    )
 
-    if args.rank:
+    if args.phrase:
+        ds = phrase_docs(args.index_dir, " ".join(args.tokens))
+    elif args.near:
+        if len(args.tokens) != 2:
+            print("--near takes exactly two tokens", file=sys.stderr)
+            return 2
+        ds = near_docs(
+            args.index_dir, args.tokens[0], args.tokens[1], window=args.window
+        )
+    elif args.rank:
         ds = search_ranked(args.index_dir, args.tokens, k=args.k)
     else:
         ds = search_docs(args.index_dir, args.tokens, mode=args.mode)
@@ -386,6 +401,36 @@ def cmd_search(args) -> int:
         ).head(args.k or len(rows))
     print(rows.to_string(index=False))
     print(json.dumps({"matches": len(rows)}))
+    return 0
+
+
+def cmd_derive(args) -> int:
+    """Backfill a derived column onto an existing store as a column
+    FAMILY — the base store's bytes are never rewritten."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.derive import add_derived_column
+
+    src = args.input
+
+    def token_count(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pc.list_value_length(
+            pc.split_pattern(t.column(src).combine_chunks(), pattern=" ")
+        ).cast(pa.int64())
+
+    def char_count(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return pc.utf8_length(t.column(src).combine_chunks()).cast(pa.int64())
+
+    fn = {"token_count": token_count, "char_count": char_count}[args.kind]
+    info = add_derived_column(
+        args.store_dir, args.family, args.column, fn, [src]
+    )
+    print(json.dumps({**info, "store": args.store_dir, "family": args.family}))
     return 0
 
 
@@ -671,7 +716,27 @@ def main(argv=None) -> int:
     se.add_argument("--mode", choices=("and", "or"), default="and")
     se.add_argument("--rank", action="store_true", help="BM25 ranking")
     se.add_argument("--k", type=int, default=None)
+    se.add_argument(
+        "--phrase", action="store_true", help="exact consecutive phrase"
+    )
+    se.add_argument(
+        "--near", action="store_true", help="two tokens within --window"
+    )
+    se.add_argument("--window", type=int, default=4)
     se.set_defaults(fn=cmd_search)
+
+    dv = sub.add_parser("derive")
+    dv.add_argument("store_dir")
+    dv.add_argument("family")
+    dv.add_argument("column", help="name of the new derived column")
+    dv.add_argument(
+        "--kind",
+        choices=("token_count", "char_count"),
+        required=True,
+        help="built-in derivation (library callers pass any fn)",
+    )
+    dv.add_argument("--input", required=True, help="source column")
+    dv.set_defaults(fn=cmd_derive)
 
     au = sub.add_parser("audit")
     au.add_argument("input_dir")

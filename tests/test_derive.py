@@ -131,3 +131,29 @@ def test_unknown_family_rejected(store):
     out, _ = store
     with pytest.raises(FileNotFoundError):
         decode_with_family(out, families=["nope"])
+
+
+def test_family_composes_with_aggregate_pushdown(store):
+    """A family is a full store in its own right: metadata-only
+    aggregates answer from the FAMILY manifest without opening any
+    chunk file (base or family)."""
+    import stat as statmod
+
+    from parquet_go_ray.pipelines.agg import aggregate_meta
+    from parquet_go_ray.pipelines.derive import family_dir
+
+    out, df = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    fam = family_dir(out, "dbl")
+    blocked = [os.path.join(out, "data"), os.path.join(fam, "data")]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = aggregate_meta(fam, "n2").to_pylist()[0]
+        assert got["n_rows"] == len(df)
+        assert got["vmin"] == int(df["n_chars"].min()) * 2
+        assert got["vmax"] == int(df["n_chars"].max()) * 2
+        assert got["vsum"] == int(df["n_chars"].sum()) * 2
+    finally:
+        for d in blocked:
+            os.chmod(d, statmod.S_IRWXU)
