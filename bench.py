@@ -296,6 +296,9 @@ def run_bench() -> dict:
         "store_pattern_prefix",
         "store_null_scan",
         "derived_column",
+        # range-planned sorted-store merge (stores cached after rep 1;
+        # the min measures the ordered read; rep-1 includes the merge)
+        "store_merge_sorted",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

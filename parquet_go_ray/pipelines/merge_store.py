@@ -1,0 +1,282 @@
+"""Zero-shuffle merge of SORTED encode stores — the LSM level merge.
+
+The reference merges sorted row groups row-by-row through a heap
+(merge.go:84-99, MergeRowGroups); at store scale that serializes on a
+single reader. Here the merge is RANGE-PLANNED instead: the driver
+reads only the inputs' manifests (per-chunk [vmin, vmax, n] on the
+sort key — metadata ~1e-5 of the data), cuts the key domain into R
+row-balanced ranges, and each range becomes one independent task that
+reads just the chunks intersecting its range from every input
+(chunk-id-filtered parquet reads), drops rows outside [lo, hi), sorts
+the range in-memory, and commits it as shard ``range=NNNNN`` of the
+output store with its manifest written in-task. No two tasks share a
+row, ranges are disjoint and ordered, so the output store is GLOBALLY
+sorted by construction — with zero all-to-all: the only cross-node
+bytes are each task's own chunk reads.
+
+Resume: a range whose output shard manifest exists is skipped, so a
+crashed merge continues where it stopped. Skew: boundaries are cut
+from per-chunk row counts; a single key duplicated beyond a range's
+budget lands in one range (documented — the same bound any
+range-partitioned sort has). NULL sort keys route to the final range
+(nulls-last, matching the store's stat ordering).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+
+def _key_chunks(store_dir: str, key: str) -> list[dict]:
+    """Per-chunk (path, chunk_id, vmin, vmax, n, nulls_only) metadata
+    rows for the sort key, from the manifest only."""
+    from ..state import manifest
+
+    t = manifest.lineage_table(
+        store_dir,
+        columns=["shard", "file", "chunk_id", "column", "vmin", "vmax", "n", "n_null"],
+        filters=[("column", "==", key)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {store_dir}")
+    root = Path(store_dir) / "data"
+    out = []
+    for r in t.to_pylist():
+        vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+        out.append(
+            {
+                "path": str(root / r["shard"] / f"{r['file']}.parquet"),
+                "chunk_id": r["chunk_id"],
+                "vmin": vmin,
+                "vmax": vmax,
+                "n": int(r["n"]),
+                "all_null": r["n_null"] == r["n"],
+                "has_null": bool(r["n_null"]),
+            }
+        )
+    if not out:
+        raise ValueError(f"sort key {key!r} not present in {store_dir}")
+    return out
+
+
+def _cut_boundaries(chunks: list[dict], num_ranges: int) -> list:
+    """Row-balanced cut points over the key domain, derived from chunk
+    [vmin, vmax, n] stats: each chunk's rows are attributed to its vmin
+    (a conservative histogram — exact balance needs the data, but chunk
+    stats get within a chunk of it)."""
+    pts = sorted(
+        (c["vmin"], c["n"]) for c in chunks if c["vmin"] is not None
+    )
+    if not pts:
+        return []
+    total = sum(n for _, n in pts)
+    per = max(1, total // num_ranges)
+    bounds = []
+    acc = 0
+    for v, n in pts:
+        if acc >= per * (len(bounds) + 1) and (not bounds or v > bounds[-1]):
+            bounds.append(v)
+        acc += n
+    return bounds
+
+
+def merge_sorted_stores(
+    store_dirs: list[str],
+    out_dir: str,
+    key: str,
+    num_ranges: int = 32,
+    rows_per_chunk: int = 4096,
+    resume: bool = True,
+) -> dict:
+    """Merge k stores, each sorted (or not — only the OUTPUT's order is
+    guaranteed) into one globally sorted store. Returns a summary."""
+    from ..codecs.registry import FORMAT_VERSION
+    from ..state import manifest
+
+    for s in store_dirs:
+        manifest.check_format_version(s, "merge")
+    manifest.write_job_meta(
+        out_dir,
+        {
+            "mode": "merged_sorted",
+            "key": key,
+            "inputs": [str(s) for s in store_dirs],
+            "format_version": FORMAT_VERSION,
+            "sorted_by": key,
+        },
+    )
+    metas = {s: _key_chunks(s, key) for s in store_dirs}
+    bounds = _cut_boundaries(
+        [c for cs in metas.values() for c in cs], num_ranges
+    )
+    # ranges: (-inf, b0), [b0, b1), ... [bk, +inf]; nulls -> last range
+    lows = [None] + list(bounds)
+    highs = list(bounds) + [None]
+    done = set(manifest.completed_shards(out_dir)) if resume else set()
+    items = []
+    for i, (lo, hi) in enumerate(zip(lows, highs)):
+        shard = f"range={i:05d}"
+        if shard in done:
+            continue
+        last = hi is None
+        per_store = []
+        for s in store_dirs:
+            wanted = [
+                c
+                for c in metas[s]
+                # last range also takes every null-carrying chunk: its
+                # NULL rows belong here (nulls-last) even when its value
+                # range lands in an earlier range — the row filters keep
+                # each row in exactly one range
+                if (c["has_null"] and last)
+                or (
+                    not c["all_null"]
+                    and (hi is None or c["vmin"] is None or c["vmin"] < hi)
+                    and (lo is None or c["vmax"] is None or c["vmax"] >= lo)
+                )
+            ]
+            paths = sorted({c["path"] for c in wanted})
+            ids = sorted({c["chunk_id"] for c in wanted})
+            if paths:
+                per_store.append({"paths": paths, "chunk_ids": ids})
+        if per_store:
+            items.append(
+                {
+                    "shard": shard,
+                    "lo": json.dumps(lo),
+                    "hi": json.dumps(hi),
+                    "last": last,
+                    "sources": json.dumps(per_store),
+                }
+            )
+    if not items:
+        return {"ranges": 0, "rows": 0, "skipped": len(done)}
+
+    def merge_range(batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_chunk_table
+        from ..stages.encode import (
+            SUMMARY_SCHEMA,
+            encode_table,
+            lineage_of,
+            summary_row,
+            write_chunk_file,
+        )
+
+        out = []
+        for row in batch.to_pylist():
+            shard = row["shard"]
+            lo = json.loads(row["lo"])
+            hi = json.loads(row["hi"])
+            parts = []
+            for src in json.loads(row["sources"]):
+                ids = src["chunk_ids"] + ["__dict__"]
+                for path in src["paths"]:
+                    t = pq.read_table(
+                        path, filters=[("chunk_id", "in", ids)]
+                    )
+                    if t.num_rows:
+                        parts.append(decode_chunk_table(t))
+            if not parts:
+                continue
+            merged = pa.concat_tables(parts, promote_options="default")
+            col = merged.column(key)
+            if row["last"]:
+                if lo is None:  # single-range merge: everything is here
+                    keep = None
+                else:
+                    # Kleene OR: a NULL key compares to NULL, and the
+                    # non-Kleene kernel would turn (True | NULL) into
+                    # NULL, which filter() silently DROPS — losing every
+                    # null row
+                    keep = pc.or_kleene(
+                        pc.is_null(col), pc.greater_equal(col, pa.scalar(lo))
+                    )
+            else:
+                keep = pc.is_valid(col)
+                if lo is not None:
+                    keep = pc.and_kleene(
+                        keep, pc.greater_equal(col, pa.scalar(lo))
+                    )
+                if hi is not None:
+                    keep = pc.and_kleene(keep, pc.less(col, pa.scalar(hi)))
+            if keep is not None:
+                merged = merged.filter(keep)
+            if merged.num_rows == 0:
+                continue
+            merged = merged.sort_by([(key, "ascending")])
+            chunks = []
+            for start in range(0, merged.num_rows, rows_per_chunk):
+                chunks.append(
+                    encode_table(
+                        merged.slice(start, rows_per_chunk),
+                        shard,
+                        bloom_columns=(),
+                    )
+                )
+            from ..state import manifest as M
+
+            written = write_chunk_file(pa.concat_tables(chunks), out_dir)
+            lin = lineage_of(written)
+            M.record_shard_table(out_dir, shard, lin)
+            out.append(summary_row(shard, lin, True))
+        return pa.Table.from_pylist(out, schema=SUMMARY_SCHEMA)
+
+    summary = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(merge_range, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "ranges": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+        "enc_nbytes": int(summary["enc_nbytes"].sum()),
+        "skipped": len(done),
+    }
+
+
+def read_merged_sorted(out_dir: str) -> ray.data.Dataset:
+    """Decode a merged store in GLOBAL key order: shards are ordered
+    ranges and each shard's chunks were written sorted, so reading
+    files in (range, chunk) order yields the total order — no sort, no
+    shuffle, just ordered per-file tasks."""
+    from ..stages.decode import ChunkFileDecoder
+    from ..state import manifest
+
+    manifest.check_format_version(out_dir, "decode")
+    t = manifest.lineage_table(out_dir, columns=["shard", "file"])
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {out_dir}")
+    root = Path(out_dir) / "data"
+    pairs = sorted(
+        {
+            (s, f)
+            for s, f in zip(
+                t.column("shard").to_pylist(), t.column("file").to_pylist()
+            )
+        }
+    )
+    files = [str(root / s / f"{f}.parquet") for s, f in pairs]
+    # the streaming executor reorders finished blocks by default —
+    # an ORDERED read must pin preserve_order; the DataContext is
+    # snapshotted into the dataset at creation, so flipping it back
+    # right after construction leaves other pipelines untouched
+    ctx = ray.data.DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        return ray.data.from_items(
+            files, override_num_blocks=len(files)
+        ).map_batches(
+            ChunkFileDecoder(), batch_format="pyarrow", zero_copy_batch=True
+        )
+    finally:
+        ctx.execution_options.preserve_order = prev

@@ -925,6 +925,48 @@ def q_derived_column(sf_dir):
     )
 
 
+def q_store_merge_sorted(sf_dir):
+    """Range-planned merge of two sorted stores into one globally
+    sorted store (pipelines/merge_store.py — the LSM level merge,
+    merge.go:84-99 re-planned as disjoint key ranges with ZERO
+    all-to-all): the driver cuts row-balanced ranges from manifest
+    [vmin, vmax, n] stats alone, each range task reads only its
+    chunk-id-filtered intersection from both inputs and commits one
+    ordered output shard. The oracle checks content; global order is
+    pytest-asserted (the hash compare is order-insensitive by
+    design)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .encode import encode_job
+    from .merge_store import merge_sorted_stores, read_merged_sorted
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/graft_mrgstore_v{FORMAT_VERSION}_{key}"
+    merged = f"{base}/merged"
+    if not os.path.exists(os.path.join(merged, "_manifest")):
+        shutil.rmtree(base, ignore_errors=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = docs.column("doc_id").to_numpy()
+        halves = []
+        for tag, m in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+            part = docs.filter(pa.array(m)).sort_by(
+                [("n_chars", "ascending")]
+            )
+            os.makedirs(base, exist_ok=True)
+            src = f"{base}/{tag}.parquet"
+            pq.write_table(part, src)
+            store = f"{base}/{tag}_store"
+            encode_job([src], store, rows_per_chunk=512, bloom_columns=())
+            halves.append(store)
+        merge_sorted_stores(halves, merged, "n_chars", num_ranges=16)
+    return read_merged_sorted(merged)
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -2989,6 +3031,7 @@ QUERIES = {
     "store_pattern_suffix": q_store_pattern_suffix,
     "store_pattern_regex": q_store_pattern_regex,
     "derived_column": q_derived_column,
+    "store_merge_sorted": q_store_merge_sorted,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3298,6 +3341,7 @@ ORACLES = {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
         "AS n_tokens FROM documents"
     ),
+    "store_merge_sorted": "SELECT * FROM documents",
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
     ),

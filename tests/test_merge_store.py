@@ -1,0 +1,130 @@
+"""Range-planned sorted-store merge (pipelines/merge_store.py): content
+equality, global output order (nulls last), duplicate keys across the
+range boundaries, resume, and unsorted inputs."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_go_ray.pipelines.encode import encode_job
+from parquet_go_ray.pipelines.merge_store import (
+    merge_sorted_stores,
+    read_merged_sorted,
+)
+
+
+def _mk_store(tmp_path, name, ids, keys, ray_session=None):
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+            "k": pa.array(keys, pa.int64()),
+        }
+    )
+    p = str(tmp_path / f"{name}.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / f"{name}_store")
+    encode_job([p], out, rows_per_chunk=64, bloom_columns=())
+    return out, t.to_pandas()
+
+
+@pytest.fixture()
+def two_stores(tmp_path, ray_session):
+    rng = np.random.default_rng(21)
+    # duplicate-heavy keys + some NULLs in store b
+    ka = np.sort(rng.integers(0, 50, 700))
+    kb = rng.integers(25, 99, 500).astype(object)
+    kb[::50] = None
+    kb_sorted = sorted(
+        kb, key=lambda v: (v is None, 0 if v is None else int(v))
+    )
+    a, dfa = _mk_store(tmp_path, "a", np.arange(700), ka)
+    b, dfb = _mk_store(
+        tmp_path, "b", np.arange(1000, 1500), kb_sorted
+    )
+    return (a, b), pd.concat([dfa, dfb], ignore_index=True)
+
+
+def _assert_globally_sorted(got: pd.DataFrame):
+    k = got["k"].to_numpy(dtype=object)
+    nn = [v for v in k if v is not None and not pd.isna(v)]
+    assert all(
+        int(x) <= int(y) for x, y in zip(nn, nn[1:])
+    ), "non-null keys out of order"
+    first_null = next(
+        (i for i, v in enumerate(k) if v is None or pd.isna(v)), len(k)
+    )
+    assert all(
+        v is None or pd.isna(v) for v in k[first_null:]
+    ), "a non-null key follows a NULL (nulls must be last)"
+
+
+def test_merge_content_and_order(two_stores, tmp_path):
+    (a, b), df = two_stores
+    out = str(tmp_path / "merged")
+    info = merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    assert info["rows"] == len(df)
+    got = read_merged_sorted(out).to_pandas()
+    assert len(got) == len(df)
+    # content equality, order-insensitively
+    lhs = got.sort_values(["doc_id"], ignore_index=True)
+    rhs = df.sort_values(["doc_id"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        lhs[sorted(lhs.columns)], rhs[sorted(rhs.columns)]
+    )
+    # global order: blocks arrive in (range, chunk) order
+    _assert_globally_sorted(got)
+
+
+def test_merge_resume_skips(two_stores, tmp_path):
+    (a, b), _ = two_stores
+    out = str(tmp_path / "merged")
+    info = merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    again = merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    assert again["ranges"] == 0 and again["skipped"] >= info["ranges"]
+
+
+def test_merge_unsorted_inputs_still_sorted_output(tmp_path, ray_session):
+    rng = np.random.default_rng(4)
+    a, dfa = _mk_store(
+        tmp_path, "ua", np.arange(400), rng.integers(0, 1000, 400)
+    )
+    b, dfb = _mk_store(
+        tmp_path, "ub", np.arange(400, 800), rng.integers(0, 1000, 400)
+    )
+    out = str(tmp_path / "merged")
+    merge_sorted_stores([a, b], out, "k", num_ranges=6)
+    got = read_merged_sorted(out).to_pandas()
+    assert len(got) == 800
+    _assert_globally_sorted(got)
+    assert sorted(got["doc_id"]) == list(range(800))
+
+
+def test_range_manifests_are_disjoint_and_ordered(two_stores, tmp_path):
+    """Cross-shard metadata proof: range i's key stats end before range
+    i+1's begin (ties allowed at the boundary value)."""
+    import json
+
+    from parquet_go_ray.state import manifest
+
+    (a, b), _ = two_stores
+    out = str(tmp_path / "merged")
+    merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    t = manifest.lineage_table(
+        out, columns=["shard", "column", "vmin", "vmax"]
+    )
+    spans = {}
+    for r in t.to_pylist():
+        if r["column"] != "k" or not r.get("vmax"):
+            continue
+        vmin = json.loads(r["vmin"]) if r["vmin"] else None
+        vmax = json.loads(r["vmax"]) if r["vmax"] else None
+        if vmin is None or vmax is None:
+            continue
+        lo, hi = spans.get(r["shard"], (vmin, vmax))
+        spans[r["shard"]] = (min(lo, vmin), max(hi, vmax))
+    ordered = [spans[s] for s in sorted(spans)]
+    assert len(ordered) >= 2, "merge produced a single range — widen data"
+    for (_, hi_prev), (lo_next, _) in zip(ordered, ordered[1:]):
+        assert hi_prev <= lo_next
