@@ -299,6 +299,8 @@ def run_bench() -> dict:
         # range-planned sorted-store merge (stores cached after rep 1;
         # the min measures the ordered read; rep-1 includes the merge)
         "store_merge_sorted",
+        # family-stats pruned range scan on a backfilled column
+        "family_range_scan",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

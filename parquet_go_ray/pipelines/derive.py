@@ -228,6 +228,121 @@ def list_families(store_dir: str) -> dict[str, str]:
     return out
 
 
+def drop_family(store_dir: str, family: str) -> bool:
+    """Delete a family (e.g. after the base was rewritten and the
+    family went stale). Returns True if it existed."""
+    import shutil
+
+    d = Path(family_dir(store_dir, family))
+    if not d.is_dir():
+        return False
+    shutil.rmtree(d)
+    return True
+
+
+def search_family_range(
+    store_dir: str,
+    family: str,
+    lo=None,
+    hi=None,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Range predicate on a DERIVED column, pruned by the FAMILY's own
+    manifest stats: chunk groups whose family [vmin, vmax] cannot
+    intersect [lo, hi] are skipped driver-side — neither their family
+    chunks nor their (much larger) base chunks are ever read. Surviving
+    groups zip base + family and apply the residual row filter. This is
+    the payoff of families being full stores: a backfilled quality
+    score immediately prunes reads of the corpus it scores."""
+    import json
+
+    import pyarrow.compute as pc
+
+    from ..stages.decode import decode_chunk_table
+    from ..state import manifest
+
+    fams = list_families(store_dir)
+    if family not in fams:
+        raise FileNotFoundError(f"no such family: {family}")
+    col = fams[family]
+    fam_root = Path(family_dir(store_dir, family))
+    t = manifest.lineage_table(
+        str(fam_root),
+        columns=["shard", "file", "chunk_id", "column", "vmin", "vmax"],
+        filters=[("column", "==", col)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"family {family} has no manifest")
+    keep_ids: set[str] = set()
+    files: set[tuple[str, str]] = set()
+    for r in t.to_pylist():
+        vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+        if lo is not None and vmax is not None and vmax < lo:
+            continue
+        if hi is not None and vmin is not None and vmin > hi:
+            continue
+        keep_ids.add(r["chunk_id"])
+        files.add((r["shard"], r["file"]))
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    base_root = Path(store_dir) / "data"
+    pairs = sorted(files)
+    id_list = sorted(keep_ids) + ["__dict__"]
+    base_cols = None
+    if columns is not None:
+        base_cols = [c for c in columns if c != col]
+
+    def scan(batch: pa.Table) -> pa.Table:
+        pcol = "path" if "path" in batch.column_names else "item"
+        outs = []
+        for packed in batch.column(pcol).to_pylist():
+            shard, fname = packed.split("||")
+            filters = [("chunk_id", "in", id_list)]
+            fam_t = pq.read_table(
+                fam_root / "data" / shard / f"{fname}.parquet",
+                filters=filters,
+            )
+            base_path = base_root / shard / f"{fname}.parquet"
+            parts = [fam_t]
+            if base_cols is None or base_cols:
+                bf = list(filters)
+                if base_cols is not None:
+                    bf.append(("column", "in", base_cols))
+                base_t = pq.read_table(base_path, filters=bf)
+                if base_t.num_rows:
+                    parts.append(base_t)
+            combined = pa.concat_tables(parts).sort_by(
+                [("chunk_id", "ascending"), ("col_idx", "ascending")]
+            )
+            got = decode_chunk_table(combined)
+            if not got.num_rows:
+                continue
+            keep = pc.is_valid(got.column(col))
+            if lo is not None:
+                keep = pc.and_kleene(
+                    keep, pc.greater_equal(got.column(col), pa.scalar(lo))
+                )
+            if hi is not None:
+                keep = pc.and_kleene(
+                    keep, pc.less_equal(got.column(col), pa.scalar(hi))
+                )
+            got = got.filter(keep)
+            if columns is not None:
+                got = got.select(
+                    [c for c in columns if c in got.column_names]
+                )
+            if got.num_rows:
+                outs.append(got)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        [f"{s}||{f}" for s, f in pairs], override_num_blocks=len(pairs)
+    ).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def decode_with_family(
     store_dir: str,
     families: list[str] | None = None,

@@ -967,6 +967,27 @@ def q_store_merge_sorted(sf_dir):
     return read_merged_sorted(merged)
 
 
+def q_family_range_scan(sf_dir):
+    """Range predicate on a BACKFILLED column, pruned by the family's
+    own manifest stats (derive.search_family_range): chunk groups whose
+    n_tokens [vmin, vmax] cannot reach [40, 60] skip BOTH their family
+    and their base chunks; survivors zip + residual-filter. Reuses the
+    derived_column family (resume-built once per sf_dir)."""
+    from .derive import add_derived_column, search_family_range
+
+    store = _doc_store(sf_dir)
+
+    def n_tokens(t: pa.Table) -> pa.Array:
+        return pc.list_value_length(
+            pc.split_pattern(t.column("text").combine_chunks(), pattern=" ")
+        ).cast(pa.int64())
+
+    add_derived_column(store, "ntok", "n_tokens", n_tokens, ["text"])
+    return search_family_range(
+        store, "ntok", lo=40, hi=60, columns=["doc_id", "n_tokens"]
+    )
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -3032,6 +3053,7 @@ QUERIES = {
     "store_pattern_regex": q_store_pattern_regex,
     "derived_column": q_derived_column,
     "store_merge_sorted": q_store_merge_sorted,
+    "family_range_scan": q_family_range_scan,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3342,6 +3364,11 @@ ORACLES = {
         "AS n_tokens FROM documents"
     ),
     "store_merge_sorted": "SELECT * FROM documents",
+    "family_range_scan": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents "
+        "WHERE len(string_split(text, ' ')) BETWEEN 40 AND 60"
+    ),
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
     ),

@@ -133,6 +133,76 @@ def test_unknown_family_rejected(store):
         decode_with_family(out, families=["nope"])
 
 
+def test_family_range_scan_matches_pandas(store):
+    from parquet_go_ray.pipelines.derive import search_family_range
+
+    out, df = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    got = (
+        search_family_range(
+            out, "dbl", lo=200, hi=900, columns=["doc_id", "n2", "n_chars"]
+        )
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = df[(df["n_chars"] * 2).between(200, 900)].reset_index(drop=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n2"].tolist() == (want["n_chars"] * 2).tolist()
+
+
+def _ident():
+    def f(t: pa.Table) -> pa.Array:
+        return t.column("doc_id").combine_chunks()
+
+    return f
+
+
+def test_family_range_prunes_base_reads(tmp_path, ray_session):
+    """Family stats must prune the BASE reads too: derive d = doc_id
+    (monotone across shards), query a range inside shard 1 only, and
+    chmod-000 shards 0 and 2 in BOTH trees."""
+    import stat as statmod
+
+    from parquet_go_ray.pipelines.derive import search_family_range
+
+    paths = []
+    for i in range(3):
+        n = 200
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(i * n, (i + 1) * n, dtype=np.int64)
+                ),
+                "n_chars": pa.array(np.full(n, 7), pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    add_derived_column(out, "ident", "d", _ident(), ["doc_id"])
+    blocked = [
+        str(Path(out, "data", f"part{i}")) for i in (0, 2)
+    ] + [
+        str(Path(out, "families", "ident", "data", f"part{i}"))
+        for i in (0, 2)
+    ]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = (
+            search_family_range(out, "ident", lo=250, hi=349)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        assert got["doc_id"].tolist() == list(range(250, 350))
+        assert got["d"].tolist() == list(range(250, 350))
+    finally:
+        for d in blocked:
+            os.chmod(d, statmod.S_IRWXU)
+
+
 def test_family_composes_with_aggregate_pushdown(store):
     """A family is a full store in its own right: metadata-only
     aggregates answer from the FAMILY manifest without opening any
