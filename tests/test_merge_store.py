@@ -101,6 +101,37 @@ def test_merge_unsorted_inputs_still_sorted_output(tmp_path, ray_session):
     assert sorted(got["doc_id"]) == list(range(800))
 
 
+def test_merge_random_sweep(tmp_path, ray_session):
+    """Randomized inputs across seeds: heavy duplicate keys (skewed to
+    land on range boundaries), nulls in both stores, varying range
+    counts — content and order must always hold."""
+    for seed, ranges in ((1, 3), (2, 9), (3, 17)):
+        rng = np.random.default_rng(seed)
+        base = tmp_path / f"s{seed}"
+        base.mkdir()
+        stores, frames = [], []
+        for si in range(3):
+            n = int(rng.integers(50, 400))
+            keys = rng.choice([0, 1, 5, 5, 5, 9, 42], size=n).astype(object)
+            keys[rng.random(n) < 0.08] = None
+            s, df = _mk_store(
+                base, f"in{si}", np.arange(si * 1000, si * 1000 + n), keys
+            )
+            stores.append(s)
+            frames.append(df)
+        out = str(base / "merged")
+        merge_sorted_stores(stores, out, "k", num_ranges=ranges)
+        got = read_merged_sorted(out).to_pandas()
+        df = pd.concat(frames, ignore_index=True)
+        assert sorted(got["doc_id"]) == sorted(df["doc_id"]), seed
+        m = got.merge(df, on="doc_id", suffixes=("", "_want"))
+        same = (m["k"] == m["k_want"]) | (
+            m["k"].isna() & m["k_want"].isna()
+        )
+        assert same.all(), seed
+        _assert_globally_sorted(got)
+
+
 def test_range_manifests_are_disjoint_and_ordered(two_stores, tmp_path):
     """Cross-shard metadata proof: range i's key stats end before range
     i+1's begin (ties allowed at the boundary value)."""

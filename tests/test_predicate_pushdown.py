@@ -161,6 +161,63 @@ def test_isnull_scan_no_nulls_is_empty(pattern_store):
     assert len(isnull_scan(out, "source").to_pandas()) == 0
 
 
+def test_phrase_and_near_random_sweep(tmp_path, ray_session):
+    """Randomized corpus, many queries, one index build: every phrase
+    (2-4 tokens) and proximity query must match the brute-force oracle
+    computed from the raw texts."""
+    from parquet_go_ray.pipelines.textindex import (
+        build_text_index,
+        near_docs,
+        phrase_docs,
+    )
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab -> dense collisions
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 25)))
+        for _ in range(300)
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+        }
+    )
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "idx")
+    build_text_index([p], out, num_buckets=4, rows_per_chunk=256)
+
+    toks = [s.split(" ") for s in texts]
+    for trial in range(12):
+        k = int(rng.integers(2, 5))
+        phrase = list(rng.choice(vocab, size=k))
+        want = {
+            i
+            for i, tt in enumerate(toks)
+            if any(
+                tt[j : j + k] == phrase for j in range(len(tt) - k + 1)
+            )
+        }
+        got = set(
+            phrase_docs(out, " ".join(phrase)).to_pandas()["doc_id"]
+        )
+        assert got == want, f"phrase {phrase}"
+    for trial in range(8):
+        a, b = rng.choice(vocab, size=2, replace=False)
+        w = int(rng.integers(1, 6))
+        want = set()
+        for i, tt in enumerate(toks):
+            pa_pos = [j for j, x in enumerate(tt) if x == a]
+            pb_pos = [j for j, x in enumerate(tt) if x == b]
+            if any(
+                abs(x - y) <= w for x in pa_pos for y in pb_pos
+            ):
+                want.add(i)
+        got = set(near_docs(out, a, b, window=w).to_pandas()["doc_id"])
+        assert got == want, f"near {a} {b} w={w}"
+
+
 def test_near_docs_planted(tmp_path, ray_session):
     from parquet_go_ray.pipelines.textindex import build_text_index, near_docs
 
