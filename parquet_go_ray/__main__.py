@@ -434,6 +434,36 @@ def cmd_derive(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Range-planned merge of sorted stores into one globally sorted
+    store (zero all-to-all; resumable per range)."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.merge_store import merge_sorted_stores
+
+    info = merge_sorted_stores(
+        args.stores, args.out_dir, args.key, num_ranges=args.ranges
+    )
+    print(json.dumps({**info, "out_dir": args.out_dir}))
+    return 0
+
+
+def cmd_changelog(args) -> int:
+    """Apply a CDC changelog batch (op column: upsert/delete) to the
+    store, batch-level exactly-once."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.tombstone import apply_changelog
+
+    files = sorted(str(p) for p in Path(args.input_dir).glob("*.parquet"))
+    if not files:
+        print(f"no parquet files under {args.input_dir}", file=sys.stderr)
+        return 2
+    info = apply_changelog(
+        args.store_dir, files, key_col=args.key, op_col=args.op_col
+    )
+    print(json.dumps({**info, "store": args.store_dir}))
+    return 0
+
+
 def cmd_index_build(args) -> int:
     """Persist the exact-dedup index (16 B/doc content hashes, one
     shard per hash partition, epoch-versioned) of a curated corpus —
@@ -737,6 +767,20 @@ def main(argv=None) -> int:
     )
     dv.add_argument("--input", required=True, help="source column")
     dv.set_defaults(fn=cmd_derive)
+
+    mg = sub.add_parser("merge")
+    mg.add_argument("out_dir")
+    mg.add_argument("key")
+    mg.add_argument("stores", nargs="+")
+    mg.add_argument("--ranges", type=int, default=32)
+    mg.set_defaults(fn=cmd_merge)
+
+    cl = sub.add_parser("changelog")
+    cl.add_argument("store_dir")
+    cl.add_argument("input_dir")
+    cl.add_argument("--key", default="doc_id")
+    cl.add_argument("--op-col", default="op")
+    cl.set_defaults(fn=cmd_changelog)
 
     au = sub.add_parser("audit")
     au.add_argument("input_dir")

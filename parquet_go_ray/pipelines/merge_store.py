@@ -114,6 +114,13 @@ def merge_sorted_stores(
             "sorted_by": key,
         },
     )
+    # surviving tombstones of each input must not leak into the merge:
+    # loaded driver-side (KB metadata), shipped once via the object
+    # store, applied as a vectorized anti-filter inside each range task
+    from .tombstone import load_tombstones
+
+    tombs = {s: load_tombstones(s) for s in store_dirs}
+    tombs_ref = ray.put(tombs) if any(tombs.values()) else None
     metas = {s: _key_chunks(s, key) for s in store_dirs}
     bounds = _cut_boundaries(
         [c for cs in metas.values() for c in cs], num_ranges
@@ -147,7 +154,9 @@ def merge_sorted_stores(
             paths = sorted({c["path"] for c in wanted})
             ids = sorted({c["chunk_id"] for c in wanted})
             if paths:
-                per_store.append({"paths": paths, "chunk_ids": ids})
+                per_store.append(
+                    {"store": str(s), "paths": paths, "chunk_ids": ids}
+                )
         if per_store:
             items.append(
                 {
@@ -177,14 +186,27 @@ def merge_sorted_stores(
             lo = json.loads(row["lo"])
             hi = json.loads(row["hi"])
             parts = []
+            all_tombs = ray.get(tombs_ref) if tombs_ref is not None else {}
             for src in json.loads(row["sources"]):
                 ids = src["chunk_ids"] + ["__dict__"]
+                src_parts = []
                 for path in src["paths"]:
                     t = pq.read_table(
                         path, filters=[("chunk_id", "in", ids)]
                     )
                     if t.num_rows:
-                        parts.append(decode_chunk_table(t))
+                        src_parts.append(decode_chunk_table(t))
+                for st in src_parts:
+                    for tcol, vals in all_tombs.get(src["store"], {}).items():
+                        if tcol in st.column_names:
+                            st = st.filter(
+                                pc.invert(
+                                    pc.is_in(
+                                        st.column(tcol), value_set=vals
+                                    )
+                                )
+                            )
+                    parts.append(st)
             if not parts:
                 continue
             merged = pa.concat_tables(parts, promote_options="default")

@@ -436,6 +436,68 @@ def q_upsert_snapshot(sf_dir):
     return decode_dataset(out)
 
 
+def q_apply_changelog(sf_dir):
+    """CDC changelog apply (tombstone.apply_changelog): one batch
+    carrying deletes (doc_id %10==7), re-crawls (%5==0, edited text)
+    and new pages (%20==0 under id+10^6) lands on the store with
+    batch-level exactly-once (content-hash marker; disjoint op key
+    sets here, so order is immaterial). The oracle states the
+    resulting corpus as a three-way UNION minus the deletes."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .decode import decode_dataset
+    from .encode import encode_job
+    from .tombstone import apply_changelog
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_cdc_v{FORMAT_VERSION}_{key}"
+    shutil.rmtree(out, ignore_errors=True)
+    encode_job(
+        [f"{sf_dir}/documents.parquet"],
+        out,
+        rows_per_chunk=512,
+        bloom_columns=(),
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet")
+    ids = docs.column("doc_id").to_numpy()
+    changed = docs.filter(pa.array(ids % 5 == 0))
+    changed = changed.set_column(
+        changed.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(changed.column("text"), " v2", ""),
+    )
+    new = docs.filter(pa.array(ids % 20 == 0))
+    new = new.set_column(
+        new.schema.get_field_index("doc_id"),
+        "doc_id",
+        pc.add(new.column("doc_id"), pa.scalar(1_000_000, pa.int64())),
+    )
+    new = new.set_column(
+        new.schema.get_field_index("text"),
+        "text",
+        pc.binary_join_element_wise(new.column("text"), " fresh page", ""),
+    )
+    ups = pa.concat_tables([changed, new])
+    ups = ups.append_column(
+        "op", pa.array(["upsert"] * ups.num_rows, pa.string())
+    )
+    dels = docs.filter(pa.array(ids % 10 == 7))
+    dels = dels.append_column(
+        "op", pa.array(["delete"] * dels.num_rows, pa.string())
+    )
+    log_dir = tempfile.mkdtemp(prefix="pgr_cdc_")
+    logp = os.path.join(log_dir, "batch-0.parquet")
+    pq.write_table(pa.concat_tables([ups, dels]), logp)
+    apply_changelog(out, [logp], key_col="doc_id")
+    return decode_dataset(out)
+
+
 def q_encode_decode_events(sf_dir):
     return roundtrip_dataset(_read(sf_dir, "events"))
 
@@ -3151,6 +3213,7 @@ QUERIES = {
     "group_quantile_sketch": q_group_quantile_sketch,
     "encode_decode_deleted": q_encode_decode_deleted,
     "upsert_snapshot": q_upsert_snapshot,
+    "apply_changelog": q_apply_changelog,
 }
 
 ORACLES = {
@@ -3437,6 +3500,15 @@ ORACLES = {
     "encode_decode_deleted": "SELECT * FROM documents WHERE doc_id % 10 <> 3",
     "upsert_snapshot": (
         "SELECT * FROM documents WHERE doc_id % 5 <> 0 "
+        "UNION ALL "
+        "SELECT doc_id, text || ' v2' AS text, lang, source, n_chars "
+        "FROM documents WHERE doc_id % 5 = 0 "
+        "UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, text || ' fresh page' AS text, "
+        "lang, source, n_chars FROM documents WHERE doc_id % 20 = 0"
+    ),
+    "apply_changelog": (
+        "SELECT * FROM documents WHERE doc_id % 5 <> 0 AND doc_id % 10 <> 7 "
         "UNION ALL "
         "SELECT doc_id, text || ' v2' AS text, lang, source, n_chars "
         "FROM documents WHERE doc_id % 5 = 0 "

@@ -205,6 +205,101 @@ def upsert_files(
     }
 
 
+def apply_changelog(
+    store_dir: str,
+    changelog_files: list[str],
+    key_col: str,
+    op_col: str = "op",
+    rows_per_chunk: int = 4096,
+    compression=None,
+) -> dict:
+    """Apply a CDC-style changelog batch to the store: rows with
+    `op_col` == 'delete' carry only the key; rows with 'upsert' carry
+    the full record (the op column is stripped before writing). A key
+    present under BOTH ops ends up upserted (the upsert's own
+    tombstone step supersedes the delete).
+
+    Batch-level exactly-once: the staged upsert shards are named from
+    the batch's content hash and an `_changelog/<hash>.applied` marker
+    commits the batch — re-running an applied batch is a no-op, and a
+    crashed run finishes through the same resume seams the plain
+    upsert has (tombstones filter until the purge completes, encode
+    resume skips finished shards)."""
+    import hashlib
+    import json as _json
+    import os
+
+    from ..state import manifest
+    from .encode import encode_job
+
+    tables = [pq.read_table(f) for f in changelog_files]
+    log = pa.concat_tables(tables, promote_options="default")
+    if op_col not in log.column_names:
+        raise ValueError(f"changelog has no {op_col!r} column")
+    ops = log.column(op_col)
+    known = pc.is_in(ops, value_set=pa.array(["upsert", "delete"]))
+    if not pc.all(known).as_py():
+        bad = sorted(
+            set(log.filter(pc.invert(known)).column(op_col).to_pylist())
+        )
+        raise ValueError(f"unknown changelog ops: {bad[:5]}")
+    batch_id = hashlib.sha1()
+    for f in sorted(changelog_files):
+        batch_id.update(Path(f).read_bytes())
+    batch = batch_id.hexdigest()[:12]
+    marker_dir = Path(store_dir) / "_changelog"
+    marker = marker_dir / f"{batch}.applied"
+    if marker.exists():
+        return {**_json.loads(marker.read_text()), "already_applied": True}
+
+    ups = log.filter(pc.equal(ops, "upsert")).drop_columns([op_col])
+    del_rows = log.filter(pc.equal(ops, "delete"))
+    up_keys = set(ups.column(key_col).to_pylist())
+    del_keys = [
+        k
+        for k in del_rows.column(key_col).to_pylist()
+        if k not in up_keys
+    ]
+    deleted = 0
+    if del_keys:
+        deleted = delete_where(store_dir, key_col, del_keys)["values"]
+        purge_tombstones(
+            store_dir, rows_per_chunk=rows_per_chunk, compression=compression
+        )
+    summary = {"keys_deleted": deleted, "rows_upserted": int(ups.num_rows)}
+    if ups.num_rows:
+        import tempfile
+
+        stage = tempfile.mkdtemp(prefix="pgr_changelog_")
+        staged = os.path.join(stage, f"cdc-{batch}.parquet")
+        pq.write_table(ups, staged)
+        stem = Path(staged).stem
+        if stem in manifest.completed_shards(store_dir):
+            # crashed after the upsert finished, before the marker:
+            # the batch's shard is fully committed — just mark
+            pass
+        else:
+            keys = ups.column(key_col).combine_chunks()
+            delete_where(store_dir, key_col, keys)
+            purge_tombstones(
+                store_dir,
+                rows_per_chunk=rows_per_chunk,
+                compression=compression,
+            )
+            encode_job(
+                [staged],
+                store_dir,
+                rows_per_chunk=rows_per_chunk,
+                compression=compression,
+                resume=True,
+            )
+    marker_dir.mkdir(parents=True, exist_ok=True)
+    tmp = marker.with_suffix(".tmp")
+    tmp.write_text(_json.dumps(summary))
+    os.replace(tmp, marker)
+    return summary
+
+
 def purge_tombstones(
     store_dir: str,
     rows_per_chunk: int = 4096,

@@ -101,6 +101,24 @@ def test_merge_unsorted_inputs_still_sorted_output(tmp_path, ray_session):
     assert sorted(got["doc_id"]) == list(range(800))
 
 
+def test_merge_respects_unpurged_tombstones(two_stores, tmp_path):
+    """Deleted-but-not-yet-purged rows must not leak into the merged
+    store: merge reads chunk files directly, so it applies each input's
+    surviving tombstones itself."""
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    (a, b), df = two_stores
+    dead = [0, 1, 2, 1000, 1001]
+    delete_where(a, "doc_id", [0, 1, 2])
+    delete_where(b, "doc_id", [1000, 1001])
+    out = str(tmp_path / "merged_tomb")
+    merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    got = read_merged_sorted(out).to_pandas()
+    assert len(got) == len(df) - len(dead)
+    assert not set(got["doc_id"]) & set(dead)
+    _assert_globally_sorted(got)
+
+
 def test_merge_random_sweep(tmp_path, ray_session):
     """Randomized inputs across seeds: heavy duplicate keys (skewed to
     land on range boundaries), nulls in both stores, varying range

@@ -221,3 +221,75 @@ def test_gate_query_matches_oracle(ray_session, sf_dir):
     pd.testing.assert_frame_equal(
         got[sorted(got.columns)], want[sorted(want.columns)]
     )
+
+
+def _write_log(tmp_path, name, ups=None, dels=None, docs=None):
+    import numpy as np
+
+    parts = []
+    if ups is not None:
+        t = docs_table(docs, ups)
+        t = t.append_column("op", pa.array(["upsert"] * t.num_rows))
+        parts.append(t)
+    if dels is not None:
+        t = docs_table(docs, dels)
+        t = t.append_column("op", pa.array(["delete"] * t.num_rows))
+        parts.append(t)
+    p = str(tmp_path / name)
+    pq.write_table(pa.concat_tables(parts), p)
+    return p
+
+
+def docs_table(docs, ids):
+    t = pa.Table.from_pandas(docs[docs["doc_id"].isin(ids)], preserve_index=False)
+    return t
+
+
+def test_apply_changelog_deletes_and_upserts(store, tmp_path):
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.tombstone import apply_changelog
+
+    out, docs = store
+    log = _write_log(tmp_path, "b0.parquet", ups=[5, 10], dels=[1, 2], docs=docs)
+    info = apply_changelog(out, [log], key_col="doc_id")
+    assert info["keys_deleted"] == 2 and info["rows_upserted"] == 2
+    got = decode_dataset(out).to_pandas()
+    assert len(got) == len(docs) - 2
+    assert not set(got["doc_id"]) & {1, 2}
+    assert {5, 10} <= set(got["doc_id"])
+
+
+def test_apply_changelog_exactly_once(store, tmp_path):
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.tombstone import apply_changelog
+
+    out, docs = store
+    log = _write_log(tmp_path, "b1.parquet", ups=[7], dels=[3], docs=docs)
+    apply_changelog(out, [log], key_col="doc_id")
+    n1 = len(decode_dataset(out).to_pandas())
+    again = apply_changelog(out, [log], key_col="doc_id")
+    assert again.get("already_applied") is True
+    assert len(decode_dataset(out).to_pandas()) == n1
+
+
+def test_apply_changelog_upsert_wins_over_delete(store, tmp_path):
+    from parquet_go_ray.pipelines.decode import decode_dataset
+    from parquet_go_ray.pipelines.tombstone import apply_changelog
+
+    out, docs = store
+    log = _write_log(tmp_path, "b2.parquet", ups=[4], dels=[4, 8], docs=docs)
+    info = apply_changelog(out, [log], key_col="doc_id")
+    assert info["keys_deleted"] == 1  # only 8: the upsert key survives
+    got = decode_dataset(out).to_pandas()
+    assert 4 in set(got["doc_id"]) and 8 not in set(got["doc_id"])
+
+
+def test_apply_changelog_rejects_unknown_op(store, tmp_path):
+    from parquet_go_ray.pipelines.tombstone import apply_changelog
+
+    out, docs = store
+    t = docs_table(docs, [1]).append_column("op", pa.array(["replace"]))
+    p = str(tmp_path / "bad.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(ValueError, match="unknown changelog ops"):
+        apply_changelog(out, [p], key_col="doc_id")
