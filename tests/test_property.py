@@ -158,3 +158,70 @@ def test_wire_string_bounds_always_valid(tmp_path_factory, vals):
     if idx is not None:
         for m in idx["mins"]:
             assert m is None or isinstance(m, str)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.sampled_from(["aa", "ab", "abc", "b", "ba", ""])),
+        max_size=200,
+    ),
+    st.sampled_from(["a", "ab", "b", ""]),
+)
+def test_dict_domain_mask_pred_matches_decoded(values, needle):
+    """Encoded-domain pattern mask == the same predicate over decoded
+    rows, for every codec the selector might pick (nulls are False)."""
+    import pyarrow.compute as pc
+
+    from parquet_go_ray.codecs.chunk import dict_domain_mask_pred
+
+    arr = pa.array(values, type=pa.string())
+
+    def pred(vals):
+        if not needle:
+            return pc.equal(pc.utf8_length(pc.cast(vals, pa.string())), 0)
+        return pc.starts_with(vals, pattern=needle)
+
+    want = [
+        v is not None and (v.startswith(needle) if needle else v == "")
+        for v in values
+    ]
+    for codec in R.SUPPORTED[R.BYTE_ARRAY]:
+        blob = encode_array(arr, codec)
+        mask = dict_domain_mask_pred(blob, pred)
+        if mask is None:
+            continue  # codec has no encoded domain: pipeline decodes
+        assert mask.tolist() == want, R.CODEC_NAMES[blob[4]]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.integers(-1000, 1000)), min_size=1, max_size=300
+    )
+)
+def test_null_mask_matches_is_null(values):
+    """Header-validity null mask == Arrow is_null for any codec pick."""
+    from parquet_go_ray.codecs.chunk import null_mask
+
+    arr = pa.array(values, type=pa.int64())
+    blob = encode_array(arr)
+    assert null_mask(blob).tolist() == arr.is_null().to_pylist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(), st.lists(st.integers(-50, 50), max_size=5)
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_null_mask_on_list_chunks(values):
+    from parquet_go_ray.codecs.chunk import null_mask
+
+    arr = pa.array(values, type=pa.list_(pa.int64()))
+    blob = encode_array(arr)
+    assert null_mask(blob).tolist() == arr.is_null().to_pylist()
