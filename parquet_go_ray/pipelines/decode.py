@@ -9,7 +9,10 @@ from __future__ import annotations
 
 from pathlib import Path
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 import ray.data
 
@@ -367,6 +370,110 @@ def search_dict_domain(
     return ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
         search, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def take_rows(
+    encoded_dir: str,
+    indices,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Scattered GLOBAL-POSITION reads over the encode store —
+    SeekToRow (column.go:127-149) generalized from one range to an
+    arbitrary index set: the manifest's per-chunk row counts give
+    cumulative offsets (metadata only, driver-side), each index maps to
+    (file, chunk, local offset), and only the hit chunks' files open —
+    a 1000-row sample of a petabyte store decodes at most 1000 chunks,
+    each once, however many indices land in it. Output carries `_row`
+    (the global position, in the store's manifest order) next to the
+    decoded columns. Indices are deduped; out-of-range raises."""
+    import json as _json
+
+    from ..stages.decode import decode_chunk_table
+    from ..state import manifest
+
+    idx = np.unique(np.asarray(list(indices), dtype=np.int64))
+    if idx.size and idx[0] < 0:
+        raise IndexError("negative row index")
+    t = manifest.lineage_table(
+        encoded_dir,
+        columns=["shard", "file", "chunk_id", "col_idx", "n"],
+        filters=[("col_idx", "==", 0)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {encoded_dir}")
+    # deterministic global order: (shard, file) sorted, chunks in their
+    # manifest (= write) order within a file
+    recs = t.to_pylist()
+    by_file: dict[tuple[str, str], list[dict]] = {}
+    for r in recs:
+        by_file.setdefault((r["shard"], r["file"]), []).append(r)
+    ordered = []
+    for sf in sorted(by_file):
+        ordered.extend(by_file[sf])
+    ns = np.array([r["n"] for r in ordered], dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(ns)))
+    total = int(cum[-1])
+    if idx.size and idx[-1] >= total:
+        raise IndexError(f"row {int(idx[-1])} >= store rows {total}")
+    pos = np.searchsorted(cum, idx, side="right") - 1
+    root = Path(encoded_dir) / "data"
+    plans: dict[str, dict[str, dict]] = {}
+    for ci in np.unique(pos):
+        r = ordered[int(ci)]
+        path = str(root / r["shard"] / f"{r['file']}.parquet")
+        sel = idx[pos == ci]
+        plans.setdefault(path, {})[r["chunk_id"]] = {
+            "local": (sel - cum[int(ci)]).tolist(),
+            "base": int(cum[int(ci)]),
+        }
+    items = [
+        {"path": p, "chunks": _json.dumps(cmap)}
+        for p, cmap in sorted(plans.items())
+    ]
+    if not items:
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = sorted(columns) if columns is not None else None
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            cmap = _json.loads(row["chunks"])
+            filters = [("chunk_id", "in", sorted(cmap) + ["__dict__"])]
+            if read_cols is not None:
+                filters.append(("column", "in", read_cols))
+            chunks = pq.read_table(row["path"], filters=filters)
+            dict_rows = chunks.filter(
+                pc.equal(chunks.column("codec"), "dict_page")
+            )
+            data = chunks.filter(
+                pc.not_equal(chunks.column("codec"), "dict_page")
+            )
+            ids = data.column("chunk_id").to_numpy(zero_copy_only=False)
+            if len(ids) == 0:
+                continue
+            change = np.nonzero(ids[1:] != ids[:-1])[0] + 1
+            starts = np.concatenate(([0], change, [len(ids)]))
+            for a, b in zip(starts[:-1], starts[1:]):
+                group = data.slice(int(a), int(b - a))
+                if dict_rows.num_rows:
+                    group = pa.concat_tables([dict_rows, group])
+                dec = decode_chunk_table(group)
+                plan = cmap[str(ids[int(a)])]
+                local = np.asarray(plan["local"], dtype=np.int64)
+                out = dec.take(pa.array(local))
+                out = out.add_column(
+                    0,
+                    "_row",
+                    pa.array(local + plan["base"], pa.int64()),
+                )
+                outs.append(out)
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs)
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(fetch, batch_format="pyarrow", batch_size=None)
 
 
 def isnull_scan(

@@ -1050,6 +1050,24 @@ def q_family_range_scan(sf_dir):
     )
 
 
+_TAKE_ROWS_IDX = [0, 17, 99, 123, 250, 333, 401, 499]
+
+
+def q_store_take_rows(sf_dir):
+    """Scattered global-position reads on the encode store
+    (decode.take_rows — SeekToRow generalized to an index set):
+    positions map through manifest cumulative row counts, only hit
+    chunks' files open. doc_id equals store position on this table,
+    giving the positional read an exact SQL oracle."""
+    from .decode import take_rows
+
+    return take_rows(
+        _doc_store(sf_dir),
+        _TAKE_ROWS_IDX,
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -3116,6 +3134,7 @@ QUERIES = {
     "derived_column": q_derived_column,
     "store_merge_sorted": q_store_merge_sorted,
     "family_range_scan": q_family_range_scan,
+    "store_take_rows": q_store_take_rows,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3431,6 +3450,10 @@ ORACLES = {
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
         "AS n_tokens FROM documents "
         "WHERE len(string_split(text, ' ')) BETWEEN 40 AND 60"
+    ),
+    "store_take_rows": (
+        "SELECT doc_id AS _row, doc_id, lang, n_chars FROM documents "
+        "WHERE doc_id IN (0, 17, 99, 123, 250, 333, 401, 499)"
     ),
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"

@@ -161,6 +161,54 @@ def test_isnull_scan_no_nulls_is_empty(pattern_store):
     assert len(isnull_scan(out, "source").to_pandas()) == 0
 
 
+def test_take_rows_scattered(tmp_path, ray_session):
+    """Positional take across a 3-shard store: values, _row labels,
+    dedup, out-of-range, and never-opened shards (chmod-000)."""
+    from parquet_go_ray.pipelines.decode import take_rows
+
+    rng = np.random.default_rng(13)
+    paths = []
+    for i in range(3):
+        n = 250
+        t = pa.table(
+            {
+                "val": pa.array(
+                    np.arange(i * n, (i + 1) * n, dtype=np.int64) * 10
+                ),
+                "tag": pa.array([f"s{i}"] * n),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    # global order = (part0 rows, part1 rows, part2 rows)
+    idx = [0, 5, 5, 249, 250, 400, 749]
+    got = (
+        take_rows(out, idx)
+        .to_pandas()
+        .sort_values("_row", ignore_index=True)
+    )
+    want = sorted(set(idx))
+    assert got["_row"].tolist() == want
+    assert got["val"].tolist() == [i * 10 for i in want]
+    with pytest.raises(IndexError):
+        take_rows(out, [750])
+    with pytest.raises(IndexError):
+        take_rows(out, [-1])
+    # indices only in shard 1 -> shards 0 and 2 never open
+    blocked = [os.path.join(out, "data", f"part{i}") for i in (0, 2)]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = take_rows(out, [260, 300, 499]).to_pandas()
+        assert sorted(got["val"]) == [2600, 3000, 4990]
+    finally:
+        for d in blocked:
+            os.chmod(d, stat.S_IRWXU)
+
+
 def test_phrase_and_near_random_sweep(tmp_path, ray_session):
     """Randomized corpus, many queries, one index build: every phrase
     (2-4 tokens) and proximity query must match the brute-force oracle
