@@ -265,6 +265,64 @@ def merge_sorted_stores(
     }
 
 
+def groupby_merged_store(
+    store_dir: str,
+    aggregations: list[tuple[str, str]],
+) -> ray.data.Dataset:
+    """GROUP BY the merge key of a range-merged store with ZERO
+    shuffle — the range-partitioned sibling of
+    spj.storage_partitioned_groupby: the merge assigned every key to
+    exactly one range shard (boundaries are half-open; NULLs all in
+    the last range), so each shard task computes COMPLETE groups
+    locally and no merge stage exists. `aggregations` is (column,
+    arrow_fn) pairs; output columns follow Arrow naming."""
+    from ..state import manifest
+    from ..stages.decode import ChunkFileDecoder
+
+    manifest.check_format_version(store_dir, "groupby")
+    meta = manifest.load_job_meta(store_dir) or {}
+    if meta.get("mode") != "merged_sorted":
+        raise ValueError(f"{store_dir} is not a range-merged store")
+    key = meta["key"]
+    need = list(
+        dict.fromkeys([key] + [c for c, _ in aggregations if c != key])
+    )
+    t = manifest.lineage_table(store_dir, columns=["shard", "file"])
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {store_dir}")
+    root = Path(store_dir) / "data"
+    by_shard: dict[str, set[str]] = {}
+    for s, f in zip(t.column("shard").to_pylist(), t.column("file").to_pylist()):
+        by_shard.setdefault(s, set()).add(str(root / s / f"{f}.parquet"))
+    items = [
+        {"shard": s, "files": sorted(fs)}
+        for s, fs in sorted(by_shard.items())
+    ]
+    dec = ChunkFileDecoder(columns=need)
+
+    def agg_shard(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            parts = []
+            for path in row["files"]:
+                got = dec(pa.table({"path": pa.array([path])}))
+                if got.num_rows:
+                    parts.append(got)
+            if not parts:
+                continue
+            t = pa.concat_tables(parts, promote_options="default")
+            outs.append(
+                pa.TableGroupBy(t, key).aggregate(list(aggregations))
+            )
+        if not outs:
+            return pa.table({})
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(agg_shard, batch_format="pyarrow", batch_size=None)
+
+
 def read_merged_sorted(out_dir: str) -> ray.data.Dataset:
     """Decode a merged store in GLOBAL key order: shards are ordered
     ranges and each shard's chunks were written sorted, so reading

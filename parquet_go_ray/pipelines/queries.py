@@ -997,13 +997,40 @@ def q_store_merge_sorted(sf_dir):
     ordered output shard. The oracle checks content; global order is
     pytest-asserted (the hash compare is order-insensitive by
     design)."""
+    from .merge_store import read_merged_sorted
+
+    return read_merged_sorted(_merged_doc_store(sf_dir))
+
+
+def q_merged_groupby(sf_dir):
+    """Zero-shuffle GROUP BY on the range-merged store
+    (merge_store.groupby_merged_store): the merge put every n_chars
+    value in exactly one range shard, so shard tasks emit COMPLETE
+    groups — the range-partitioned sibling of spj_groupby."""
+    from .merge_store import groupby_merged_store
+
+    ds = groupby_merged_store(
+        _merged_doc_store(sf_dir),
+        [("doc_id", "count"), ("doc_id", "sum")],
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["n_chars", "n_docs", "sum_ids"])
+        return t.set_column(1, "n_docs", t.column("n_docs").cast(pa.int64()))
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def _merged_doc_store(sf_dir: str) -> str:
+    """Cached per sf_dir: documents split even/odd, each half sorted by
+    n_chars, encoded, then range-merged on n_chars."""
     import hashlib
     import os
     import shutil
 
     from ..codecs.registry import FORMAT_VERSION
     from .encode import encode_job
-    from .merge_store import merge_sorted_stores, read_merged_sorted
+    from .merge_store import merge_sorted_stores
 
     import pyarrow.parquet as pq
 
@@ -1026,7 +1053,7 @@ def q_store_merge_sorted(sf_dir):
             encode_job([src], store, rows_per_chunk=512, bloom_columns=())
             halves.append(store)
         merge_sorted_stores(halves, merged, "n_chars", num_ranges=16)
-    return read_merged_sorted(merged)
+    return merged
 
 
 def q_family_range_scan(sf_dir):
@@ -3133,6 +3160,7 @@ QUERIES = {
     "store_pattern_regex": q_store_pattern_regex,
     "derived_column": q_derived_column,
     "store_merge_sorted": q_store_merge_sorted,
+    "merged_groupby": q_merged_groupby,
     "family_range_scan": q_family_range_scan,
     "store_take_rows": q_store_take_rows,
     "store_null_scan": q_store_null_scan,
@@ -3446,6 +3474,11 @@ ORACLES = {
         "AS n_tokens FROM documents"
     ),
     "store_merge_sorted": "SELECT * FROM documents",
+    "merged_groupby": (
+        "SELECT n_chars, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents "
+        "GROUP BY n_chars"
+    ),
     "family_range_scan": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
         "AS n_tokens FROM documents "

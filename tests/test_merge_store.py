@@ -150,6 +150,26 @@ def test_merge_random_sweep(tmp_path, ray_session):
         _assert_globally_sorted(got)
 
 
+def test_groupby_merged_store_complete_groups(two_stores, tmp_path):
+    """Every key lives in exactly one range shard, so the zero-shuffle
+    groupby emits each key ONCE with the full-corpus aggregate."""
+    from parquet_go_ray.pipelines.merge_store import groupby_merged_store
+
+    (a, b), df = two_stores
+    out = str(tmp_path / "merged_g")
+    merge_sorted_stores([a, b], out, "k", num_ranges=8)
+    got = groupby_merged_store(out, [("doc_id", "count")]).to_pandas()
+    # one output row per key — completeness, not partials
+    assert got["k"].is_unique
+    want = df.groupby("k", dropna=False)["doc_id"].count()
+    got_nn = got[got["k"].notna()].set_index("k")["doc_id_count"]
+    for k, n in want.items():
+        if pd.isna(k):
+            assert int(got[got["k"].isna()]["doc_id_count"].iloc[0]) == n
+        else:
+            assert int(got_nn[k]) == n
+
+
 def test_range_manifests_are_disjoint_and_ordered(two_stores, tmp_path):
     """Cross-shard metadata proof: range i's key stats end before range
     i+1's begin (ties allowed at the boundary value)."""
