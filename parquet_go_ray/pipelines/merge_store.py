@@ -96,24 +96,20 @@ def merge_sorted_stores(
     num_ranges: int = 32,
     rows_per_chunk: int = 4096,
     resume: bool = True,
+    bounds: list | None = None,
 ) -> dict:
     """Merge k stores, each sorted (or not — only the OUTPUT's order is
-    guaranteed) into one globally sorted store. Returns a summary."""
+    guaranteed) into one globally sorted store. Returns a summary.
+
+    `bounds` overrides the stats-derived cut points — pass another
+    merged store's recorded bounds to CO-RANGE-PARTITION two tables on
+    compatible keys, which makes range_join a zero-shuffle local join
+    per co-indexed shard."""
     from ..codecs.registry import FORMAT_VERSION
     from ..state import manifest
 
     for s in store_dirs:
         manifest.check_format_version(s, "merge")
-    manifest.write_job_meta(
-        out_dir,
-        {
-            "mode": "merged_sorted",
-            "key": key,
-            "inputs": [str(s) for s in store_dirs],
-            "format_version": FORMAT_VERSION,
-            "sorted_by": key,
-        },
-    )
     # surviving tombstones of each input must not leak into the merge:
     # loaded driver-side (KB metadata), shipped once via the object
     # store, applied as a vectorized anti-filter inside each range task
@@ -122,8 +118,20 @@ def merge_sorted_stores(
     tombs = {s: load_tombstones(s) for s in store_dirs}
     tombs_ref = ray.put(tombs) if any(tombs.values()) else None
     metas = {s: _key_chunks(s, key) for s in store_dirs}
-    bounds = _cut_boundaries(
-        [c for cs in metas.values() for c in cs], num_ranges
+    if bounds is None:
+        bounds = _cut_boundaries(
+            [c for cs in metas.values() for c in cs], num_ranges
+        )
+    manifest.write_job_meta(
+        out_dir,
+        {
+            "mode": "merged_sorted",
+            "key": key,
+            "inputs": [str(s) for s in store_dirs],
+            "format_version": FORMAT_VERSION,
+            "sorted_by": key,
+            "bounds": list(bounds),
+        },
     )
     # ranges: (-inf, b0), [b0, b1), ... [bk, +inf]; nulls -> last range
     lows = [None] + list(bounds)
@@ -263,6 +271,109 @@ def merge_sorted_stores(
         "enc_nbytes": int(summary["enc_nbytes"].sum()),
         "skipped": len(done),
     }
+
+
+def range_join(
+    left: str,
+    right: str,
+    how: str = "inner",
+    left_columns: list[str] | None = None,
+    right_columns: list[str] | None = None,
+    right_suffix: str = "_r",
+) -> ray.data.Dataset:
+    """Join two CO-RANGE-PARTITIONED merged stores with zero shuffle —
+    the range-layout sibling of spj.storage_partitioned_join: both
+    stores were merged with IDENTICAL bounds (pass one store's recorded
+    bounds into the other's merge), so equal key values live in
+    co-indexed range shards and each shard pair joins locally (Acero).
+    Key COLUMN NAMES may differ (o_custkey vs c_custkey); bound VALUES
+    must match exactly — checked from the metas, refused otherwise."""
+    from ..stages.decode import ChunkFileDecoder
+    from ..state import manifest
+
+    lm = manifest.load_job_meta(left) or {}
+    rm = manifest.load_job_meta(right) or {}
+    for d, m in ((left, lm), (right, rm)):
+        if m.get("mode") != "merged_sorted":
+            raise ValueError(f"{d} is not a range-merged store")
+        if "bounds" not in m:
+            raise ValueError(f"{d} predates recorded bounds — re-merge")
+    if lm["bounds"] != rm["bounds"]:
+        raise ValueError(
+            "stores are not co-range-partitioned: bounds differ "
+            f"({len(lm['bounds'])} vs {len(rm['bounds'])} cut points)"
+        )
+    lkey, rkey = lm["key"], rm["key"]
+    if left_columns is not None and lkey not in left_columns:
+        left_columns = [lkey] + list(left_columns)
+    if right_columns is not None and rkey not in right_columns:
+        right_columns = [rkey] + list(right_columns)
+
+    def shard_files(store):
+        t = manifest.lineage_table(store, columns=["shard", "file"])
+        root = Path(store) / "data"
+        out: dict[str, set] = {}
+        for s, f in zip(
+            t.column("shard").to_pylist(), t.column("file").to_pylist()
+        ):
+            out.setdefault(s, set()).add(str(root / s / f"{f}.parquet"))
+        return {s: sorted(fs) for s, fs in out.items()}
+
+    lf, rf = shard_files(left), shard_files(right)
+    keep_left = how in ("left outer", "full outer")
+    keep_right = how in ("right outer", "full outer")
+    items = []
+    for i in range(len(lm["bounds"]) + 1):
+        shard = f"range={i:05d}"
+        lfs, rfs = lf.get(shard, []), rf.get(shard, [])
+        if how == "inner" and not (lfs and rfs):
+            continue
+        if (not lfs and not keep_right) or (not rfs and not keep_left):
+            continue
+        if not lfs and not rfs:
+            continue
+        items.append({"left_files": lfs, "right_files": rfs})
+    if not items:
+        raise FileNotFoundError("no populated co-ranges to join")
+
+    ldec = ChunkFileDecoder(columns=left_columns)
+    rdec = ChunkFileDecoder(columns=right_columns)
+    lschema = rschema = None
+    if keep_left or keep_right:
+        first_l = next((fs[0] for fs in lf.values() if fs), None)
+        first_r = next((fs[0] for fs in rf.values() if fs), None)
+        if first_l:
+            lschema = ldec(pa.table({"path": pa.array([first_l])})).schema
+        if first_r:
+            rschema = rdec(pa.table({"path": pa.array([first_r])})).schema
+
+    def join_range(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            lt = (
+                ldec(pa.table({"path": pa.array(row["left_files"])}))
+                if row["left_files"]
+                else pa.table({f.name: pa.array([], f.type) for f in lschema})
+            )
+            rt = (
+                rdec(pa.table({"path": pa.array(row["right_files"])}))
+                if row["right_files"]
+                else pa.table({f.name: pa.array([], f.type) for f in rschema})
+            )
+            outs.append(
+                lt.join(
+                    rt,
+                    keys=lkey,
+                    right_keys=rkey,
+                    join_type=how,
+                    right_suffix=right_suffix,
+                )
+            )
+        return pa.concat_tables(outs, promote_options="default")
+
+    return ray.data.from_items(
+        items, override_num_blocks=len(items)
+    ).map_batches(join_range, batch_format="pyarrow", batch_size=None)
 
 
 def groupby_merged_store(

@@ -1056,6 +1056,48 @@ def _merged_doc_store(sf_dir: str) -> str:
     return merged
 
 
+def q_range_join_copart(sf_dir):
+    """Zero-shuffle join of CO-RANGE-PARTITIONED stores
+    (merge_store.range_join): customer is range-merged on c_custkey,
+    orders is range-merged REUSING customer's recorded bounds, so equal
+    keys live in co-indexed shards and each shard pair Acero-joins
+    locally — no exchange at query time, completing the range-layout
+    trilogy (ordered scan, zero-shuffle groupby, zero-shuffle join)."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..codecs.registry import FORMAT_VERSION
+    from ..state import manifest
+    from .encode import encode_job
+    from .merge_store import merge_sorted_stores, range_join
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/graft_rjoin_v{FORMAT_VERSION}_{key}"
+    cm, om = f"{base}/cust_m", f"{base}/ord_m"
+    if not os.path.exists(os.path.join(om, "_manifest")):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        cs, osrc = f"{base}/cust_store", f"{base}/ord_store"
+        encode_job(
+            [f"{sf_dir}/customer.parquet"], cs,
+            rows_per_chunk=512, bloom_columns=(),
+        )
+        encode_job(
+            [f"{sf_dir}/orders.parquet"], osrc,
+            rows_per_chunk=512, bloom_columns=(),
+        )
+        merge_sorted_stores([cs], cm, "c_custkey", num_ranges=8)
+        bounds = (manifest.load_job_meta(cm) or {})["bounds"]
+        merge_sorted_stores([osrc], om, "o_custkey", bounds=bounds)
+    return range_join(
+        om,
+        cm,
+        left_columns=["o_orderkey", "o_custkey"],
+        right_columns=["c_name"],
+    )
+
+
 def q_family_range_scan(sf_dir):
     """Range predicate on a BACKFILLED column, pruned by the family's
     own manifest stats (derive.search_family_range): chunk groups whose
@@ -3161,6 +3203,7 @@ QUERIES = {
     "derived_column": q_derived_column,
     "store_merge_sorted": q_store_merge_sorted,
     "merged_groupby": q_merged_groupby,
+    "range_join_copart": q_range_join_copart,
     "family_range_scan": q_family_range_scan,
     "store_take_rows": q_store_take_rows,
     "store_null_scan": q_store_null_scan,
@@ -3478,6 +3521,10 @@ ORACLES = {
         "SELECT n_chars, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents "
         "GROUP BY n_chars"
+    ),
+    "range_join_copart": (
+        "SELECT o_orderkey, o_custkey, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey"
     ),
     "family_range_scan": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "

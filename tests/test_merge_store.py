@@ -170,6 +170,38 @@ def test_groupby_merged_store_complete_groups(two_stores, tmp_path):
             assert int(got_nn[k]) == n
 
 
+def test_range_join_copartitioned(tmp_path, ray_session):
+    from parquet_go_ray.pipelines.merge_store import range_join
+    from parquet_go_ray.state import manifest
+
+    rng = np.random.default_rng(31)
+    lk = rng.integers(0, 40, 500)
+    rk = rng.integers(20, 60, 80)
+    ls, ldf = _mk_store(tmp_path, "L", np.arange(500), lk)
+    rs, rdf = _mk_store(tmp_path, "R", np.arange(5000, 5080), rk)
+    lm, rm = str(tmp_path / "Lm"), str(tmp_path / "Rm")
+    merge_sorted_stores([ls], lm, "k", num_ranges=6)
+    bounds = manifest.load_job_meta(lm)["bounds"]
+    merge_sorted_stores([rs], rm, "k", bounds=bounds)
+    got = (
+        range_join(lm, rm, right_suffix="_r")
+        .to_pandas()
+        .sort_values(["doc_id", "doc_id_r"], ignore_index=True)
+    )
+    want = (
+        ldf.merge(rdf, on="k", suffixes=("", "_r"))
+        .sort_values(["doc_id", "doc_id_r"], ignore_index=True)
+    )
+    assert len(got) == len(want)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["doc_id_r"].tolist() == want["doc_id_r"].tolist()
+    # non-co-partitioned stores are refused
+    rm2 = str(tmp_path / "Rm2")
+    merge_sorted_stores([rs], rm2, "k", num_ranges=3)
+    with pytest.raises(ValueError, match="co-range-partitioned"):
+        range_join(lm, rm2)
+
+
 def test_range_manifests_are_disjoint_and_ordered(two_stores, tmp_path):
     """Cross-shard metadata proof: range i's key stats end before range
     i+1's begin (ties allowed at the boundary value)."""
