@@ -301,6 +301,12 @@ def run_bench() -> dict:
         "store_merge_sorted",
         # family-stats pruned range scan on a backfilled column
         "family_range_scan",
+        # zero-shuffle groupby / join on the range layout + scattered
+        # positional reads (all cached fixtures after rep 1)
+        "merged_groupby",
+        "range_join_copart",
+        "store_take_rows",
+        "apply_changelog",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

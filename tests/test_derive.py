@@ -7,6 +7,7 @@ import os
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -201,6 +202,45 @@ def test_family_range_prunes_base_reads(tmp_path, ray_session):
     finally:
         for d in blocked:
             os.chmod(d, statmod.S_IRWXU)
+
+
+def test_family_refresh_after_upsert(store, tmp_path):
+    """After an upsert rewrites/adds base shards, re-running
+    add_derived_column (resume=True) backfills EXACTLY the shards whose
+    family sibling is missing — an incremental refresh, not a rebuild —
+    and the zip read is consistent again."""
+    from parquet_go_ray.pipelines.derive import search_family_range
+    from parquet_go_ray.pipelines.tombstone import upsert_files
+
+    out, df = store
+    add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    # upsert: replace doc_ids 0..49 with n_chars += 10000, add 5 new
+    upd = df[df["doc_id"] < 50].copy()
+    upd["n_chars"] += 10000
+    new = df[df["doc_id"] < 5].copy()
+    new["doc_id"] += 100000
+    inc = pd.concat([upd, new], ignore_index=True)
+    p = str(tmp_path / "inc-upsert.parquet")
+    pq.write_table(pa.Table.from_pandas(inc, preserve_index=False), p)
+    upsert_files(out, [p], key_col="doc_id", rows_per_chunk=128)
+    # family is now stale for the rewritten shards -> read fails loudly
+    with pytest.raises(Exception, match="rewritten|sibling"):
+        decode_with_family(out, families=["dbl"]).to_pandas()
+    info = add_derived_column(out, "dbl", "n2", _double(), ["n_chars"])
+    assert info["shards"] > 0 and info["skipped"] > 0  # incremental
+    got = (
+        decode_with_family(out, columns=["doc_id", "n2"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = pd.concat(
+        [df[df["doc_id"] >= 50], inc], ignore_index=True
+    ).sort_values("doc_id", ignore_index=True)
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n2"].tolist() == (want["n_chars"] * 2).tolist()
+    # the derived column's family stats see the upserted range too
+    got_hi = search_family_range(out, "dbl", lo=20000).to_pandas()
+    assert len(got_hi) == 50
 
 
 def test_family_composes_with_aggregate_pushdown(store):
