@@ -1137,6 +1137,31 @@ def q_store_take_rows(sf_dir):
     )
 
 
+def q_query_router_membership(sf_dir):
+    """One scan() entry point routes each predicate to the store's
+    cheapest access path (pipelines/query.py): lang has no bloom
+    sidecar, so ("in", [fr, zh]) routes to the dictionary domain —
+    explain() reports the chosen path, pytest asserts the routing
+    table."""
+    from .query import scan
+
+    return scan(
+        _doc_store(sf_dir),
+        "lang",
+        ("in", ["fr", "zh"]),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+
+
+def q_query_router_point(sf_dir):
+    """The same scan() with ("==", doc_id) routes through the BLOOM
+    sidecars (the store blooms doc_id), probing only (column, bloom)
+    rows before any payload decode."""
+    from .query import scan
+
+    return scan(_doc_store(sf_dir), "doc_id", ("==", 123))
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -3206,6 +3231,8 @@ QUERIES = {
     "range_join_copart": q_range_join_copart,
     "family_range_scan": q_family_range_scan,
     "store_take_rows": q_store_take_rows,
+    "query_router_membership": q_query_router_membership,
+    "query_router_point": q_query_router_point,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3535,6 +3562,11 @@ ORACLES = {
         "SELECT doc_id AS _row, doc_id, lang, n_chars FROM documents "
         "WHERE doc_id IN (0, 17, 99, 123, 250, 333, 401, 499)"
     ),
+    "query_router_membership": (
+        "SELECT doc_id, lang, n_chars FROM documents "
+        "WHERE lang IN ('fr', 'zh')"
+    ),
+    "query_router_point": "SELECT * FROM documents WHERE doc_id = 123",
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
     ),
