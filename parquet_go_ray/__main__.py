@@ -464,6 +464,60 @@ def cmd_changelog(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Routed predicate scan over an encode store. --where forms:
+    'col == v', 'col in a,b,c', 'col between lo hi', 'col <= v',
+    'col >= v', 'col prefix s' (also suffix/contains/regex),
+    'col is_null', or omitted for a full scan. --explain prints the
+    plan (path + prune counts) without executing."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    from .pipelines.query import explain, scan
+
+    column = pred = None
+    if args.where:
+        parts = args.where.split()
+        column, op = parts[0], parts[1]
+        rest = parts[2:]
+        if op == "is_null":
+            pred = ("is_null",)
+        elif op == "between":
+            pred = ("between", _lit(rest[0]), _lit(rest[1]))
+        elif op == "in":
+            pred = ("in", [_lit(v) for v in rest[0].split(",")])
+        elif op in ("==", "<=", ">="):
+            pred = (op, _lit(rest[0]))
+        elif op in ("prefix", "suffix", "contains", "regex"):
+            pred = (op, rest[0])
+        else:
+            print(f"unknown predicate op {op!r}", file=sys.stderr)
+            return 2
+    if args.explain:
+        print(json.dumps(explain(args.store_dir, column, pred)))
+        return 0
+    cols = args.columns.split(",") if args.columns else None
+    ds = scan(args.store_dir, column, pred, columns=cols)
+    n = 0
+    shown = 0
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        if shown < args.limit:
+            take = min(args.limit - shown, b.num_rows)
+            print(b.slice(0, take).to_pandas().to_string(index=False))
+            shown += take
+        n += b.num_rows
+    print(json.dumps({"matches": n}))
+    return 0
+
+
+def _lit(s: str):
+    """int if it parses, else float, else the string itself."""
+    for cast in (int, float):
+        try:
+            return cast(s)
+        except ValueError:
+            pass
+    return s
+
+
 def cmd_index_build(args) -> int:
     """Persist the exact-dedup index (16 B/doc content hashes, one
     shard per hash partition, epoch-versioned) of a curated corpus —
@@ -781,6 +835,14 @@ def main(argv=None) -> int:
     cl.add_argument("--key", default="doc_id")
     cl.add_argument("--op-col", default="op")
     cl.set_defaults(fn=cmd_changelog)
+
+    qr = sub.add_parser("query")
+    qr.add_argument("store_dir")
+    qr.add_argument("--where", default=None)
+    qr.add_argument("--columns", default=None)
+    qr.add_argument("--limit", type=int, default=20)
+    qr.add_argument("--explain", action="store_true")
+    qr.set_defaults(fn=cmd_query)
 
     au = sub.add_parser("audit")
     au.add_argument("input_dir")
