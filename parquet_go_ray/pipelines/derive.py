@@ -73,6 +73,35 @@ def add_derived_column(
     row count. One task per shard; a shard whose family manifest
     already exists is resume-skipped, so a crashed backfill re-runs
     incrementally."""
+
+    def table_fn(t: pa.Table) -> pa.Table:
+        arr = fn(t)
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if not isinstance(arr, pa.Array):
+            arr = pa.array(arr)
+        return pa.table({column: arr})
+
+    return add_derived_columns(
+        store_dir, family, [column], table_fn, input_columns, resume=resume
+    )
+
+
+def add_derived_columns(
+    store_dir: str,
+    family: str,
+    out_columns: list[str],
+    fn,
+    input_columns: list[str],
+    resume: bool = True,
+) -> dict:
+    """Multi-column derive: ONE decode pass over the input columns
+    backfills several derived columns at once (`fn: pa.Table ->
+    pa.Table` with exactly `out_columns`), the way a real pipeline
+    attaches (lang, quality, n_tokens) together instead of reading the
+    corpus three times. Same layout contract as the single-column
+    form: sibling chunk files, matching chunk_ids, own manifest,
+    per-shard resume."""
     from ..state import manifest
     from ..stages.encode import (
         CHUNK_SCHEMA,
@@ -92,7 +121,8 @@ def add_derived_column(
         {
             "mode": "derived_family",
             "family": family,
-            "column": column,
+            "column": out_columns[0],
+            "columns": list(out_columns),
             "input_columns": list(input_columns),
             "format_version": FORMAT_VERSION,
         },
@@ -119,37 +149,40 @@ def add_derived_column(
                 recs = {k: [] for k in CHUNK_SCHEMA.names}
                 for cid, sub in _iter_groups(chunks):
                     inputs = _decode_group(sub, input_columns)
-                    arr = fn(inputs)
-                    if isinstance(arr, pa.ChunkedArray):
-                        arr = arr.combine_chunks()
-                    if not isinstance(arr, pa.Array):
-                        arr = pa.array(arr)
-                    if len(arr) != inputs.num_rows:
+                    out_t = fn(inputs)
+                    if sorted(out_t.column_names) != sorted(out_columns):
                         raise ValueError(
-                            f"derived fn returned {len(arr)} rows for a "
-                            f"{inputs.num_rows}-row chunk group"
+                            f"derived fn returned columns "
+                            f"{out_t.column_names}, expected {out_columns}"
                         )
-                    blob = chunk_mod.encode_array(arr)
-                    vmin, vmax = _stat_bounds(arr)
-                    recs["chunk_id"].append(cid)
-                    recs["shard"].append(shard)
-                    recs["file"].append("")
-                    # families sit above any base col_idx so zipped
-                    # groups order base columns first, deterministically
-                    recs["col_idx"].append(1000)
-                    recs["column"].append(column)
-                    recs["codec"].append(R.CODEC_NAMES[blob[4]])
-                    recs["n"].append(len(arr))
-                    recs["n_null"].append(arr.null_count)
-                    recs["raw_nbytes"].append(arr.nbytes)
-                    recs["enc_nbytes"].append(len(blob))
-                    recs["crc32"].append(zlib.crc32(blob))
-                    recs["vmin"].append(vmin)
-                    recs["vmax"].append(vmax)
-                    recs["vsum"].append(_stat_sum(arr))
-                    recs["bloom"].append(None)
-                    recs["payload"].append(blob)
-                    rows_n += len(arr)
+                    if out_t.num_rows != inputs.num_rows:
+                        raise ValueError(
+                            f"derived fn returned {out_t.num_rows} rows for "
+                            f"a {inputs.num_rows}-row chunk group"
+                        )
+                    for j, col in enumerate(out_columns):
+                        arr = out_t.column(col).combine_chunks()
+                        blob = chunk_mod.encode_array(arr)
+                        vmin, vmax = _stat_bounds(arr)
+                        recs["chunk_id"].append(cid)
+                        recs["shard"].append(shard)
+                        recs["file"].append("")
+                        # families sit above any base col_idx so zipped
+                        # groups order base columns first, deterministically
+                        recs["col_idx"].append(1000 + j)
+                        recs["column"].append(col)
+                        recs["codec"].append(R.CODEC_NAMES[blob[4]])
+                        recs["n"].append(len(arr))
+                        recs["n_null"].append(arr.null_count)
+                        recs["raw_nbytes"].append(arr.nbytes)
+                        recs["enc_nbytes"].append(len(blob))
+                        recs["crc32"].append(zlib.crc32(blob))
+                        recs["vmin"].append(vmin)
+                        recs["vmax"].append(vmax)
+                        recs["vsum"].append(_stat_sum(arr))
+                        recs["bloom"].append(None)
+                        recs["payload"].append(blob)
+                    rows_n += out_t.num_rows
                 if not recs["chunk_id"]:
                     continue
                 t = pa.table(recs, schema=CHUNK_SCHEMA)
@@ -213,8 +246,8 @@ def _decode_group(group: pa.Table, want: list[str]) -> pa.Table:
     return t.select([c for c in want if c in t.column_names])
 
 
-def list_families(store_dir: str) -> dict[str, str]:
-    """family name -> derived column name, from the family metas."""
+def list_families(store_dir: str) -> dict[str, list[str]]:
+    """family name -> derived column names, from the family metas."""
     from ..state import manifest
 
     root = Path(store_dir) / "families"
@@ -224,7 +257,7 @@ def list_families(store_dir: str) -> dict[str, str]:
     for d in sorted(p for p in root.iterdir() if p.is_dir()):
         meta = manifest.load_job_meta(str(d)) or {}
         if meta.get("mode") == "derived_family":
-            out[d.name] = meta["column"]
+            out[d.name] = list(meta.get("columns", [meta["column"]]))
     return out
 
 
@@ -246,6 +279,7 @@ def search_family_range(
     lo=None,
     hi=None,
     columns: list[str] | None = None,
+    column: str | None = None,
 ) -> ray.data.Dataset:
     """Range predicate on a DERIVED column, pruned by the FAMILY's own
     manifest stats: chunk groups whose family [vmin, vmax] cannot
@@ -264,7 +298,17 @@ def search_family_range(
     fams = list_families(store_dir)
     if family not in fams:
         raise FileNotFoundError(f"no such family: {family}")
-    col = fams[family]
+    fam_cols = fams[family]
+    if column is None:
+        if len(fam_cols) != 1:
+            raise ValueError(
+                f"family {family!r} has columns {fam_cols}; pass column="
+            )
+        col = fam_cols[0]
+    elif column in fam_cols:
+        col = column
+    else:
+        raise ValueError(f"family {family!r} has no column {column!r}")
     fam_root = Path(family_dir(store_dir, family))
     t = manifest.lineage_table(
         str(fam_root),
@@ -365,12 +409,14 @@ def decode_with_family(
         if missing:
             raise FileNotFoundError(f"no such families: {missing}")
         fams = {f: fams[f] for f in families}
-    derived_cols = set(fams.values())
+    derived_cols = {c for cs in fams.values() for c in cs}
     base_cols = None
     want_fams = fams
     if columns is not None:
         base_cols = [c for c in columns if c not in derived_cols]
-        want_fams = {f: c for f, c in fams.items() if c in columns}
+        want_fams = {
+            f: cs for f, cs in fams.items() if set(cs) & set(columns)
+        }
     fam_order = sorted(want_fams)
     fam_roots = {f: Path(family_dir(store_dir, f)) / "data" for f in fam_order}
     from .decode import chunk_files
@@ -405,12 +451,15 @@ def decode_with_family(
                         "was the base store rewritten after the derive?"
                     )
                 ft = pq.read_table(fp)
-                # deterministic zip order when several families ride
+                # deterministic zip order when several families ride:
+                # family i's columns keep their internal offset (stored
+                # col_idx = 1000+j) but shift to a per-family band
+                old = ft.column("col_idx").to_numpy(zero_copy_only=False)
                 ft = ft.set_column(
                     ft.schema.get_field_index("col_idx"),
                     "col_idx",
                     pa.array(
-                        np.full(ft.num_rows, 1000 + i, dtype=np.int32),
+                        (1000 + i * 100 + (old - 1000)).astype(old.dtype),
                         type=ft.schema.field("col_idx").type,
                     ),
                 )

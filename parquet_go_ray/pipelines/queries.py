@@ -1162,6 +1162,38 @@ def q_query_router_point(sf_dir):
     return scan(_doc_store(sf_dir), "doc_id", ("==", 123))
 
 
+def q_derived_multi(sf_dir):
+    """Multi-column family (derive.add_derived_columns): ONE decode
+    pass over text backfills (tok_cnt, space_cnt) together — the way a
+    pipeline attaches several quality axes without re-reading the
+    corpus per column."""
+    from .derive import add_derived_columns, decode_with_family
+
+    store = _doc_store(sf_dir)
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t.column("text").combine_chunks()
+        toks = pc.split_pattern(txt, pattern=" ")
+        return pa.table(
+            {
+                "tok_cnt": pc.list_value_length(toks).cast(pa.int64()),
+                "space_cnt": pc.subtract(
+                    pc.utf8_length(txt),
+                    pc.utf8_length(
+                        pc.replace_substring(txt, pattern=" ", replacement="")
+                    ),
+                ).cast(pa.int64()),
+            }
+        )
+
+    add_derived_columns(store, "txtstats", ["tok_cnt", "space_cnt"], stats, ["text"])
+    return decode_with_family(
+        store,
+        families=["txtstats"],
+        columns=["doc_id", "tok_cnt", "space_cnt"],
+    )
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -3226,6 +3258,7 @@ QUERIES = {
     "store_pattern_suffix": q_store_pattern_suffix,
     "store_pattern_regex": q_store_pattern_regex,
     "derived_column": q_derived_column,
+    "derived_multi": q_derived_multi,
     "store_merge_sorted": q_store_merge_sorted,
     "merged_groupby": q_merged_groupby,
     "range_join_copart": q_range_join_copart,
@@ -3544,6 +3577,11 @@ ORACLES = {
         "AS n_tokens FROM documents"
     ),
     "store_merge_sorted": "SELECT * FROM documents",
+    "derived_multi": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS tok_cnt, CAST(length(text) - length(replace(text, ' ', '')) "
+        "AS BIGINT) AS space_cnt FROM documents"
+    ),
     "merged_groupby": (
         "SELECT n_chars, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(doc_id) AS BIGINT) AS sum_ids FROM documents "

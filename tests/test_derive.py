@@ -82,7 +82,7 @@ def test_derive_and_zip_read(store):
     assert info["rows"] == len(df) and info["shards"] == 3
     # the base store's bytes are untouched — derive is O(new column)
     assert _data_digest(out) == before
-    assert list_families(out) == {"dbl": "n2"}
+    assert list_families(out) == {"dbl": ["n2"]}
     got = (
         decode_with_family(out)
         .to_pandas()
@@ -117,6 +117,53 @@ def test_two_families_zip(store):
     )
     assert got["n2"].tolist() == (df["n_chars"] * 2).tolist()
     assert got["src_len"].tolist() == df["source"].str.len().tolist()
+
+
+def _pair():
+    def f(t: pa.Table) -> pa.Table:
+        n = t.column("n_chars").combine_chunks()
+        return pa.table(
+            {
+                "n2": pc.multiply(n, pa.scalar(2, pa.int64())),
+                "n_bucket": pc.divide(n, pa.scalar(100, pa.int64())),
+            }
+        )
+
+    return f
+
+
+def test_multi_column_family(store):
+    """One decode pass backfills several derived columns; projection,
+    range scan on a named column, and aggregate pushdown all see them."""
+    from parquet_go_ray.pipelines.agg import aggregate_meta
+    from parquet_go_ray.pipelines.derive import (
+        add_derived_columns,
+        family_dir,
+        search_family_range,
+    )
+
+    out, df = store
+    add_derived_columns(out, "pair", ["n2", "n_bucket"], _pair(), ["n_chars"])
+    assert list_families(out)["pair"] == ["n2", "n_bucket"]
+    got = (
+        decode_with_family(out, columns=["doc_id", "n2", "n_bucket"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    assert got["n2"].tolist() == (df["n_chars"] * 2).tolist()
+    assert got["n_bucket"].tolist() == (df["n_chars"] // 100).tolist()
+    # range scan must name the column on a multi-column family
+    with pytest.raises(ValueError, match="pass column="):
+        search_family_range(out, "pair", lo=0)
+    hit = search_family_range(
+        out, "pair", lo=5, hi=5, column="n_bucket", columns=["doc_id"]
+    ).to_pandas()
+    assert sorted(hit["doc_id"]) == sorted(
+        df[df["n_chars"] // 100 == 5]["doc_id"]
+    )
+    got_meta = aggregate_meta(family_dir(out, "pair"), "n_bucket").to_pylist()[0]
+    assert got_meta["n_rows"] == len(df)
+    assert got_meta["vmax"] == int((df["n_chars"] // 100).max())
 
 
 def test_stale_family_fails_loudly(store):
