@@ -1194,6 +1194,28 @@ def q_derived_multi(sf_dir):
     )
 
 
+def q_query_router_derived(sf_dir):
+    """scan() on a DERIVED column: n_tokens lives in the 'ntok' family
+    (backfilled by q_derived_column), so ("between", 30, 50) routes to
+    family_stats — the family's own manifest prunes, then base+family
+    zip for the survivors. One query API over physical and backfilled
+    columns alike."""
+    from .derive import add_derived_column
+    from .query import scan
+
+    store = _doc_store(sf_dir)
+
+    def n_tokens(t: pa.Table) -> pa.Array:
+        return pc.list_value_length(
+            pc.split_pattern(t.column("text").combine_chunks(), pattern=" ")
+        ).cast(pa.int64())
+
+    add_derived_column(store, "ntok", "n_tokens", n_tokens, ["text"])
+    return scan(
+        store, "n_tokens", ("between", 30, 50), columns=["doc_id", "n_tokens"]
+    )
+
+
 def q_store_pattern_regex(sf_dir):
     """Unanchored RE2 match through the dictionary-domain pattern path —
     both engines (pyarrow and DuckDB) compile the identical RE2, so the
@@ -3266,6 +3288,7 @@ QUERIES = {
     "store_take_rows": q_store_take_rows,
     "query_router_membership": q_query_router_membership,
     "query_router_point": q_query_router_point,
+    "query_router_derived": q_query_router_derived,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,
@@ -3605,6 +3628,11 @@ ORACLES = {
         "WHERE lang IN ('fr', 'zh')"
     ),
     "query_router_point": "SELECT * FROM documents WHERE doc_id = 123",
+    "query_router_derived": (
+        "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
+        "AS n_tokens FROM documents "
+        "WHERE len(string_split(text, ' ')) BETWEEN 30 AND 50"
+    ),
     "store_null_scan": (
         "SELECT doc_id FROM documents WHERE doc_id % 7 = 0"
     ),

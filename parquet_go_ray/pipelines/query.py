@@ -47,10 +47,39 @@ def _has_bloom(encoded_dir: str, column: str) -> bool:
 _PATTERN_OPS = ("prefix", "suffix", "contains", "regex")
 
 
+def _family_of(encoded_dir: str, column: str) -> str | None:
+    """The family holding `column`, if the column is DERIVED (lives in
+    a family, not the base store). Base columns win a name clash."""
+    from ..state import manifest
+
+    t = manifest.lineage_table(
+        encoded_dir,
+        columns=["column"],
+        filters=[("column", "==", column)],
+    )
+    if t is not None and t.num_rows:
+        return None  # base column
+    from .derive import list_families
+
+    for fam, cols in list_families(encoded_dir).items():
+        if column in cols:
+            return fam
+    return None
+
+
 def _route(encoded_dir: str, column: str | None, pred: tuple | None) -> str:
     if pred is None:
         return "full_scan"
     op = pred[0]
+    fam = _family_of(encoded_dir, column) if column else None
+    if fam is not None:
+        # derived column: range predicates prune via the FAMILY's own
+        # manifest stats; everything else zips + residual-filters
+        if op in ("between", "<=", ">="):
+            return "family_stats"
+        if op in ("==", "in", "is_null") or op in _PATTERN_OPS:
+            return "family_zip"
+        raise ValueError(f"unknown predicate op {op!r}")
     if op == "is_null":
         return "null_stats"
     if op in _PATTERN_OPS:
@@ -86,6 +115,32 @@ def explain(
             files, ids = chunk_groups_pruned(encoded_dir, column, needle, hi)
             out["files_admitted"] = len(files)
             out["chunks_admitted"] = len(ids)
+    elif path == "family_stats":
+        import json
+
+        from ..state import manifest
+        from .derive import family_dir as _fd
+
+        fam = _family_of(encoded_dir, column)
+        lo, hi = _range_of(pred)
+        t = manifest.lineage_table(
+            _fd(encoded_dir, fam),
+            columns=["shard", "file", "column", "vmin", "vmax"],
+            filters=[("column", "==", column)],
+        )
+        hit = set()
+        for r in t.to_pylist() if t is not None else []:
+            vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+            vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+            if lo is not None and vmax is not None and vmax < lo:
+                continue
+            if hi is not None and vmin is not None and vmin > hi:
+                continue
+            hit.add((r["shard"], r["file"]))
+        out["family"] = fam
+        out["files_admitted"] = len(hit)
+    elif path == "family_zip":
+        out["family"] = _family_of(encoded_dir, column)
     elif path == "null_stats":
         from ..state import manifest
 
@@ -120,7 +175,12 @@ def scan(
 ) -> ray.data.Dataset:
     """Run the routed plan. Predicates: ("==", v), ("in", [vs]),
     ("between", lo, hi), ("<=", hi), (">=", lo), ("prefix"/"suffix"/
-    "contains"/"regex", s), ("is_null",), or None for a full scan."""
+    "contains"/"regex", s), ("is_null",), or None for a full scan.
+    Derived (family) columns route transparently: range predicates
+    prune via the family's stats, the rest zip + residual-filter."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from .decode import (
         decode_dataset,
         decode_dataset_pruned,
@@ -133,6 +193,54 @@ def scan(
     path = _route(encoded_dir, column, pred)
     if path == "full_scan":
         return decode_dataset(encoded_dir, columns=columns)
+    if path == "family_stats":
+        from .derive import search_family_range
+
+        lo, hi = _range_of(pred)
+        return search_family_range(
+            encoded_dir,
+            _family_of(encoded_dir, column),
+            lo=lo,
+            hi=hi,
+            columns=columns,
+            column=column,
+        )
+    if path == "family_zip":
+        from .derive import decode_with_family
+
+        need = columns
+        if columns is not None and column not in columns:
+            need = list(columns) + [column]
+        ds = decode_with_family(
+            encoded_dir,
+            families=[_family_of(encoded_dir, column)],
+            columns=need,
+        )
+        op = pred[0]
+        want = list(columns) if columns is not None else None
+
+        def residual(t):
+            c = t.column(column)
+            if op == "is_null":
+                keep = pc.is_null(c)
+            elif op == "==":
+                keep = pc.equal(c, pa.scalar(pred[1]))
+            elif op == "in":
+                keep = pc.is_in(c, value_set=pa.array(list(pred[1])))
+            else:
+                kern = {
+                    "prefix": pc.starts_with,
+                    "suffix": pc.ends_with,
+                    "contains": pc.match_substring,
+                    "regex": pc.match_substring_regex,
+                }[op]
+                keep = pc.fill_null(kern(c, pattern=pred[1]), False)
+            t = t.filter(keep)
+            if want is not None:
+                t = t.select([x for x in want if x in t.column_names])
+            return t
+
+        return ds.map_batches(residual, batch_format="pyarrow")
     if path == "null_stats":
         return isnull_scan(encoded_dir, column, columns=columns)
     if path == "dict_pattern":

@@ -63,6 +63,46 @@ def test_explain_prunes_ranges(store):
     assert explain(out, "lang", ("is_null",))["files_admitted"] == 0
 
 
+def test_router_routes_derived_columns(store):
+    """A backfilled column queries through the same scan(): range
+    predicates prune via the FAMILY's stats, equality zips + filters."""
+    from parquet_go_ray.pipelines.derive import add_derived_column
+
+    out, df = store
+
+    def dbl():
+        import pyarrow.compute as _pc
+
+        def f(t):
+            return _pc.multiply(
+                t.column("n_chars").combine_chunks(),
+                pa.scalar(2, pa.int64()),
+            )
+
+        return f
+
+    add_derived_column(out, "dbl", "n2", dbl(), ["n_chars"])
+    plan = explain(out, "n2", ("between", 100, 400))
+    assert plan["path"] == "family_stats" and plan["family"] == "dbl"
+    assert plan["files_admitted"] <= plan["files_total"]
+    got = (
+        scan(out, "n2", ("between", 100, 400), columns=["doc_id", "n2"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    want = df[(df["n_chars"] * 2).between(100, 400)]
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    target = int(df["n_chars"].iloc[500]) * 2  # a value that exists
+    eq = explain(out, "n2", ("==", target))
+    assert eq["path"] == "family_zip"
+    got_eq = scan(out, "n2", ("==", target), columns=["doc_id"]).to_pandas()
+    assert sorted(got_eq["doc_id"]) == sorted(
+        df[df["n_chars"] * 2 == target]["doc_id"]
+    )
+    # base columns still route as before despite the family's presence
+    assert explain(out, "n_chars", ("between", 1, 2))["path"] == "stats_range"
+
+
 @pytest.mark.parametrize(
     "column,pred,oracle",
     [
