@@ -1137,6 +1137,41 @@ def q_store_take_rows(sf_dir):
     )
 
 
+def q_audio_features_raw(sf_dir):
+    """RAW-audio windowed features — the NO-stub multimodal audio path
+    (stages/multimodal.RawAudioFeaturizer): payloads are real PCM16-LE
+    sample streams built deterministically from the doc text bytes
+    (byte pairs = samples), featurized into per-window RMS + zero-
+    crossing rate in integer millis, one row per window (rows-only:
+    PCM bytes aren't SQL-expressible; the kernel is pinned by
+    hand-computed windows in pytest). Completes the image/video/audio
+    no-stub triad."""
+    from ..stages.multimodal import RawAudioFeaturizer
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_pcm(df: pd.DataFrame) -> pd.DataFrame:
+        payloads = []
+        for t in df["text"]:
+            b = t.encode()[:2048]
+            payloads.append(b[: len(b) - (len(b) % 2)])
+        return pd.DataFrame(
+            {
+                "media_id": df["doc_id"].astype("int64"),
+                "payload": payloads,
+                "sample_rate": pd.array([8000] * len(df), dtype="int64"),
+            }
+        )
+
+    return ds.map_batches(to_pcm, batch_format="pandas").map_batches(
+        RawAudioFeaturizer,
+        fn_constructor_kwargs={"window": 64},
+        batch_format="pandas",
+        batch_size=256,
+        concurrency=autoscale_concurrency(),
+    )
+
+
 def q_query_router_membership(sf_dir):
     """One scan() entry point routes each predicate to the store's
     cheapest access path (pipelines/query.py): lang has no bloom
@@ -3289,6 +3324,7 @@ QUERIES = {
     "query_router_membership": q_query_router_membership,
     "query_router_point": q_query_router_point,
     "query_router_derived": q_query_router_derived,
+    "audio_features_raw": q_audio_features_raw,
     "store_null_scan": q_store_null_scan,
     "text_index_bm25": q_text_index_bm25,
     "text_index_update": q_text_index_update,

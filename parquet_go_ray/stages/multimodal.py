@@ -292,3 +292,55 @@ class MediaFeatureExtractor:
         out = pd.DataFrame({c: batch[c] for c in batch.columns if c != col})
         out["features"] = list(feats)
         return out
+
+
+class RawAudioFeaturizer:
+    """Actor-pool stage with NO stubbed seam: windowed features over
+    RAW PCM16-LE audio (payload = interleaved-free mono samples,
+    sample_rate in its own column — the layout a decode stage upstream
+    emits). Per window of `window` samples: RMS energy and
+    zero-crossing rate, both quantized to integer millis
+    (floor(x * 1000 + 0.5)) so results are bit-stable across platforms.
+    Emits one row per window with its start time; the trailing partial
+    window is dropped (documented — matches fixed-frame featurizers).
+    Only COMPRESSED audio (mp3/ogg/flac) needs a codec seam; PCM needs
+    none, completing the image/video/audio no-stub triad."""
+
+    def __init__(self, window: int = 256):
+        if window < 2:
+            raise ValueError("window must be >= 2")
+        self.window = int(window)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, widx, t0s, rms_m, zcr_m = [], [], [], [], []
+        w = self.window
+        for mid, payload, sr in zip(
+            batch["media_id"], batch["payload"], batch["sample_rate"]
+        ):
+            s = np.frombuffer(payload, dtype="<i2").astype(np.float64)
+            n_win = len(s) // w
+            if n_win == 0:
+                continue
+            x = s[: n_win * w].reshape(n_win, w)
+            # RMS normalized to [0, 1] against the int16 full scale
+            rms = np.sqrt(np.mean(x * x, axis=1)) / 32768.0
+            # sign changes per window / (window - 1); zeros count as
+            # positive so silence is 0 crossings, deterministically
+            sgn = np.where(x >= 0, 1, -1)
+            zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1) / (w - 1)
+            ids.extend([mid] * n_win)
+            widx.extend(range(n_win))
+            t0s.extend(
+                (np.arange(n_win, dtype=np.float64) * w / float(sr)).tolist()
+            )
+            rms_m.extend(np.floor(rms * 1000 + 0.5).astype(np.int64).tolist())
+            zcr_m.extend(np.floor(zcr * 1000 + 0.5).astype(np.int64).tolist())
+        return pd.DataFrame(
+            {
+                "media_id": pd.array(ids, dtype="int64"),
+                "window_idx": pd.array(widx, dtype="int64"),
+                "t0_sec": pd.array(t0s, dtype="float64"),
+                "rms_milli": pd.array(rms_m, dtype="int64"),
+                "zcr_milli": pd.array(zcr_m, dtype="int64"),
+            }
+        )

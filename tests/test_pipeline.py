@@ -673,3 +673,29 @@ def test_raw_video_frame_sampler_exact():
     # constant frame stays constant through bilinear resize
     r1 = np.frombuffer(resized["payload"].iloc[1], dtype=np.uint8)
     assert (r1 == 30).all() and len(r1) == 4 * 4 * c
+
+
+def test_raw_audio_featurizer_pinned():
+    """Hand-computed PCM windows pin the RMS/ZCR kernel bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from parquet_go_ray.stages.multimodal import RawAudioFeaturizer
+
+    samples = np.array([0, 100, -100, 100, 0, 0, 0, 0, 7], dtype="<i2")
+    batch = pd.DataFrame(
+        {
+            "media_id": pd.array([9], dtype="int64"),
+            "payload": [samples.tobytes()],
+            "sample_rate": pd.array([8000], dtype="int64"),
+        }
+    )
+    out = RawAudioFeaturizer(window=4)(batch)
+    # trailing partial window (the lone 7) dropped
+    assert out["window_idx"].tolist() == [0, 1]
+    # w0: rms = sqrt(7500)/32768 = 0.002643 -> 3 milli; signs [+,+,-,+]
+    # cross twice in 3 steps -> 667 milli. w1: silence -> 0 / 0.
+    assert out["rms_milli"].tolist() == [3, 0]
+    assert out["zcr_milli"].tolist() == [667, 0]
+    assert out["t0_sec"].tolist() == [0.0, 4 / 8000]
+    assert out["media_id"].tolist() == [9, 9]
