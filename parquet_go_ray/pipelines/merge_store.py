@@ -97,6 +97,7 @@ def merge_sorted_stores(
     rows_per_chunk: int = 4096,
     resume: bool = True,
     bounds: list | None = None,
+    extra_sort_keys: tuple[str, ...] = (),
 ) -> dict:
     """Merge k stores, each sorted (or not — only the OUTPUT's order is
     guaranteed) into one globally sorted store. Returns a summary.
@@ -104,7 +105,12 @@ def merge_sorted_stores(
     `bounds` overrides the stats-derived cut points — pass another
     merged store's recorded bounds to CO-RANGE-PARTITION two tables on
     compatible keys, which makes range_join a zero-shuffle local join
-    per co-indexed shard."""
+    per co-indexed shard.
+
+    `extra_sort_keys` order ties of `key` (the reference's
+    SortingColumns, sorting.go:79-133): partitioning stays on `key`
+    alone, but since every tie of a boundary value lands in ONE range,
+    the in-task (key, *extra) sort yields the global multi-key order."""
     from ..codecs.registry import FORMAT_VERSION
     from ..state import manifest
 
@@ -129,7 +135,7 @@ def merge_sorted_stores(
             "key": key,
             "inputs": [str(s) for s in store_dirs],
             "format_version": FORMAT_VERSION,
-            "sorted_by": key,
+            "sorted_by": [key, *extra_sort_keys],
             "bounds": list(bounds),
         },
     )
@@ -242,7 +248,10 @@ def merge_sorted_stores(
                 merged = merged.filter(keep)
             if merged.num_rows == 0:
                 continue
-            merged = merged.sort_by([(key, "ascending")])
+            merged = merged.sort_by(
+                [(key, "ascending")]
+                + [(k, "ascending") for k in extra_sort_keys]
+            )
             chunks = []
             for start in range(0, merged.num_rows, rows_per_chunk):
                 chunks.append(

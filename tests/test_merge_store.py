@@ -170,6 +170,30 @@ def test_groupby_merged_store_complete_groups(two_stores, tmp_path):
             assert int(got_nn[k]) == n
 
 
+def test_merge_secondary_sort_keys(tmp_path, ray_session):
+    """Ties of the range key are globally ordered by the extra sort
+    keys: every tie lives in one range, so the in-task multi-key sort
+    yields the global (key, extra) order — SortingColumns semantics."""
+    rng = np.random.default_rng(8)
+    a, dfa = _mk_store(
+        tmp_path, "ka", np.arange(400), rng.integers(0, 5, 400)
+    )
+    b, dfb = _mk_store(
+        tmp_path, "kb", np.arange(1000, 1400), rng.integers(0, 5, 400)
+    )
+    out = str(tmp_path / "merged")
+    merge_sorted_stores(
+        [a, b], out, "k", num_ranges=4, extra_sort_keys=("doc_id",)
+    )
+    got = read_merged_sorted(out).to_pandas()
+    want = (
+        pd.concat([dfa, dfb], ignore_index=True)
+        .sort_values(["k", "doc_id"], ignore_index=True)
+    )
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 def test_range_join_copartitioned(tmp_path, ray_session):
     from parquet_go_ray.pipelines.merge_store import range_join
     from parquet_go_ray.state import manifest
