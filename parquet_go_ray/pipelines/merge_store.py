@@ -20,6 +20,14 @@ from per-chunk row counts; a single key duplicated beyond a range's
 budget lands in one range (documented — the same bound any
 range-partitioned sort has). NULL sort keys route to the final range
 (nulls-last, matching the store's stat ordering).
+
+Incremental ingest (`merge_into`): a new store's rows route into the
+EXISTING ranges (bounds frozen in the meta) as a GENERATION of shards
+(``range=NNNNN+g<hex>``, the text index's generation scheme) — the
+base shards are never rewritten, so an increment costs O(increment).
+Readers group a range's generations together and merge-sort them
+in-task; `compact_merged` folds generations back to one shard per
+range.
 """
 
 from __future__ import annotations
@@ -282,6 +290,274 @@ def merge_sorted_stores(
     }
 
 
+def _sorted_by(meta: dict) -> list[str]:
+    sb = meta.get("sorted_by", meta.get("key"))
+    return [sb] if isinstance(sb, str) else list(sb)
+
+
+def _base_files(store_dir: str) -> dict[str, list[str]]:
+    """base range name -> chunk files across ALL generations."""
+    from ..state import manifest
+
+    t = manifest.lineage_table(store_dir, columns=["shard", "file"])
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {store_dir}")
+    root = Path(store_dir) / "data"
+    out: dict[str, set] = {}
+    for s, f in zip(t.column("shard").to_pylist(), t.column("file").to_pylist()):
+        out.setdefault(s.split("+g")[0], set()).add(
+            str(root / s / f"{f}.parquet")
+        )
+    return {b: sorted(fs) for b, fs in out.items()}
+
+
+def merge_into(
+    out_dir: str,
+    new_stores: list[str],
+    rows_per_chunk: int = 4096,
+) -> dict:
+    """LSM minor ingest: route `new_stores`' rows into the EXISTING
+    ranges of a merged store as a new GENERATION of shards
+    (``range=NNNNN+g<hex>``) — base shards are never rewritten, the
+    bounds are frozen in the meta, and the increment costs
+    O(increment). The generation id is derived from the input dirs, so
+    re-running the same ingest resume-skips (idempotent). Readers
+    merge a range's generations in-task; run compact_merged to fold
+    them back to one shard per range."""
+    import hashlib
+
+    from ..state import manifest
+    from .tombstone import load_tombstones
+
+    meta = manifest.load_job_meta(out_dir) or {}
+    if meta.get("mode") != "merged_sorted":
+        raise ValueError(f"{out_dir} is not a range-merged store")
+    key = meta["key"]
+    sort_keys = _sorted_by(meta)
+    bounds = meta["bounds"]
+    gen = hashlib.sha1(("|".join(sorted(new_stores))).encode()).hexdigest()[:8]
+    for s in new_stores:
+        manifest.check_format_version(s, "merge_into")
+    tombs = {s: load_tombstones(s) for s in new_stores}
+    tombs_ref = ray.put(tombs) if any(tombs.values()) else None
+    metas = {s: _key_chunks(s, key) for s in new_stores}
+    lows = [None] + list(bounds)
+    highs = list(bounds) + [None]
+    done = set(manifest.completed_shards(out_dir))
+    items = []
+    for i, (lo, hi) in enumerate(zip(lows, highs)):
+        shard = f"range={i:05d}+g{gen}"
+        if shard in done:
+            continue
+        last = hi is None
+        per_store = []
+        for s in new_stores:
+            wanted = [
+                c
+                for c in metas[s]
+                if (c["has_null"] and last)
+                or (
+                    not c["all_null"]
+                    and (hi is None or c["vmin"] is None or c["vmin"] < hi)
+                    and (lo is None or c["vmax"] is None or c["vmax"] >= lo)
+                )
+            ]
+            paths = sorted({c["path"] for c in wanted})
+            ids = sorted({c["chunk_id"] for c in wanted})
+            if paths:
+                per_store.append(
+                    {"store": str(s), "paths": paths, "chunk_ids": ids}
+                )
+        if per_store:
+            items.append(
+                {
+                    "shard": shard,
+                    "lo": json.dumps(lo),
+                    "hi": json.dumps(hi),
+                    "last": last,
+                    "sources": json.dumps(per_store),
+                }
+            )
+    if not items:
+        return {"ranges": 0, "rows": 0, "generation": gen, "skipped": True}
+
+    def ingest_range(batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_chunk_table
+        from ..stages.encode import (
+            SUMMARY_SCHEMA,
+            encode_table,
+            lineage_of,
+            summary_row,
+            write_chunk_file,
+        )
+        from ..state import manifest as M
+
+        out = []
+        for row in batch.to_pylist():
+            shard = row["shard"]
+            lo = json.loads(row["lo"])
+            hi = json.loads(row["hi"])
+            parts = []
+            all_tombs = ray.get(tombs_ref) if tombs_ref is not None else {}
+            for src in json.loads(row["sources"]):
+                ids = src["chunk_ids"] + ["__dict__"]
+                for path in src["paths"]:
+                    t = pq.read_table(path, filters=[("chunk_id", "in", ids)])
+                    if not t.num_rows:
+                        continue
+                    st = decode_chunk_table(t)
+                    for tcol, vals in all_tombs.get(src["store"], {}).items():
+                        if tcol in st.column_names:
+                            st = st.filter(
+                                pc.invert(
+                                    pc.is_in(st.column(tcol), value_set=vals)
+                                )
+                            )
+                    parts.append(st)
+            if not parts:
+                continue
+            merged = pa.concat_tables(parts, promote_options="default")
+            col = merged.column(key)
+            if row["last"]:
+                if lo is None:
+                    keep = None
+                else:
+                    keep = pc.or_kleene(
+                        pc.is_null(col), pc.greater_equal(col, pa.scalar(lo))
+                    )
+            else:
+                keep = pc.is_valid(col)
+                if lo is not None:
+                    keep = pc.and_kleene(
+                        keep, pc.greater_equal(col, pa.scalar(lo))
+                    )
+                if hi is not None:
+                    keep = pc.and_kleene(keep, pc.less(col, pa.scalar(hi)))
+            if keep is not None:
+                merged = merged.filter(keep)
+            if merged.num_rows == 0:
+                continue
+            merged = merged.sort_by([(k, "ascending") for k in sort_keys])
+            chunks = []
+            for start in range(0, merged.num_rows, rows_per_chunk):
+                chunks.append(
+                    encode_table(
+                        merged.slice(start, rows_per_chunk),
+                        shard,
+                        bloom_columns=(),
+                    )
+                )
+            written = write_chunk_file(pa.concat_tables(chunks), out_dir)
+            lin = lineage_of(written)
+            M.record_shard_table(out_dir, shard, lin)
+            out.append(summary_row(shard, lin, True))
+        return pa.Table.from_pylist(out, schema=SUMMARY_SCHEMA)
+
+    summary = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(ingest_range, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "ranges": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+        "generation": gen,
+        "skipped": False,
+    }
+
+
+def compact_merged(out_dir: str, rows_per_chunk: int = 4096) -> dict:
+    """Fold each range's shard GENERATIONS back into one shard — the
+    maintenance step after a stream of merge_into increments, under
+    the compaction intent-log crash protocol (pipelines/compact.py):
+    deterministic merged-shard name from the member set, idempotent
+    retries, query answers unchanged."""
+    import hashlib
+
+    from ..state import manifest
+    from .compact import _drop_shard, _recover, _write_members
+
+    manifest.check_format_version(out_dir, "compact")
+    meta = manifest.load_job_meta(out_dir) or {}
+    if meta.get("mode") != "merged_sorted":
+        raise ValueError(f"{out_dir} is not a range-merged store")
+    sort_keys = _sorted_by(meta)
+    _recover(out_dir)
+    groups: dict[str, list[str]] = {}
+    for shard in manifest.completed_shards(out_dir):
+        groups.setdefault(shard.split("+g")[0], []).append(shard)
+    todo = {b: sorted(ss) for b, ss in groups.items() if len(ss) > 1}
+    if not todo:
+        return {"ranges_compacted": 0, "shards_merged": 0}
+    items = [{"base": b, "members": ms} for b, ms in sorted(todo.items())]
+
+    def compact_range(batch: pa.Table) -> pa.Table:
+        from ..stages.decode import decode_chunk_table
+        from ..stages.encode import (
+            encode_table,
+            lineage_of,
+            write_chunk_file,
+        )
+        from ..state import manifest as M
+
+        out = []
+        for row in batch.to_pylist():
+            base, members = row["base"], row["members"]
+            gid = (
+                base
+                + "+g"
+                + hashlib.sha1(("|".join(members)).encode()).hexdigest()[:8]
+            )
+            if (M.manifest_dir(out_dir) / f"{gid}.json").exists():
+                for m in members:
+                    _drop_shard(out_dir, m)
+                mf = M.manifest_dir(out_dir) / f"{gid}.members.json"
+                if mf.exists():
+                    mf.unlink()
+                out.append({"base": base, "merged": len(members)})
+                continue
+            parts = []
+            for m in members:
+                for f in sorted(
+                    (Path(out_dir) / "data" / m).glob("*.parquet")
+                ):
+                    parts.append(decode_chunk_table(pq.read_table(f)))
+            rows_t = pa.concat_tables(parts, promote_options="default")
+            rows_t = rows_t.sort_by(
+                [(k, "ascending") for k in sort_keys]
+            )
+            _write_members(out_dir, gid, members)
+            chunks = []
+            for start in range(0, rows_t.num_rows, rows_per_chunk):
+                chunks.append(
+                    encode_table(
+                        rows_t.slice(start, rows_per_chunk),
+                        gid,
+                        bloom_columns=(),
+                    )
+                )
+            written = write_chunk_file(pa.concat_tables(chunks), out_dir)
+            M.record_shard_table(out_dir, gid, lineage_of(written))
+            for m in members:
+                _drop_shard(out_dir, m)
+            (M.manifest_dir(out_dir) / f"{gid}.members.json").unlink()
+            out.append({"base": base, "merged": len(members)})
+        return pa.Table.from_pylist(
+            out,
+            schema=pa.schema([("base", pa.string()), ("merged", pa.int64())]),
+        )
+
+    res = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(compact_range, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "ranges_compacted": int(len(res)),
+        "shards_merged": int(res["merged"].sum()),
+    }
+
+
 def range_join(
     left: str,
     right: str,
@@ -318,17 +594,8 @@ def range_join(
     if right_columns is not None and rkey not in right_columns:
         right_columns = [rkey] + list(right_columns)
 
-    def shard_files(store):
-        t = manifest.lineage_table(store, columns=["shard", "file"])
-        root = Path(store) / "data"
-        out: dict[str, set] = {}
-        for s, f in zip(
-            t.column("shard").to_pylist(), t.column("file").to_pylist()
-        ):
-            out.setdefault(s, set()).add(str(root / s / f"{f}.parquet"))
-        return {s: sorted(fs) for s, fs in out.items()}
-
-    lf, rf = shard_files(left), shard_files(right)
+    # generations group under their base range on both sides
+    lf, rf = _base_files(left), _base_files(right)
     keep_left = how in ("left outer", "full outer")
     keep_right = how in ("right outer", "full outer")
     items = []
@@ -407,16 +674,11 @@ def groupby_merged_store(
     need = list(
         dict.fromkeys([key] + [c for c, _ in aggregations if c != key])
     )
-    t = manifest.lineage_table(store_dir, columns=["shard", "file"])
-    if t is None:
-        raise FileNotFoundError(f"no manifest under {store_dir}")
-    root = Path(store_dir) / "data"
-    by_shard: dict[str, set[str]] = {}
-    for s, f in zip(t.column("shard").to_pylist(), t.column("file").to_pylist()):
-        by_shard.setdefault(s, set()).add(str(root / s / f"{f}.parquet"))
+    # group by BASE range: a range's generations (merge_into appends)
+    # must aggregate together or groups would split
+    by_shard = _base_files(store_dir)
     items = [
-        {"shard": s, "files": sorted(fs)}
-        for s, fs in sorted(by_shard.items())
+        {"shard": s, "files": fs} for s, fs in sorted(by_shard.items())
     ]
     dec = ChunkFileDecoder(columns=need)
 
@@ -444,27 +706,36 @@ def groupby_merged_store(
 
 
 def read_merged_sorted(out_dir: str) -> ray.data.Dataset:
-    """Decode a merged store in GLOBAL key order: shards are ordered
-    ranges and each shard's chunks were written sorted, so reading
-    files in (range, chunk) order yields the total order — no sort, no
-    shuffle, just ordered per-file tasks."""
+    """Decode a merged store in GLOBAL key order: one task per RANGE
+    decodes that range's files — all generations — and re-sorts them
+    in-task (a no-op cost for a compacted range, the generation merge
+    for an ingested one); ranges are disjoint and emitted in order, so
+    the stream is totally ordered."""
     from ..stages.decode import ChunkFileDecoder
     from ..state import manifest
 
     manifest.check_format_version(out_dir, "decode")
-    t = manifest.lineage_table(out_dir, columns=["shard", "file"])
-    if t is None:
-        raise FileNotFoundError(f"no manifest under {out_dir}")
-    root = Path(out_dir) / "data"
-    pairs = sorted(
-        {
-            (s, f)
-            for s, f in zip(
-                t.column("shard").to_pylist(), t.column("file").to_pylist()
-            )
-        }
-    )
-    files = [str(root / s / f"{f}.parquet") for s, f in pairs]
+    meta = manifest.load_job_meta(out_dir) or {}
+    sort_keys = _sorted_by(meta) if meta.get("mode") == "merged_sorted" else None
+    by_base = _base_files(out_dir)
+    items = [
+        {"files": by_base[b]} for b in sorted(by_base)
+    ]
+    dec = ChunkFileDecoder()
+
+    def read_range(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            t = dec(pa.table({"path": pa.array(row["files"])}))
+            if t.num_rows:
+                outs.append(t)
+        if not outs:
+            return pa.table({})
+        out = pa.concat_tables(outs, promote_options="default")
+        if sort_keys:
+            out = out.sort_by([(k, "ascending") for k in sort_keys])
+        return out
+
     # the streaming executor reorders finished blocks by default —
     # an ORDERED read must pin preserve_order; the DataContext is
     # snapshotted into the dataset at creation, so flipping it back
@@ -474,9 +745,12 @@ def read_merged_sorted(out_dir: str) -> ray.data.Dataset:
     ctx.execution_options.preserve_order = True
     try:
         return ray.data.from_items(
-            files, override_num_blocks=len(files)
+            items, override_num_blocks=len(items)
         ).map_batches(
-            ChunkFileDecoder(), batch_format="pyarrow", zero_copy_batch=True
+            read_range,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
         )
     finally:
         ctx.execution_options.preserve_order = prev

@@ -1002,6 +1002,49 @@ def q_store_merge_sorted(sf_dir):
     return read_merged_sorted(_merged_doc_store(sf_dir))
 
 
+def q_merge_ingest(sf_dir):
+    """LSM minor ingest (merge_store.merge_into): the even half of
+    documents is range-merged on n_chars, then the odd half routes
+    into the EXISTING ranges as a generation of shards — base shards
+    never rewritten, bounds frozen — and the read merges generations
+    in-task. Content must equal the whole table; global order is
+    pytest-asserted."""
+    import hashlib
+    import os
+    import shutil
+
+    from ..codecs.registry import FORMAT_VERSION
+    from .encode import encode_job
+    from .merge_store import merge_into, merge_sorted_stores, read_merged_sorted
+
+    import pyarrow.parquet as pq
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/graft_lsmingest_v{FORMAT_VERSION}_{key}"
+    merged = f"{base}/merged"
+    if not os.path.exists(os.path.join(base, "_done")):
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet")
+        ids = docs.column("doc_id").to_numpy()
+        stores = {}
+        for tag, m in (("even", ids % 2 == 0), ("odd", ids % 2 == 1)):
+            part = docs.filter(pa.array(m))
+            src = f"{base}/{tag}.parquet"
+            pq.write_table(part, src)
+            stores[tag] = f"{base}/{tag}_store"
+            encode_job(
+                [src], stores[tag], rows_per_chunk=512, bloom_columns=()
+            )
+        merge_sorted_stores(
+            [stores["even"]], merged, "n_chars",
+            num_ranges=12, extra_sort_keys=("doc_id",),
+        )
+        merge_into(merged, [stores["odd"]])
+        open(os.path.join(base, "_done"), "w").write("ok")
+    return read_merged_sorted(merged)
+
+
 def q_merged_groupby(sf_dir):
     """Zero-shuffle GROUP BY on the range-merged store
     (merge_store.groupby_merged_store): the merge put every n_chars
@@ -3318,6 +3361,7 @@ QUERIES = {
     "derived_multi": q_derived_multi,
     "store_merge_sorted": q_store_merge_sorted,
     "merged_groupby": q_merged_groupby,
+    "merge_ingest": q_merge_ingest,
     "range_join_copart": q_range_join_copart,
     "family_range_scan": q_family_range_scan,
     "store_take_rows": q_store_take_rows,
@@ -3650,6 +3694,7 @@ ORACLES = {
         "SELECT o_orderkey, o_custkey, c_name FROM orders "
         "JOIN customer ON o_custkey = c_custkey"
     ),
+    "merge_ingest": "SELECT * FROM documents",
     "family_range_scan": (
         "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) "
         "AS n_tokens FROM documents "

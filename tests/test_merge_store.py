@@ -2,6 +2,8 @@
 equality, global output order (nulls last), duplicate keys across the
 range boundaries, resume, and unsorted inputs."""
 
+from pathlib import Path
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -192,6 +194,65 @@ def test_merge_secondary_sort_keys(tmp_path, ray_session):
     )
     assert got["k"].tolist() == want["k"].tolist()
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_merge_into_generations(tmp_path, ray_session):
+    """LSM ingest: route an increment into the existing ranges as a
+    generation, base shards untouched; reads merge generations in-task
+    and stay globally ordered; re-ingest is idempotent; compact folds
+    back to one shard per range with answers unchanged."""
+    import hashlib as _hl
+
+    from parquet_go_ray.pipelines.merge_store import (
+        compact_merged,
+        groupby_merged_store,
+        merge_into,
+    )
+
+    rng = np.random.default_rng(42)
+    evens = np.arange(0, 800, 2)
+    odds = np.arange(1, 800, 2)
+    a, dfa = _mk_store(tmp_path, "base", evens, rng.integers(0, 50, 400))
+    b, dfb = _mk_store(tmp_path, "inc", odds, rng.integers(0, 50, 400))
+    out = str(tmp_path / "merged")
+    merge_sorted_stores(
+        [a], out, "k", num_ranges=6, extra_sort_keys=("doc_id",)
+    )
+    base_digest = {
+        p: p.stat().st_mtime
+        for p in Path(out, "data").rglob("*.parquet")
+    }
+    info = merge_into(out, [b])
+    assert info["rows"] == 400 and not info["skipped"]
+    # base shards untouched
+    for p, mt in base_digest.items():
+        assert p.stat().st_mtime == mt
+    got = read_merged_sorted(out).to_pandas()
+    df = pd.concat([dfa, dfb], ignore_index=True)
+    assert sorted(got["doc_id"]) == sorted(df["doc_id"])
+    _assert_globally_sorted(got)
+    # idempotent re-ingest
+    again = merge_into(out, [b])
+    assert again["skipped"] is True
+    # zero-shuffle groupby sees COMPLETE groups across generations
+    g = groupby_merged_store(out, [("doc_id", "count")]).to_pandas()
+    assert g["k"].is_unique
+    want_counts = df.groupby("k")["doc_id"].count()
+    got_counts = g.set_index("k")["doc_id_count"]
+    assert all(int(got_counts[k]) == n for k, n in want_counts.items())
+    # compact folds generations; content and order unchanged
+    cinfo = compact_merged(out)
+    assert cinfo["ranges_compacted"] >= 1
+    got2 = read_merged_sorted(out).to_pandas()
+    assert got2["doc_id"].tolist() == got["doc_id"].tolist()
+    assert got2["k"].tolist() == got["k"].tolist()
+    # and every range is single-generation again
+    from parquet_go_ray.state import manifest as M
+
+    bases = {}
+    for s in M.completed_shards(out):
+        bases.setdefault(s.split("+g")[0], []).append(s)
+    assert all(len(v) == 1 for v in bases.values())
 
 
 def test_range_join_copartitioned(tmp_path, ray_session):
