@@ -436,13 +436,24 @@ def cmd_derive(args) -> int:
 
 def cmd_merge(args) -> int:
     """Range-planned merge of sorted stores into one globally sorted
-    store (zero all-to-all; resumable per range)."""
+    store (zero all-to-all; resumable per range). --into ingests the
+    stores as a generation of an EXISTING merged store; --compact
+    folds generations back to one shard per range."""
     _init_ray(args.num_cpus, getattr(args, "address", None))
-    from .pipelines.merge_store import merge_sorted_stores
-
-    info = merge_sorted_stores(
-        args.stores, args.out_dir, args.key, num_ranges=args.ranges
+    from .pipelines.merge_store import (
+        compact_merged,
+        merge_into,
+        merge_sorted_stores,
     )
+
+    if args.compact:
+        info = compact_merged(args.out_dir)
+    elif args.into:
+        info = merge_into(args.out_dir, args.stores)
+    else:
+        info = merge_sorted_stores(
+            args.stores, args.out_dir, args.key, num_ranges=args.ranges
+        )
     print(json.dumps({**info, "out_dir": args.out_dir}))
     return 0
 
@@ -824,9 +835,16 @@ def main(argv=None) -> int:
 
     mg = sub.add_parser("merge")
     mg.add_argument("out_dir")
-    mg.add_argument("key")
-    mg.add_argument("stores", nargs="+")
+    mg.add_argument("key", nargs="?", default=None)
+    mg.add_argument("stores", nargs="*")
     mg.add_argument("--ranges", type=int, default=32)
+    mg.add_argument(
+        "--into",
+        action="store_true",
+        help="ingest stores as a generation of an existing merged store "
+        "(the positional key is ignored; pass '-')",
+    )
+    mg.add_argument("--compact", action="store_true")
     mg.set_defaults(fn=cmd_merge)
 
     cl = sub.add_parser("changelog")
