@@ -307,6 +307,10 @@ def run_bench() -> dict:
         "range_join_copart",
         "store_take_rows",
         "apply_changelog",
+        # LSM ingest chain + routed scans (cached fixtures after rep 1)
+        "merge_ingest",
+        "query_router_membership",
+        "query_router_derived",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so
