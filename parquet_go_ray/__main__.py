@@ -837,7 +837,7 @@ def main(argv=None) -> int:
     mg.add_argument("out_dir")
     mg.add_argument("key", nargs="?", default=None)
     mg.add_argument("stores", nargs="*")
-    mg.add_argument("--ranges", type=int, default=32)
+    mg.add_argument("--ranges", type=int, default=None)
     mg.add_argument(
         "--into",
         action="store_true",

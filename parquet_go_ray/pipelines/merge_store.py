@@ -97,11 +97,14 @@ def _cut_boundaries(chunks: list[dict], num_ranges: int) -> list:
     return bounds
 
 
+ROWS_PER_RANGE_TARGET = 1_000_000  # ~a worker-heap-sized range
+
+
 def merge_sorted_stores(
     store_dirs: list[str],
     out_dir: str,
     key: str,
-    num_ranges: int = 32,
+    num_ranges: int | None = None,
     rows_per_chunk: int = 4096,
     resume: bool = True,
     bounds: list | None = None,
@@ -133,6 +136,12 @@ def merge_sorted_stores(
     tombs_ref = ray.put(tombs) if any(tombs.values()) else None
     metas = {s: _key_chunks(s, key) for s in store_dirs}
     if bounds is None:
+        if num_ranges is None:
+            # a range is the in-task memory unit for merge, read and
+            # compact alike — size the count so a range fits a worker's
+            # heap instead of making the caller guess
+            total = sum(c["n"] for cs in metas.values() for c in cs)
+            num_ranges = max(1, -(-total // ROWS_PER_RANGE_TARGET))
         bounds = _cut_boundaries(
             [c for cs in metas.values() for c in cs], num_ranges
         )
