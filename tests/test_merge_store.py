@@ -255,6 +255,47 @@ def test_merge_into_generations(tmp_path, ray_session):
     assert all(len(v) == 1 for v in bases.values())
 
 
+def test_family_on_merged_store(tmp_path, ray_session):
+    """Layouts compose: a derived-column family backfills onto a
+    range-merged store (generation shards included) and zip-reads."""
+    from parquet_go_ray.pipelines.derive import (
+        add_derived_column,
+        decode_with_family,
+    )
+    from parquet_go_ray.pipelines.merge_store import merge_into
+
+    rng = np.random.default_rng(12)
+    a, dfa = _mk_store(tmp_path, "fa", np.arange(300), rng.integers(0, 30, 300))
+    b, dfb = _mk_store(
+        tmp_path, "fb", np.arange(1000, 1200), rng.integers(0, 30, 200)
+    )
+    out = str(tmp_path / "merged")
+    merge_sorted_stores([a], out, "k", num_ranges=4)
+    merge_into(out, [b])
+
+    def trip():
+        import pyarrow.compute as _pc
+
+        def f(t):
+            return _pc.multiply(
+                t.column("k").combine_chunks(), pa.scalar(3, pa.int64())
+            )
+
+        return f
+
+    add_derived_column(out, "trip", "k3", trip(), ["k"])
+    got = (
+        decode_with_family(out, columns=["doc_id", "k", "k3"])
+        .to_pandas()
+        .sort_values("doc_id", ignore_index=True)
+    )
+    df = pd.concat([dfa, dfb], ignore_index=True).sort_values(
+        "doc_id", ignore_index=True
+    )
+    assert got["doc_id"].tolist() == df["doc_id"].tolist()
+    assert got["k3"].tolist() == (df["k"] * 3).tolist()
+
+
 def test_range_join_copartitioned(tmp_path, ray_session):
     from parquet_go_ray.pipelines.merge_store import range_join
     from parquet_go_ray.state import manifest
