@@ -256,6 +256,59 @@ def q_session_windows(sf_dir):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def q_lag_gaps(sf_dir):
+    """LAG window parity: per user, the microsecond gap since the
+    user's previous event ((ts, event_id)-ordered; -1 for the first).
+    Ray side: partition by key, vectorized diff inside the group —
+    numpy argsort + diff, no per-row Python."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        ts, eid = ts[order], eid[order]
+        gap = np.concatenate(([-1], np.diff(ts))).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.repeat(
+                    np.int64(g["user_id"].iloc[0]), len(eid)
+                ),
+                "gap_us": gap,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
+def q_running_total(sf_dir):
+    """Cumulative-window parity (SUM OVER ... ROWS UNBOUNDED
+    PRECEDING): per user, the running total of value in integer cents
+    ((ts, event_id)-ordered) — exact int64 arithmetic so the oracle
+    hash-matches bit-for-bit."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        return pd.DataFrame(
+            {
+                "event_id": eid[order],
+                "user_id": np.repeat(
+                    np.int64(g["user_id"].iloc[0]), len(eid)
+                ),
+                "run_cents": np.cumsum(cents[order]).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3344,6 +3397,8 @@ QUERIES = {
     "bloom_semi_join": q_bloom_semi_join,
     "agg_pricing": q_agg_pricing,
     "windowed_counts": q_windowed_counts,
+    "lag_gaps": q_lag_gaps,
+    "running_total": q_running_total,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3599,6 +3654,17 @@ ORACLES = {
         "SELECT event_type, CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket, "
         "CAST(count(*) AS BIGINT) AS n, SUM(value) AS sum_value "
         "FROM events GROUP BY 1, 2"
+    ),
+    "lag_gaps": (
+        "SELECT event_id, user_id, CAST(COALESCE("
+        "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT) "
+        "AS gap_us FROM events"
+    ),
+    "running_total": (
+        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM events"
     ),
     "session_windows": (
         "WITH d AS ("
