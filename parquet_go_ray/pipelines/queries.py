@@ -309,6 +309,103 @@ def q_running_total(sf_dir):
     return ds.groupby("user_id").map_groups(running, batch_format="pandas")
 
 
+def q_moving_sum(sf_dir):
+    """Sliding-window parity (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW): per user, the 3-event moving total in integer cents,
+    via a cumsum-difference inside each key group."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        c = cents[order]
+        run = np.cumsum(c)
+        win = run - np.concatenate(([0, 0, 0], run[:-3]))
+        return pd.DataFrame(
+            {
+                "event_id": eid[order],
+                "user_id": np.repeat(
+                    np.int64(g["user_id"].iloc[0]), len(eid)
+                ),
+                "win3_cents": win.astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(moving, batch_format="pandas")
+
+
+def q_rollup_counts(sf_dir):
+    """GROUP BY ROLLUP parity: event counts at (event_type, hour),
+    (event_type) and grand-total granularities in ONE pass — the hour
+    partials aggregate once, the coarser levels fold from those
+    partials (no second corpus read), NULL marking the rolled-up
+    levels exactly as SQL does."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def hour_partials(t: pa.Table) -> pa.Table:
+        hours = pc.cast(
+            pc.divide(
+                pc.cast(t.column("ts").combine_chunks(), pa.int64()),
+                pa.scalar(3_600_000_000, pa.int64()),
+            ),
+            pa.int64(),
+        )
+        g = pa.table(
+            {"event_type": t.column("event_type"), "bucket": hours}
+        )
+        return (
+            pa.TableGroupBy(g, ["event_type", "bucket"])
+            .aggregate([("bucket", "count")])
+            .rename_columns(["event_type", "bucket", "n"])
+        )
+
+    fine = (
+        ds.map_batches(hour_partials, batch_format="pyarrow")
+        .groupby(["event_type", "bucket"])
+        .sum("n")
+        .map_batches(
+            lambda t: t.rename_columns(["event_type", "bucket", "n"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def widen(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("n"),
+            "n",
+            t.column("n").cast(pa.int64()),
+        )
+
+    fine = fine.map_batches(widen, batch_format="pyarrow")
+    ft = pa.concat_tables(
+        [b for b in fine.iter_batches(batch_format="pyarrow")]
+    )
+    mid = (
+        pa.TableGroupBy(ft.select(["event_type", "n"]), ["event_type"])
+        .aggregate([("n", "sum")])
+        .rename_columns(["event_type", "n"])
+    )
+    mid = mid.append_column(
+        "bucket", pa.nulls(mid.num_rows, pa.int64())
+    ).select(["event_type", "bucket", "n"])
+    total = pa.table(
+        {
+            "event_type": pa.nulls(1, pa.string()),
+            "bucket": pa.nulls(1, pa.int64()),
+            "n": pa.array([int(pc.sum(ft.column("n")).as_py() or 0)], pa.int64()),
+        }
+    )
+    out = pa.concat_tables(
+        [ft, mid.set_column(2, "n", mid.column("n").cast(pa.int64())), total]
+    )
+    return ray.data.from_arrow(out)
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3399,6 +3496,8 @@ QUERIES = {
     "windowed_counts": q_windowed_counts,
     "lag_gaps": q_lag_gaps,
     "running_total": q_running_total,
+    "moving_sum": q_moving_sum,
+    "rollup_counts": q_rollup_counts,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3665,6 +3764,18 @@ ORACLES = {
         "SELECT event_id, user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) "
         "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents FROM events"
+    ),
+    "moving_sum": (
+        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS win3_cents FROM events"
+    ),
+    "rollup_counts": (
+        "WITH e AS (SELECT event_type, "
+        "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket FROM events) "
+        "SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n "
+        "FROM e GROUP BY ROLLUP (event_type, bucket)"
     ),
     "session_windows": (
         "WITH d AS ("
