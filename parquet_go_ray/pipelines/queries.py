@@ -406,6 +406,28 @@ def q_rollup_counts(sf_dir):
     return ray.data.from_arrow(out)
 
 
+def q_dense_ranks(sf_dir):
+    """DENSE_RANK window parity: per event_type, the dense rank of the
+    event's value (integer cents, ascending; ties share a rank) — one
+    np.unique(return_inverse) per group."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def ranks(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        _, inv = np.unique(cents, return_inverse=True)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "rnk": (inv + 1).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(ranks, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3498,6 +3520,7 @@ QUERIES = {
     "running_total": q_running_total,
     "moving_sum": q_moving_sum,
     "rollup_counts": q_rollup_counts,
+    "dense_ranks": q_dense_ranks,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3776,6 +3799,11 @@ ORACLES = {
         "CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS bucket FROM events) "
         "SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n "
         "FROM e GROUP BY ROLLUP (event_type, bucket)"
+    ),
+    "dense_ranks": (
+        "SELECT event_id, event_type, CAST(DENSE_RANK() OVER "
+        "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) AS BIGINT) AS rnk FROM events"
     ),
     "session_windows": (
         "WITH d AS ("
