@@ -228,9 +228,7 @@ def _iter_groups(chunks: pa.Table):
     starts = np.concatenate(([0], change, [len(ids)]))
     # dict pages ride along with every group (cheap: decoded once per
     # group only when a dict_shared chunk references them)
-    import pyarrow.compute as _pc
-
-    pages = chunks.filter(_pc.equal(chunks.column("codec"), "dict_page"))
+    pages = chunks.filter(pc.equal(chunks.column("codec"), "dict_page"))
     for a, b in zip(starts[:-1], starts[1:]):
         group = data.slice(int(a), int(b - a))
         if pages.num_rows:

@@ -817,10 +817,9 @@ def phrase_docs(index_dir: str, phrase: str) -> ray.data.Dataset:
     need = list(tokens)
 
     def check(group: pa.Table) -> pa.Table:
-        by_tok: dict[str, np.ndarray] = {}
-        for row in group.to_pylist():
-            if row["pos"] is not None:
-                by_tok[row["token"]] = np.asarray(row["pos"], dtype=np.int64)
+        # positions stay numpy VIEWS over the list buffers: one flatten,
+        # per-token slices from the offsets — no Python int lists
+        by_tok = _pos_views(group)
         empty = pa.table({"doc_id": pa.array([], pa.int64())})
         if any(t not in by_tok for t in need):
             return empty
@@ -834,6 +833,22 @@ def phrase_docs(index_dir: str, phrase: str) -> ray.data.Dataset:
         )
 
     return posts.groupby("doc_id").map_groups(check, batch_format="pyarrow")
+
+
+def _pos_views(group: pa.Table) -> dict[str, np.ndarray]:
+    """token -> int64 numpy view of its position list, sliced zero-copy
+    from the ListArray buffers (null pos rows — doc-family strays —
+    are skipped)."""
+    toks = group.column("token").to_pylist()
+    posl = group.column("pos").combine_chunks()
+    vals = posl.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = posl.offsets.to_numpy(zero_copy_only=False)
+    valid = ~np.asarray(posl.is_null())
+    out: dict[str, np.ndarray] = {}
+    for i, t in enumerate(toks):
+        if valid[i]:
+            out[t] = vals[offs[i] : offs[i + 1]]
+    return out
 
 
 def near_docs(
@@ -858,10 +873,7 @@ def near_docs(
         )
 
     def check(group: pa.Table) -> pa.Table:
-        by_tok: dict[str, np.ndarray] = {}
-        for row in group.to_pylist():
-            if row["pos"] is not None:
-                by_tok[row["token"]] = np.asarray(row["pos"], dtype=np.int64)
+        by_tok = _pos_views(group)
         empty = pa.table({"doc_id": pa.array([], pa.int64())})
         a = by_tok.get(token_a)
         b = by_tok.get(token_b)
