@@ -372,6 +372,116 @@ def search_dict_domain(
     )
 
 
+def topk_store(
+    encoded_dir: str,
+    column: str,
+    k: int,
+    columns: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> ray.data.Dataset:
+    """ORDER BY `column` DESC LIMIT k answered with STATS pruning: from
+    the manifest alone, chunks sorted by vmin descending accumulate
+    until >= k rows — their smallest vmin is a LOWER bound L on the
+    k-th largest value (every row in an accepted chunk is >= its vmin)
+    — and only chunks with vmax >= L can contribute, so everything
+    else never opens. Survivors decode distributed with per-task
+    top-k partials; the driver merges k rows. On a store clustered by
+    `column` the candidate set is O(k/rows_per_chunk) chunks
+    (chmod-000 pytest). `tiebreak` (ascending) makes boundary ties
+    deterministic."""
+    import json as _json
+
+    from ..stages.decode import decode_chunk_table
+    from ..state import manifest
+
+    t = manifest.lineage_table(
+        encoded_dir,
+        columns=["shard", "file", "chunk_id", "column", "n", "n_null", "vmin", "vmax"],
+        filters=[("column", "==", column)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {encoded_dir}")
+    recs = []
+    for r in t.to_pylist():
+        vmin = _json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = _json.loads(r["vmax"]) if r.get("vmax") else None
+        recs.append((r, vmin, vmax, int(r["n"]) - int(r["n_null"])))
+    # lower bound L on the k-th largest value, from vmin stats alone
+    by_vmin = sorted(
+        (x for x in recs if x[1] is not None),
+        key=lambda x: x[1],
+        reverse=True,
+    )
+    acc, L = 0, None
+    for _r, vmin, _vmax, nn in by_vmin:
+        acc += nn
+        L = vmin
+        if acc >= k:
+            break
+    files: set[str] = set()
+    ids: set[str] = set()
+    root = Path(encoded_dir) / "data"
+    for r, _vmin, vmax, nn in recs:
+        if nn == 0:
+            continue
+        # conservative: missing stats, or vmax can reach the bound
+        if L is not None and vmax is not None and vmax < L:
+            continue
+        files.add(str(root / r["shard"] / f"{r['file']}.parquet"))
+        ids.add(r["chunk_id"])
+    if not files:
+        return ray.data.from_arrow(pa.table({}))
+    read_cols = None
+    if columns is not None:
+        need = set(columns) | {column}
+        if tiebreak:
+            need.add(tiebreak)
+        read_cols = sorted(need)
+    id_list = sorted(ids) + ["__dict__"]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        filters = [("chunk_id", "in", id_list)]
+        if read_cols is not None:
+            filters.append(("column", "in", read_cols))
+        outs = []
+        pcol = "path" if "path" in batch.column_names else "item"
+        for path in batch.column(pcol).to_pylist():
+            chunks = pq.read_table(path, filters=filters)
+            if chunks.num_rows:
+                got = decode_chunk_table(chunks)
+                if got.num_rows:
+                    outs.append(got)
+        if not outs:
+            return pa.table({})
+        t = pa.concat_tables(outs, promote_options="default")
+        t = t.filter(pc.is_valid(t.column(column)))
+        keys = [(column, "descending")]
+        if tiebreak:
+            keys.append((tiebreak, "ascending"))
+        return t.sort_by(keys).slice(0, k)
+
+    parts = (
+        ray.data.from_items(
+            sorted(files), override_num_blocks=len(files)
+        )
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    tables = [x for x in (_ray.get(r) for r in parts) if x.num_rows]
+    if not tables:
+        return ray.data.from_arrow(pa.table({}))
+    merged = pa.concat_tables(tables, promote_options="default")
+    keys = [(column, "descending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+    out = merged.sort_by(keys).slice(0, k)
+    if columns is not None:
+        out = out.select([c for c in columns if c in out.column_names])
+    return ray.data.from_arrow(out)
+
+
 def take_rows(
     encoded_dir: str,
     indices,

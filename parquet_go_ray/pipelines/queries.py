@@ -1337,6 +1337,22 @@ def q_family_range_scan(sf_dir):
 _TAKE_ROWS_IDX = [0, 17, 99, 123, 250, 333, 401, 499]
 
 
+def q_store_topk(sf_dir):
+    """ORDER BY n_chars DESC LIMIT 100 with STATS pruning
+    (decode.topk_store): chunk vmin stats establish a lower bound on
+    the 100th value, chunks whose vmax can't reach it never open
+    (clustered-store chmod pytest), survivors emit k-bounded partials."""
+    from .decode import topk_store
+
+    return topk_store(
+        _doc_store(sf_dir),
+        "n_chars",
+        100,
+        columns=["doc_id", "n_chars"],
+        tiebreak="doc_id",
+    )
+
+
 def q_store_take_rows(sf_dir):
     """Scattered global-position reads on the encode store
     (decode.take_rows — SeekToRow generalized to an index set):
@@ -3542,6 +3558,7 @@ QUERIES = {
     "range_join_copart": q_range_join_copart,
     "family_range_scan": q_family_range_scan,
     "store_take_rows": q_store_take_rows,
+    "store_topk": q_store_topk,
     "query_router_membership": q_query_router_membership,
     "query_router_point": q_query_router_point,
     "query_router_derived": q_query_router_derived,
@@ -3912,6 +3929,10 @@ ORACLES = {
     "query_router_membership": (
         "SELECT doc_id, lang, n_chars FROM documents "
         "WHERE lang IN ('fr', 'zh')"
+    ),
+    "store_topk": (
+        "SELECT doc_id, n_chars FROM documents "
+        "ORDER BY n_chars DESC, doc_id LIMIT 100"
     ),
     "query_router_point": "SELECT * FROM documents WHERE doc_id = 123",
     "query_router_derived": (

@@ -161,6 +161,72 @@ def test_isnull_scan_no_nulls_is_empty(pattern_store):
     assert len(isnull_scan(out, "source").to_pandas()) == 0
 
 
+def test_topk_store_pruned_clustered(tmp_path, ray_session):
+    """Top-k on a store clustered by the column: only the tail shards
+    can contain the top 50, the rest chmod-000 and never open; ties at
+    the boundary resolve by the tiebreak."""
+    from parquet_go_ray.pipelines.decode import topk_store
+
+    paths = []
+    vals = np.repeat(np.arange(30), 25)  # 750 rows, 0..29, many ties
+    for i in range(3):
+        sl = vals[i * 250 : (i + 1) * 250]
+        t = pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(i * 250, (i + 1) * 250, dtype=np.int64)
+                ),
+                "v": pa.array(sl, pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    blocked = [os.path.join(out, "data", f"part{i}") for i in (0, 1)]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = topk_store(out, "v", 50, tiebreak="doc_id").to_pandas()
+    finally:
+        for d in blocked:
+            os.chmod(d, stat.S_IRWXU)
+    df = pa.table(
+        {"doc_id": np.arange(750, dtype=np.int64), "v": vals}
+    ).to_pandas()
+    want = df.sort_values(
+        ["v", "doc_id"], ascending=[False, True], ignore_index=True
+    ).head(50)
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
+def test_topk_store_unclustered_matches(tmp_path, ray_session):
+    from parquet_go_ray.pipelines.decode import topk_store
+
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 10_000, 1200)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1200, dtype=np.int64)),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=128, bloom_columns=())
+    got = topk_store(out, "v", 37, tiebreak="doc_id").to_pandas()
+    want = (
+        t.to_pandas()
+        .sort_values(["v", "doc_id"], ascending=[False, True])
+        .head(37)
+    )
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 def test_take_rows_scattered(tmp_path, ray_session):
     """Positional take across a 3-shard store: values, _row labels,
     dedup, out-of-range, and never-opened shards (chmod-000)."""
