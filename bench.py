@@ -311,6 +311,8 @@ def run_bench() -> dict:
         "merge_ingest",
         "query_router_membership",
         "query_router_derived",
+        # stats-pruned ORDER BY LIMIT
+        "store_topk",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -484,6 +484,16 @@ def cmd_query(args) -> int:
     _init_ray(args.num_cpus, getattr(args, "address", None))
     from .pipelines.query import explain, scan
 
+    if args.topk:
+        from .pipelines.decode import topk_store
+
+        cols = args.columns.split(",") if args.columns else None
+        df = topk_store(
+            args.store_dir, args.topk, args.limit, columns=cols
+        ).to_pandas()
+        print(df.to_string(index=False))
+        print(json.dumps({"matches": len(df)}))
+        return 0
     column = pred = None
     if args.where:
         parts = args.where.split()
@@ -859,6 +869,11 @@ def main(argv=None) -> int:
     qr.add_argument("--where", default=None)
     qr.add_argument("--columns", default=None)
     qr.add_argument("--limit", type=int, default=20)
+    qr.add_argument(
+        "--topk",
+        default=None,
+        help="ORDER BY <col> DESC LIMIT --limit via stats-pruned top-k",
+    )
     qr.add_argument("--explain", action="store_true")
     qr.set_defaults(fn=cmd_query)
 
