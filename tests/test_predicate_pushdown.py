@@ -227,6 +227,33 @@ def test_topk_store_unclustered_matches(tmp_path, ray_session):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
 
 
+def test_topk_store_edges(tmp_path, ray_session):
+    """k larger than the table and NULL values in the rank column."""
+    from parquet_go_ray.pipelines.decode import topk_store
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "v": pa.array(
+                [None if i % 4 == 0 else i for i in range(20)], pa.int64()
+            ),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=8, bloom_columns=())
+    got = topk_store(out, "v", 100, tiebreak="doc_id").to_pandas()
+    df = t.to_pandas()
+    want = (
+        df[df["v"].notna()]
+        .sort_values(["v", "doc_id"], ascending=[False, True])
+    )
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()  # nulls drop
+    got3 = topk_store(out, "v", 3, tiebreak="doc_id").to_pandas()
+    assert got3["v"].tolist() == [19, 18, 17]
+
+
 def test_take_rows_scattered(tmp_path, ray_session):
     """Positional take across a 3-shard store: values, _row labels,
     dedup, out-of-range, and never-opened shards (chmod-000)."""
