@@ -428,6 +428,37 @@ def q_dense_ranks(sf_dir):
     return ds.groupby("event_type").map_groups(ranks, batch_format="pandas")
 
 
+def q_ntile_buckets(sf_dir):
+    """NTILE window parity: per event_type, NTILE(4) over (cents,
+    event_id) order — SQL's exact sizing rule (the first n mod k tiles
+    get the extra row) reproduced with one np.repeat per group."""
+    K = 4
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def tiles(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, cents))
+        n = len(eid)
+        base, extra = divmod(n, K)
+        sizes = np.full(K, base, dtype=np.int64)
+        sizes[:extra] += 1
+        tile = np.repeat(np.arange(1, K + 1, dtype=np.int64), sizes)
+        out = np.empty(n, dtype=np.int64)
+        out[order] = tile
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "event_type": g["event_type"].to_numpy(),
+                "tile": out,
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(tiles, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3537,6 +3568,7 @@ QUERIES = {
     "moving_sum": q_moving_sum,
     "rollup_counts": q_rollup_counts,
     "dense_ranks": q_dense_ranks,
+    "ntile_buckets": q_ntile_buckets,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3821,6 +3853,11 @@ ORACLES = {
         "SELECT event_id, event_type, CAST(DENSE_RANK() OVER "
         "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
         "AS BIGINT)) AS BIGINT) AS rnk FROM events"
+    ),
+    "ntile_buckets": (
+        "SELECT event_id, event_type, CAST(NTILE(4) OVER "
+        "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT), event_id) AS BIGINT) AS tile FROM events"
     ),
     "session_windows": (
         "WITH d AS ("
