@@ -459,6 +459,36 @@ def q_ntile_buckets(sf_dir):
     return ds.groupby("event_type").map_groups(tiles, batch_format="pandas")
 
 
+def q_percent_ranks(sf_dir):
+    """PERCENT_RANK window parity, milli-quantized for bit-stability:
+    per event_type, floor((rank-1)/(n-1) * 1000 + 0.5) over the cents
+    order — RANK ties share a value, so the result is deterministic
+    regardless of tie order; ranks come from one searchsorted per
+    group."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def pranks(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        n = len(cents)
+        srt = np.sort(cents)
+        rank = np.searchsorted(srt, cents, side="left") + 1
+        if n > 1:
+            pr = (rank - 1) / np.float64(n - 1)
+        else:
+            pr = np.zeros(1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "pr_milli": np.floor(pr * 1000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(pranks, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3569,6 +3599,7 @@ QUERIES = {
     "rollup_counts": q_rollup_counts,
     "dense_ranks": q_dense_ranks,
     "ntile_buckets": q_ntile_buckets,
+    "percent_ranks": q_percent_ranks,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3858,6 +3889,11 @@ ORACLES = {
         "SELECT event_id, event_type, CAST(NTILE(4) OVER "
         "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
         "AS BIGINT), event_id) AS BIGINT) AS tile FROM events"
+    ),
+    "percent_ranks": (
+        "SELECT event_id, event_type, CAST(floor(PERCENT_RANK() OVER "
+        "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS pr_milli FROM events"
     ),
     "session_windows": (
         "WITH d AS ("
