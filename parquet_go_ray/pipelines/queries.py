@@ -3577,6 +3577,64 @@ def q_top_revenue_customers(sf_dir):
 # --------------------------------------------------------------- registry
 
 QUERIES = {
+    "text_index_bm25": q_text_index_bm25,
+    "text_index_update": q_text_index_update,
+    "spj_join": q_spj_join,
+    "spj_groupby": q_spj_groupby,
+    "vocab_topk_sketch": q_vocab_topk_sketch,
+    "tfidf_scores": q_tfidf_scores,
+    "normalize_text": q_normalize_text,
+    "chunk_documents": q_chunk_documents,
+    "redact_pii": q_redact_pii,
+    "agg_stats": q_agg_stats,
+    "length_percentiles": q_length_percentiles,
+    "dup_clusters": q_dup_clusters,
+    "dup_passages": q_dup_passages,
+    "passage_dedupe": q_passage_dedupe,
+    "decontaminate": q_decontaminate,
+    "unigram_logprob": q_unigram_logprob,
+    "jaccard_pairs": q_jaccard_pairs,
+    "jaccard_dedupe": q_jaccard_dedupe,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
+    "embedding_dedupe": q_embedding_dedupe,
+    "extract_text": q_extract_text,
+    "source_reputation": q_source_reputation,
+    "host_quota": q_host_quota,
+    "snapshot_dedupe": q_snapshot_dedupe,
+    "canonicalize_urls": q_canonicalize_urls,
+    "canonical_url_dedupe": q_canonical_url_dedupe,
+    "extract_text_general": q_extract_text_general,
+    "search_dict_domain": q_search_dict_domain,
+    "shuffle_train_order": q_shuffle_train_order,
+    "pack_sequences": q_pack_sequences,
+    "encode_decode_zorder": q_encode_decode_zorder,
+    "gopher_quality": q_gopher_quality,
+    "repetition_scores": q_repetition_scores,
+    "stopword_fraction": q_stopword_fraction,
+    "topk_per_group": q_topk_per_group,
+    "anti_join": q_anti_join,
+    "range_join": q_range_join,
+    "bm25_scores": q_bm25_scores,
+    "top_revenue_customers": q_top_revenue_customers,
+    "weighted_sample": q_weighted_sample,
+    "cdf_ranks": q_cdf_ranks,
+    "group_distinct": q_group_distinct,
+    "dataset_split": q_dataset_split,
+    "snapshot_diff": q_snapshot_diff,
+    "encode_decode_deleted": q_encode_decode_deleted,
+    "upsert_snapshot": q_upsert_snapshot,
+    "apply_changelog": q_apply_changelog,
+    "curate_corpus_full": q_curate_corpus_full,
+    "distinct_count_hll": q_distinct_count_hll,
+    "quantile_sketch": q_quantile_sketch,
+    "curate_corpus": q_curate_corpus,
+    "curate_corpus_clusters": q_curate_corpus_clusters,
+    "frame_sample": q_frame_sample,
+    "image_resize": q_image_resize,
+    "image_resize_raw": q_image_resize_raw,
+    "video_sample_raw": q_video_sample_raw,
+    "text_semantic_pairs": q_text_semantic_pairs,
+    "group_quantile_sketch": q_group_quantile_sketch,
     "filter_rows": q_filter_rows,
     "transform_project": q_transform_project,
     "scan_limit": q_scan_limit,
@@ -3627,8 +3685,6 @@ QUERIES = {
     "query_router_derived": q_query_router_derived,
     "audio_features_raw": q_audio_features_raw,
     "store_null_scan": q_store_null_scan,
-    "text_index_bm25": q_text_index_bm25,
-    "text_index_update": q_text_index_update,
     "point_lookup_bloom": q_point_lookup_bloom,
     "encode_decode_documents": q_encode_decode_documents,
     "encode_decode_events": q_encode_decode_events,
@@ -3647,8 +3703,6 @@ QUERIES = {
     "encode_decode_nested": q_encode_decode_nested,
     "hash_join": q_hash_join,
     "hash_join_broadcast": q_hash_join_broadcast,
-    "spj_join": q_spj_join,
-    "spj_groupby": q_spj_groupby,
     "wire_page_index_range": q_wire_page_index_range,
     "fingerprint_winnow": q_fingerprint_winnow,
     "wire_bloom_lookup": q_wire_bloom_lookup,
@@ -3661,69 +3715,15 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
     "vocab_topk": q_vocab_topk,
-    "vocab_topk_sketch": q_vocab_topk_sketch,
-    "tfidf_scores": q_tfidf_scores,
-    "normalize_text": q_normalize_text,
-    "chunk_documents": q_chunk_documents,
-    "redact_pii": q_redact_pii,
     "token_counts_bpe": q_token_counts_bpe,
-    "agg_stats": q_agg_stats,
-    "distinct_count_hll": q_distinct_count_hll,
-    "length_percentiles": q_length_percentiles,
     "simhash_near_pairs": q_simhash_near_pairs,
     "near_dupes_verified": q_near_dupes_verified,
     "dedup_pipeline": q_dedup_pipeline,
-    "dup_clusters": q_dup_clusters,
-    "dup_passages": q_dup_passages,
-    "passage_dedupe": q_passage_dedupe,
-    "decontaminate": q_decontaminate,
-    "unigram_logprob": q_unigram_logprob,
-    "curate_corpus_full": q_curate_corpus_full,
-    "curate_corpus": q_curate_corpus,
-    "curate_corpus_clusters": q_curate_corpus_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_near_pairs": q_embedding_near_pairs,
-    "jaccard_pairs": q_jaccard_pairs,
-    "jaccard_dedupe": q_jaccard_dedupe,
-    "embedding_cosine_pairs": q_embedding_cosine_pairs,
-    "embedding_dedupe": q_embedding_dedupe,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
-    "frame_sample": q_frame_sample,
-    "image_resize": q_image_resize,
-    "image_resize_raw": q_image_resize_raw,
-    "video_sample_raw": q_video_sample_raw,
-    "extract_text": q_extract_text,
-    "source_reputation": q_source_reputation,
-    "host_quota": q_host_quota,
-    "snapshot_dedupe": q_snapshot_dedupe,
-    "canonicalize_urls": q_canonicalize_urls,
-    "canonical_url_dedupe": q_canonical_url_dedupe,
-    "extract_text_general": q_extract_text_general,
-    "search_dict_domain": q_search_dict_domain,
-    "shuffle_train_order": q_shuffle_train_order,
-    "pack_sequences": q_pack_sequences,
-    "text_semantic_pairs": q_text_semantic_pairs,
-    "encode_decode_zorder": q_encode_decode_zorder,
-    "gopher_quality": q_gopher_quality,
-    "repetition_scores": q_repetition_scores,
-    "stopword_fraction": q_stopword_fraction,
-    "topk_per_group": q_topk_per_group,
-    "anti_join": q_anti_join,
-    "range_join": q_range_join,
-    "bm25_scores": q_bm25_scores,
-    "top_revenue_customers": q_top_revenue_customers,
-    "quantile_sketch": q_quantile_sketch,
-    "weighted_sample": q_weighted_sample,
-    "cdf_ranks": q_cdf_ranks,
-    "group_distinct": q_group_distinct,
-    "dataset_split": q_dataset_split,
-    "snapshot_diff": q_snapshot_diff,
-    "group_quantile_sketch": q_group_quantile_sketch,
-    "encode_decode_deleted": q_encode_decode_deleted,
-    "upsert_snapshot": q_upsert_snapshot,
-    "apply_changelog": q_apply_changelog,
 }
 
 ORACLES = {
