@@ -166,7 +166,12 @@ def decode_dataset_pruned_distributed(
     )
     if residual:
         ds = _residual_filter(ds, column, lo, hi)
-    return ds
+    from .tombstone import anti_filter, load_tombstones
+
+    # all columns decode on this path, so the anti-filter always sees
+    # the tombstoned columns — deletes never resurrect on the
+    # driver-memory-free route either
+    return anti_filter(ds, load_tombstones(encoded_dir))
 
 
 def decode_dataset_pruned(
@@ -247,15 +252,24 @@ def point_lookup(
         hits = []
         for path in batch["item"]:
             t = pq.read_table(path, columns=["column", "bloom"])
+            # a file with NO valid bloom sidecar for the column (written
+            # by a differently-configured job, or a legacy rewrite) is
+            # admitted conservatively — a missing filter can never prove
+            # absence, only a present-and-negative one can
+            probed = False
+            admit = False
             for col, bloom in zip(t.column("column"), t.column("bloom")):
                 if col.as_py() != column or not bloom.is_valid:
                     continue
+                probed = True
                 # k and m travel in the sidecar header, so encode-time
                 # parameter changes can never silently break probes
                 bf = BloomFilter.from_bytes(bloom.as_py())
                 if bf.contains_hashes(hs).any():
-                    hits.append(path)
+                    admit = True
                     break  # one hit admits the whole file
+            if admit or not probed:
+                hits.append(path)
         return pd.DataFrame({"path": hits})
 
     cand = ray.data.from_items(files).map_batches(probe, batch_format="pandas")
@@ -338,15 +352,19 @@ def search_dict_domain(
     chunks fall back to decode + compare inside the same task, so
     exactness never depends on the selector's codec choice."""
     from ..stages.decode import search_chunk_table
+    from .tombstone import anti_filter, plan_tombstone_projection
 
     files = chunk_files(encoded_dir)
     if not files:
         import pyarrow as pa
 
         return ray.data.from_arrow(pa.table({}))
+    # deletes must not resurrect on the dictionary-domain route: widen
+    # the projection with any tombstoned columns, anti-filter, drop
+    tombs, eff_columns, drop = plan_tombstone_projection(encoded_dir, columns)
     read_cols = None
-    if columns is not None:
-        read_cols = sorted(set(columns) | {column})
+    if eff_columns is not None:
+        read_cols = sorted(set(eff_columns) | {column})
 
     def search(batch):
         import pyarrow as pa
@@ -360,16 +378,19 @@ def search_dict_domain(
         for path in batch.column(col).to_pylist():
             chunks = pq.read_table(path, filters=filters)
             if chunks.num_rows:
-                t = search_chunk_table(chunks, column, values, columns=columns)
+                t = search_chunk_table(
+                    chunks, column, values, columns=eff_columns
+                )
                 if t.num_rows:
                     outs.append(t)
         if not outs:
             return pa.table({})
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
+    ds = ray.data.from_items(files, override_num_blocks=len(files)).map_batches(
         search, batch_format="pyarrow", zero_copy_batch=True
     )
+    return anti_filter(ds, tombs, drop=drop)
 
 
 def topk_store(
@@ -406,18 +427,26 @@ def topk_store(
         vmin = _json.loads(r["vmin"]) if r.get("vmin") else None
         vmax = _json.loads(r["vmax"]) if r.get("vmax") else None
         recs.append((r, vmin, vmax, int(r["n"]) - int(r["n_null"])))
-    # lower bound L on the k-th largest value, from vmin stats alone
+    from .tombstone import load_tombstones, tomb_mask
+
+    tombs = load_tombstones(encoded_dir)
+    # lower bound L on the k-th largest value, from vmin stats alone.
+    # With surviving tombstones the manifest row counts overcount live
+    # rows, so the bound could over-prune; disable it (decode every
+    # non-empty chunk) until a purge restores exact counts — deletes
+    # must filter BEFORE the k-truncation, never after.
     by_vmin = sorted(
         (x for x in recs if x[1] is not None),
         key=lambda x: x[1],
         reverse=True,
     )
     acc, L = 0, None
-    for _r, vmin, _vmax, nn in by_vmin:
-        acc += nn
-        L = vmin
-        if acc >= k:
-            break
+    if not tombs:
+        for _r, vmin, _vmax, nn in by_vmin:
+            acc += nn
+            L = vmin
+            if acc >= k:
+                break
     files: set[str] = set()
     ids: set[str] = set()
     root = Path(encoded_dir) / "data"
@@ -433,7 +462,7 @@ def topk_store(
         return ray.data.from_arrow(pa.table({}))
     read_cols = None
     if columns is not None:
-        need = set(columns) | {column}
+        need = set(columns) | {column} | set(tombs)
         if tiebreak:
             need.add(tiebreak)
         read_cols = sorted(need)
@@ -455,6 +484,10 @@ def topk_store(
             return pa.table({})
         t = pa.concat_tables(outs, promote_options="default")
         t = t.filter(pc.is_valid(t.column(column)))
+        if tombs:
+            m = tomb_mask(t, tombs)
+            if m is not None:
+                t = t.filter(m)
         keys = [(column, "descending")]
         if tiebreak:
             keys.append((tiebreak, "ascending"))
@@ -495,7 +528,10 @@ def take_rows(
     a 1000-row sample of a petabyte store decodes at most 1000 chunks,
     each once, however many indices land in it. Output carries `_row`
     (the global position, in the store's manifest order) next to the
-    decoded columns. Indices are deduped; out-of-range raises."""
+    decoded columns. Indices are deduped; out-of-range raises.
+    Positions address the PHYSICAL manifest order (deleted rows keep
+    their slot until a purge rewrites); a tombstoned row's position
+    returns nothing rather than resurrecting the deleted row."""
     import json as _json
 
     from ..stages.decode import decode_chunk_table
@@ -542,7 +578,10 @@ def take_rows(
     ]
     if not items:
         return ray.data.from_arrow(pa.table({}))
-    read_cols = sorted(columns) if columns is not None else None
+    from .tombstone import anti_filter, plan_tombstone_projection
+
+    tombs, eff_columns, drop = plan_tombstone_projection(encoded_dir, columns)
+    read_cols = sorted(eff_columns) if eff_columns is not None else None
 
     def fetch(batch: pa.Table) -> pa.Table:
         outs = []
@@ -581,9 +620,10 @@ def take_rows(
             return pa.table({})
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    ds = ray.data.from_items(
         items, override_num_blocks=len(items)
     ).map_batches(fetch, batch_format="pyarrow", batch_size=None)
+    return anti_filter(ds, tombs, drop=drop)
 
 
 def isnull_scan(
@@ -625,9 +665,13 @@ def isnull_scan(
             full_ids.add(r["chunk_id"])
     if not files:
         return ray.data.from_arrow(pa.table({}))
+    # route-independent deletes: widen projection, anti-filter, drop
+    from .tombstone import anti_filter, plan_tombstone_projection
+
+    tombs, eff_columns, drop = plan_tombstone_projection(encoded_dir, columns)
     read_cols = None
-    if columns is not None:
-        read_cols = sorted(set(columns) | {column})
+    if eff_columns is not None:
+        read_cols = sorted(set(eff_columns) | {column})
     id_list = sorted(keep_ids) + ["__dict__"]
 
     def scan(batch):
@@ -639,16 +683,17 @@ def isnull_scan(
         for path in batch.column(col).to_pylist():
             chunks = pq.read_table(path, filters=filters)
             if chunks.num_rows:
-                got = isnull_chunk_table(chunks, column, full_ids, columns)
+                got = isnull_chunk_table(chunks, column, full_ids, eff_columns)
                 if got.num_rows:
                     outs.append(got)
         if not outs:
             return pa.table({})
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    ds = ray.data.from_items(
         sorted(files), override_num_blocks=len(files)
     ).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_filter(ds, tombs, drop=drop)
 
 
 def search_pattern(
@@ -704,9 +749,13 @@ def search_pattern(
         files = chunk_files(encoded_dir)
     if not files:
         return ray.data.from_arrow(pa.table({}))
+    # route-independent deletes: widen projection, anti-filter, drop
+    from .tombstone import anti_filter, plan_tombstone_projection
+
+    tombs, eff_columns, drop = plan_tombstone_projection(encoded_dir, columns)
     read_cols = None
-    if columns is not None:
-        read_cols = sorted(set(columns) | {column})
+    if eff_columns is not None:
+        read_cols = sorted(set(eff_columns) | {column})
     id_list = sorted(chunk_ids) + ["__dict__"] if chunk_ids else None
 
     def search(batch):
@@ -721,7 +770,7 @@ def search_pattern(
             chunks = pq.read_table(path, filters=filters or None)
             if chunks.num_rows:
                 t = search_chunk_table(
-                    chunks, column, columns=columns, pred=pred
+                    chunks, column, columns=eff_columns, pred=pred
                 )
                 if t.num_rows:
                     outs.append(t)
@@ -729,6 +778,7 @@ def search_pattern(
             return pa.table({})
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    ds = ray.data.from_items(
         files, override_num_blocks=len(files)
     ).map_batches(search, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_filter(ds, tombs, drop=drop)

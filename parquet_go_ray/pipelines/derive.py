@@ -328,12 +328,17 @@ def search_family_range(
         files.add((r["shard"], r["file"]))
     if not files:
         return ray.data.from_arrow(pa.table({}))
+    # base-store tombstones apply to family-routed reads too: widen the
+    # projection so the anti-filter sees the tombstoned columns
+    from .tombstone import anti_filter, plan_tombstone_projection
+
+    tombs, eff_columns, drop = plan_tombstone_projection(store_dir, columns)
     base_root = Path(store_dir) / "data"
     pairs = sorted(files)
     id_list = sorted(keep_ids) + ["__dict__"]
     base_cols = None
-    if columns is not None:
-        base_cols = [c for c in columns if c != col]
+    if eff_columns is not None:
+        base_cols = [c for c in eff_columns if c != col]
 
     def scan(batch: pa.Table) -> pa.Table:
         pcol = "path" if "path" in batch.column_names else "item"
@@ -370,9 +375,9 @@ def search_family_range(
                     keep, pc.less_equal(got.column(col), pa.scalar(hi))
                 )
             got = got.filter(keep)
-            if columns is not None:
+            if eff_columns is not None:
                 got = got.select(
-                    [c for c in columns if c in got.column_names]
+                    [c for c in eff_columns if c in got.column_names]
                 )
             if got.num_rows:
                 outs.append(got)
@@ -380,9 +385,10 @@ def search_family_range(
             return pa.table({})
         return pa.concat_tables(outs)
 
-    return ray.data.from_items(
+    ds = ray.data.from_items(
         [f"{s}||{f}" for s, f in pairs], override_num_blocks=len(pairs)
     ).map_batches(scan, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_filter(ds, tombs, drop=drop)
 
 
 def decode_with_family(
@@ -407,13 +413,17 @@ def decode_with_family(
         if missing:
             raise FileNotFoundError(f"no such families: {missing}")
         fams = {f: fams[f] for f in families}
+    # base-store tombstones ride the zip: widen, anti-filter, drop
+    from .tombstone import anti_filter, plan_tombstone_projection
+
+    tombs, eff_columns, drop = plan_tombstone_projection(store_dir, columns)
     derived_cols = {c for cs in fams.values() for c in cs}
     base_cols = None
     want_fams = fams
-    if columns is not None:
-        base_cols = [c for c in columns if c not in derived_cols]
+    if eff_columns is not None:
+        base_cols = [c for c in eff_columns if c not in derived_cols]
         want_fams = {
-            f: cs for f, cs in fams.items() if set(cs) & set(columns)
+            f: cs for f, cs in fams.items() if set(cs) & set(eff_columns)
         }
     fam_order = sorted(want_fams)
     fam_roots = {f: Path(family_dir(store_dir, f)) / "data" for f in fam_order}
@@ -471,10 +481,13 @@ def decode_with_family(
         if not outs:
             return pa.table({})
         out = pa.concat_tables(outs)
-        if columns is not None:
-            out = out.select([c for c in columns if c in out.column_names])
+        if eff_columns is not None:
+            out = out.select(
+                [c for c in eff_columns if c in out.column_names]
+            )
         return out
 
-    return ray.data.from_items(
+    ds = ray.data.from_items(
         files, override_num_blocks=len(files)
     ).map_batches(decode_zip, batch_format="pyarrow", zero_copy_batch=True)
+    return anti_filter(ds, tombs, drop=drop)

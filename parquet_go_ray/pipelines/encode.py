@@ -136,6 +136,10 @@ def _encode_job_impl(
         "salts": salts,
         "input_files": len(input_files),
         "format_version": _FORMAT_VERSION,
+        # persisted so rewrites (purge/compact/upsert) keep the SAME
+        # bloom sidecar config — a purge must never silently drop the
+        # store's point-lookup capability (ADVICE r4 #2)
+        "bloom_columns": list(bloom_columns),
     }
     if mode == "bucket":
         # the co-partitioning contract: storage_partitioned_join pairs

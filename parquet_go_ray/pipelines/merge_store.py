@@ -305,7 +305,12 @@ def _sorted_by(meta: dict) -> list[str]:
 
 
 def _base_files(store_dir: str) -> dict[str, list[str]]:
-    """base range name -> chunk files across ALL generations."""
+    """base range name -> chunk files across ALL generations. Fails
+    LOUDLY on shards outside the ``range=`` namespace: the range
+    readers (groupby/join/ordered read) would otherwise silently treat
+    a stray shard as its own base (duplicate group keys, dropped join
+    rows, broken global order). purge_tombstones on a merged store
+    uses a range-preserving renamer precisely so this never fires."""
     from ..state import manifest
 
     t = manifest.lineage_table(store_dir, columns=["shard", "file"])
@@ -314,6 +319,12 @@ def _base_files(store_dir: str) -> dict[str, list[str]]:
     root = Path(store_dir) / "data"
     out: dict[str, set] = {}
     for s, f in zip(t.column("shard").to_pylist(), t.column("file").to_pylist()):
+        if not s.startswith("range="):
+            raise ValueError(
+                f"merged store {store_dir} has shard {s!r} outside the "
+                "range=NNNNN namespace — rewrites of merged stores must "
+                "use a range-preserving renamer"
+            )
         out.setdefault(s.split("+g")[0], set()).add(
             str(root / s / f"{f}.parquet")
         )
@@ -324,19 +335,25 @@ def merge_into(
     out_dir: str,
     new_stores: list[str],
     rows_per_chunk: int = 4096,
+    generation: str | None = None,
 ) -> dict:
     """LSM minor ingest: route `new_stores`' rows into the EXISTING
     ranges of a merged store as a new GENERATION of shards
     (``range=NNNNN+g<hex>``) — base shards are never rewritten, the
     bounds are frozen in the meta, and the increment costs
-    O(increment). The generation id is derived from the input dirs, so
-    re-running the same ingest resume-skips (idempotent). Readers
-    merge a range's generations in-task; run compact_merged to fold
-    them back to one shard per range."""
+    O(increment). The generation id is derived from the inputs'
+    CONTENT (their manifests' content-hashed chunk-file names plus
+    surviving tombstone ids), never from the directory names alone —
+    restaging different data at the same paths is a new generation,
+    while re-running the same ingest resume-skips (idempotent, the
+    result says ``already_applied``). Pass `generation` to label the
+    ingest explicitly (e.g. a snapshot date). Readers merge a range's
+    generations in-task; run compact_merged to fold them back to one
+    shard per range."""
     import hashlib
 
     from ..state import manifest
-    from .tombstone import load_tombstones
+    from .tombstone import _tomb_dir, load_tombstones
 
     meta = manifest.load_job_meta(out_dir) or {}
     if meta.get("mode") != "merged_sorted":
@@ -344,12 +361,26 @@ def merge_into(
     key = meta["key"]
     sort_keys = _sorted_by(meta)
     bounds = meta["bounds"]
-    gen = hashlib.sha1(("|".join(sorted(new_stores))).encode()).hexdigest()[:8]
     for s in new_stores:
         manifest.check_format_version(s, "merge_into")
     tombs = {s: load_tombstones(s) for s in new_stores}
     tombs_ref = ray.put(tombs) if any(tombs.values()) else None
     metas = {s: _key_chunks(s, key) for s in new_stores}
+    if generation is not None:
+        gen = generation
+    else:
+        h = hashlib.sha1()
+        for s in sorted(new_stores):
+            # chunk-file names are content hashes, so (file, chunk_id)
+            # pairs identify the data; tombstone file ids are
+            # content-addressed over (column, values)
+            for c in sorted(
+                (Path(c["path"]).name, c["chunk_id"]) for c in metas[s]
+            ):
+                h.update(repr(c).encode())
+            for p in sorted(_tomb_dir(s).glob("ts-*.parquet")):
+                h.update(p.name.encode())
+        gen = h.hexdigest()[:8]
     lows = [None] + list(bounds)
     highs = list(bounds) + [None]
     done = set(manifest.completed_shards(out_dir))
@@ -388,7 +419,16 @@ def merge_into(
                 }
             )
     if not items:
-        return {"ranges": 0, "rows": 0, "generation": gen, "skipped": True}
+        # 'already_applied' (this exact content landed before, shards
+        # committed) is a different answer from 'no matching rows'
+        applied = any(s.endswith(f"+g{gen}") for s in done)
+        return {
+            "ranges": 0,
+            "rows": 0,
+            "generation": gen,
+            "skipped": True,
+            "already_applied": applied,
+        }
 
     def ingest_range(batch: pa.Table) -> pa.Table:
         from ..stages.decode import decode_chunk_table
@@ -631,6 +671,18 @@ def range_join(
             lschema = ldec(pa.table({"path": pa.array([first_l])})).schema
         if first_r:
             rschema = rdec(pa.table({"path": pa.array([first_r])})).schema
+        # a side with NO data files anywhere cannot supply the schema
+        # its padded empty tables need — refuse clearly, don't TypeError
+        if keep_right and lschema is None:
+            raise ValueError(
+                f"outer join preserves right rows but left store {left} "
+                "has no data files to take a schema from"
+            )
+        if keep_left and rschema is None:
+            raise ValueError(
+                f"outer join preserves left rows but right store {right} "
+                "has no data files to take a schema from"
+            )
 
     def join_range(batch: pa.Table) -> pa.Table:
         outs = []

@@ -94,6 +94,36 @@ def load_tombstones(store_dir: str) -> dict[str, pa.Array]:
     }
 
 
+def plan_tombstone_projection(
+    store_dir: str, columns: list[str] | None
+) -> tuple[dict[str, pa.Array], list[str] | None, list[str]]:
+    """Load surviving tombstones and widen a column projection so every
+    tombstoned column rides the decode for the anti-filter: returns
+    (tombs, columns_to_decode, drop_after). Read operators that accept
+    a `columns` projection use this so deletion semantics never depend
+    on whether the caller happened to project the tombstoned column —
+    the route-independence contract the query router relies on."""
+    tombs = load_tombstones(store_dir)
+    if not tombs or columns is None:
+        return tombs, columns, []
+    drop = [c for c in tombs if c not in columns]
+    cols = list(columns) + drop if drop else columns
+    return tombs, cols, drop
+
+
+def tomb_mask(t: pa.Table, tombs: dict[str, pa.Array]):
+    """Boolean keep-mask for a decoded table under `tombs` (None when
+    nothing applies) — the same filter anti_filter applies, exposed for
+    operators that must filter BEFORE an order-dependent truncation
+    (top-k) rather than as a trailing Dataset stage."""
+    mask = None
+    for col, vals in tombs.items():
+        if col in t.column_names:
+            m = pc.invert(pc.is_in(t.column(col), value_set=vals))
+            mask = m if mask is None else pc.and_(mask, m)
+    return mask
+
+
 def anti_filter(
     ds: ray.data.Dataset,
     tombs: dict[str, pa.Array],
@@ -122,6 +152,31 @@ def anti_filter(
         return t
 
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def store_bloom_columns(store_dir: str) -> tuple[str, ...]:
+    """The store's bloom sidecar config, for rewrites (purge / upsert /
+    changelog append) to preserve: primarily from the persisted job
+    meta; for stores written before the meta carried it, inferred from
+    one chunk file's (column, bloom) sidecar rows (documented
+    approximation — job meta is authoritative on every new store)."""
+    from ..state import manifest
+
+    meta = manifest.load_job_meta(store_dir)
+    if meta and "bloom_columns" in meta:
+        return tuple(meta["bloom_columns"])
+    from .decode import chunk_files
+
+    files = chunk_files(store_dir)
+    if not files:
+        return ()
+    t = pq.read_table(files[0], columns=["column", "bloom"])
+    cols = {
+        c.as_py()
+        for c, b in zip(t.column("column"), t.column("bloom"))
+        if b.is_valid
+    }
+    return tuple(sorted(cols))
 
 
 def _maybe_contains(vmin_json, vmax_json, values: list) -> bool:
@@ -186,6 +241,7 @@ def upsert_files(
             for f in files
         ]
     )
+    bloom_cols = store_bloom_columns(store_dir)
     tomb = delete_where(store_dir, key_col, keys)
     purged = purge_tombstones(
         store_dir, rows_per_chunk=rows_per_chunk, compression=compression
@@ -196,6 +252,7 @@ def upsert_files(
         rows_per_chunk=rows_per_chunk,
         compression=compression,
         resume=True,
+        bloom_columns=bloom_cols,
     )
     return {
         "keys_tombstoned": tomb["values"],
@@ -292,6 +349,7 @@ def apply_changelog(
                 rows_per_chunk=rows_per_chunk,
                 compression=compression,
                 resume=True,
+                bloom_columns=store_bloom_columns(store_dir),
             )
     marker_dir.mkdir(parents=True, exist_ok=True)
     tmp = marker.with_suffix(".tmp")
@@ -321,6 +379,18 @@ def purge_tombstones(
 
     manifest.check_format_version(store_dir, "purge")
     _recover(store_dir)
+    if rename is None:
+        meta = manifest.load_job_meta(store_dir) or {}
+        if meta.get("mode") == "merged_sorted":
+            # range-layout stores must stay in the range=NNNNN namespace
+            # (the range readers key grouping/join/order on it): rewrite
+            # as a new GENERATION of the same range, which the readers
+            # already merge in-task (ADVICE r4 #4)
+            def rename(shard: str) -> str:
+                base = shard.split("+g")[0]
+                gen = hashlib.sha1(f"purge|{shard}".encode()).hexdigest()[:8]
+                return f"{base}+g{gen}"
+
     tombs = load_tombstones(store_dir)
     tomb_files = sorted(_tomb_dir(store_dir).glob("ts-*.parquet"))
     if not tombs:
@@ -360,6 +430,10 @@ def purge_tombstones(
         }
 
     tombs_ref = ray.put(tombs)
+    # rewritten shards keep the store's ORIGINAL bloom config: a purge
+    # that dropped e.g. the doc_id sidecars would silently remove those
+    # shards from point_lookup's probe set (ADVICE r4 #2)
+    bloom_cols = store_bloom_columns(store_dir)
 
     def purge_shard(batch: pa.Table) -> pa.Table:
         from ..stages.decode import decode_chunk_table
@@ -410,6 +484,7 @@ def purge_tombstones(
                     rows_per_chunk=rows_per_chunk,
                     skip_completed=False,
                     compression=compression,
+                    bloom_columns=bloom_cols,
                 )
                 chunks = pa.concat_tables(
                     enc._encode_groups(rows, gid, enc._cache())

@@ -355,3 +355,50 @@ def test_range_manifests_are_disjoint_and_ordered(two_stores, tmp_path):
     assert len(ordered) >= 2, "merge produced a single range — widen data"
     for (_, hi_prev), (lo_next, _) in zip(ordered, ordered[1:]):
         assert hi_prev <= lo_next
+
+
+def test_merge_into_restaged_content_is_new_generation(tmp_path, ray_session):
+    """ADVICE r4 #3: the generation id derives from the inputs'
+    CONTENT, not the directory names — a daily loop that restages NEW
+    data at the SAME path must ingest again, not resume-skip; the
+    same content re-run reports already_applied."""
+    import shutil
+
+    from parquet_go_ray.pipelines.merge_store import (
+        merge_into,
+        read_merged_sorted,
+    )
+
+    rng = np.random.default_rng(7)
+    a, dfa = _mk_store(tmp_path, "base2", np.arange(0, 200), rng.integers(0, 50, 200))
+    out = str(tmp_path / "merged2")
+    merge_sorted_stores([a], out, "k", num_ranges=4, extra_sort_keys=("doc_id",))
+
+    # day 1: increment staged at /incr
+    incr_dir = tmp_path / "incr_store"
+    b1, dfb1 = _mk_store(tmp_path, "day1", np.arange(1000, 1100), rng.integers(0, 50, 100))
+    shutil.move(b1, incr_dir)
+    r1 = merge_into(out, [str(incr_dir)])
+    assert r1["rows"] == 100 and not r1["skipped"]
+
+    # same content re-run: skipped AND explicitly already_applied
+    r1b = merge_into(out, [str(incr_dir)])
+    assert r1b["skipped"] is True and r1b["already_applied"] is True
+
+    # day 2: DIFFERENT data restaged at the SAME path
+    shutil.rmtree(incr_dir)
+    b2, dfb2 = _mk_store(tmp_path, "day2", np.arange(2000, 2080), rng.integers(0, 50, 80))
+    shutil.move(b2, incr_dir)
+    r2 = merge_into(out, [str(incr_dir)])
+    assert r2["rows"] == 80 and not r2["skipped"], (
+        "restaged content at the same path must not resume-skip"
+    )
+    assert r2["generation"] != r1["generation"]
+    got = read_merged_sorted(out).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(
+        pd.concat([dfa, dfb1, dfb2])["doc_id"]
+    )
+    # explicit generation label wins
+    b3, _ = _mk_store(tmp_path, "day3", np.arange(3000, 3010), rng.integers(0, 50, 10))
+    r3 = merge_into(out, [b3], generation="20260819")
+    assert r3["generation"] == "20260819"

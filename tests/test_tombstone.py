@@ -293,3 +293,68 @@ def test_apply_changelog_rejects_unknown_op(store, tmp_path):
     pq.write_table(t, p)
     with pytest.raises(ValueError, match="unknown changelog ops"):
         apply_changelog(out, [p], key_col="doc_id")
+
+
+def test_purge_preserves_bloom_config(store):
+    """ADVICE r4 #2: a purge rewrite must keep the store's ORIGINAL
+    bloom sidecar config (doc_id here), so equality lookups keep
+    finding rows that live in rewritten shards."""
+    out, docs = store
+    survivor = int(docs["doc_id"].iloc[1])
+    tombstone.delete_where(out, "doc_id", [int(docs["doc_id"].iloc[0])])
+    res = tombstone.purge_tombstones(out)
+    assert res["shards_rewritten"] >= 1
+    # the rewritten shard's chunk files still carry doc_id blooms
+    from parquet_go_ray.pipelines.decode import chunk_files
+
+    purged = [f for f in chunk_files(out) if "/purge-" in f]
+    assert purged
+    for f in purged:
+        t = pq.read_table(f, columns=["column", "bloom"])
+        ok = [
+            b.is_valid
+            for c, b in zip(t.column("column"), t.column("bloom"))
+            if c.as_py() == "doc_id"
+        ]
+        assert ok and all(ok), f"purged shard {f} lost its doc_id bloom"
+    # and point_lookup still finds a survivor that now lives there
+    got = point_lookup(out, "doc_id", [survivor]).to_pandas()
+    assert set(got["doc_id"]) == {survivor}
+
+
+def test_point_lookup_admits_bloomless_files(tmp_path, ray_session, sf_dir):
+    """A store written WITHOUT bloom sidecars still answers point
+    lookups correctly: files with no valid bloom for the probed column
+    are admitted conservatively instead of skipped."""
+    out = str(tmp_path / "nobloom")
+    encode_job(
+        [f"{sf_dir}/documents.parquet"], out, rows_per_chunk=256,
+        bloom_columns=(),
+    )
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    want = int(docs["doc_id"].iloc[5])
+    got = point_lookup(out, "doc_id", [want]).to_pandas()
+    assert set(got["doc_id"]) == {want}
+
+
+def test_upsert_preserves_bloom_config(store, tmp_path):
+    out, docs = store
+    new = docs.tail(5).copy()
+    new["doc_id"] = new["doc_id"] + 2_000_000
+    inc_path = str(tmp_path / "increment-b.parquet")
+    pq.write_table(pa.Table.from_pandas(new, preserve_index=False), inc_path)
+    tombstone.upsert_files(out, [inc_path], key_col="doc_id")
+    # appended increment shard carries the store's doc_id blooms
+    from parquet_go_ray.pipelines.decode import chunk_files
+
+    inc_files = [f for f in chunk_files(out) if "increment-b" in f]
+    assert inc_files
+    t = pq.read_table(inc_files[0], columns=["column", "bloom"])
+    ok = [
+        b.is_valid
+        for c, b in zip(t.column("column"), t.column("bloom"))
+        if c.as_py() == "doc_id"
+    ]
+    assert ok and all(ok)
+    got = point_lookup(out, "doc_id", [int(new["doc_id"].iloc[0])]).to_pandas()
+    assert len(got) == 1
