@@ -538,7 +538,20 @@ def compact_merged(out_dir: str, rows_per_chunk: int = 4096) -> dict:
     todo = {b: sorted(ss) for b, ss in groups.items() if len(ss) > 1}
     if not todo:
         return {"ranges_compacted": 0, "shards_merged": 0}
-    items = [{"base": b, "members": ms} for b, ms in sorted(todo.items())]
+    # member files from the manifest lineage, never a glob: orphaned
+    # chunk files (committed data, crashed before record_shard) must
+    # not fold into the compacted shard as duplicate rows (ADVICE r4 #5)
+    file_map = manifest.shard_file_map(
+        out_dir, {s for ms in todo.values() for s in ms}
+    )
+    items = [
+        {
+            "base": b,
+            "members": ms,
+            "files": [f for m in ms for f in file_map.get(m, [])],
+        }
+        for b, ms in sorted(todo.items())
+    ]
 
     def compact_range(batch: pa.Table) -> pa.Table:
         from ..stages.decode import decode_chunk_table
@@ -566,11 +579,8 @@ def compact_merged(out_dir: str, rows_per_chunk: int = 4096) -> dict:
                 out.append({"base": base, "merged": len(members)})
                 continue
             parts = []
-            for m in members:
-                for f in sorted(
-                    (Path(out_dir) / "data" / m).glob("*.parquet")
-                ):
-                    parts.append(decode_chunk_table(pq.read_table(f)))
+            for f in row["files"]:
+                parts.append(decode_chunk_table(pq.read_table(f)))
             rows_t = pa.concat_tables(parts, promote_options="default")
             rows_t = rows_t.sort_by(
                 [(k, "ascending") for k in sort_keys]

@@ -434,6 +434,11 @@ def purge_tombstones(
     # that dropped e.g. the doc_id sidecars would silently remove those
     # shards from point_lookup's probe set (ADVICE r4 #2)
     bloom_cols = store_bloom_columns(store_dir)
+    # member files come from the manifest lineage, never a glob: an
+    # orphaned chunk file (task committed data, crashed before the
+    # manifest) must not be folded into the rewrite as duplicate rows
+    # (ADVICE r4 #5)
+    file_map = manifest.shard_file_map(store_dir, candidates)
 
     def purge_shard(batch: pa.Table) -> pa.Table:
         from ..stages.decode import decode_chunk_table
@@ -441,7 +446,8 @@ def purge_tombstones(
 
         out = []
         tb = ray.get(tombs_ref)
-        for shard in batch.column("item").to_pylist():
+        for row in batch.to_pylist():
+            shard, shard_files = row["shard"], row["files"]
             gid = (
                 rename(shard)
                 if rename is not None
@@ -460,7 +466,7 @@ def purge_tombstones(
                 out.append({"shard": shard, "removed": 0})
                 continue
             parts = []
-            for f in sorted((Path(store_dir) / "data" / shard).glob("*.parquet")):
+            for f in shard_files:
                 parts.append(decode_chunk_table(pq.read_table(f)))
             parts = [p for p in parts if p.num_columns]
             if not parts:
@@ -503,8 +509,11 @@ def purge_tombstones(
             schema=pa.schema([("shard", pa.string()), ("removed", pa.int64())]),
         )
 
+    items = [
+        {"shard": s, "files": file_map.get(s, [])} for s in sorted(candidates)
+    ]
     res = (
-        ray.data.from_items(sorted(candidates), override_num_blocks=len(candidates))
+        ray.data.from_items(items, override_num_blocks=len(items))
         .map_batches(purge_shard, batch_format="pyarrow")
         .to_pandas()
     )

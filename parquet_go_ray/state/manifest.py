@@ -110,6 +110,40 @@ def lineage_table(
     return pa.concat_tables(tables) if tables else None
 
 
+def shard_file_map(
+    output_dir: str, shards=None
+) -> dict[str, list[str]]:
+    """shard -> sorted absolute chunk-file paths, from the MANIFEST
+    lineage — never from a directory glob. Rewrites (purge / compact)
+    must fold in exactly the files a shard's commit recorded: a crashed
+    task that wrote its data file but died before record_shard leaves
+    an orphan in the shard dir, and a glob would resurrect it as
+    duplicate rows while every manifest-driven reader correctly
+    ignores it (fsck reaps orphans separately)."""
+    from pathlib import Path
+
+    wanted = set(shards) if shards is not None else None
+    t = lineage_table(output_dir, columns=["shard", "file"])
+    root = Path(output_dir) / "data"
+    out: dict[str, set] = {}
+    if t is not None:
+        for s, f in zip(
+            t.column("shard").to_pylist(), t.column("file").to_pylist()
+        ):
+            if wanted is not None and s not in wanted:
+                continue
+            out.setdefault(s, set()).add(str(root / s / f"{f}.parquet"))
+    # legacy/json-only manifests have no parquet twin: fall back to the
+    # shard's recorded JSON lineage before ever touching the filesystem
+    missing = (wanted or set()) - set(out)
+    for s in missing:
+        p = manifest_dir(output_dir) / f"{s}.json"
+        if p.exists():
+            recs = json.loads(p.read_text())["records"]
+            out[s] = {str(root / s / f"{r['file']}.parquet") for r in recs}
+    return {s: sorted(fs) for s, fs in out.items()}
+
+
 def load_shard(output_dir: str, shard: str) -> dict:
     return json.loads((manifest_dir(output_dir) / f"{shard}.json").read_text())
 

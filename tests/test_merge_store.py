@@ -402,3 +402,30 @@ def test_merge_into_restaged_content_is_new_generation(tmp_path, ray_session):
     b3, _ = _mk_store(tmp_path, "day3", np.arange(3000, 3010), rng.integers(0, 50, 10))
     r3 = merge_into(out, [b3], generation="20260819")
     assert r3["generation"] == "20260819"
+
+
+def test_compact_ignores_orphaned_chunk_files(two_stores, tmp_path):
+    """ADVICE r4 #5: compaction reads members' files from the manifest
+    lineage — an orphaned chunk file in a member shard dir must not
+    fold into the compacted shard as duplicate rows."""
+    import shutil
+
+    from parquet_go_ray.pipelines.merge_store import (
+        compact_merged,
+        merge_into,
+    )
+
+    (a, b), want = two_stores
+    out = str(tmp_path / "merged_orph")
+    merge_sorted_stores([a], out, "k", num_ranges=3, extra_sort_keys=("doc_id",))
+    merge_into(out, [b])
+    # plant an orphan in one base range dir
+    data = Path(out) / "data"
+    some_shard = sorted(d for d in data.iterdir() if d.is_dir())[0]
+    victim = sorted(some_shard.glob("*.parquet"))[0]
+    shutil.copy(victim, some_shard / "orphan-cafebabe.parquet")
+    info = compact_merged(out)
+    assert info["ranges_compacted"] >= 1
+    got = read_merged_sorted(out).to_pandas()
+    assert sorted(got["doc_id"]) == sorted(want["doc_id"])
+    assert got["doc_id"].is_unique

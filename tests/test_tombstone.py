@@ -358,3 +358,22 @@ def test_upsert_preserves_bloom_config(store, tmp_path):
     assert ok and all(ok)
     got = point_lookup(out, "doc_id", [int(new["doc_id"].iloc[0])]).to_pandas()
     assert len(got) == 1
+
+
+def test_purge_ignores_orphaned_chunk_files(store):
+    """ADVICE r4 #5: purge folds in exactly the files the shard's
+    manifest commit recorded — an orphan chunk file (a task that wrote
+    its data file but crashed before record_shard) must not resurrect
+    as duplicate rows in the rewritten shard."""
+    out, docs = store
+    from parquet_go_ray.pipelines.decode import chunk_files
+
+    victim = Path(chunk_files(out)[0])
+    orphan = victim.parent / "orphan-deadbeef.parquet"
+    shutil.copy(victim, orphan)
+    tombstone.delete_where(out, "doc_id", [int(docs["doc_id"].iloc[0])])
+    res = tombstone.purge_tombstones(out)
+    assert res["shards_rewritten"] >= 1
+    got = decode_dataset(out).to_pandas()
+    assert len(got) == len(docs) - 1
+    assert got["doc_id"].is_unique, "orphan rows duplicated into purge"
