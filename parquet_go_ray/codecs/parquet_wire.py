@@ -1143,10 +1143,15 @@ def _write_general_column_chunk(
     leaf: dict,
     compression: str | None,
     encoding: str | None,
+    page_rows: int,
 ) -> _ColumnChunkResult:
-    """One column chunk for a shredded nested leaf: a single data page
-    carrying RLE rep/def streams at schema-derived widths, then the
-    dense element values through the normal encodings."""
+    """Column chunk for a shredded nested leaf: data pages split at
+    ROW boundaries (rep==0 marks row starts — a page never splits a
+    record, per the spec), each carrying RLE rep/def streams at
+    schema-derived widths then the dense element values through the
+    normal encodings. Per-page ColumnIndex bounds come from each
+    page's dense values, so nested leaves prune like flat columns
+    (column_index.go:259-272 emits entries for every leaf)."""
     ct: _ColType = leaf["ct"]
     dense: pa.Array = leaf["dense"]
     if dense.null_count:
@@ -1183,29 +1188,69 @@ def _write_general_column_chunk(
         res.pages += 1
         return offset, len(header) + len(comp)
 
+    idx_np = width = None
     if enc == E_RLE_DICTIONARY:
         dict_raw = _encode_values(dict_vals, E_PLAIN, ct)
         res.dict_page_offset, _ = emit(_PAGE_DICT, dict_raw, len(dict_vals), E_PLAIN)
-
-    parts = []
-    if max_rep > 0:
-        wr = max(1, max_rep.bit_length())
-        body = rle.encode(rep.astype(np.uint64), wr)
-        parts.append(struct.pack("<I", len(body)) + body)
-    if max_def > 0:
-        wd = max(1, max_def.bit_length())
-        body = rle.encode(deff.astype(np.uint64), wd)
-        parts.append(struct.pack("<I", len(body)) + body)
-    if enc == E_RLE_DICTIONARY:
         width = max(1, (len(dict_vals) - 1).bit_length()) if len(dict_vals) > 1 else 1
         idx_np = dict_idx.to_numpy(zero_copy_only=False).astype(np.uint64)
-        parts.append(bytes([width]) + rle.encode(idx_np, width))
-    else:
-        parts.append(_encode_values(dense, enc, ct))
-    res.data_page_offset, size = emit(_PAGE_DATA, b"".join(parts), len(rep), enc)
-    # nested leaves write one page per row group: offset index only
-    res.page_locations.append((res.data_page_offset, size, 0))
-    res.page_stats.append(None)
+
+    wr = max(1, max_rep.bit_length()) if max_rep > 0 else 0
+    wd = max(1, max_def.bit_length()) if max_def > 0 else 0
+    # entry index of each row start; dense-value count before each entry
+    # (dense rides exactly the deff==max_def entries, in entry order)
+    row_starts = np.flatnonzero(rep == 0)
+    n_rows = len(row_starts)
+    dense_before = np.concatenate(
+        ([0], np.cumsum(deff == max_def, dtype=np.int64))
+    )
+
+    res.data_page_offset = None
+    for r0 in range(0, max(n_rows, 1), page_rows):
+        if n_rows:
+            a = int(row_starts[r0])
+            b = (
+                int(row_starts[r0 + page_rows])
+                if r0 + page_rows < n_rows
+                else len(rep)
+            )
+        else:
+            a = b = 0
+        d0, d1 = int(dense_before[a]), int(dense_before[b])
+        parts = []
+        if max_rep > 0:
+            body = rle.encode(rep[a:b].astype(np.uint64), wr)
+            parts.append(struct.pack("<I", len(body)) + body)
+        if max_def > 0:
+            body = rle.encode(deff[a:b].astype(np.uint64), wd)
+            parts.append(struct.pack("<I", len(body)) + body)
+        if enc == E_RLE_DICTIONARY:
+            parts.append(bytes([width]) + rle.encode(idx_np[d0:d1], width))
+        else:
+            parts.append(_encode_values(dense.slice(d0, d1 - d0), enc, ct))
+        off, size = emit(_PAGE_DATA, b"".join(parts), b - a, enc)
+        if res.data_page_offset is None:
+            res.data_page_offset = off
+        res.page_locations.append((off, size, r0 if n_rows else 0))
+        page_dense = dense.slice(d0, d1 - d0)
+        if len(page_dense) == 0:
+            res.page_stats.append(
+                {"null_page": True, "null_count": b - a, "lo": b"",
+                 "hi": b"", "lo_py": None, "hi_py": None}
+            )
+        else:
+            bnd = _page_bounds(page_dense, ct)
+            res.page_stats.append(
+                None
+                if bnd is None
+                else {
+                    "null_page": False,
+                    "null_count": (b - a) - (d1 - d0),
+                    **bnd,
+                }
+            )
+        if n_rows == 0:
+            break
 
     res.stats = _stats_blob(dense, ct, res.num_values - len(dense))
     encodings = [enc, E_RLE]
@@ -1451,7 +1496,11 @@ def write_table(
                             leaf["ct"],
                             leaf["names"],
                             _write_general_column_chunk(
-                                out, leaf, compression, (encodings or {}).get(name)
+                                out,
+                                leaf,
+                                compression,
+                                (encodings or {}).get(name),
+                                page_rows,
                             ),
                         )
                         for leaf in _shred(arr, ct)  # ct is the _WNode here

@@ -353,3 +353,79 @@ def test_wire_bloom_float_probe(tmp_path):
     write_table(t, p, bloom_columns=("score",))
     assert R.bloom_may_contain(p, "score", [1.5]).any()
     assert R.bloom_may_contain(p, "score", [2.5, 9.9]).tolist() == [True, False]
+
+
+def test_nested_leaves_paginate_with_column_index(tmp_path):
+    """General Dremel-shredded leaves paginate at row boundaries and
+    emit per-page ColumnIndex bounds + null counts, like flat columns
+    (column_index.go:259-272 emits entries for every leaf)."""
+    n = 2000
+    t = pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "s": pa.array(
+                [
+                    {"a": int(i), "tags": [f"t{i % 7}", f"u{i % 3}"]}
+                    if i % 11
+                    else None
+                    for i in range(n)
+                ],
+                type=pa.struct(
+                    [("a", pa.int64()), ("tags", pa.list_(pa.string()))]
+                ),
+            ),
+        }
+    )
+    p = str(tmp_path / "nested_pages.parquet")
+    write_table(t, p, page_rows=256)
+    # three independent readers agree on the data
+    got = pq.read_table(p)
+    assert got.column("s").combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    ours = R.read_table(p)
+    assert ours.column("s").combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    # every leaf carries a populated page index, 2000/256 -> 8 pages
+    idx = R.read_page_index(p)[0]
+    assert set(idx) == {"id", "s.a", "s.tags.list.element"}
+    for leaf, d in idx.items():
+        assert len(d["offset_index"]["locations"]) == 8, leaf
+        ci = d["column_index"]
+        assert ci is not None, leaf
+        assert len(ci["mins"]) == 8 and not any(ci["null_pages"])
+    # s.a ascends with the data; per-page null counts track the i%11
+    # null structs (~23-24 per 256-row page)
+    ci = idx["s.a"]["column_index"]
+    assert ci["boundary_order"] == 1
+    assert ci["mins"][1] == 256 and ci["maxs"][1] == 511
+    assert all(18 <= c <= 26 for c in ci["null_counts"])  # last page short
+    # first_row_index is in ROWS (not entries), so page 3 starts at 768
+    assert idx["s.tags.list.element"]["offset_index"]["locations"][3][2] == 768
+
+
+def test_nested_all_null_page_and_dict_pages(tmp_path):
+    """A page whose rows are ALL null structs marks null_page in the
+    ColumnIndex; dict-encoded nested leaves slice their index stream
+    per page against ONE shared dictionary page."""
+    n = 1024
+    vals = [
+        None if 256 <= i < 512 else {"tag": f"k{i % 5}"} for i in range(n)
+    ]
+    t = pa.table(
+        {
+            "s": pa.array(vals, type=pa.struct([("tag", pa.string())])),
+        }
+    )
+    p = str(tmp_path / "nulls.parquet")
+    write_table(t, p, page_rows=256, encodings={"s": "rle_dictionary"})
+    assert pq.read_table(p).column("s").combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    assert R.read_table(p).column("s").combine_chunks().equals(
+        t.column("s").combine_chunks()
+    )
+    ci = R.read_page_index(p)[0]["s.tag"]["column_index"]
+    assert list(ci["null_pages"]) == [False, True, False, False]
+    assert list(ci["null_counts"]) == [0, 256, 0, 0]
