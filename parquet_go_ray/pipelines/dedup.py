@@ -545,7 +545,7 @@ BROADCAST_PAIR_LIMIT = 2_000_000
 
 def _candidate_value_lookup(
     cand: ray.data.Dataset, ds: ray.data.Dataset, value_fn, id_col: str,
-    n_pairs: int | None = None, bloom=None,
+    n_pairs: int | None = None, bloom=None, pack_u64_width: int | None = None,
 ):
     """Broadcast helper for small candidate sets (the explicitly bounded
     fast path, <= BROADCAST_PAIR_LIMIT pairs): one projected pass over
@@ -586,6 +586,20 @@ def _candidate_value_lookup(
     order = np.argsort(vals["doc"].to_numpy(), kind="stable")
     doc_ids = vals["doc"].to_numpy().astype(np.int64)[order]
     val_list = vals["val"].to_numpy()[order]
+    if pack_u64_width is not None:
+        # fixed-width values (minhash signatures) pack into ONE uint64
+        # matrix on the driver: ray.get in every estimate task is then
+        # zero-copy plasma (two numpy arrays) instead of unpickling one
+        # bytes object per candidate doc, and no task rebuilds the
+        # matrix per call
+        mat = (
+            np.frombuffer(b"".join(val_list), dtype=np.uint64).reshape(
+                len(doc_ids), pack_u64_width
+            )
+            if len(doc_ids)
+            else np.zeros((0, pack_u64_width), dtype=np.uint64)
+        )
+        return ray.put((doc_ids, mat))
     return ray.put((doc_ids, val_list))
 
 
@@ -625,56 +639,57 @@ def minhash_lsh_pairs(
         return list(sel["sig"])
 
     if n_pairs <= BROADCAST_PAIR_LIMIT:
-        # broadcast fast path: sig lookup ray.put once; dedup + attach +
-        # estimate fused into ONE hash-partitioned stage (the candidate
-        # count can be large on duplication-heavy corpora — 1.4M pairs
-        # from 5k docs at sf0.1 — so the estimate must be vectorized
-        # and parallel, never a single-task or per-pair loop)
+        # broadcast fast path: sig lookup ray.put ONCE as a packed
+        # (doc_ids, uint64 matrix) pair — zero-copy per task. The
+        # estimate runs map-only over the raw candidate stream (the
+        # candidate count can be large on duplication-heavy corpora —
+        # 1.4M pairs from 5k docs at sf0.1 — and the estimate is a
+        # vectorized gather+compare, so re-estimating a band-duplicate
+        # pair is far cheaper than hash-partitioning every candidate
+        # row before the threshold cut); the global pair dedup then
+        # shuffles only the SURVIVORS (est >= threshold), typically a
+        # small fraction of the candidate stream.
         import ray
 
         lookup_ref = _candidate_value_lookup(
-            cand, sigs_ds, sig_values, id_col, n_pairs=n_pairs
+            cand, sigs_ds, sig_values, id_col, n_pairs=n_pairs,
+            pack_u64_width=num_perm,
         )
         PG = 64
 
-        def add_pg(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy()
-            df["pg"] = (
-                (df["id_a"].to_numpy() * 1_000_003 + df["id_b"].to_numpy()) % PG
-            ).astype(np.int32)
-            return df
-
-        def est_part(part: pd.DataFrame) -> pd.DataFrame:
+        def est_block(part: pd.DataFrame) -> pd.DataFrame:
+            # per-block dedup trims same-block band duplicates for free
             part = part.drop_duplicates(["id_a", "id_b"])
-            doc_ids, val_list = ray.get(lookup_ref)
-            # fixed-width signatures pack into one (n_cand, num_perm)
-            # matrix per task; pair lookups are two vectorized
-            # searchsorted gathers (no per-pair python join)
-            mat = (
-                np.frombuffer(b"".join(val_list), dtype=np.uint64).reshape(
-                    len(doc_ids), num_perm
-                )
-                if len(doc_ids)
-                else np.zeros((0, num_perm), dtype=np.uint64)
-            )
+            doc_ids, mat = ray.get(lookup_ref)
             ids_a = part["id_a"].to_numpy().astype(np.int64)
             ids_b = part["id_b"].to_numpy().astype(np.int64)
             sig_a = mat[np.searchsorted(doc_ids, ids_a)]
             sig_b = mat[np.searchsorted(doc_ids, ids_b)]
             est = (sig_a == sig_b).mean(axis=1)
             keep = est >= jaccard_threshold
+            ids_a, ids_b = ids_a[keep], ids_b[keep]
             return pd.DataFrame(
                 {
-                    "id_a": ids_a[keep],
-                    "id_b": ids_b[keep],
+                    "id_a": ids_a,
+                    "id_b": ids_b,
                     "est_jaccard": np.round(est[keep], 4),
+                    # deterministic pair partition for the survivor dedup
+                    "pg": ((ids_a * 1_000_003 + ids_b) % PG).astype(
+                        np.int32
+                    ),
                 }
             )
 
+        def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
+            # duplicates of a pair carry identical est values, so
+            # first-wins is exact
+            part = part.drop_duplicates(["id_a", "id_b"])
+            return part[["id_a", "id_b", "est_jaccard"]]
+
         return (
-            cand.map_batches(add_pg, batch_format="pandas")
+            cand.map_batches(est_block, batch_format="pandas", batch_size=None)
             .groupby("pg")
-            .map_groups(est_part, batch_format="pandas")
+            .map_groups(dedup_part, batch_format="pandas")
         )
 
     paired = _attach_pair_values(
