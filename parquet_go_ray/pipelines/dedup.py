@@ -541,6 +541,9 @@ def _attach_pair_values(
 # switches to the fully distributed pair join (the driver would
 # otherwise hold ~512 B x candidate docs)
 BROADCAST_PAIR_LIMIT = 2_000_000
+# anti-join drop sets up to this many ids broadcast (8 B each — 16 MB
+# of plasma at the cap) instead of shuffling the left side's payload
+BROADCAST_DROP_LIMIT = 2_000_000
 
 
 def _candidate_value_lookup(
@@ -795,13 +798,53 @@ def anti_join_ids(
     payload_cols: tuple[str, ...] = (),
 ) -> ray.data.Dataset:
     """Distributed anti-join on an id column: rows of `ids_ds` whose id
-    is NOT in `drop_ds[id_col]`. Both sides shuffle id-only rows into
-    hash partitions (8 B/row); exact (no bloom false positives — a FP
+    is NOT in `drop_ds[id_col]`. Exact (no bloom false positives — a FP
     here would silently drop a kept document). `payload_cols` lets the
-    LEFT side's rows carry payload columns through the join (they ride
-    the one shuffle; the drop side ships ids only), for consumers that
-    need the surviving documents, not just their ids."""
+    LEFT side's rows carry payload columns through, for consumers that
+    need the surviving documents, not just their ids.
+
+    Two regimes, picked by the MEASURED drop count (the id-only drop
+    projection is materialized first — one pass either way):
+    - drop set <= BROADCAST_DROP_LIMIT (the common case: dedup drop
+      lists are a fraction of the corpus): the sorted drop ids ship
+      once via ray.put and the left side filters MAP-ONLY — payload
+      never shuffles at all.
+    - larger: both sides shuffle id-only rows into hash partitions
+      (8 B/row for the drop side; the left side's payload rides the
+      one exchange)."""
+    import ray as _ray
+
     P = _n_partitions(n_hint, 1)
+    out_cols = [id_col, *payload_cols]
+
+    def drop_pick(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy().astype(np.int64)}
+        )
+
+    drops_m = drop_ds.map_batches(
+        drop_pick, batch_format="pandas"
+    ).materialize()
+    if drops_m.count() <= BROADCAST_DROP_LIMIT:
+        pdf = drops_m.to_pandas()
+        drop_sorted = (
+            np.unique(pdf[id_col].to_numpy().astype(np.int64))
+            if len(pdf)
+            else np.empty(0, dtype=np.int64)
+        )
+        drop_ref = _ray.put(drop_sorted)
+
+        def keep_map(df: pd.DataFrame) -> pd.DataFrame:
+            drop = _ray.get(drop_ref)
+            ids = df[id_col].to_numpy().astype(np.int64)
+            if len(drop):
+                at = np.searchsorted(drop, ids)
+                at[at == len(drop)] = 0
+                mask = drop[at] != ids
+                df = df.loc[mask]
+            return df[out_cols].reset_index(drop=True)
+
+        return ids_ds.map_batches(keep_map, batch_format="pandas")
 
     def tag(side: int):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
@@ -820,9 +863,8 @@ def anti_join_ids(
         return fn
 
     both = ids_ds.map_batches(tag(0), batch_format="pandas").union(
-        drop_ds.map_batches(tag(1), batch_format="pandas")
+        drops_m.map_batches(tag(1), batch_format="pandas")
     )
-    out_cols = [id_col, *payload_cols]
 
     def keep(part: pd.DataFrame) -> pd.DataFrame:
         drop = set(part.loc[part["side"] == 1, id_col])
