@@ -860,6 +860,9 @@ def _mk_roundtrip(table):
 # per-task memory stays bounded as the data grows (round-2 verdict #3
 # replaced the fixed 16-bucket fan-out)
 JOIN_BUCKET_TARGET_ROWS = 250_000
+# dim sides up to this many rows broadcast (two int64 arrays, 64 MB at
+# the cap) instead of bucket-partitioning both join sides
+JOIN_BROADCAST_LIMIT_ROWS = 4_000_000
 
 
 def q_hash_join(sf_dir):
@@ -3465,13 +3468,14 @@ def q_top_revenue_customers(sf_dir):
     are order-free and the hash compare is exact."""
     import ray as _ray
 
-    li = _read(
+    li = _read_split(
         sf_dir,
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    B = max(16, -(-orders.count() // JOIN_BUCKET_TARGET_ROWS))
+    n_orders = orders.count()
+    B = max(16, -(-n_orders // JOIN_BUCKET_TARGET_ROWS))
     lo = np.datetime64("1996-01-01")
     hi = np.datetime64("1997-01-01")
 
@@ -3505,9 +3509,9 @@ def q_top_revenue_customers(sf_dir):
             }
         )
 
-    both = li.map_batches(li_partial, batch_format="pandas").union(
-        orders.map_batches(o_tag, batch_format="pandas")
-    )
+    both = li.map_batches(
+        li_partial, batch_format="pandas", batch_size=None
+    ).union(orders.map_batches(o_tag, batch_format="pandas", batch_size=None))
 
     def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
         fact = g[g["cust"] < 0][["key", "cents"]]
@@ -3540,12 +3544,56 @@ def q_top_revenue_customers(sf_dir):
             }
         )
 
-    cand = (
-        both.groupby("bucket")
-        .map_groups(join_bucket, batch_format="pandas")
-        .groupby("bucket2")
-        .map_groups(sum_topk_bucket, batch_format="pandas")
-    )
+    if n_orders <= JOIN_BROADCAST_LIMIT_ROWS:
+        # broadcast-dim fast path (the MEASURED dim size picks it): the
+        # (orderkey -> custkey) map ships once via ray.put and the fact
+        # side joins in-map with a vectorized searchsorted probe — the
+        # only exchange left is the tiny (cust, cents) partial groupby.
+        # Above the limit the general both-sides-large bucket join runs.
+        od = orders.to_pandas()
+        ok_all = od["o_orderkey"].to_numpy().astype(np.int64)
+        order = np.argsort(ok_all, kind="stable")
+        dim_ref = _ray.put(
+            (ok_all[order], od["o_custkey"].to_numpy().astype(np.int64)[order])
+        )
+
+        def li_cust_partial(df: pd.DataFrame) -> pd.DataFrame:
+            sd = df["l_shipdate"].to_numpy()
+            m = (sd >= lo) & (sd < hi)
+            ep = df["l_extendedprice"].to_numpy()[m]
+            disc = df["l_discount"].to_numpy()[m]
+            cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+            ok = df["l_orderkey"].to_numpy()[m].astype(np.int64)
+            keys, custs = _ray.get(dim_ref)
+            at = np.searchsorted(keys, ok)
+            at[at == len(keys)] = 0
+            hit = keys[at] == ok  # inner-join semantics
+            agg = pd.DataFrame(
+                {"cust": custs[at[hit]], "cents": cents[hit]}
+            ).groupby("cust", sort=False, as_index=False)["cents"].sum()
+            cust = agg["cust"].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "cust": cust,
+                    "cents": agg["cents"].to_numpy().astype(np.int64),
+                    "bucket2": (cust % B).astype("int32"),
+                }
+            )
+
+        cand = (
+            li.map_batches(
+                li_cust_partial, batch_format="pandas", batch_size=None
+            )
+            .groupby("bucket2")
+            .map_groups(sum_topk_bucket, batch_format="pandas")
+        )
+    else:
+        cand = (
+            both.groupby("bucket")
+            .map_groups(join_bucket, batch_format="pandas")
+            .groupby("bucket2")
+            .map_groups(sum_topk_bucket, batch_format="pandas")
+        )
     names = (
         _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
         .to_pandas()

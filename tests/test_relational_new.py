@@ -109,3 +109,16 @@ def test_top_revenue_customers_runs(ray_session, sf_dir):
     assert list(out.columns) == ["c_custkey", "c_name", "revenue_cents"]
     rev = out["revenue_cents"].to_numpy()
     assert (rev[:-1] >= rev[1:]).all()
+
+
+def test_top_revenue_bucket_path_matches_broadcast(
+    ray_session, sf_dir, monkeypatch
+):
+    """The both-sides-large bucket join (forced by a zero broadcast
+    limit) returns exactly what the broadcast-dim fast path returns."""
+    from parquet_go_ray.pipelines import queries as Q
+
+    fast = Q.QUERIES["top_revenue_customers"](sf_dir).to_pandas()
+    monkeypatch.setattr(Q, "JOIN_BROADCAST_LIMIT_ROWS", 0)
+    slow = Q.QUERIES["top_revenue_customers"](sf_dir).to_pandas()
+    assert fast.equals(slow)
