@@ -1015,45 +1015,19 @@ def passage_dedupe(
         .map_groups(drops, batch_format="pandas")
     )
 
-    def tag_docs(batch: pa.Table) -> pd.DataFrame:
-        ids = batch.column(id_col).to_numpy().astype(np.int64)
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                "text": batch.column(text_col).to_pylist(),
-                "b": np.full(len(ids), -1, dtype=np.int64),
-                "pt": ids % P,
-            }
-        )
-
-    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
-        out = df[[id_col, "b", "pt"]].copy()
-        out["text"] = ""
-        return out[[id_col, "text", "b", "pt"]]
-
-    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
-        drop_ds.map_batches(tag_drops, batch_format="pandas")
-    )
-
-    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
-        docs = part.loc[part["b"] < 0]
-        dr = part.loc[part["b"] >= 0]
-        ids = docs[id_col].to_numpy().astype(np.int64)
-        texts = [t.encode() for t in docs["text"]]
+    def rebuild_core(
+        ids: np.ndarray, texts: list, dr_ids: np.ndarray, dr_b: np.ndarray
+    ) -> pd.DataFrame:
         didx, bidx, b0, b1 = hashing.block_bounds(texts, n_words)
         if len(didx) == 0:
             return pd.DataFrame({id_col: np.zeros(0, np.int64), "text": []})
-        if len(dr):
+        if len(dr_ids):
             # membership test on packed (local doc index, block) keys
-            M = int(max(bidx.max(), dr["b"].max())) + 1
+            M = int(max(bidx.max(), dr_b.max())) + 1
             order = np.argsort(ids, kind="stable")
-            pos = np.searchsorted(
-                ids[order], dr[id_col].to_numpy().astype(np.int64)
-            )
+            pos = np.searchsorted(ids[order], dr_ids)
             loc = order[pos]
-            keep = ~np.isin(
-                didx * M + bidx, loc * M + dr["b"].to_numpy().astype(np.int64)
-            )
+            keep = ~np.isin(didx * M + bidx, loc * M + dr_b)
         else:
             keep = np.ones(len(didx), dtype=bool)
         kd, kb0, kb1 = didx[keep], b0[keep], b1[keep]
@@ -1085,6 +1059,75 @@ def passage_dedupe(
                     for i in nonempty
                 ],
             }
+        )
+
+    # The drop list is only the DUPLICATED blocks — usually a small
+    # fraction of the corpus. When it fits the broadcast budget, ship
+    # the (id, block) pairs once via ray.put and rebuild MAP-ONLY: the
+    # text never enters an exchange at all. Larger drop lists take the
+    # id-hash-partitioned rebuild join below (text rides one shuffle).
+    drop_ds = drop_ds.materialize()
+    if drop_ds.count() <= BROADCAST_DROP_LIMIT:
+        pdf = drop_ds.to_pandas()
+        d_ids = pdf[id_col].to_numpy().astype(np.int64)
+        d_b = pdf["b"].to_numpy().astype(np.int64)
+        order = np.lexsort((d_b, d_ids))
+        drop_ref = ray.put((d_ids[order], d_b[order]))
+
+        def rebuild_map(batch: pa.Table) -> pd.DataFrame:
+            ids = batch.column(id_col).to_numpy().astype(np.int64)
+            texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+            all_ids, all_b = ray.get(drop_ref)
+            lo = np.searchsorted(all_ids, ids, "left")
+            hi = np.searchsorted(all_ids, ids, "right")
+            counts = (hi - lo).astype(np.int64)
+            total = int(counts.sum())
+            if total:
+                start = np.zeros(len(ids) + 1, dtype=np.int64)
+                np.cumsum(counts, out=start[1:])
+                rel = np.arange(total, dtype=np.int64) - np.repeat(
+                    start[:-1], counts
+                )
+                take = rel + np.repeat(lo, counts)
+                dr_ids = np.repeat(ids, counts)
+                dr_b = all_b[take]
+            else:
+                dr_ids = np.zeros(0, dtype=np.int64)
+                dr_b = np.zeros(0, dtype=np.int64)
+            return rebuild_core(ids, texts, dr_ids, dr_b)
+
+        return ds.map_batches(rebuild_map, batch_format="pyarrow")
+
+    def tag_docs(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "text": batch.column(text_col).to_pylist(),
+                "b": np.full(len(ids), -1, dtype=np.int64),
+                "pt": ids % P,
+            }
+        )
+
+    def tag_drops(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[id_col, "b", "pt"]].copy()
+        out["text"] = ""
+        return out[[id_col, "text", "b", "pt"]]
+
+    both = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        drop_ds.map_batches(tag_drops, batch_format="pandas")
+    )
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        docs = part.loc[part["b"] < 0]
+        dr = part.loc[part["b"] >= 0]
+        ids = docs[id_col].to_numpy().astype(np.int64)
+        texts = [t.encode() for t in docs["text"]]
+        return rebuild_core(
+            ids,
+            texts,
+            dr[id_col].to_numpy().astype(np.int64),
+            dr["b"].to_numpy().astype(np.int64),
         )
 
     return both.groupby("pt").map_groups(rebuild, batch_format="pandas")
