@@ -134,14 +134,24 @@ def build_ivf_store(
     n_centroids: int = 16,
     sample_rows: int = 4096,
     seed: int = 13,
+    target_cell_rows: int = 1_000_000,
 ) -> dict:
-    """Partition the embedding table by nearest centroid into one
-    parquet shard per cell (atomic tmp+rename; a map_groups call owns
-    its whole cell). Centroids are trained on a driver-side sample and
-    broadcast once; only (cell, rows) summary rows return to the driver.
-    At 10^12 vectors a hot cell would additionally salt into multiple
-    files per cell — the probe path globs `cell={c:04d}*.parquet`, so
-    that layout change is read-compatible."""
+    """Partition the embedding table by nearest centroid into parquet
+    shards, one per (cell, salt) (atomic tmp+rename; a map_groups call
+    owns its whole shard). Centroids are trained on a driver-side
+    sample and broadcast once; only (cell, salt, rows) summary rows
+    return to the driver.
+
+    Hot cells SALT at write time: a driver-side per-cell count (one
+    n_centroids-int partial per batch, no extra shuffle) sizes each
+    cell at ceil(rows / target_cell_rows) salt files, and rows spread
+    across a cell's salts by a deterministic id hash. A skewed
+    centroid — the common case on real embeddings, where one cell can
+    hold 10-100x the mean — therefore becomes ceil-many bounded write
+    tasks instead of one task materializing the whole cell. Salted
+    shards are named `cell={c:04d}+s{salt:03d}.parquet`; the probe
+    path globs `cell={c:04d}*.parquet`, so salted and unsalted layouts
+    read identically."""
     import json
     import os
     from pathlib import Path
@@ -160,17 +170,57 @@ def build_ivf_store(
         batch["_cell"] = d.argmin(axis=1).astype(np.int64)
         return batch
 
-    def write_cell(group: pd.DataFrame) -> pd.DataFrame:
+    # cell assignment is the expensive pass (a distance matmul per
+    # batch) — pin it once in the (spillable) object store rather than
+    # recomputing it for the count and again for the write
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.bincount(
+            batch["_cell"].to_numpy(), minlength=len(cent)
+        ).astype(np.int64)
+        return pd.DataFrame({"cell": np.arange(len(cent)), "n": n})
+
+    counts_df = assigned.map_batches(
+        cell_counts, batch_format="pandas"
+    ).to_pandas()
+    counts = np.zeros(len(cent), dtype=np.int64)
+    np.add.at(counts, counts_df["cell"].to_numpy(), counts_df["n"].to_numpy())
+    salts = np.maximum(
+        1, -(-counts // max(1, int(target_cell_rows)))
+    ).astype(np.int64)
+    max_salt = int(salts.max())
+    salts_ref = ray.put(salts)
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(salts_ref)
+        cells = batch["_cell"].to_numpy()
+        # deterministic spread within a cell: splitmix-style id hash,
+        # layout-independent (same row -> same salt on any run)
+        h = pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+        batch = batch.copy()
+        batch["_shard"] = cells * max_salt + (
+            h % s[cells].astype(np.uint64)
+        ).astype(np.int64)
+        return batch.drop(columns=["_cell"])
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
         import pyarrow.parquet as pq
 
         import pyarrow as pa
 
-        cell = int(group["_cell"].iloc[0])
-        path = out / f"cell={cell:04d}.parquet"
+        shard = int(group["_shard"].iloc[0])
+        cell, salt = shard // max_salt, shard % max_salt
+        name = (
+            f"cell={cell:04d}+s{salt:03d}.parquet"
+            if int(ray.get(salts_ref)[cell]) > 1
+            else f"cell={cell:04d}.parquet"
+        )
+        path = out / name
         tmp = str(path) + f".tmp{os.getpid()}"
         pq.write_table(
             pa.Table.from_pandas(
-                group.drop(columns=["_cell"]), preserve_index=False
+                group.drop(columns=["_shard"]), preserve_index=False
             ),
             tmp,
         )
@@ -178,22 +228,29 @@ def build_ivf_store(
         return pd.DataFrame({"cell": [cell], "rows": [len(group)]})
 
     summary = (
-        ds.map_batches(assign, batch_format="pandas")
-        .groupby("_cell")
-        .map_groups(write_cell, batch_format="pandas")
+        assigned.map_batches(add_salt, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
         .to_pandas()
     )
+    rows_per_cell = summary.groupby("cell")["rows"].sum()
+    files_per_cell = summary.groupby("cell")["rows"].size()
     meta = {
         "centroids": cent.tolist(),
         "n_centroids": int(len(cent)),
-        "cells": {int(c): int(r) for c, r in zip(summary["cell"], summary["rows"])},
+        "cells": {int(c): int(r) for c, r in rows_per_cell.items()},
+        "files_per_cell": {int(c): int(k) for c, k in files_per_cell.items()},
         "vec_col": vec_col,
         "id_col": id_col,
     }
     tmpm = out / "._ivf_meta.json.tmp"
     tmpm.write_text(json.dumps(meta))
     os.replace(tmpm, out / "_ivf_meta.json")
-    return {"cells": len(summary), "rows": int(summary["rows"].sum())}
+    return {
+        "cells": int(rows_per_cell.size),
+        "files": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+    }
 
 
 def ivf_probe_cells(store_dir: str, query: np.ndarray, n_probe: int) -> list[int]:

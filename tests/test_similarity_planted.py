@@ -331,3 +331,71 @@ class TestHashEmbeddings:
         assert {(i, 1000 + i) for i in range(10)} <= found
         # nothing random crosses 0.8
         assert all(b - a == 1000 for a, b in found), sorted(found)[:5]
+
+
+def test_ivf_store_salts_hot_cells(ray_session, tmp_path):
+    """A skewed centroid cell splits into multiple bounded salt files
+    (cell={c}+s{k}.parquet) at write time; the probe path reads salted
+    and unsalted layouts identically, pruning still holds, and probing
+    every cell reproduces the exact brute-force answer."""
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import (
+        brute_force_topk,
+        build_ivf_store,
+        ivf_probe_cells,
+        ivf_topk_store,
+    )
+
+    rng = np.random.default_rng(31)
+    # 1200 vectors in a tight hot cluster + 300 spread elsewhere
+    hot = rng.standard_normal((1, 12)) + rng.standard_normal((1200, 12)) * 0.05
+    cold = rng.standard_normal((300, 12)) * 3.0
+    vecs = np.concatenate([hot, cold])
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    store = str(tmp_path / "ivf_salted")
+    info = build_ivf_store(ds, store, n_centroids=6, target_cell_rows=200)
+    assert info["rows"] == len(vecs)
+    assert info["files"] > info["cells"]  # at least one cell salted
+    salted = sorted(Path(store).glob("cell=*+s*.parquet"))
+    assert len(salted) >= 2
+    # every salt file respects the hash-width bound loosely (hash
+    # spread, not an exact partitioner): no file holds the whole cell
+    import pyarrow.parquet as pq
+
+    assert all(pq.read_metadata(p).num_rows < 1200 for p in salted)
+
+    # probing ALL cells over the salted layout is exact
+    query = vecs[5]
+    out = ivf_topk_store(store, query, k=7, n_probe=6)
+    exact = brute_force_topk(ds, query, k=7)
+    assert list(out["vec_id"]) == list(exact["vec_id"])
+
+    # pruning proof still holds with salted shard names: chmod every
+    # file of every non-probed cell to 000 and the query still runs
+    probed = set(ivf_probe_cells(store, query, n_probe=2))
+    blocked = []
+    for p in Path(store).glob("cell=*.parquet"):
+        cell = int(p.stem.split("=")[1].split("+")[0])
+        if cell not in probed:
+            os.chmod(p, 0)
+            blocked.append(p)
+    assert blocked
+    try:
+        out2 = ivf_topk_store(store, query, k=5, n_probe=2)
+    finally:
+        for p in blocked:
+            os.chmod(p, 0o644)
+    assert int(out2["vec_id"].iloc[0]) == 5
