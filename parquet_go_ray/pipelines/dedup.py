@@ -1785,6 +1785,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     rows_per_block: int = 512,
     dense_vocab_limit: int = 4096,
+    max_block_pairs: int = 20_000,
 ) -> ray.data.Dataset:
     """EXACT all-pairs k-gram Jaccard near-dup pairs: (id_a < id_b)
     rows where 1000*|A∩B| >= threshold_millis*|A∪B| — the text-side
@@ -1810,7 +1811,10 @@ def jaccard_pairs(
       unrelated blocks.
     Intersections <= min set size < 2^24, so float32 matmul counts are
     exact. Quadratic block pairs are intrinsic to exact all-pairs; LSH
-    prunes candidates for the full corpus."""
+    prunes candidates for the full corpus. max_block_pairs bounds the
+    fan-out: above it the call REFUSES (before scheduling any pair
+    task) — route big corpora through minhash_candidates /
+    minhash_lsh_pairs, which exact-verify only LSH survivors."""
     from . import similarity as _sim  # noqa: F401  (doc cross-ref)
 
     def gram_rows(batch: pa.Table) -> pd.DataFrame:
@@ -1827,7 +1831,19 @@ def jaccard_pairs(
         )
 
     mat = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
-    target = max(1, mat.count() // rows_per_block + 1)
+    n_rows = mat.count()
+    target = max(1, n_rows // rows_per_block + 1)
+    est_pairs = target * (target + 1) // 2
+    if est_pairs > max_block_pairs:
+        raise ValueError(
+            f"jaccard_pairs: exact all-pairs over {n_rows} docs needs "
+            f"~{est_pairs} block-pair tasks (> max_block_pairs="
+            f"{max_block_pairs}). Route large corpora through "
+            "minhash_candidates / minhash_lsh_pairs (LSH prunes "
+            "candidates, exact Jaccard verifies survivors), or raise "
+            "max_block_pairs explicitly if the quadratic cost is "
+            "intended."
+        )
     if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
         mat = mat.repartition(target).materialize()
     refs = mat.to_arrow_refs()
@@ -1848,20 +1864,22 @@ def jaccard_pairs(
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
-        ids_a, n_a, va, da = _unpack(ta)
-        if same:
-            ids_b, n_b, vb, db = ids_a, n_a, va, da
-        else:
-            ids_b, n_b, vb, db = _unpack(tb)
-        nA, nB = len(ids_a), len(ids_b)
         empty = pa.table(
             {
                 "id_a": pa.array([], type=pa.int64()),
                 "id_b": pa.array([], type=pa.int64()),
             }
         )
-        if nA == 0 or nB == 0:
+        # repartition can emit 0-row blocks with an EMPTY schema —
+        # bail before _unpack touches columns by name
+        if ta.num_rows == 0 or tb.num_rows == 0:
             return empty
+        ids_a, n_a, va, da = _unpack(ta)
+        if same:
+            ids_b, n_b, vb, db = ids_a, n_a, va, da
+        else:
+            ids_b, n_b, vb, db = _unpack(tb)
+        nA, nB = len(ids_a), len(ids_b)
         u = np.union1d(np.unique(va), np.unique(vb))
         if len(u) <= dense_vocab_limit:
             A1 = np.zeros((nA, len(u)), dtype=np.float32)

@@ -73,6 +73,7 @@ def merge_sorted_iter(
     streams: list[ray.data.Dataset],
     keys: list[str],
     batch_size: int = 8192,
+    max_rows: int = 2_000_000,
 ):
     """Streaming k-way heap merge of globally sorted Datasets: yields
     merged pyarrow Tables of ~batch_size rows in O(n log k), holding at
@@ -86,7 +87,12 @@ def merge_sorted_iter(
     several LIVE streaming executors deadlocks (each pull blocks on the
     paused peers), whereas materialized blocks sit in the object store
     (spillable) and iterate independently — faithful to the reference,
-    which heap-merges already-written sorted runs."""
+    which heap-merges already-written sorted runs.
+
+    This is a DRIVER-SIDE sink: every merged row flows through one
+    process. max_rows caps that — above it the call REFUSES and points
+    at merge_store.merge_sorted_stores, the distributed range-merge
+    that never funnels rows through the driver."""
     import heapq
 
     import numpy as np
@@ -94,9 +100,19 @@ def merge_sorted_iter(
     # iter() is load-bearing: iter_batches returns a RE-ITERABLE, and a
     # bare `for` over it would restart the stream from the beginning on
     # every refill
+    mats = [s.materialize() for s in streams]
+    total = sum(m.count() for m in mats)  # metadata-only on materialized
+    if total > max_rows:
+        raise ValueError(
+            f"merge_sorted_iter: {total} rows would stream through the "
+            f"driver (> max_rows={max_rows}). Use "
+            "merge_store.merge_sorted_stores for a distributed "
+            "range-partitioned merge, or raise max_rows explicitly for "
+            "a deliberate driver-side consume."
+        )
     iters = [
-        iter(s.materialize().iter_batches(batch_size=batch_size, batch_format="pyarrow"))
-        for s in streams
+        iter(m.iter_batches(batch_size=batch_size, batch_format="pyarrow"))
+        for m in mats
     ]
 
     import bisect

@@ -458,6 +458,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     rows_per_block: int = 8192,
+    max_block_pairs: int = 20_000,
 ) -> ray.data.Dataset:
     """EXACT all-pairs cosine similarity >= threshold, as (id_a < id_b)
     rows. The SQL-oracle-able companion to `lsh_near_pairs` (which is
@@ -474,20 +475,46 @@ def cosine_pairs(
     quadratic task count is intrinsic to EXACT all-pairs; this form is
     for corpora small enough that n^2/2 block matmuls are acceptable
     (verification sets, per-cluster refinement inside SemDeDup-style
-    dedup); LSH/IVF prune candidates for the full corpus."""
+    dedup); LSH/IVF prune candidates for the full corpus.
+
+    max_block_pairs bounds the quadratic fan-out: above it the call
+    REFUSES (before launching any pair task) rather than silently
+    scheduling millions of matmuls — route the full corpus through
+    lsh_near_pairs / build_ivf_store and reserve this for the pruned
+    candidate sets."""
     import pyarrow as pa
 
     # materialize FIRST (count() on a computed lineage would execute it
     # once just for the row count, then again for the repartition);
     # count/num_blocks on materialized blocks are metadata-only
     mat = ds.select_columns([id_col, vec_col]).materialize()
-    target = max(1, mat.count() // rows_per_block + 1)
+    n_rows = mat.count()
+    target = max(1, n_rows // rows_per_block + 1)
+    est_pairs = target * (target + 1) // 2
+    if est_pairs > max_block_pairs:
+        raise ValueError(
+            f"cosine_pairs: exact all-pairs over {n_rows} rows needs "
+            f"~{est_pairs} block-pair tasks (> max_block_pairs="
+            f"{max_block_pairs}). This quadratic form is for pruned "
+            "candidate sets; use similarity.lsh_near_pairs or an IVF "
+            "store (build_ivf_store + topk) for the full corpus, or "
+            "raise max_block_pairs explicitly if the cost is intended."
+        )
     if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
         mat = mat.repartition(target).materialize()
     refs = mat.to_arrow_refs()
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        # repartition can emit 0-row blocks with an EMPTY schema —
+        # bail before touching columns by name
+        if ta.num_rows == 0 or tb.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], type=pa.int64()),
+                    "id_b": pa.array([], type=pa.int64()),
+                }
+            )
         ids_a = ta.column(id_col).to_numpy().astype(np.int64)
         ids_b = tb.column(id_col).to_numpy().astype(np.int64)
         A = _to_matrix(ta.column(vec_col).to_pylist())
