@@ -643,15 +643,17 @@ def minhash_lsh_pairs(
 
     if n_pairs <= BROADCAST_PAIR_LIMIT:
         # broadcast fast path: sig lookup ray.put ONCE as a packed
-        # (doc_ids, uint64 matrix) pair — zero-copy per task. The
-        # estimate runs map-only over the raw candidate stream (the
-        # candidate count can be large on duplication-heavy corpora —
-        # 1.4M pairs from 5k docs at sf0.1 — and the estimate is a
-        # vectorized gather+compare, so re-estimating a band-duplicate
-        # pair is far cheaper than hash-partitioning every candidate
-        # row before the threshold cut); the global pair dedup then
-        # shuffles only the SURVIVORS (est >= threshold), typically a
-        # small fraction of the candidate stream.
+        # (doc_ids, uint64 matrix) pair — zero-copy per task. On
+        # duplication-heavy corpora the candidate stream is dominated
+        # by band duplicates (1.4M candidates collapsing to ~30k unique
+        # pairs from 5k docs at sf0.1), and duplicate pairs sit ABOVE
+        # the threshold almost by construction — so estimate-then-
+        # shuffle-survivors would both estimate and shuffle every
+        # duplicate. Dedup FIRST: trim same-block duplicates map-side
+        # (free), hash-partition the tiny (id_a,id_b,pg) rows (20 B
+        # each — the shuffle is a few MB even at millions of
+        # candidates), then gather+compare once per UNIQUE pair in the
+        # reduce against the zero-copy packed matrix.
         import ray
 
         lookup_ref = _candidate_value_lookup(
@@ -660,8 +662,20 @@ def minhash_lsh_pairs(
         )
         PG = 64
 
-        def est_block(part: pd.DataFrame) -> pd.DataFrame:
-            # per-block dedup trims same-block band duplicates for free
+        def add_pg(part: pd.DataFrame) -> pd.DataFrame:
+            # per-block dedup trims same-block band duplicates before
+            # they enter the shuffle
+            part = part.drop_duplicates(["id_a", "id_b"]).copy()
+            part["pg"] = (
+                (
+                    part["id_a"].to_numpy() * 1_000_003
+                    + part["id_b"].to_numpy()
+                )
+                % PG
+            ).astype(np.int32)
+            return part
+
+        def est_part(part: pd.DataFrame) -> pd.DataFrame:
             part = part.drop_duplicates(["id_a", "id_b"])
             doc_ids, mat = ray.get(lookup_ref)
             ids_a = part["id_a"].to_numpy().astype(np.int64)
@@ -670,29 +684,18 @@ def minhash_lsh_pairs(
             sig_b = mat[np.searchsorted(doc_ids, ids_b)]
             est = (sig_a == sig_b).mean(axis=1)
             keep = est >= jaccard_threshold
-            ids_a, ids_b = ids_a[keep], ids_b[keep]
             return pd.DataFrame(
                 {
-                    "id_a": ids_a,
-                    "id_b": ids_b,
+                    "id_a": ids_a[keep],
+                    "id_b": ids_b[keep],
                     "est_jaccard": np.round(est[keep], 4),
-                    # deterministic pair partition for the survivor dedup
-                    "pg": ((ids_a * 1_000_003 + ids_b) % PG).astype(
-                        np.int32
-                    ),
                 }
             )
 
-        def dedup_part(part: pd.DataFrame) -> pd.DataFrame:
-            # duplicates of a pair carry identical est values, so
-            # first-wins is exact
-            part = part.drop_duplicates(["id_a", "id_b"])
-            return part[["id_a", "id_b", "est_jaccard"]]
-
         return (
-            cand.map_batches(est_block, batch_format="pandas", batch_size=None)
+            cand.map_batches(add_pg, batch_format="pandas")
             .groupby("pg")
-            .map_groups(dedup_part, batch_format="pandas")
+            .map_groups(est_part, batch_format="pandas")
         )
 
     paired = _attach_pair_values(
