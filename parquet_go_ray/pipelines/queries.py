@@ -2482,6 +2482,23 @@ def q_embedding_topk_ivf(sf_dir):
     return similarity.ivf_topk_store(_ivf_store(sf_dir), np.array(q), k=10, n_probe=8)
 
 
+def q_embedding_topk_pq(sf_dir):
+    """Product-quantization top-k: codes are 8 B/vector (32x smaller
+    than the raw float column), the ADC scan ranks in the compressed
+    domain, and only the top-`rerank` candidates are re-scored against
+    raw vectors (rows-only gate: approximate; recall pinned by
+    pytest against the exact oracle)."""
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    return similarity.pq_topk(
+        _read(sf_dir, "embeddings"), np.array(q), k=10, rerank=100
+    )
+
+
 def q_embedding_near_pairs(sf_dir):
     """Banded random-hyperplane LSH near-pairs (rows-only gate:
     approximate-by-design). The synthetic embeddings are
@@ -3769,6 +3786,7 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
+    "embedding_topk_pq": q_embedding_topk_pq,
     "embedding_near_pairs": q_embedding_near_pairs,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,

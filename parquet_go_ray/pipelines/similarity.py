@@ -626,3 +626,178 @@ def text_semantic_pairs(
     return cosine_pairs(
         emb, threshold=threshold, rows_per_block=rows_per_block
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization: the lossy EMBEDDING codec of the engine's
+# codec family. Where the chunk codecs (codecs/*.py) compress columns
+# losslessly, PQ compresses a list<float> column 32-64x (dim float32 ->
+# n_sub uint8 codes) and searches in the COMPRESSED domain via
+# asymmetric-distance lookup tables, refining only a small candidate
+# set against the raw vectors. This is the scale path for top-k over
+# embeddings too large to matmul: the ADC scan touches n_sub bytes per
+# row instead of dim*4, and the exact rerank reads only `rerank` rows.
+
+
+def train_pq_codebooks(
+    sample: np.ndarray,
+    n_sub: int = 8,
+    n_centroids: int = 256,
+    iters: int = 8,
+    seed: int = 13,
+) -> list[np.ndarray]:
+    """Per-subspace k-means codebooks trained on a driver-side sample
+    (bounded, like the IVF coarse quantizer). Vectors are unit-
+    normalized BEFORE the subspace split so inner product over code
+    reconstructions approximates cosine. Returns n_sub (k, dim/n_sub)
+    matrices; k = min(n_centroids, sample rows)."""
+    if sample.shape[1] % n_sub:
+        raise ValueError(
+            f"dim {sample.shape[1]} not divisible by n_sub {n_sub}"
+        )
+    dsub = sample.shape[1] // n_sub
+    norms = np.linalg.norm(sample, axis=1)
+    sample = sample / np.maximum(norms, 1e-12)[:, None]
+    return [
+        kmeans_centroids(
+            np.ascontiguousarray(sample[:, j * dsub : (j + 1) * dsub]),
+            n_centroids,
+            iters=iters,
+            seed=seed + j,
+        )
+        for j in range(n_sub)
+    ]
+
+
+class PQEncoder:
+    """Actor-pool encode stage: codebooks + their squared norms load
+    once per actor in __init__ (ray.get of the broadcast ref is a
+    zero-copy object-store read), each __call__ assigns one batch via
+    the ||x||^2 - 2x.c + ||c||^2 identity (one matmul per subspace,
+    no per-row Python). Emits (id, code) with code = n_sub uint8
+    bytes."""
+
+    def __init__(self, books_ref, vec_col: str, id_col: str):
+        self.books = ray.get(books_ref)
+        self.cnorm2 = [(b * b).sum(axis=1) for b in self.books]
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = _to_matrix(batch[self.vec_col])
+        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+        n_sub = len(self.books)
+        dsub = m.shape[1] // n_sub
+        codes = np.empty((len(m), n_sub), dtype=np.uint8)
+        for j, book in enumerate(self.books):
+            x = m[:, j * dsub : (j + 1) * dsub]
+            # argmin ||x-c||^2 == argmin (||c||^2 - 2 x.c); ||x||^2 is
+            # constant per row
+            codes[:, j] = (self.cnorm2[j] - 2.0 * (x @ book.T)).argmin(
+                axis=1
+            )
+        return pd.DataFrame(
+            {
+                self.id_col: batch[self.id_col].to_numpy().astype(np.int64),
+                "code": [c.tobytes() for c in codes],
+            }
+        )
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    books_ref,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    concurrency: int = 4,
+) -> ray.data.Dataset:
+    """Encode an embedding column to PQ codes: (id, code binary)."""
+    return ds.map_batches(
+        PQEncoder,
+        fn_constructor_args=(books_ref, vec_col, id_col),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 8,
+    n_centroids: int = 256,
+    rerank: int = 100,
+    sample_rows: int = 4096,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via PQ: train (driver sample) ->
+    encode (actor pool) -> ADC scan over codes (map-only: per batch
+    one LUT gather + row sum, partial top-`rerank`) -> exact rerank of
+    the candidate ids against the raw vectors. With rerank >= corpus
+    size this degrades gracefully to exact brute force; at scale the
+    raw table is read twice but matmul'd only on `rerank` rows.
+    Returns (id, rank), ties broken by id like brute_force_topk."""
+    sample = _to_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    books = train_pq_codebooks(
+        sample, n_sub=n_sub, n_centroids=n_centroids, seed=seed
+    )
+    books_ref = ray.put(books)
+    codes = pq_encode(ds, books_ref, vec_col=vec_col, id_col=id_col)
+
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    dsub = len(q) // n_sub
+    # LUT[j, c] = q_j . book[j][c]: ADC score = sum_j LUT[j, code_j]
+    # approximates cosine(q, x) for unit-normalized x. Ragged books
+    # (sample < n_centroids) pad with -inf so padded codes never win.
+    kmax = max(len(b) for b in books)
+    lut = np.full((n_sub, kmax), -np.inf)
+    for j, book in enumerate(books):
+        lut[j, : len(book)] = book @ q[j * dsub : (j + 1) * dsub]
+    lut_ref = ray.put(lut)
+    r = max(k, rerank)
+
+    def adc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(lut_ref)
+        c = np.frombuffer(
+            b"".join(batch["code"]), dtype=np.uint8
+        ).reshape(len(batch), -1)
+        score = t[np.arange(c.shape[1])[None, :], c].sum(axis=1)
+        order = np.lexsort((batch[id_col].to_numpy(), -score))[:r]
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy()[order],
+                "adc": score[order],
+            }
+        )
+
+    partials = codes.map_batches(adc_partial, batch_format="pandas").to_pandas()
+    order = np.lexsort(
+        (partials[id_col].to_numpy(), -partials["adc"].to_numpy())
+    )[:r]
+    cand = np.sort(partials[id_col].to_numpy()[order])
+    cand_ref = ray.put(cand)
+
+    def exact_on_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        keep = np.isin(ids, ray.get(cand_ref))
+        if not keep.any():
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        sel = batch.loc[keep]
+        qv = np.asarray(query, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        m = _to_matrix(sel[vec_col])
+        cos = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        return pd.DataFrame(
+            {id_col: sel[id_col].to_numpy().astype(np.int64), "cos": cos}
+        )
+
+    exact = ds.map_batches(exact_on_cands, batch_format="pandas").to_pandas()
+    order = np.lexsort((exact[id_col].to_numpy(), -exact["cos"].to_numpy()))[:k]
+    out = exact.iloc[order].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[[id_col, "rank"]]

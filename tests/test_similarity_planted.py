@@ -399,3 +399,51 @@ def test_ivf_store_salts_hot_cells(ray_session, tmp_path):
         for p in blocked:
             os.chmod(p, 0o644)
     assert int(out2["vec_id"].iloc[0]) == 5
+
+
+def test_pq_topk_recall_and_exact_degradation(ray_session):
+    """PQ ADC + rerank: (a) with rerank >= corpus size the result is
+    EXACTLY brute force (the rerank pass is an exact cosine over every
+    candidate); (b) with a small rerank budget, recall@10 stays high on
+    clustered data; (c) the codes really are n_sub bytes."""
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import (
+        brute_force_topk,
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+        _to_matrix,
+    )
+
+    rng = np.random.default_rng(7)
+    # clustered corpus: 8 centers, 50 points each — the regime PQ codes
+    # separate well
+    centers = rng.standard_normal((8, 32)) * 3
+    vecs = np.repeat(centers, 50, axis=0) + rng.standard_normal((400, 32))
+    ids = np.arange(400)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    q = vecs[3]
+
+    exact = brute_force_topk(ds, q, k=10)
+    full = pq_topk(ds, q, k=10, n_sub=8, rerank=400, sample_rows=400)
+    pd.testing.assert_frame_equal(
+        full.reset_index(drop=True), exact.reset_index(drop=True)
+    )
+
+    approx = pq_topk(ds, q, k=10, n_sub=8, rerank=40, sample_rows=400)
+    recall = len(set(approx["vec_id"]) & set(exact["vec_id"])) / 10
+    assert recall >= 0.8, (recall, list(approx["vec_id"]))
+
+    import ray as _ray
+
+    books = train_pq_codebooks(_to_matrix(pd.Series(list(vecs))), n_sub=8)
+    codes = pq_encode(ds, _ray.put(books), concurrency=2).to_pandas()
+    assert codes.shape == (400, 2)
+    assert all(len(c) == 8 for c in codes["code"])
