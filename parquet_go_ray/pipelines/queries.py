@@ -2499,6 +2499,41 @@ def q_embedding_topk_pq(sf_dir):
     )
 
 
+def _ivfpq_store(sf_dir: str) -> str:
+    """IVFPQ code store (once per sf_dir): per-cell shards of (id,
+    8 B PQ code) — the index is ~1/32 the raw embedding column, and a
+    probe opens only the probed cells' code shards."""
+    import hashlib
+    import os
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/graft_ivfpqstore_{key}"
+    if not os.path.exists(f"{out}/_ivfpq_meta.json"):
+        similarity.build_ivfpq_store(_read(sf_dir, "embeddings"), out)
+    return out
+
+
+def q_embedding_topk_ivfpq(sf_dir):
+    """IVFPQ approximate nearest neighbours: coarse cells prune the
+    READ, PQ codes rank in the compressed domain, exact rerank touches
+    only the top candidates' raw rows (rows-only gate: approximate;
+    recall pinned by pytest)."""
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "ORDER BY vec_id LIMIT 1"
+    ).fetchone()[0]
+    return similarity.ivfpq_topk_store(
+        _ivfpq_store(sf_dir),
+        _read(sf_dir, "embeddings"),
+        np.array(q),
+        k=10,
+        n_probe=8,
+        rerank=100,
+    )
+
+
 def q_embedding_near_pairs(sf_dir):
     """Banded random-hyperplane LSH near-pairs (rows-only gate:
     approximate-by-design). The synthetic embeddings are
@@ -3787,6 +3822,7 @@ QUERIES = {
     "embedding_topk": q_embedding_topk,
     "embedding_topk_ivf": q_embedding_topk_ivf,
     "embedding_topk_pq": q_embedding_topk_pq,
+    "embedding_topk_ivfpq": q_embedding_topk_ivfpq,
     "embedding_near_pairs": q_embedding_near_pairs,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,

@@ -801,3 +801,235 @@ def pq_topk(
     out = exact.iloc[order].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[[id_col, "rank"]]
+
+
+# --------------------------------------------------------------------------
+# IVFPQ: the two pruning axes composed. The store holds per-CELL
+# shards of PQ CODES only (n_sub bytes + an 8 B id per vector — the
+# whole ANN index is ~1/32 the raw column), a probe opens only the
+# probed cells' code shards (I/O pruning, like the IVF store), ranks
+# them in the compressed domain (ADC), and re-scores only the top
+# `rerank` candidates against the raw table. At 100 TB the raw
+# embedding column never moves: build reads it once, search reads
+# code shards + `rerank` raw rows.
+
+
+def build_ivfpq_store(
+    ds: ray.data.Dataset,
+    store_dir: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    pq_centroids: int = 256,
+    sample_rows: int = 4096,
+    seed: int = 13,
+    target_cell_rows: int = 20_000_000,
+) -> dict:
+    """Partition PQ codes by nearest coarse centroid into parquet
+    shards, one per (cell, salt) (atomic tmp+rename, a map_groups task
+    owns its shard). Coarse centroids and PQ codebooks train on one
+    driver-side sample and broadcast once; shards carry (id, code)
+    only. Hot cells salt at write time exactly like build_ivf_store
+    (code rows are ~16 B, so the default salt threshold is higher):
+    the probe path globs `cell={c:04d}*`, so salted and unsalted
+    layouts read identically."""
+    import json
+    import os
+    from pathlib import Path
+
+    sample = _to_matrix(ds.limit(sample_rows).to_pandas()[vec_col])
+    # the whole index lives on the unit sphere (assignment, codes and
+    # the query all normalize), so the coarse quantizer must train
+    # there too
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1), 1e-12
+    )[:, None]
+    cent = kmeans_centroids(sample, n_centroids, seed=seed)
+    books = train_pq_codebooks(
+        sample, n_sub=n_sub, n_centroids=pq_centroids, seed=seed
+    )
+    cent_ref, books_ref = ray.put(cent), ray.put(books)
+    out = Path(store_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    class AssignEncode(PQEncoder):
+        """One actor-pool pass does both quantizers: coarse cell
+        assignment (for the shard) + PQ code (for the payload)."""
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            coded = super().__call__(batch)
+            m = _to_matrix(batch[self.vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            c = ray.get(cent_ref)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            coded["_cell"] = d.argmin(axis=1).astype(np.int64)
+            return coded
+
+    # the two-quantizer pass is the expensive one — pin it once in the
+    # (spillable) object store for the count pass and the write pass
+    coded = ds.map_batches(
+        AssignEncode,
+        fn_constructor_args=(books_ref, vec_col, id_col),
+        batch_format="pandas",
+        concurrency=4,
+    ).materialize()
+
+    def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.bincount(
+            batch["_cell"].to_numpy(), minlength=len(cent)
+        ).astype(np.int64)
+        return pd.DataFrame({"cell": np.arange(len(cent)), "n": n})
+
+    counts_df = coded.map_batches(
+        cell_counts, batch_format="pandas"
+    ).to_pandas()
+    counts = np.zeros(len(cent), dtype=np.int64)
+    np.add.at(counts, counts_df["cell"].to_numpy(), counts_df["n"].to_numpy())
+    salts = np.maximum(
+        1, -(-counts // max(1, int(target_cell_rows)))
+    ).astype(np.int64)
+    max_salt = int(salts.max())
+    salts_ref = ray.put(salts)
+
+    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(salts_ref)
+        cells = batch["_cell"].to_numpy()
+        h = pd.util.hash_pandas_object(batch[id_col], index=False).to_numpy()
+        batch = batch.copy()
+        batch["_shard"] = cells * max_salt + (
+            h % s[cells].astype(np.uint64)
+        ).astype(np.int64)
+        return batch.drop(columns=["_cell"])
+
+    def write_shard(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        shard = int(group["_shard"].iloc[0])
+        cell, salt = shard // max_salt, shard % max_salt
+        name = (
+            f"cell={cell:04d}+s{salt:03d}.parquet"
+            if int(ray.get(salts_ref)[cell]) > 1
+            else f"cell={cell:04d}.parquet"
+        )
+        path = out / name
+        tmp = str(path) + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(
+                group.drop(columns=["_shard"]), preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame({"cell": [cell], "rows": [len(group)]})
+
+    summary = (
+        coded.map_batches(add_salt, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(write_shard, batch_format="pandas")
+        .to_pandas()
+    )
+    rows_per_cell = summary.groupby("cell")["rows"].sum()
+    meta = {
+        "centroids": cent.tolist(),
+        "books": [b.tolist() for b in books],
+        "n_sub": n_sub,
+        "cells": {int(c): int(r) for c, r in rows_per_cell.items()},
+        "vec_col": vec_col,
+        "id_col": id_col,
+    }
+    tmpm = out / "._ivfpq_meta.json.tmp"
+    tmpm.write_text(json.dumps(meta))
+    os.replace(tmpm, out / "_ivfpq_meta.json")
+    return {
+        "cells": int(rows_per_cell.size),
+        "files": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+    }
+
+
+def ivfpq_topk_store(
+    store_dir: str,
+    raw_ds: ray.data.Dataset,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 100,
+) -> pd.DataFrame:
+    """IVFPQ search: probe cells (driver-side centroid argsort), read
+    ONLY those cells' code shards, ADC-rank in the compressed domain,
+    exact-rerank the top `rerank` ids against `raw_ds` (the raw table
+    the store was built from). Returns (id, rank)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads((Path(store_dir) / "_ivfpq_meta.json").read_text())
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in meta["books"]]
+    n_sub = int(meta["n_sub"])
+    q = np.asarray(query, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    order = np.argsort(((cent - q[None, :]) ** 2).sum(axis=1))
+    cells = [int(c) for c in order[:n_probe]]
+    files = [
+        str(p)
+        for c in cells
+        for p in sorted(Path(store_dir).glob(f"cell={c:04d}*.parquet"))
+    ]
+    if not files:
+        return pd.DataFrame(
+            {id_col: pd.Series([], dtype="int64"),
+             "rank": pd.Series([], dtype="int64")}
+        )
+    dsub = len(q) // n_sub
+    kmax = max(len(b) for b in books)
+    lut = np.full((n_sub, kmax), -np.inf)
+    for j, book in enumerate(books):
+        lut[j, : len(book)] = book @ q[j * dsub : (j + 1) * dsub]
+    lut_ref = ray.put(lut)
+    r = max(k, rerank)
+    codes = ray.data.read_parquet(files, columns=[id_col, "code"])
+
+    def adc_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(lut_ref)
+        c = np.frombuffer(
+            b"".join(batch["code"]), dtype=np.uint8
+        ).reshape(len(batch), -1)
+        score = t[np.arange(c.shape[1])[None, :], c].sum(axis=1)
+        order = np.lexsort((batch[id_col].to_numpy(), -score))[:r]
+        return pd.DataFrame(
+            {id_col: batch[id_col].to_numpy()[order], "adc": score[order]}
+        )
+
+    partials = codes.map_batches(adc_partial, batch_format="pandas").to_pandas()
+    order = np.lexsort(
+        (partials[id_col].to_numpy(), -partials["adc"].to_numpy())
+    )[:r]
+    cand_ref = ray.put(np.sort(partials[id_col].to_numpy()[order]))
+
+    def exact_on_cands(batch: pd.DataFrame) -> pd.DataFrame:
+        ids = batch[id_col].to_numpy().astype(np.int64)
+        keep = np.isin(ids, ray.get(cand_ref))
+        if not keep.any():
+            return pd.DataFrame(
+                {id_col: pd.Series([], dtype="int64"),
+                 "cos": pd.Series([], dtype="float64")}
+            )
+        sel = batch.loc[keep]
+        m = _to_matrix(sel[vec_col])
+        qv = np.asarray(query, dtype=np.float64)
+        qv = qv / max(np.linalg.norm(qv), 1e-12)
+        cos = (m @ qv) / np.maximum(np.linalg.norm(m, axis=1), 1e-12)
+        return pd.DataFrame(
+            {id_col: sel[id_col].to_numpy().astype(np.int64), "cos": cos}
+        )
+
+    exact = raw_ds.map_batches(
+        exact_on_cands, batch_format="pandas"
+    ).to_pandas()
+    order = np.lexsort((exact[id_col].to_numpy(), -exact["cos"].to_numpy()))[:k]
+    out = exact.iloc[order].reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out[[id_col, "rank"]]

@@ -447,3 +447,85 @@ def test_pq_topk_recall_and_exact_degradation(ray_session):
     codes = pq_encode(ds, _ray.put(books), concurrency=2).to_pandas()
     assert codes.shape == (400, 2)
     assert all(len(c) == 8 for c in codes["code"])
+
+
+def test_ivfpq_store_prunes_io_and_recalls(ray_session, tmp_path):
+    """IVFPQ: (a) non-probed cells' CODE shards are never opened
+    (chmod-000 proof, same protocol as the IVF store); (b) the store
+    holds codes only (no raw vectors — the index is ~1/32 the column);
+    (c) ADC + rerank recalls the exact top-k on clustered data; (d) a
+    tiny target_cell_rows salts hot cells into multiple bounded shards
+    that read identically."""
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import (
+        brute_force_topk,
+        build_ivfpq_store,
+        ivfpq_topk_store,
+    )
+
+    rng = np.random.default_rng(29)
+    centers = rng.standard_normal((8, 16)) * 3
+    vecs = np.repeat(centers, 250, axis=0) + rng.standard_normal((2000, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(2000), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+    store = str(tmp_path / "ivfpq")
+    info = build_ivfpq_store(ds, store, n_centroids=8, sample_rows=2000)
+    assert info["rows"] == 2000
+    assert info["cells"] >= 4
+
+    shards = sorted(Path(store).glob("cell=*.parquet"))
+    t0 = papq.read_table(shards[0])
+    assert set(t0.column_names) == {"vec_id", "code"}  # codes only
+
+    import json
+
+    meta = json.loads((Path(store) / "_ivfpq_meta.json").read_text())
+    cent = np.asarray(meta["centroids"])
+    query = vecs[7]
+    qn = query / np.linalg.norm(query)
+    probed = set(
+        int(c)
+        for c in np.argsort(((cent - qn[None, :]) ** 2).sum(axis=1))[:3]
+    )
+    blocked = []
+    for p in shards:
+        cell = int(p.stem.split("=")[1].split("+")[0])
+        if cell not in probed:
+            os.chmod(p, 0)
+            blocked.append(p)
+    assert blocked
+    try:
+        out = ivfpq_topk_store(store, ds, query, k=5, n_probe=3, rerank=50)
+    finally:
+        for p in blocked:
+            os.chmod(p, 0o644)
+    assert len(out) == 5
+    assert int(out["vec_id"].iloc[0]) == 7
+    exact = brute_force_topk(ds, query, k=5)
+    assert len(set(out["vec_id"]) & set(exact["vec_id"])) >= 3
+
+    # (d) salting: tiny threshold -> multiple files per hot cell, same
+    # answers
+    salted = str(tmp_path / "ivfpq_salted")
+    info2 = build_ivfpq_store(
+        ds, salted, n_centroids=8, sample_rows=2000, target_cell_rows=100
+    )
+    assert info2["files"] > info2["cells"]
+    assert any(Path(salted).glob("cell=*+s*.parquet"))
+    out2 = ivfpq_topk_store(salted, ds, query, k=5, n_probe=8, rerank=2000)
+    full = ivfpq_topk_store(store, ds, query, k=5, n_probe=8, rerank=2000)
+    pd.testing.assert_frame_equal(
+        out2.reset_index(drop=True), full.reset_index(drop=True)
+    )
