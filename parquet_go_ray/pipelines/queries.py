@@ -489,6 +489,62 @@ def q_percent_ranks(sf_dir):
     return ds.groupby("event_type").map_groups(pranks, batch_format="pandas")
 
 
+def q_window_edges(sf_dir):
+    """LEAD / FIRST_VALUE / LAST_VALUE window parity: per user in
+    (ts, event_id) order, the next event's id (-1 for the last row —
+    LEAD's default), the partition's first event id, and its last
+    (SQL's LAST_VALUE needs the UNBOUNDED FOLLOWING frame; here the
+    whole group is in hand, so it's just the sorted tail). One lexsort
+    per group, no per-row Python."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def edges(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        order = np.lexsort((eid, ts))
+        eid = eid[order]
+        nxt = np.concatenate((eid[1:], [-1])).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.repeat(
+                    np.int64(g["user_id"].iloc[0]), len(eid)
+                ),
+                "next_event": nxt,
+                "first_event": np.repeat(np.int64(eid[0]), len(eid)),
+                "last_event": np.repeat(np.int64(eid[-1]), len(eid)),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(edges, batch_format="pandas")
+
+
+def q_cume_dists(sf_dir):
+    """CUME_DIST window parity, milli-quantized for bit-stability: per
+    event_type over the cents order, floor(cd * 1000 + 0.5) where
+    cd = (# rows with value <= current) / n — one sort + searchsorted
+    (side='right') per group."""
+    ds = _read(
+        sf_dir, "events", columns=["event_id", "event_type", "value"]
+    )
+
+    def cdists(g: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        srt = np.sort(cents)
+        cd = np.searchsorted(srt, cents, side="right") / np.float64(
+            len(cents)
+        )
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "event_type": g["event_type"].to_numpy(),
+                "cd_milli": np.floor(cd * 1000 + 0.5).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("event_type").map_groups(cdists, batch_format="pandas")
+
+
 def q_asof_join(sf_dir):
     """As-of join: each event matched to the latest hourly mark (first
     event of its type in the hour) at or before its timestamp. Ray side:
@@ -3758,6 +3814,8 @@ QUERIES = {
     "dense_ranks": q_dense_ranks,
     "ntile_buckets": q_ntile_buckets,
     "percent_ranks": q_percent_ranks,
+    "window_edges": q_window_edges,
+    "cume_dists": q_cume_dists,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
@@ -3996,6 +4054,20 @@ ORACLES = {
         "SELECT event_id, event_type, CAST(floor(PERCENT_RANK() OVER "
         "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
         "AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS pr_milli FROM events"
+    ),
+    "window_edges": (
+        "SELECT event_id, user_id, "
+        "CAST(COALESCE(LEAD(event_id) OVER w, -1) AS BIGINT) AS next_event, "
+        "CAST(FIRST_VALUE(event_id) OVER w AS BIGINT) AS first_event, "
+        "CAST(LAST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY "
+        "ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED "
+        "FOLLOWING) AS BIGINT) AS last_event "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+    ),
+    "cume_dists": (
+        "SELECT event_id, event_type, CAST(floor(CUME_DIST() OVER "
+        "(PARTITION BY event_type ORDER BY CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) * 1000 + 0.5) AS BIGINT) AS cd_milli FROM events"
     ),
     "session_windows": (
         "WITH d AS ("
