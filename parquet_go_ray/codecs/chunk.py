@@ -356,6 +356,12 @@ def encode_array(
     """
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # dictionary-typed INPUT: encode the dense values (the engine's own
+    # dictionary codec is chosen by the selector, not by the input's
+    # arrow representation), but serialize the ORIGINAL logical type so
+    # decode hands back a dictionary array — the reference round-trips
+    # dictionary columns as dictionary (dictionary.go), not as dense
+    orig_type = arr.type
     if pa.types.is_dictionary(arr.type):
         arr = arr.dictionary_decode()
     ptype = physical_type(arr.type)
@@ -407,7 +413,7 @@ def encode_array(
     if compression:
         payload = _compress(payload, compression)
         flags |= 4
-    type_bytes = pa.schema([pa.field("c", arr.type)]).serialize().to_pybytes()
+    type_bytes = pa.schema([pa.field("c", orig_type)]).serialize().to_pybytes()
     header = _HDR.pack(
         MAGIC,
         codec,
@@ -687,6 +693,21 @@ def _fill(full: np.ndarray, values: np.ndarray, n_null: int, validity: bytes, n:
 def _cast_back(storage: pa.Array, ty: pa.DataType) -> pa.Array:
     if storage.type == ty:
         return storage
+    if pa.types.is_dictionary(ty):
+        # dictionary-typed input round-trips as dictionary. Re-indexing
+        # is LOGICALLY exact always, and representation-exact when the
+        # input dictionary is first-occurrence-ordered with no unused
+        # values (what dictionary_encode and dataset reads produce) —
+        # same bar as the reference, whose dictionary pages are written
+        # in writer-insertion order (dictionary.go), not input order
+        enc = _cast_back(storage, ty.value_type).dictionary_encode()
+        if enc.type != ty:
+            enc = pa.DictionaryArray.from_arrays(
+                enc.indices.cast(ty.index_type),
+                enc.dictionary.cast(ty.value_type),
+                ordered=ty.ordered,
+            )
+        return enc
     if pa.types.is_decimal(ty):
         return pa.Array.from_buffers(
             ty, len(storage), [storage.buffers()[0], storage.buffers()[1]], offset=storage.offset

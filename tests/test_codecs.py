@@ -226,3 +226,57 @@ def test_timestamp_and_nested():
     roundtrip(ts)
     lst = pa.array([[float(i), i + 0.5] for i in range(50)], type=pa.list_(pa.float32()))
     roundtrip(lst)
+
+
+class TestDictionaryTypedInput:
+    """Dictionary-typed ARROW input (round 5): the chunk header keeps
+    the original logical type, so decode hands back a dictionary array
+    instead of silently densifying."""
+
+    def test_representation_exact_for_first_occurrence(self):
+        import pyarrow as pa
+
+        from parquet_go_ray.codecs import decode_array, encode_array
+
+        for arr in (
+            pa.array(["a", "b", "a", None]).dictionary_encode(),
+            pa.array([1, 2, 2, None], type=pa.int64()).dictionary_encode(),
+            pa.array([1.5, 2.5, 1.5]).dictionary_encode(),
+            pa.DictionaryArray.from_arrays(
+                pa.array([0, 1, 0], type=pa.int8()), pa.array(["p", "q"])
+            ),
+        ):
+            out = decode_array(encode_array(arr))
+            assert out.type == arr.type
+            assert out.equals(arr)
+
+    def test_logical_exact_for_arbitrary_dictionary_order(self):
+        import pyarrow as pa
+
+        from parquet_go_ray.codecs import decode_array, encode_array
+
+        # non-first-occurrence order + an unused dictionary value:
+        # logical equality holds; the re-derived indices are
+        # first-occurrence (documented, same bar as the reference's
+        # writer-ordered dictionary pages)
+        arr = pa.DictionaryArray.from_arrays(
+            pa.array([1, 0, 1], type=pa.int32()),
+            pa.array(["a", "b", "unused"]),
+        )
+        out = decode_array(encode_array(arr))
+        assert pa.types.is_dictionary(out.type)
+        assert out.to_pylist() == arr.to_pylist()
+
+    def test_chunked_dictionary_input(self):
+        import pyarrow as pa
+
+        from parquet_go_ray.codecs import decode_array, encode_array
+
+        ca = pa.chunked_array(
+            [
+                pa.array(["x", "y"]).dictionary_encode(),
+                pa.array(["y", "z"]).dictionary_encode(),
+            ]
+        )
+        out = decode_array(encode_array(ca))
+        assert out.equals(ca.combine_chunks())
