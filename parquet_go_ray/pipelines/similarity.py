@@ -1033,3 +1033,196 @@ def ivfpq_topk_store(
     out = exact.iloc[order].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[[id_col, "rank"]]
+
+
+def _ivfpq_recover(store_dir: str) -> None:
+    """Finish or roll back an interrupted compaction: an intent file
+    `cell=NNNN.members.json` whose target generation file exists means
+    the merge committed — finish the member unlinks; target missing
+    means it didn't — drop the intent (members untouched)."""
+    import json
+    from pathlib import Path
+
+    for intent in Path(store_dir).glob("*.members.json"):
+        rec = json.loads(intent.read_text())
+        target = Path(store_dir) / rec["target"]
+        if target.exists():
+            for m in rec["members"]:
+                p = Path(store_dir) / m
+                if p.exists():
+                    p.unlink()
+        intent.unlink()
+
+
+def ivfpq_append(
+    store_dir: str,
+    ds: ray.data.Dataset,
+    generation: str | None = None,
+) -> dict:
+    """Incremental IVFPQ maintenance: encode NEW vectors with the
+    store's FROZEN quantizers (centroids + codebooks from the meta —
+    appends never retrain, the drift boundary is an explicit rebuild)
+    and land them as one generation file per touched cell,
+    `cell=NNNN+g<hex>.parquet` (atomic tmp+rename; an existing file
+    resume-skips, so re-running the same append is idempotent). The
+    probe path already globs `cell=NNNN*`, so appended vectors are
+    searchable with no reader change. The generation id derives from
+    the increment's CONTENT (count + id checksum via one cheap
+    aggregate pass), never from call order — restaging different data
+    re-lands, re-running the same data skips. Appends are assumed to
+    carry new ids (dedupe upstream: snapshot_dedupe)."""
+    import hashlib
+    import json
+    import os
+    from pathlib import Path
+
+    meta = json.loads((Path(store_dir) / "_ivfpq_meta.json").read_text())
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in meta["books"]]
+    _ivfpq_recover(store_dir)
+
+    if generation is None:
+
+        def id_digest(batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch[id_col].to_numpy().astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "n": [len(ids)],
+                    "xor": [int(np.bitwise_xor.reduce(ids)) if len(ids) else 0],
+                    "sum": [int(ids.sum())],
+                }
+            )
+
+        parts = ds.map_batches(id_digest, batch_format="pandas").to_pandas()
+        sig = (
+            int(parts["n"].sum()),
+            int(np.bitwise_xor.reduce(parts["xor"].to_numpy()))
+            if len(parts)
+            else 0,
+            int(parts["sum"].sum()),
+        )
+        generation = hashlib.sha1(repr(sig).encode()).hexdigest()[:8]
+    gen = generation
+
+    cent_ref, books_ref = ray.put(cent), ray.put(books)
+
+    class AssignEncode(PQEncoder):
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            coded = super().__call__(batch)
+            m = _to_matrix(batch[self.vec_col])
+            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            c = ray.get(cent_ref)
+            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            coded["_cell"] = d.argmin(axis=1).astype(np.int64)
+            return coded
+
+    out = Path(store_dir)
+
+    def write_gen(group: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cell = int(group["_cell"].iloc[0])
+        path = out / f"cell={cell:04d}+g{gen}.parquet"
+        if path.exists():  # idempotent re-run
+            return pd.DataFrame(
+                {"cell": [cell], "rows": [0], "skipped": [True]}
+            )
+        tmp = str(path) + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(
+                group.drop(columns=["_cell"]), preserve_index=False
+            ),
+            tmp,
+        )
+        os.replace(tmp, path)
+        return pd.DataFrame(
+            {"cell": [cell], "rows": [len(group)], "skipped": [False]}
+        )
+
+    summary = (
+        ds.map_batches(
+            AssignEncode,
+            fn_constructor_args=(books_ref, vec_col, id_col),
+            batch_format="pandas",
+            concurrency=4,
+        )
+        .groupby("_cell")
+        .map_groups(write_gen, batch_format="pandas")
+        .to_pandas()
+    )
+    return {
+        "generation": gen,
+        "cells_touched": int(len(summary)),
+        "rows": int(summary["rows"].sum()),
+        "already_applied": bool(summary["skipped"].all()),
+    }
+
+
+def ivfpq_compact(store_dir: str) -> dict:
+    """Fold each cell's GENERATION files back into one — the
+    maintenance step that bounds per-cell file counts after a stream
+    of appends. Base and salted shards are left alone (folding them
+    would undo hot-cell salting); only `+g` files merge, into a new
+    generation named deterministically from the member set (retries
+    idempotent). Crash safety: a members intent file commits the merge
+    — written before the target rename, consumed after the member
+    unlinks; `_ivfpq_recover` (run by append/compact) finishes or
+    rolls back an interrupted fold."""
+    import hashlib
+    import json
+    import os
+    from collections import defaultdict
+    from pathlib import Path
+
+    _ivfpq_recover(store_dir)
+    groups: dict[int, list[str]] = defaultdict(list)
+    for p in sorted(Path(store_dir).glob("cell=*+g*.parquet")):
+        cell = int(p.stem.split("=")[1].split("+")[0])
+        groups[cell].append(p.name)
+    todo = {c: ms for c, ms in groups.items() if len(ms) > 1}
+    if not todo:
+        return {"cells_compacted": 0, "files_merged": 0}
+    items = [
+        {"cell": c, "members": ms} for c, ms in sorted(todo.items())
+    ]
+
+    def fold(batch: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out_rows = []
+        for _, row in batch.iterrows():
+            cell, members = int(row["cell"]), list(row["members"])
+            gid = hashlib.sha1(("|".join(members)).encode()).hexdigest()[:8]
+            target = f"cell={cell:04d}+g{gid}.parquet"
+            root = Path(store_dir)
+            intent = root / f"cell={cell:04d}.members.json"
+            t = pa.concat_tables(
+                [pq.read_table(root / m) for m in members],
+                promote_options="default",
+            )
+            intent.write_text(
+                json.dumps({"target": target, "members": members})
+            )
+            tmp = str(root / target) + f".tmp{os.getpid()}"
+            pq.write_table(t, tmp)
+            os.replace(tmp, root / target)
+            for m in members:
+                p = root / m
+                if p.exists():
+                    p.unlink()
+            intent.unlink()
+            out_rows.append({"cell": cell, "merged": len(members)})
+        return pd.DataFrame(out_rows)
+
+    res = (
+        ray.data.from_items(items, override_num_blocks=len(items))
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    return {
+        "cells_compacted": int(len(res)),
+        "files_merged": int(res["merged"].sum()),
+    }

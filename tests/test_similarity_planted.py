@@ -529,3 +529,96 @@ def test_ivfpq_store_prunes_io_and_recalls(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         out2.reset_index(drop=True), full.reset_index(drop=True)
     )
+
+
+def test_ivfpq_append_and_compact(ray_session, tmp_path):
+    """Incremental IVFPQ: (a) appended vectors are searchable with no
+    reader change; (b) re-running the same append is a no-op
+    (content-derived generation, already_applied); (c) compaction folds
+    a cell's generation files into one and answers don't change; (d) an
+    interrupted fold (intent file present, target present) recovers by
+    finishing the unlinks."""
+    import json
+    from pathlib import Path
+
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_append,
+        ivfpq_compact,
+        ivfpq_topk_store,
+        _ivfpq_recover,
+    )
+
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.repeat(centers, 100, axis=0) + rng.standard_normal((400, 16))
+
+    def mk(ids, m):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids, type=pa.int64()),
+                    "embedding": pa.array(
+                        list(m), type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        )
+
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(mk(np.arange(400), vecs), store, n_centroids=4,
+                      sample_rows=400)
+
+    # append: near-copies of vector 7, ids 9000+
+    newv = vecs[7] + rng.standard_normal((5, 16)) * 0.01
+    full_raw = mk(
+        np.concatenate([np.arange(400), 9000 + np.arange(5)]),
+        np.concatenate([vecs, newv]),
+    )
+    r1 = ivfpq_append(store, mk(9000 + np.arange(5), newv))
+    assert r1["rows"] == 5 and not r1["already_applied"]
+    out = ivfpq_topk_store(store, full_raw, vecs[7], k=6, n_probe=4,
+                           rerank=400)
+    assert 7 in set(out["vec_id"])
+    assert len(set(out["vec_id"]) & set(9000 + np.arange(5))) >= 4
+
+    # idempotent re-run
+    r2 = ivfpq_append(store, mk(9000 + np.arange(5), newv))
+    assert r2["generation"] == r1["generation"]
+    assert r2["rows"] == 0 and r2["already_applied"]
+
+    # second generation, then compact
+    newv2 = vecs[7] + rng.standard_normal((3, 16)) * 0.01
+    ivfpq_append(store, mk(9500 + np.arange(3), newv2))
+    gen_files = list(Path(store).glob("cell=*+g*.parquet"))
+    assert len(gen_files) >= 2
+    before = ivfpq_topk_store(store, full_raw, vecs[7], k=6, n_probe=4,
+                              rerank=400)
+    res = ivfpq_compact(store)
+    assert res["files_merged"] >= 2
+    after = ivfpq_topk_store(store, full_raw, vecs[7], k=6, n_probe=4,
+                             rerank=400)
+    pd.testing.assert_frame_equal(
+        before.reset_index(drop=True), after.reset_index(drop=True)
+    )
+
+    # crash recovery: simulate a fold that committed its target but
+    # died before the member unlinks — recover must finish them
+    gens = sorted(p.name for p in Path(store).glob("cell=*+g*.parquet"))
+    assert gens
+    victim = gens[0]
+    cell = victim.split("=")[1].split("+")[0]
+    fake_target = f"cell={cell}+gdeadbeef.parquet"
+    import shutil
+
+    shutil.copy(Path(store) / victim, Path(store) / fake_target)
+    (Path(store) / f"cell={cell}.members.json").write_text(
+        json.dumps({"target": fake_target, "members": [victim]})
+    )
+    _ivfpq_recover(store)
+    assert not (Path(store) / victim).exists()
+    assert (Path(store) / fake_target).exists()
+    assert not (Path(store) / f"cell={cell}.members.json").exists()
