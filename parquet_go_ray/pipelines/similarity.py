@@ -17,6 +17,8 @@ import pandas as pd
 import ray
 import ray.data
 
+from ..util import autoscale_concurrency
+
 
 def _to_matrix(col) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
@@ -59,6 +61,17 @@ def brute_force_topk(
     out = partials.iloc[order].reset_index(drop=True)
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     return out[[id_col, "rank"]]
+
+
+def _nearest_cell(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """argmin_j ||m_i - c_j||^2 via the expansion ||c||^2 - 2 m.c^T
+    (||m||^2 is row-constant and drops out of the argmin). One BLAS
+    matmul with O(n*k) memory instead of the naive broadcast's
+    O(n*k*dim) temporaries — the difference between megabytes and
+    100+ GB per batch once the coarse quantizer has real-scale cell
+    counts (thousands) over real-scale dims (768+)."""
+    c2 = (c * c).sum(axis=1)
+    return (c2[None, :] - 2.0 * (m @ c.T)).argmin(axis=1).astype(np.int64)
 
 
 def kmeans_centroids(
@@ -165,9 +178,8 @@ def build_ivf_store(
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cent_ref)
         m = _to_matrix(batch[vec_col])
-        d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         batch = batch.copy()
-        batch["_cell"] = d.argmin(axis=1).astype(np.int64)
+        batch["_cell"] = _nearest_cell(m, c)
         return batch
 
     # cell assignment is the expensive pass (a distance matmul per
@@ -708,14 +720,16 @@ def pq_encode(
     books_ref,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    concurrency: int = 4,
+    concurrency: tuple[int, int] | int | None = None,
 ) -> ray.data.Dataset:
-    """Encode an embedding column to PQ codes: (id, code binary)."""
+    """Encode an embedding column to PQ codes: (id, code binary).
+    The pool autoscales below session CPUs by default — a fixed pool
+    == session CPUs starves its own read tasks and deadlocks."""
     return ds.map_batches(
         PQEncoder,
         fn_constructor_args=(books_ref, vec_col, id_col),
         batch_format="pandas",
-        concurrency=concurrency,
+        concurrency=concurrency or autoscale_concurrency(),
     )
 
 
@@ -861,9 +875,7 @@ def build_ivfpq_store(
             coded = super().__call__(batch)
             m = _to_matrix(batch[self.vec_col])
             m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
-            c = ray.get(cent_ref)
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            coded["_cell"] = d.argmin(axis=1).astype(np.int64)
+            coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
             return coded
 
     # the two-quantizer pass is the expensive one — pin it once in the
@@ -872,7 +884,7 @@ def build_ivfpq_store(
         AssignEncode,
         fn_constructor_args=(books_ref, vec_col, id_col),
         batch_format="pandas",
-        concurrency=4,
+        concurrency=autoscale_concurrency(),
     ).materialize()
 
     def cell_counts(batch: pd.DataFrame) -> pd.DataFrame:
@@ -1112,9 +1124,7 @@ def ivfpq_append(
             coded = super().__call__(batch)
             m = _to_matrix(batch[self.vec_col])
             m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
-            c = ray.get(cent_ref)
-            d = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
-            coded["_cell"] = d.argmin(axis=1).astype(np.int64)
+            coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
             return coded
 
     out = Path(store_dir)
@@ -1146,7 +1156,7 @@ def ivfpq_append(
             AssignEncode,
             fn_constructor_args=(books_ref, vec_col, id_col),
             batch_format="pandas",
-            concurrency=4,
+            concurrency=autoscale_concurrency(),
         )
         .groupby("_cell")
         .map_groups(write_gen, batch_format="pandas")
