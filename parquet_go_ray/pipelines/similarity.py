@@ -139,6 +139,18 @@ def ivf_topk(
 # above prunes compute only; this prunes the read itself.
 
 
+def _clear_cell_files(out) -> None:
+    """A (re)build REPLACES the store: drop every prior `cell=*` shard
+    plus append markers and compaction intents. Salting makes shard
+    names layout-dependent (`cell=0003+s001` one build, `cell=0003`
+    the next), and appends add `+g` generations — without this sweep a
+    rebuild into the same dir leaves stale files that the probe glob
+    `cell=NNNN*.parquet` would read alongside the new ones (duplicate
+    and deleted vectors in top-k)."""
+    for p in list(out.glob("cell=*")) + list(out.glob("_gen-*.applied")):
+        p.unlink()
+
+
 def build_ivf_store(
     ds: ray.data.Dataset,
     store_dir: str,
@@ -174,6 +186,7 @@ def build_ivf_store(
     cent_ref = ray.put(cent)
     out = Path(store_dir)
     out.mkdir(parents=True, exist_ok=True)
+    _clear_cell_files(out)  # rebuild REPLACES the store (see helper)
 
     def assign(batch: pd.DataFrame) -> pd.DataFrame:
         c = ray.get(cent_ref)
@@ -502,19 +515,23 @@ def cosine_pairs(
     mat = ds.select_columns([id_col, vec_col]).materialize()
     n_rows = mat.count()
     target = max(1, n_rows // rows_per_block + 1)
-    est_pairs = target * (target + 1) // 2
-    if est_pairs > max_block_pairs:
-        raise ValueError(
-            f"cosine_pairs: exact all-pairs over {n_rows} rows needs "
-            f"~{est_pairs} block-pair tasks (> max_block_pairs="
-            f"{max_block_pairs}). This quadratic form is for pruned "
-            "candidate sets; use similarity.lsh_near_pairs or an IVF "
-            "store (build_ivf_store + topk) for the full corpus, or "
-            "raise max_block_pairs explicitly if the cost is intended."
-        )
     if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
         mat = mat.repartition(target).materialize()
     refs = mat.to_arrow_refs()
+    # guard on the ACTUAL scheduled fan-out (len(refs) can be up to
+    # 4*target when the incoming layout was accepted as-is — 16x the
+    # pair count an estimate from `target` alone would admit)
+    est_pairs = len(refs) * (len(refs) + 1) // 2
+    if est_pairs > max_block_pairs:
+        raise ValueError(
+            f"cosine_pairs: exact all-pairs over {n_rows} rows in "
+            f"{len(refs)} blocks needs {est_pairs} block-pair tasks "
+            f"(> max_block_pairs={max_block_pairs}). This quadratic "
+            "form is for pruned candidate sets; use "
+            "similarity.lsh_near_pairs or an IVF store "
+            "(build_ivf_store + topk) for the full corpus, or raise "
+            "max_block_pairs explicitly if the cost is intended."
+        )
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
@@ -694,9 +711,11 @@ class PQEncoder:
         self.cnorm2 = [(b * b).sum(axis=1) for b in self.books]
         self.vec_col, self.id_col = vec_col, id_col
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def _matrix(self, batch: pd.DataFrame) -> np.ndarray:
         m = _to_matrix(batch[self.vec_col])
-        m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+        return m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+
+    def _encode(self, batch: pd.DataFrame, m: np.ndarray) -> pd.DataFrame:
         n_sub = len(self.books)
         dsub = m.shape[1] // n_sub
         codes = np.empty((len(m), n_sub), dtype=np.uint8)
@@ -713,6 +732,9 @@ class PQEncoder:
                 "code": [c.tobytes() for c in codes],
             }
         )
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return self._encode(batch, self._matrix(batch))
 
 
 def pq_encode(
@@ -866,15 +888,16 @@ def build_ivfpq_store(
     cent_ref, books_ref = ray.put(cent), ray.put(books)
     out = Path(store_dir)
     out.mkdir(parents=True, exist_ok=True)
+    _clear_cell_files(out)  # rebuild REPLACES the store (see helper)
 
     class AssignEncode(PQEncoder):
         """One actor-pool pass does both quantizers: coarse cell
         assignment (for the shard) + PQ code (for the payload)."""
 
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            coded = super().__call__(batch)
-            m = _to_matrix(batch[self.vec_col])
-            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            # build/normalize the matrix ONCE for both quantizers
+            m = self._matrix(batch)
+            coded = self._encode(batch, m)
             coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
             return coded
 
@@ -1047,23 +1070,34 @@ def ivfpq_topk_store(
     return out[[id_col, "rank"]]
 
 
-def _ivfpq_recover(store_dir: str) -> None:
+def _ivfpq_recover(store_dir: str, min_age_s: float = 120.0) -> None:
     """Finish or roll back an interrupted compaction: an intent file
     `cell=NNNN.members.json` whose target generation file exists means
     the merge committed — finish the member unlinks; target missing
-    means it didn't — drop the intent (members untouched)."""
+    means it didn't — drop the intent (members untouched). Intents
+    younger than `min_age_s` are LEFT ALONE: a fresh intent usually
+    belongs to a fold that is still running (an append on the same
+    store must not roll back a live compaction mid-commit); crash
+    recovery only needs to reap stale ones."""
     import json
+    import time
     from pathlib import Path
 
+    now = time.time()
     for intent in Path(store_dir).glob("*.members.json"):
-        rec = json.loads(intent.read_text())
+        try:
+            if now - intent.stat().st_mtime < min_age_s:
+                continue
+            rec = json.loads(intent.read_text())
+        except (OSError, ValueError):
+            continue  # vanished mid-scan or mid-write: not ours to reap
         target = Path(store_dir) / rec["target"]
         if target.exists():
             for m in rec["members"]:
                 p = Path(store_dir) / m
                 if p.exists():
                     p.unlink()
-        intent.unlink()
+        intent.unlink(missing_ok=True)
 
 
 def ivfpq_append(
@@ -1079,10 +1113,16 @@ def ivfpq_append(
     resume-skips, so re-running the same append is idempotent). The
     probe path already globs `cell=NNNN*`, so appended vectors are
     searchable with no reader change. The generation id derives from
-    the increment's CONTENT (count + id checksum via one cheap
-    aggregate pass), never from call order — restaging different data
-    re-lands, re-running the same data skips. Appends are assumed to
-    carry new ids (dedupe upstream: snapshot_dedupe)."""
+    the increment's CONTENT — an order-independent fold of per-row
+    64-bit hashes over (id, vector bytes), one cheap aggregate pass —
+    never from call order: restaging different data (even the same ids
+    with corrected embeddings) re-lands, re-running the same data
+    skips. Idempotency survives compaction: a completed append drops a
+    `_gen-<hex>.applied` marker that outlives the generation files
+    ivfpq_compact folds away, so a crash-retry replayed AFTER a
+    compact still skips instead of re-landing duplicate rows. Appends
+    are assumed to carry new ids (dedupe upstream:
+    snapshot_dedupe)."""
     import hashlib
     import json
     import os
@@ -1096,34 +1136,68 @@ def ivfpq_append(
 
     if generation is None:
 
-        def id_digest(batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch[id_col].to_numpy().astype(np.int64)
+        def content_digest(batch: pd.DataFrame) -> pd.DataFrame:
+            # per-row 64-bit hash of (id, vector bytes), mixed through
+            # splitmix64 so xor/sum folds don't collide on small sets
+            # like {0,5} vs {1,4}; order-independent across batches
+            ids = batch[id_col].to_numpy().astype(np.uint64)
+            h = ids.copy()
+            m = np.ascontiguousarray(
+                _to_matrix(batch[vec_col]).astype(np.float64)
+            ).view(np.uint64)
+            # fold vector content in column-by-column (vectorized over
+            # rows): h = mix(h * P ^ col_bits)
+            for j in range(m.shape[1]):
+                h = h * np.uint64(0x9E3779B97F4A7C15) ^ m[:, j]
+            # splitmix64 finalizer
+            h ^= h >> np.uint64(30)
+            h *= np.uint64(0xBF58476D1CE4E5B9)
+            h ^= h >> np.uint64(27)
+            h *= np.uint64(0x94D049BB133111EB)
+            h ^= h >> np.uint64(31)
             return pd.DataFrame(
                 {
-                    "n": [len(ids)],
-                    "xor": [int(np.bitwise_xor.reduce(ids)) if len(ids) else 0],
-                    "sum": [int(ids.sum())],
+                    "n": [len(h)],
+                    "xor": [int(np.bitwise_xor.reduce(h)) if len(h) else 0],
+                    "sum": [int(h.sum(dtype=np.uint64))],
                 }
             )
 
-        parts = ds.map_batches(id_digest, batch_format="pandas").to_pandas()
+        parts = ds.map_batches(
+            content_digest, batch_format="pandas"
+        ).to_pandas()
         sig = (
             int(parts["n"].sum()),
-            int(np.bitwise_xor.reduce(parts["xor"].to_numpy()))
+            int(
+                np.bitwise_xor.reduce(
+                    parts["xor"].to_numpy().astype(np.uint64)
+                )
+            )
             if len(parts)
             else 0,
-            int(parts["sum"].sum()),
+            int(parts["sum"].to_numpy().astype(np.uint64).sum(dtype=np.uint64)),
         )
         generation = hashlib.sha1(repr(sig).encode()).hexdigest()[:8]
     gen = generation
+
+    marker = Path(store_dir) / f"_gen-{gen}.applied"
+    if marker.exists():
+        # this exact content already landed (its files may since have
+        # been folded away by ivfpq_compact — the marker outlives them)
+        return {
+            "generation": gen,
+            "cells_touched": 0,
+            "rows": 0,
+            "already_applied": True,
+        }
 
     cent_ref, books_ref = ray.put(cent), ray.put(books)
 
     class AssignEncode(PQEncoder):
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            coded = super().__call__(batch)
-            m = _to_matrix(batch[self.vec_col])
-            m = m / np.maximum(np.linalg.norm(m, axis=1), 1e-12)[:, None]
+            # build/normalize the matrix ONCE for both quantizers
+            m = self._matrix(batch)
+            coded = self._encode(batch, m)
             coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
             return coded
 
@@ -1162,6 +1236,11 @@ def ivfpq_append(
         .map_groups(write_gen, batch_format="pandas")
         .to_pandas()
     )
+    # commit point: every touched cell's generation file is on disk.
+    # The marker is what makes idempotency survive ivfpq_compact
+    # unlinking those files later (a crash BEFORE this line re-runs
+    # write_gen, which resume-skips on the files themselves).
+    marker.touch()
     return {
         "generation": gen,
         "cells_touched": int(len(summary)),
@@ -1186,7 +1265,10 @@ def ivfpq_compact(store_dir: str) -> dict:
     from collections import defaultdict
     from pathlib import Path
 
-    _ivfpq_recover(store_dir)
+    # compact is the single maintenance owner: reap ALL intents (a
+    # committed-but-unreaped fold's members would otherwise be folded
+    # again on top of their target, duplicating rows)
+    _ivfpq_recover(store_dir, min_age_s=0.0)
     groups: dict[int, list[str]] = defaultdict(list)
     for p in sorted(Path(store_dir).glob("cell=*+g*.parquet")):
         cell = int(p.stem.split("=")[1].split("+")[0])
@@ -1223,7 +1305,8 @@ def ivfpq_compact(store_dir: str) -> dict:
                 p = root / m
                 if p.exists():
                     p.unlink()
-            intent.unlink()
+            # missing_ok: a concurrent recover may have reaped it
+            intent.unlink(missing_ok=True)
             out_rows.append({"cell": cell, "merged": len(members)})
         return pd.DataFrame(out_rows)
 

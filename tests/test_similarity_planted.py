@@ -618,7 +618,134 @@ def test_ivfpq_append_and_compact(ray_session, tmp_path):
     (Path(store) / f"cell={cell}.members.json").write_text(
         json.dumps({"target": fake_target, "members": [victim]})
     )
+    # a FRESH intent may belong to a live fold: default recover (as run
+    # by a concurrent append) must leave it — and its members — alone
     _ivfpq_recover(store)
+    assert (Path(store) / victim).exists()
+    assert (Path(store) / f"cell={cell}.members.json").exists()
+    # …while crash recovery of a STALE intent finishes the unlinks
+    _ivfpq_recover(store, min_age_s=0.0)
     assert not (Path(store) / victim).exists()
     assert (Path(store) / fake_target).exists()
     assert not (Path(store) / f"cell={cell}.members.json").exists()
+
+
+def _mk_vecs(ids, m):
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "embedding": pa.array(list(m), type=pa.list_(pa.float64())),
+            }
+        )
+    )
+
+
+def test_ivfpq_append_generation_distinguishes_content(ray_session, tmp_path):
+    """The auto generation id must separate increments whose ids share
+    (count, xor, sum) — e.g. {0,5} vs {1,4} — and re-appends of the
+    SAME ids with different vector content (corrected embeddings)."""
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_append,
+        ivfpq_topk_store,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((100, 16))
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(
+        _mk_vecs(np.arange(100, 200), base), store, n_centroids=2,
+        sample_rows=100,
+    )
+
+    v = rng.standard_normal((2, 16))
+    r1 = ivfpq_append(store, _mk_vecs(np.array([0, 5]), v))
+    # {1,4} has the same count/xor/sum as {0,5}: must be a NEW generation
+    r2 = ivfpq_append(store, _mk_vecs(np.array([1, 4]), v))
+    assert r2["generation"] != r1["generation"]
+    assert not r2["already_applied"] and r2["rows"] == 2
+    # same ids, different vectors: also a new generation
+    v2 = rng.standard_normal((2, 16))
+    r3 = ivfpq_append(store, _mk_vecs(np.array([0, 5]), v2))
+    assert r3["generation"] not in (r1["generation"], r2["generation"])
+    # all four distinct ids are searchable
+    full = _mk_vecs(
+        np.concatenate([np.arange(100, 200), [0, 5, 1, 4]]),
+        np.concatenate([base, v, v]),
+    )
+    out = ivfpq_topk_store(store, full, v[0], k=4, n_probe=2, rerank=300)
+    assert {0, 1} <= set(out["vec_id"])
+
+
+def test_ivfpq_append_replay_after_compact_skips(ray_session, tmp_path):
+    """A crash-retry replaying an already-applied append AFTER a
+    compaction folded its generation files away must skip (the
+    `_gen-*.applied` marker outlives the files), not re-land rows."""
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_append,
+        ivfpq_compact,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((100, 16))
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(
+        _mk_vecs(np.arange(100), base), store, n_centroids=2,
+        sample_rows=100,
+    )
+    v1 = rng.standard_normal((4, 16))
+    v2 = rng.standard_normal((3, 16))
+    r1 = ivfpq_append(store, _mk_vecs(1000 + np.arange(4), v1))
+    ivfpq_append(store, _mk_vecs(2000 + np.arange(3), v2))
+    ivfpq_compact(store)
+
+    def store_rows():
+        return sum(
+            pq.read_table(p).num_rows
+            for p in Path(store).glob("cell=*.parquet")
+        )
+
+    n = store_rows()
+    replay = ivfpq_append(store, _mk_vecs(1000 + np.arange(4), v1))
+    assert replay["already_applied"] and replay["rows"] == 0
+    assert replay["generation"] == r1["generation"]
+    assert store_rows() == n
+
+
+def test_ivf_rebuild_clears_stale_shards(ray_session, tmp_path):
+    """Rebuilding a store into the same directory must not leave prior
+    shards behind: salting makes names layout-dependent, so a shrunken
+    rebuild would otherwise serve duplicated/deleted vectors."""
+    from pathlib import Path
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivf_store,
+        ivf_topk_store,
+    )
+
+    rng = np.random.default_rng(3)
+    big = rng.standard_normal((3000, 8))
+    store = str(tmp_path / "ivf")
+    # force salting: tiny per-cell row target
+    build_ivf_store(
+        _mk_vecs(np.arange(3000), big), store, n_centroids=2,
+        sample_rows=3000, target_cell_rows=500,
+    )
+    assert any("+s" in p.name for p in Path(store).glob("cell=*.parquet"))
+    # shrink + rebuild unsalted into the SAME dir with fresh ids
+    small = rng.standard_normal((50, 8))
+    build_ivf_store(
+        _mk_vecs(9000 + np.arange(50), small), store, n_centroids=2,
+        sample_rows=50,
+    )
+    assert not any("+s" in p.name for p in Path(store).glob("cell=*.parquet"))
+    out = ivf_topk_store(store, small[0], k=5, n_probe=2)
+    ids = set(int(i) for i in out["vec_id"])
+    assert ids <= set(range(9000, 9050)), f"stale ids leaked: {ids}"
