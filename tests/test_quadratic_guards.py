@@ -108,3 +108,47 @@ def test_merge_sorted_iter_override(ray_session):
     s2 = ray.data.from_arrow(pa.table({"k": np.arange(1, 50, 2, dtype=np.int64)}))
     out = pa.concat_tables(list(merge_sorted_iter([s1, s2], ["k"], max_rows=10**9)))
     assert out.column("k").to_pylist() == list(range(50))
+
+
+def test_cosine_pairs_shuffled_blocks_match_sorted(ray_session):
+    """Pair emission must be block-layout independent: shuffled
+    (non-id-sorted) blocks produce exactly the sorted layout's
+    (min,max) pair set (the id-sorted testdata masks this)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from parquet_go_ray.pipelines.similarity import cosine_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((60, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[:10] + rng.standard_normal((10, 8)) * 0.01
+    vecs = np.concatenate([base, dups])
+    ids = np.concatenate([np.arange(60), 1000 + np.arange(10)])
+
+    def mk(order):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array(ids[order], type=pa.int64()),
+                    "embedding": pa.array(
+                        list(vecs[order]), type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+        ).repartition(5)
+
+    sorted_pairs = cosine_pairs(
+        mk(np.arange(70)), threshold=0.98, rows_per_block=16
+    ).to_pandas()
+    shuf_pairs = cosine_pairs(
+        mk(rng.permutation(70)), threshold=0.98, rows_per_block=16
+    ).to_pandas()
+
+    def pairset(df):
+        return {(int(a), int(b)) for a, b in zip(df["id_a"], df["id_b"])}
+
+    assert pairset(sorted_pairs) == pairset(shuf_pairs)
+    assert (shuf_pairs["id_a"] < shuf_pairs["id_b"]).all()
+    assert {(i, 1000 + i) for i in range(10)} <= pairset(shuf_pairs)

@@ -749,3 +749,35 @@ def test_ivf_rebuild_clears_stale_shards(ray_session, tmp_path):
     out = ivf_topk_store(store, small[0], k=5, n_probe=2)
     ids = set(int(i) for i in out["vec_id"])
     assert ids <= set(range(9000, 9050)), f"stale ids leaked: {ids}"
+
+
+def test_ivfpq_store_layout_independent(ray_session, tmp_path):
+    """Shuffled (non-id-sorted) input blocks must not change WHAT the
+    IVFPQ store can find: planted near-duplicates of the query are
+    recovered regardless of row order (id-sorted testdata masks
+    order sensitivity in the sample/assign/write path)."""
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_topk_store,
+    )
+
+    rng = np.random.default_rng(17)
+    centers = rng.standard_normal((4, 16)) * 3
+    vecs = np.repeat(centers, 150, axis=0) + rng.standard_normal((600, 16))
+    # plant 5 near-copies of vector 10, ids 9000+
+    planted = vecs[10] + rng.standard_normal((5, 16)) * 0.01
+    ids = np.concatenate([np.arange(600), 9000 + np.arange(5)])
+    allv = np.concatenate([vecs, planted])
+    perm = rng.permutation(len(ids))
+
+    store = str(tmp_path / "ivfpq")
+    full = _mk_vecs(ids[perm], allv[perm])
+    build_ivfpq_store(
+        full.repartition(7), store, n_centroids=4, sample_rows=605
+    )
+    out = ivfpq_topk_store(
+        store, _mk_vecs(ids, allv), vecs[10], k=6, n_probe=4, rerank=600
+    )
+    got = set(int(i) for i in out["vec_id"])
+    assert 10 in got
+    assert len(got & set(9000 + np.arange(5))) >= 4, got
