@@ -33,6 +33,7 @@ import pyarrow as pa
 import ray.data
 
 from ..functions import hashing
+from ..util import quadratic_block_refs
 
 
 def exact_dedupe(
@@ -1834,25 +1835,17 @@ def jaccard_pairs(
         )
 
     mat = ds.map_batches(gram_rows, batch_format="pyarrow").materialize()
-    n_rows = mat.count()
-    target = max(1, n_rows // rows_per_block + 1)
-    if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
-        mat = mat.repartition(target).materialize()
-    refs = mat.to_arrow_refs()
-    # guard on the ACTUAL scheduled fan-out (len(refs) can be up to
-    # 4*target when the incoming layout was accepted as-is — 16x the
-    # pair count an estimate from `target` alone would admit)
-    est_pairs = len(refs) * (len(refs) + 1) // 2
-    if est_pairs > max_block_pairs:
-        raise ValueError(
-            f"jaccard_pairs: exact all-pairs over {n_rows} docs in "
-            f"{len(refs)} blocks needs {est_pairs} block-pair tasks "
-            f"(> max_block_pairs={max_block_pairs}). Route large "
-            "corpora through minhash_candidates / minhash_lsh_pairs "
-            "(LSH prunes candidates, exact Jaccard verifies "
-            "survivors), or raise max_block_pairs explicitly if the "
-            "quadratic cost is intended."
-        )
+    refs = quadratic_block_refs(
+        mat,
+        mat.count(),
+        rows_per_block,
+        max_block_pairs,
+        "jaccard_pairs",
+        "Route large corpora through minhash_candidates / "
+        "minhash_lsh_pairs (LSH prunes candidates, exact Jaccard "
+        "verifies survivors), or raise max_block_pairs explicitly if "
+        "the quadratic cost is intended.",
+    )
 
     t1000 = int(threshold_millis)
 

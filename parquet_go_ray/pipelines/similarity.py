@@ -17,7 +17,7 @@ import pandas as pd
 import ray
 import ray.data
 
-from ..util import autoscale_concurrency
+from ..util import autoscale_concurrency, quadratic_block_refs
 
 
 def _to_matrix(col) -> np.ndarray:
@@ -147,7 +147,11 @@ def _clear_cell_files(out) -> None:
     rebuild into the same dir leaves stale files that the probe glob
     `cell=NNNN*.parquet` would read alongside the new ones (duplicate
     and deleted vectors in top-k)."""
-    for p in list(out.glob("cell=*")) + list(out.glob("_gen-*.applied")):
+    for p in (
+        list(out.glob("cell=*"))
+        + list(out.glob("_gen-*.applied"))
+        + list(out.glob("_gens.json"))
+    ):
         p.unlink()
 
 
@@ -513,25 +517,17 @@ def cosine_pairs(
     # once just for the row count, then again for the repartition);
     # count/num_blocks on materialized blocks are metadata-only
     mat = ds.select_columns([id_col, vec_col]).materialize()
-    n_rows = mat.count()
-    target = max(1, n_rows // rows_per_block + 1)
-    if mat.num_blocks() > 4 * target or mat.num_blocks() < target:
-        mat = mat.repartition(target).materialize()
-    refs = mat.to_arrow_refs()
-    # guard on the ACTUAL scheduled fan-out (len(refs) can be up to
-    # 4*target when the incoming layout was accepted as-is — 16x the
-    # pair count an estimate from `target` alone would admit)
-    est_pairs = len(refs) * (len(refs) + 1) // 2
-    if est_pairs > max_block_pairs:
-        raise ValueError(
-            f"cosine_pairs: exact all-pairs over {n_rows} rows in "
-            f"{len(refs)} blocks needs {est_pairs} block-pair tasks "
-            f"(> max_block_pairs={max_block_pairs}). This quadratic "
-            "form is for pruned candidate sets; use "
-            "similarity.lsh_near_pairs or an IVF store "
-            "(build_ivf_store + topk) for the full corpus, or raise "
-            "max_block_pairs explicitly if the cost is intended."
-        )
+    refs = quadratic_block_refs(
+        mat,
+        mat.count(),
+        rows_per_block,
+        max_block_pairs,
+        "cosine_pairs",
+        "This quadratic form is for pruned candidate sets; use "
+        "similarity.lsh_near_pairs or an IVF store "
+        "(build_ivf_store + topk) for the full corpus, or raise "
+        "max_block_pairs explicitly if the cost is intended.",
+    )
 
     @ray.remote
     def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
@@ -737,6 +733,24 @@ class PQEncoder:
         return self._encode(batch, self._matrix(batch))
 
 
+class _CellAssignEncoder(PQEncoder):
+    """One actor-pool pass does both quantizers: coarse cell assignment
+    (for the shard) + PQ code (for the payload). Centroids load once
+    per actor; the normalized matrix is built ONCE per batch and shared
+    by both quantizers. Used by build_ivfpq_store and ivfpq_append so
+    build and append can never drift in how they assign cells."""
+
+    def __init__(self, books_ref, vec_col: str, id_col: str, cent_ref):
+        super().__init__(books_ref, vec_col, id_col)
+        self.cent = ray.get(cent_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = self._matrix(batch)
+        coded = self._encode(batch, m)
+        coded["_cell"] = _nearest_cell(m, self.cent)
+        return coded
+
+
 def pq_encode(
     ds: ray.data.Dataset,
     books_ref,
@@ -890,22 +904,11 @@ def build_ivfpq_store(
     out.mkdir(parents=True, exist_ok=True)
     _clear_cell_files(out)  # rebuild REPLACES the store (see helper)
 
-    class AssignEncode(PQEncoder):
-        """One actor-pool pass does both quantizers: coarse cell
-        assignment (for the shard) + PQ code (for the payload)."""
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            # build/normalize the matrix ONCE for both quantizers
-            m = self._matrix(batch)
-            coded = self._encode(batch, m)
-            coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
-            return coded
-
     # the two-quantizer pass is the expensive one — pin it once in the
     # (spillable) object store for the count pass and the write pass
     coded = ds.map_batches(
-        AssignEncode,
-        fn_constructor_args=(books_ref, vec_col, id_col),
+        _CellAssignEncoder,
+        fn_constructor_args=(books_ref, vec_col, id_col, cent_ref),
         batch_format="pandas",
         concurrency=autoscale_concurrency(),
     ).materialize()
@@ -1070,34 +1073,70 @@ def ivfpq_topk_store(
     return out[[id_col, "rank"]]
 
 
+def _gen_of(name: str) -> str | None:
+    """Extract the generation hex from a `cell=NNNN+g<hex>.parquet`
+    name (None for base/salted shards)."""
+    stem = name.split(".")[0]
+    for part in stem.split("+")[1:]:
+        if part.startswith("g"):
+            return part[1:]
+    return None
+
+
+def _applied_gens(root) -> set[str]:
+    """The store's applied-generation ledger: marker files (one per
+    recent append/fold commit) plus the consolidated `_gens.json` that
+    ivfpq_compact folds markers into so an append stream doesn't grow
+    the directory without bound."""
+    import json
+
+    gens = {
+        p.name[len("_gen-") : -len(".applied")]
+        for p in root.glob("_gen-*.applied")
+    }
+    ledger = root / "_gens.json"
+    if ledger.exists():
+        try:
+            gens |= set(json.loads(ledger.read_text()))
+        except ValueError:
+            pass  # mid-rewrite: markers still cover the recent gens
+    return gens
+
+
 def _ivfpq_recover(store_dir: str, min_age_s: float = 120.0) -> None:
-    """Finish or roll back an interrupted compaction: an intent file
+    """Finish or roll back an interrupted compaction. An intent file
     `cell=NNNN.members.json` whose target generation file exists means
-    the merge committed — finish the member unlinks; target missing
-    means it didn't — drop the intent (members untouched). Intents
-    younger than `min_age_s` are LEFT ALONE: a fresh intent usually
-    belongs to a fold that is still running (an append on the same
-    store must not roll back a live compaction mid-commit); crash
-    recovery only needs to reap stale ones."""
+    the merge COMMITTED: finishing it (guarded member unlinks + the
+    target's applied marker) is safe at ANY age — a still-live fold
+    performs exactly the same idempotent steps. An intent whose target
+    is missing means the fold didn't commit; rolling it back (dropping
+    the intent, members untouched) is age-gated by `min_age_s` so an
+    append on the same store never rolls back a live fold that is
+    still writing its target."""
     import json
     import time
     from pathlib import Path
 
     now = time.time()
-    for intent in Path(store_dir).glob("*.members.json"):
+    root = Path(store_dir)
+    for intent in root.glob("*.members.json"):
         try:
-            if now - intent.stat().st_mtime < min_age_s:
-                continue
+            age = now - intent.stat().st_mtime
             rec = json.loads(intent.read_text())
         except (OSError, ValueError):
             continue  # vanished mid-scan or mid-write: not ours to reap
-        target = Path(store_dir) / rec["target"]
+        target = root / rec["target"]
         if target.exists():
             for m in rec["members"]:
-                p = Path(store_dir) / m
+                p = root / m
                 if p.exists():
                     p.unlink()
-        intent.unlink(missing_ok=True)
+            g = _gen_of(rec["target"])
+            if g:
+                (root / f"_gen-{g}.applied").touch()
+            intent.unlink(missing_ok=True)
+        elif age >= min_age_s:
+            intent.unlink(missing_ok=True)
 
 
 def ivfpq_append(
@@ -1139,7 +1178,15 @@ def ivfpq_append(
         def content_digest(batch: pd.DataFrame) -> pd.DataFrame:
             # per-row 64-bit hash of (id, vector bytes), mixed through
             # splitmix64 so xor/sum folds don't collide on small sets
-            # like {0,5} vs {1,4}; order-independent across batches
+            # like {0,5} vs {1,4}; order-independent across batches.
+            # Partials are REINTERPRETED to int64 so every batch emits
+            # the same dtype: a mixed uint64/int64 block set unifies to
+            # float64 in the collect, silently truncating low bits —
+            # which would make the generation id depend on batch
+            # boundaries.
+            zero = np.zeros(1, dtype=np.int64)
+            if len(batch) == 0:
+                return pd.DataFrame({"n": zero, "xor": zero, "sum": zero})
             ids = batch[id_col].to_numpy().astype(np.uint64)
             h = ids.copy()
             m = np.ascontiguousarray(
@@ -1157,33 +1204,35 @@ def ivfpq_append(
             h ^= h >> np.uint64(31)
             return pd.DataFrame(
                 {
-                    "n": [len(h)],
-                    "xor": [int(np.bitwise_xor.reduce(h)) if len(h) else 0],
-                    "sum": [int(h.sum(dtype=np.uint64))],
+                    "n": np.array([len(h)], dtype=np.int64),
+                    "xor": np.array(
+                        [np.bitwise_xor.reduce(h)], dtype=np.uint64
+                    ).view(np.int64),
+                    "sum": np.array(
+                        [h.sum(dtype=np.uint64)], dtype=np.uint64
+                    ).view(np.int64),
                 }
             )
 
         parts = ds.map_batches(
             content_digest, batch_format="pandas"
         ).to_pandas()
+        xs = parts["xor"].to_numpy().astype(np.int64).view(np.uint64)
+        ss = parts["sum"].to_numpy().astype(np.int64).view(np.uint64)
         sig = (
             int(parts["n"].sum()),
-            int(
-                np.bitwise_xor.reduce(
-                    parts["xor"].to_numpy().astype(np.uint64)
-                )
-            )
-            if len(parts)
-            else 0,
-            int(parts["sum"].to_numpy().astype(np.uint64).sum(dtype=np.uint64)),
+            int(np.bitwise_xor.reduce(xs)) if len(xs) else 0,
+            int(ss.sum(dtype=np.uint64)),
         )
-        generation = hashlib.sha1(repr(sig).encode()).hexdigest()[:8]
+        generation = hashlib.sha1(repr(sig).encode()).hexdigest()[:16]
     gen = generation
 
-    marker = Path(store_dir) / f"_gen-{gen}.applied"
-    if marker.exists():
+    root = Path(store_dir)
+    marker = root / f"_gen-{gen}.applied"
+    if gen in _applied_gens(root):
         # this exact content already landed (its files may since have
-        # been folded away by ivfpq_compact — the marker outlives them)
+        # been folded away by ivfpq_compact — the marker/ledger
+        # outlives them)
         return {
             "generation": gen,
             "cells_touched": 0,
@@ -1192,15 +1241,6 @@ def ivfpq_append(
         }
 
     cent_ref, books_ref = ray.put(cent), ray.put(books)
-
-    class AssignEncode(PQEncoder):
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            # build/normalize the matrix ONCE for both quantizers
-            m = self._matrix(batch)
-            coded = self._encode(batch, m)
-            coded["_cell"] = _nearest_cell(m, ray.get(cent_ref))
-            return coded
-
     out = Path(store_dir)
 
     def write_gen(group: pd.DataFrame) -> pd.DataFrame:
@@ -1227,8 +1267,8 @@ def ivfpq_append(
 
     summary = (
         ds.map_batches(
-            AssignEncode,
-            fn_constructor_args=(books_ref, vec_col, id_col),
+            _CellAssignEncoder,
+            fn_constructor_args=(books_ref, vec_col, id_col, cent_ref),
             batch_format="pandas",
             concurrency=autoscale_concurrency(),
         )
@@ -1238,8 +1278,10 @@ def ivfpq_append(
     )
     # commit point: every touched cell's generation file is on disk.
     # The marker is what makes idempotency survive ivfpq_compact
-    # unlinking those files later (a crash BEFORE this line re-runs
-    # write_gen, which resume-skips on the files themselves).
+    # unlinking those files later. A crash BEFORE this line re-runs
+    # write_gen, which resume-skips on the files themselves — and
+    # compact never folds an UNapplied generation, so the files are
+    # guaranteed still in place (not folded away) when the retry runs.
     marker.touch()
     return {
         "generation": gen,
@@ -1253,69 +1295,108 @@ def ivfpq_compact(store_dir: str) -> dict:
     """Fold each cell's GENERATION files back into one — the
     maintenance step that bounds per-cell file counts after a stream
     of appends. Base and salted shards are left alone (folding them
-    would undo hot-cell salting); only `+g` files merge, into a new
-    generation named deterministically from the member set (retries
-    idempotent). Crash safety: a members intent file commits the merge
-    — written before the target rename, consumed after the member
-    unlinks; `_ivfpq_recover` (run by append/compact) finishes or
-    rolls back an interrupted fold."""
+    would undo hot-cell salting); only `+g` files whose generation is
+    in the APPLIED ledger merge — a generation without its marker
+    belongs to an append that crashed before its commit point (its
+    retry will resume-skip the files in place) or to a fold whose
+    intent was rolled back; folding either would bake duplicates in.
+    The fold target is named deterministically from the member set
+    (retries land on the SAME name, so a re-fold after a lost intent
+    overwrites rather than duplicates). Crash safety: a members intent
+    file commits the merge — written before the target rename,
+    consumed after the member unlinks and the target's own applied
+    marker; `_ivfpq_recover` (run by append/compact) finishes or rolls
+    back an interrupted fold. After the folds, marker files consolidate
+    into `_gens.json` so an append stream doesn't grow the directory
+    without bound."""
     import hashlib
     import json
     import os
     from collections import defaultdict
     from pathlib import Path
 
+    root = Path(store_dir)
     # compact is the single maintenance owner: reap ALL intents (a
     # committed-but-unreaped fold's members would otherwise be folded
     # again on top of their target, duplicating rows)
     _ivfpq_recover(store_dir, min_age_s=0.0)
+    applied = _applied_gens(root)
     groups: dict[int, list[str]] = defaultdict(list)
-    for p in sorted(Path(store_dir).glob("cell=*+g*.parquet")):
+    for p in sorted(root.glob("cell=*+g*.parquet")):
+        if _gen_of(p.name) not in applied:
+            continue  # uncommitted append / orphaned fold output
         cell = int(p.stem.split("=")[1].split("+")[0])
         groups[cell].append(p.name)
     todo = {c: ms for c, ms in groups.items() if len(ms) > 1}
-    if not todo:
-        return {"cells_compacted": 0, "files_merged": 0}
-    items = [
-        {"cell": c, "members": ms} for c, ms in sorted(todo.items())
-    ]
+    folded = 0
+    if todo:
+        items = [
+            {"cell": c, "members": ms} for c, ms in sorted(todo.items())
+        ]
 
-    def fold(batch: pd.DataFrame) -> pd.DataFrame:
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        def fold(batch: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
 
-        out_rows = []
-        for _, row in batch.iterrows():
-            cell, members = int(row["cell"]), list(row["members"])
-            gid = hashlib.sha1(("|".join(members)).encode()).hexdigest()[:8]
-            target = f"cell={cell:04d}+g{gid}.parquet"
-            root = Path(store_dir)
-            intent = root / f"cell={cell:04d}.members.json"
-            t = pa.concat_tables(
-                [pq.read_table(root / m) for m in members],
-                promote_options="default",
-            )
-            intent.write_text(
-                json.dumps({"target": target, "members": members})
-            )
-            tmp = str(root / target) + f".tmp{os.getpid()}"
-            pq.write_table(t, tmp)
-            os.replace(tmp, root / target)
-            for m in members:
-                p = root / m
-                if p.exists():
-                    p.unlink()
-            # missing_ok: a concurrent recover may have reaped it
-            intent.unlink(missing_ok=True)
-            out_rows.append({"cell": cell, "merged": len(members)})
-        return pd.DataFrame(out_rows)
+            out_rows = []
+            for _, row in batch.iterrows():
+                cell, members = int(row["cell"]), list(row["members"])
+                gid = hashlib.sha1(
+                    ("|".join(members)).encode()
+                ).hexdigest()[:16]
+                target = f"cell={cell:04d}+g{gid}.parquet"
+                r = Path(store_dir)
+                intent = r / f"cell={cell:04d}.members.json"
+                t = pa.concat_tables(
+                    [pq.read_table(r / m) for m in members],
+                    promote_options="default",
+                )
+                intent.write_text(
+                    json.dumps({"target": target, "members": members})
+                )
+                tmp = str(r / target) + f".tmp{os.getpid()}"
+                pq.write_table(t, tmp)
+                os.replace(tmp, r / target)
+                for m in members:
+                    p = r / m
+                    if p.exists():
+                        p.unlink()
+                # the fold output is itself an applied generation (a
+                # later compact round may fold it further)
+                (r / f"_gen-{gid}.applied").touch()
+                # missing_ok: a concurrent recover may have reaped it
+                intent.unlink(missing_ok=True)
+                out_rows.append({"cell": cell, "merged": len(members)})
+            return pd.DataFrame(out_rows)
 
-    res = (
-        ray.data.from_items(items, override_num_blocks=len(items))
-        .map_batches(fold, batch_format="pandas", batch_size=None)
-        .to_pandas()
-    )
+        res = (
+            ray.data.from_items(items, override_num_blocks=len(items))
+            .map_batches(fold, batch_format="pandas", batch_size=None)
+            .to_pandas()
+        )
+        folded = int(res["merged"].sum())
+
+    # consolidate marker files into the ledger (markers created AFTER
+    # the glob below survive as files and stay honored either way)
+    markers = sorted(root.glob("_gen-*.applied"))
+    if markers:
+        ledger = root / "_gens.json"
+        gens = set()
+        if ledger.exists():
+            try:
+                gens = set(json.loads(ledger.read_text()))
+            except ValueError:
+                pass
+        gens |= {
+            m.name[len("_gen-") : -len(".applied")] for m in markers
+        }
+        tmp = str(ledger) + f".tmp{os.getpid()}"
+        Path(tmp).write_text(json.dumps(sorted(gens)))
+        os.replace(tmp, ledger)
+        for m in markers:
+            m.unlink(missing_ok=True)
+
     return {
-        "cells_compacted": int(len(res)),
-        "files_merged": int(res["merged"].sum()),
+        "cells_compacted": int(len(todo)),
+        "files_merged": folded,
     }

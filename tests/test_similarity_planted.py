@@ -615,19 +615,34 @@ def test_ivfpq_append_and_compact(ray_session, tmp_path):
     import shutil
 
     shutil.copy(Path(store) / victim, Path(store) / fake_target)
-    (Path(store) / f"cell={cell}.members.json").write_text(
+    intent = Path(store) / f"cell={cell}.members.json"
+
+    # a fresh UNCOMMITTED intent (target missing) may belong to a live
+    # fold that is still writing: default recover must not roll it back
+    (Path(store) / fake_target).unlink()
+    intent.write_text(
         json.dumps({"target": fake_target, "members": [victim]})
     )
-    # a FRESH intent may belong to a live fold: default recover (as run
-    # by a concurrent append) must leave it — and its members — alone
     _ivfpq_recover(store)
     assert (Path(store) / victim).exists()
-    assert (Path(store) / f"cell={cell}.members.json").exists()
-    # …while crash recovery of a STALE intent finishes the unlinks
+    assert intent.exists()
+    # a STALE uncommitted intent rolls back: intent dropped, members kept
     _ivfpq_recover(store, min_age_s=0.0)
+    assert (Path(store) / victim).exists()
+    assert not intent.exists()
+
+    # a COMMITTED fold (target present) finishes at ANY age — the same
+    # guarded unlinks a live fold would do — and commits the target's
+    # applied marker
+    shutil.copy(Path(store) / victim, Path(store) / fake_target)
+    intent.write_text(
+        json.dumps({"target": fake_target, "members": [victim]})
+    )
+    _ivfpq_recover(store)
     assert not (Path(store) / victim).exists()
     assert (Path(store) / fake_target).exists()
-    assert not (Path(store) / f"cell={cell}.members.json").exists()
+    assert not intent.exists()
+    assert (Path(store) / "_gen-deadbeef.applied").exists()
 
 
 def _mk_vecs(ids, m):
@@ -781,3 +796,101 @@ def test_ivfpq_store_layout_independent(ray_session, tmp_path):
     got = set(int(i) for i in out["vec_id"])
     assert 10 in got
     assert len(got & set(9000 + np.arange(5))) >= 4, got
+
+
+def test_ivfpq_append_generation_batch_layout_independent(
+    ray_session, tmp_path
+):
+    """The auto generation id must depend only on CONTENT, not on how
+    the increment is batched/partitioned (mixed-dtype partials once
+    unified to float64 and truncated, making the id layout-dependent).
+    Also: empty blocks in the increment must not crash the digest."""
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_append,
+    )
+
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((100, 16))
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(
+        _mk_vecs(np.arange(100), base), store, n_centroids=2,
+        sample_rows=100,
+    )
+    # huge ids exercise digests on both sides of 2^63 across batches
+    ids = np.array([2**62, 2**63 - 7, 2**61 + 3, 5, 17, 2**60], dtype=np.int64)
+    v = rng.standard_normal((6, 16))
+    r1 = ivfpq_append(store, _mk_vecs(ids, v).repartition(1))
+    # same content, different layout (one row per block + an empty
+    # block from a none-matching filter) -> SAME generation
+    inc = _mk_vecs(ids, v).repartition(6)
+    r2 = ivfpq_append(store, inc)
+    assert r2["generation"] == r1["generation"]
+    assert r2["already_applied"]
+    with_empty = _mk_vecs(ids, v).filter(lambda row: row["vec_id"] != -1)
+    r3 = ivfpq_append(store, with_empty.repartition(8))
+    assert r3["generation"] == r1["generation"] and r3["already_applied"]
+
+
+def test_ivfpq_compact_skips_uncommitted_generation(ray_session, tmp_path):
+    """Generation files whose append crashed before its commit marker
+    must NOT be folded (the retry resume-skips on those files — folding
+    them away would make the retry re-land every row as a duplicate).
+    After the retry commits, compaction folds them normally. Markers
+    consolidate into _gens.json and replays still skip."""
+    import json
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        ivfpq_append,
+        ivfpq_compact,
+    )
+
+    rng = np.random.default_rng(33)
+    base = rng.standard_normal((100, 16))
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(
+        _mk_vecs(np.arange(100), base), store, n_centroids=2,
+        sample_rows=100,
+    )
+    v1 = rng.standard_normal((4, 16))
+    v2 = rng.standard_normal((3, 16))
+    r1 = ivfpq_append(store, _mk_vecs(1000 + np.arange(4), v1))
+    r2 = ivfpq_append(store, _mk_vecs(2000 + np.arange(3), v2))
+
+    # simulate r2's append having crashed before its commit point:
+    # files on disk, marker gone
+    root = Path(store)
+    (root / f"_gen-{r2['generation']}.applied").unlink()
+    res = ivfpq_compact(store)
+    # r2's files must be untouched; only gens with >1 file per cell
+    # fold, and r2 is excluded, so nothing should have merged r2's
+    remaining = {
+        p.name for p in root.glob(f"cell=*+g{r2['generation']}.parquet")
+    }
+    assert remaining, "uncommitted generation files were folded away"
+
+    def store_rows():
+        return sum(
+            pq.read_table(p).num_rows
+            for p in root.glob("cell=*.parquet")
+        )
+
+    n = store_rows()
+    # the crash-retry resume-skips files in place and lands the marker
+    r2b = ivfpq_append(store, _mk_vecs(2000 + np.arange(3), v2))
+    assert r2b["generation"] == r2["generation"]
+    assert store_rows() == n  # no duplicate rows
+    # now committed: a second compact may fold it, and markers
+    # consolidate into the ledger
+    ivfpq_compact(store)
+    ledger = root / "_gens.json"
+    assert ledger.exists()
+    gens = set(json.loads(ledger.read_text()))
+    assert {r1["generation"], r2["generation"]} <= gens
+    assert not list(root.glob("_gen-*.applied"))
+    # replays keep skipping off the ledger alone
+    r1c = ivfpq_append(store, _mk_vecs(1000 + np.arange(4), v1))
+    assert r1c["already_applied"] and store_rows() == n
