@@ -17,6 +17,10 @@ Commands (the pipelines a reference user runs day-to-day):
   audit    INPUT_DIR [--text-col text] [--lang-col lang]
            # corpus report: counts, lang histogram, length percentiles,
            # Gopher keep rate, HLL duplicate estimate (all bounded partials)
+  vector   build STORE_DIR INPUT [--pq] [--centroids N] | append STORE_DIR INPUT
+           | compact STORE_DIR | search STORE_DIR INPUT --query-id ID [--k N]
+           # ANN store: IVF/IVFPQ build, frozen-quantizer appends,
+           # generation compaction, probe-pruned search
   bench    [--scaling]                  # same as bench.py
 
 Global: --address auto attaches to a running cluster (ray job submit).
@@ -588,6 +592,92 @@ def cmd_snapshot_dedupe(args) -> int:
     return 0
 
 
+def cmd_vector(args) -> int:
+    """ANN vector-store operations: build an IVF or IVFPQ store from an
+    embedding table, append an increment under the store's frozen
+    quantizers, fold generation files (compact), and search. The
+    store-side semantics live in pipelines/similarity.py; this verb
+    makes them operable like the rest of the engine (incl. via
+    `ray job submit -- python -m parquet_go_ray vector ...`)."""
+    _init_ray(args.num_cpus, getattr(args, "address", None))
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from .pipelines import similarity as S
+
+    def _files(d: str) -> list[str]:
+        p = Path(d)
+        if p.is_file():
+            return [str(p)]
+        return sorted(str(f) for f in p.glob("*.parquet"))
+
+    def _read(d: str) -> ray.data.Dataset:
+        files = _files(d)
+        if not files:
+            raise SystemExit(f"no parquet files under {d}")
+        return ray.data.read_parquet(
+            files, columns=[args.id_col, args.vec_col]
+        )
+
+    if args.action == "build":
+        if not args.input_dir:
+            raise SystemExit("vector build needs INPUT after STORE_DIR")
+        ds = _read(args.input_dir)
+        if args.pq:
+            info = S.build_ivfpq_store(
+                ds, args.store_dir, vec_col=args.vec_col,
+                id_col=args.id_col, n_centroids=args.centroids,
+            )
+        else:
+            info = S.build_ivf_store(
+                ds, args.store_dir, vec_col=args.vec_col,
+                id_col=args.id_col, n_centroids=args.centroids,
+            )
+        print(json.dumps(info))
+    elif args.action == "append":
+        if not args.input_dir:
+            raise SystemExit("vector append needs INPUT after STORE_DIR")
+        r = S.ivfpq_append(
+            args.store_dir, _read(args.input_dir),
+            generation=args.generation,
+        )
+        print(json.dumps(r))
+    elif args.action == "compact":
+        print(json.dumps(S.ivfpq_compact(args.store_dir)))
+    else:  # search
+        if not args.input_dir or args.query_id is None:
+            raise SystemExit(
+                "vector search needs the raw table (INPUT) and --query-id"
+            )
+        qt = pq.read_table(
+            _files(args.input_dir),
+            columns=[args.id_col, args.vec_col],
+            filters=[(args.id_col, "==", args.query_id)],
+        )
+        if qt.num_rows == 0:
+            raise SystemExit(f"{args.id_col}={args.query_id} not found")
+        query = np.asarray(qt.column(args.vec_col)[0].as_py(), dtype=np.float64)
+        if (Path(args.store_dir) / "_ivfpq_meta.json").exists():
+            out = S.ivfpq_topk_store(
+                args.store_dir, _read(args.input_dir), query,
+                k=args.k, n_probe=args.probes, rerank=args.rerank,
+            )
+        else:
+            out = S.ivf_topk_store(
+                args.store_dir, query, k=args.k, n_probe=args.probes
+            )
+        print(
+            json.dumps(
+                {
+                    "query_id": args.query_id,
+                    "ids": [int(i) for i in out[args.id_col]],
+                }
+            )
+        )
+    return 0
+
+
 def cmd_audit(args) -> int:
     """One-shot corpus audit: row count, language histogram, length
     percentiles, Gopher keep rate, exact-duplicate fraction — every
@@ -882,6 +972,25 @@ def main(argv=None) -> int:
     au.add_argument("--text-col", default="text")
     au.add_argument("--lang-col", default="lang")
     au.set_defaults(fn=cmd_audit)
+
+    vc = sub.add_parser("vector")
+    vc.add_argument(
+        "action", choices=["build", "append", "compact", "search"]
+    )
+    vc.add_argument("store_dir")
+    vc.add_argument("input_dir", nargs="?", default=None)
+    vc.add_argument("--pq", action="store_true",
+                    help="build an IVFPQ store (codes + rerank) "
+                    "instead of plain IVF")
+    vc.add_argument("--centroids", type=int, default=16)
+    vc.add_argument("--vec-col", default="embedding")
+    vc.add_argument("--id-col", default="vec_id")
+    vc.add_argument("--generation", default=None)
+    vc.add_argument("--query-id", type=int, default=None)
+    vc.add_argument("--k", type=int, default=10)
+    vc.add_argument("--probes", type=int, default=4)
+    vc.add_argument("--rerank", type=int, default=100)
+    vc.set_defaults(fn=cmd_vector)
 
     b = sub.add_parser("bench")
     b.add_argument("--scaling", action="store_true")

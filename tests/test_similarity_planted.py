@@ -894,3 +894,89 @@ def test_ivfpq_compact_skips_uncommitted_generation(ray_session, tmp_path):
     # replays keep skipping off the ledger alone
     r1c = ivfpq_append(store, _mk_vecs(1000 + np.arange(4), v1))
     assert r1c["already_applied"] and store_rows() == n
+
+
+def test_vector_cli_smoke(ray_session, tmp_path):
+    """The `vector` CLI verb drives the full ANN store lifecycle:
+    build (IVFPQ) -> append -> compact -> search, each emitting one
+    JSON line."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(77)
+    base = rng.standard_normal((300, 16))
+    planted = base[3] + rng.standard_normal((4, 16)) * 0.01
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(300), type=pa.int64()),
+                "embedding": pa.array(
+                    list(base), type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        raw / "part0.parquet",
+    )
+    inc = tmp_path / "inc"
+    inc.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(9000 + np.arange(4), type=pa.int64()),
+                "embedding": pa.array(
+                    list(planted), type=pa.list_(pa.float64())
+                ),
+            }
+        ),
+        inc / "part0.parquet",
+    )
+    store = str(tmp_path / "store")
+
+    def run(*argv):
+        r = subprocess.run(
+            [sys.executable, "-m", "parquet_go_ray", "--num-cpus", "4",
+             "vector", *argv],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    built = run("build", store, str(raw), "--pq", "--centroids", "4")
+    assert built
+
+    r1 = run("append", store, str(inc))
+    assert r1["rows"] == 4 and not r1["already_applied"]
+    r2 = run("append", store, str(inc))
+    assert r2["already_applied"]
+
+    run("compact", store)
+
+    # search needs the raw table including the appended rows for rerank
+    full = tmp_path / "full"
+    full.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([np.arange(300), 9000 + np.arange(4)]),
+                    type=pa.int64(),
+                ),
+                "embedding": pa.array(
+                    list(np.concatenate([base, planted])),
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        ),
+        full / "part0.parquet",
+    )
+    hit = run(
+        "search", store, str(full), "--query-id", "3", "--k", "5",
+        "--probes", "4", "--rerank", "300",
+    )
+    assert 3 in hit["ids"]
+    assert len(set(hit["ids"]) & set(range(9000, 9004))) >= 3
