@@ -645,6 +645,10 @@ def cmd_vector(args) -> int:
         print(json.dumps(r))
     elif args.action == "compact":
         print(json.dumps(S.ivfpq_compact(args.store_dir)))
+    elif args.action == "fsck":
+        res = S.fsck_vector_store(args.store_dir, deep=not args.shallow)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
     else:  # search
         if not args.input_dir or args.query_id is None:
             raise SystemExit(
@@ -975,7 +979,7 @@ def main(argv=None) -> int:
 
     vc = sub.add_parser("vector")
     vc.add_argument(
-        "action", choices=["build", "append", "compact", "search"]
+        "action", choices=["build", "append", "compact", "search", "fsck"]
     )
     vc.add_argument("store_dir")
     vc.add_argument("input_dir", nargs="?", default=None)
@@ -990,6 +994,8 @@ def main(argv=None) -> int:
     vc.add_argument("--k", type=int, default=10)
     vc.add_argument("--probes", type=int, default=4)
     vc.add_argument("--rerank", type=int, default=100)
+    vc.add_argument("--shallow", action="store_true",
+                    help="fsck: names + metadata only, no shard reads")
     vc.set_defaults(fn=cmd_vector)
 
     b = sub.add_parser("bench")

@@ -1400,3 +1400,158 @@ def ivfpq_compact(store_dir: str) -> dict:
         "cells_compacted": int(len(todo)),
         "files_merged": folded,
     }
+
+
+def fsck_vector_store(store_dir: str, deep: bool = True) -> dict:
+    """Consistency check for an IVF/IVFPQ store — the ANN counterpart
+    of `pipelines/fsck.fsck_store` (an appendable, compactable store
+    accumulates state across crash windows, so operators need a cheap
+    "is it internally consistent?" answer). Tiers mirror fsck_store:
+
+    - errors:   missing/unparseable meta, shard names outside the cell
+                namespace or pointing past the centroid count, wrong
+                column set, PQ codes of the wrong width, duplicate ids
+                across the store (appends assume new ids)
+    - warnings: orphan `.tmp*` writer files, leftover fold intents
+                (committed ones finish on the next maintenance run),
+                generation files without their applied marker (an
+                in-flight or crashed append — its retry resume-skips)
+    - info:     cell/file/row counts per shard kind, applied gens
+
+    `deep=False` checks names + metadata only; `deep=True` adds one
+    Ray task per shard (no shuffle) for column/code checks plus one
+    id-only groupby for the global duplicate count."""
+    import json
+    from pathlib import Path
+
+    root = Path(store_dir)
+    errors: list[str] = []
+    warnings: list[str] = []
+
+    kind = meta = None
+    if (root / "_ivfpq_meta.json").exists():
+        kind = "ivfpq"
+        mp = root / "_ivfpq_meta.json"
+    elif (root / "_ivf_meta.json").exists():
+        kind = "ivf"
+        mp = root / "_ivf_meta.json"
+    else:
+        errors.append("no _ivf_meta.json or _ivfpq_meta.json")
+        mp = None
+    if mp is not None:
+        try:
+            meta = json.loads(mp.read_text())
+        except ValueError:
+            errors.append(f"unparseable {mp.name}")
+    n_cells = len(meta["centroids"]) if meta else 0
+
+    files = sorted(root.glob("cell=*.parquet"))
+    applied = _applied_gens(root)
+    counts = {"base": 0, "salted": 0, "generation": 0}
+    unapplied: set[str] = set()
+    for p in files:
+        stem = p.name.split(".")[0]
+        try:
+            cell = int(stem.split("=")[1].split("+")[0])
+        except (IndexError, ValueError):
+            errors.append(f"unparseable shard name: {p.name}")
+            continue
+        if meta and not 0 <= cell < n_cells:
+            errors.append(f"{p.name}: cell {cell} >= n_centroids {n_cells}")
+        g = _gen_of(p.name)
+        if g is not None:
+            counts["generation"] += 1
+            if g not in applied:
+                unapplied.add(g)
+        elif "+s" in stem:
+            counts["salted"] += 1
+        else:
+            counts["base"] += 1
+    if unapplied:
+        warnings.append(
+            f"{len(unapplied)} generation(s) without applied marker "
+            "(in-flight or crashed append; its retry resume-skips)"
+        )
+    for t in sorted(root.glob("*.tmp*")):
+        warnings.append(f"orphan writer tmp: {t.name}")
+    for intent in sorted(root.glob("*.members.json")):
+        try:
+            rec = json.loads(intent.read_text())
+            committed = (root / rec["target"]).exists()
+        except (OSError, ValueError):
+            committed = False
+        warnings.append(
+            f"fold intent {intent.name}: "
+            + ("committed, unreaped (next maintenance run finishes it)"
+               if committed else "uncommitted (in-flight or crashed fold)")
+        )
+
+    rows = dup_ids = 0
+    if deep and files and meta and not errors:
+        id_col = meta["id_col"]
+        expect = {id_col, "code"} if kind == "ivfpq" else {
+            id_col, meta["vec_col"]
+        }
+        n_sub = len(meta.get("books", [])) if kind == "ivfpq" else 0
+
+        # one task per shard, 1-row summary each — no shuffle
+        def check_file(batch):
+            import pyarrow as _pa
+            import pyarrow.compute as _pc
+            import pyarrow.parquet as _pq
+
+            out = {"rows": [], "bad_cols": [], "bad_code": []}
+            for path in batch.column("path").to_pylist():
+                t = _pq.read_table(path)
+                bad_code = 0
+                if kind == "ivfpq" and "code" in t.column_names:
+                    lens = _pc.binary_length(t.column("code"))
+                    bad_code = int(
+                        _pc.sum(_pc.not_equal(lens, n_sub)).as_py() or 0
+                    )
+                out["rows"].append(t.num_rows)
+                out["bad_cols"].append(
+                    0 if expect <= set(t.column_names) else 1
+                )
+                out["bad_code"].append(bad_code)
+            return _pa.table(out)
+
+        summary = (
+            ray.data.from_items([{"path": str(p)} for p in files])
+            .map_batches(check_file, batch_format="pyarrow")
+            .to_pandas()
+        )
+        rows = int(summary["rows"].sum())
+        if int(summary["bad_cols"].sum()):
+            errors.append(
+                f"{int(summary['bad_cols'].sum())} shard(s) with an "
+                "unexpected column set"
+            )
+        if int(summary["bad_code"].sum()):
+            errors.append(
+                f"{int(summary['bad_code'].sum())} PQ code(s) of wrong "
+                "width"
+            )
+        # global duplicate-id count: id-only columns leave the shards
+        dup_ids = (
+            ray.data.read_parquet([str(p) for p in files], columns=[id_col])
+            .groupby(id_col)
+            .count()
+            .filter(lambda r: r["count()"] > 1)
+            .count()
+        )
+        if dup_ids:
+            errors.append(
+                f"{dup_ids} id(s) appear more than once across shards"
+            )
+
+    return {
+        "ok": not errors,
+        "kind": kind,
+        "cells": n_cells,
+        "files": counts,
+        "rows": int(rows),
+        "applied_generations": len(applied),
+        "warnings": warnings,
+        "errors": errors,
+    }

@@ -980,3 +980,76 @@ def test_vector_cli_smoke(ray_session, tmp_path):
     )
     assert 3 in hit["ids"]
     assert len(set(hit["ids"]) & set(range(9000, 9004))) >= 3
+
+
+def test_fsck_vector_store(ray_session, tmp_path):
+    """ANN store fsck: clean stores pass; duplicate ids, wrong-width PQ
+    codes, orphan tmps, unapplied generations and stale intents are
+    each surfaced at the right severity."""
+    import json
+    import shutil
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    from parquet_go_ray.pipelines.similarity import (
+        build_ivfpq_store,
+        fsck_vector_store,
+        ivfpq_append,
+    )
+
+    rng = np.random.default_rng(51)
+    base = rng.standard_normal((200, 16))
+    store = str(tmp_path / "ivfpq")
+    build_ivfpq_store(
+        _mk_vecs(np.arange(200), base), store, n_centroids=2,
+        sample_rows=200,
+    )
+    res = fsck_vector_store(store)
+    assert res["ok"], res
+    assert res["kind"] == "ivfpq" and res["rows"] == 200
+
+    # unapplied generation -> warning, still ok
+    v = rng.standard_normal((3, 16))
+    r = ivfpq_append(store, _mk_vecs(1000 + np.arange(3), v))
+    root = Path(store)
+    (root / f"_gen-{r['generation']}.applied").unlink()
+    res = fsck_vector_store(store)
+    assert res["ok"] and any("applied marker" in w for w in res["warnings"])
+    (root / f"_gen-{r['generation']}.applied").touch()
+
+    # duplicate ids across shards -> error
+    victim = sorted(root.glob("cell=*+g*.parquet"))[0]
+    dup = root / "cell=0001+gffffffffffffffff.parquet"
+    shutil.copy(victim, dup)
+    (root / "_gen-ffffffffffffffff.applied").touch()
+    res = fsck_vector_store(store)
+    assert not res["ok"] and any("more than once" in e for e in res["errors"])
+    dup.unlink()
+    (root / "_gen-ffffffffffffffff.applied").unlink()
+
+    # orphan tmp + stale intent -> warnings only
+    (root / "cell=0000.parquet.tmp999").write_bytes(b"x")
+    (root / "cell=0000.members.json").write_text(
+        json.dumps({"target": "cell=0000+gnope.parquet", "members": []})
+    )
+    res = fsck_vector_store(store, deep=False)
+    assert res["ok"]
+    assert any("orphan writer tmp" in w for w in res["warnings"])
+    assert any("uncommitted" in w for w in res["warnings"])
+    (root / "cell=0000.parquet.tmp999").unlink()
+    (root / "cell=0000.members.json").unlink()
+
+    # wrong-width PQ code -> error
+    t = pq.read_table(victim)
+    import pyarrow as _pa
+
+    bad = t.set_column(
+        t.column_names.index("code"),
+        "code",
+        _pa.array([b"xx"] * t.num_rows, type=_pa.binary()),
+    )
+    pq.write_table(bad, root / "cell=0001+geeeeeeeeeeeeeeee.parquet")
+    (root / "_gen-eeeeeeeeeeeeeeee.applied").touch()
+    res = fsck_vector_store(store)
+    assert not res["ok"] and any("wrong" in e for e in res["errors"])
