@@ -3781,8 +3781,8 @@ QUERIES = {
     "upsert_snapshot": q_upsert_snapshot,
     "apply_changelog": q_apply_changelog,
     "curate_corpus_full": q_curate_corpus_full,
-    "distinct_count_hll": q_distinct_count_hll,
-    "quantile_sketch": q_quantile_sketch,
+    "window_edges": q_window_edges,
+    "cume_dists": q_cume_dists,
     "curate_corpus": q_curate_corpus,
     "curate_corpus_clusters": q_curate_corpus_clusters,
     "frame_sample": q_frame_sample,
@@ -3814,8 +3814,8 @@ QUERIES = {
     "dense_ranks": q_dense_ranks,
     "ntile_buckets": q_ntile_buckets,
     "percent_ranks": q_percent_ranks,
-    "window_edges": q_window_edges,
-    "cume_dists": q_cume_dists,
+    "distinct_count_hll": q_distinct_count_hll,
+    "quantile_sketch": q_quantile_sketch,
     "asof_join": q_asof_join,
     "session_windows": q_session_windows,
     "search_pruned_store": q_search_pruned_store,
