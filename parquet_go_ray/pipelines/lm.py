@@ -242,3 +242,57 @@ def pack_sequences(
         .groupby("bucket")
         .map_groups(pack, batch_format="pandas")
     )
+
+
+def mix_corpora(
+    ds,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    seed: int = 29,
+) -> "ray.data.Dataset":
+    """Weighted domain mixing: re-weight a multi-source corpus to target
+    per-source sampling rates (the DoReMi / Pile-weights step that turns
+    a raw crawl into a training mixture). A rate r means each doc of
+    that source appears floor(r) times for sure plus once more with
+    probability frac(r) — so r=0.25 downsamples 4x, r=2.5 emits 2 or 3
+    epochs per doc. Returns one row per EMITTED copy:
+    (id_col, source_col, epoch) with epoch in [0, ceil(r)).
+
+    Determinism + scale shape: the fractional draw is the knuth32 mix
+    of (id + seed) — a pure function of the id, so the mixture is
+    rerun-, resume-, layout- and cluster-size-invariant (rows only ever
+    ADD when a rate grows, never migrate; same commitment as
+    dataset_split), and the whole operator is map-only with zero
+    shuffle: each batch expands independently via np.repeat. The oracle
+    states the identical function in portable SQL (CROSS JOIN a small
+    epoch series + the same hash threshold)."""
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy().astype(np.int64)
+        src = df[source_col].astype(str)
+        rate = src.map(lambda s: float(rates.get(s, default_rate))).to_numpy(
+            np.float64
+        )
+        full = np.floor(rate).astype(np.int64)
+        mix = ((ids + seed) * np.int64(2654435761)) % np.int64(1 << 32)
+        u = mix.astype(np.float64) / np.float64(1 << 32)
+        copies = full + (u < (rate - full)).astype(np.int64)
+        idx = np.repeat(np.arange(len(ids), dtype=np.int64), copies)
+        starts = np.concatenate(([0], np.cumsum(copies)))[:-1]
+        epoch = (
+            np.arange(int(copies.sum()), dtype=np.int64)
+            - np.repeat(starts, copies)
+        )
+        return pd.DataFrame(
+            {
+                id_col: ids[idx],
+                source_col: src.to_numpy(dtype=object)[idx],
+                "epoch": epoch,
+            }
+        )
+
+    return ds.select_columns([id_col, source_col]).map_batches(
+        expand, batch_format="pandas"
+    )

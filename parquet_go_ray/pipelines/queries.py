@@ -1756,6 +1756,21 @@ def q_pack_sequences(sf_dir):
     return out.map_batches(project, batch_format="pandas")
 
 
+MIX_RATES = {"src0": 2.5, "src13": 0.25}
+
+
+def q_mix_corpora(sf_dir):
+    """Weighted domain mixing (DoReMi/Pile-style training mixture):
+    src0 upsampled 2.5x (2 full epochs + a half), src13 downsampled 4x,
+    every other source passed through once. One output row per emitted
+    copy — (doc_id, source, epoch) — a pure function of doc_id, so the
+    mixture is rerun/layout/cluster-size invariant. Map-only, zero
+    shuffle (lm.py::mix_corpora)."""
+    from .lm import mix_corpora
+
+    return mix_corpora(_read(sf_dir, "documents"), MIX_RATES)
+
+
 def q_shuffle_train_order(sf_dir):
     """Deterministic global shuffle (training-order prep): sort by a
     keyed hash of doc_id — order is a pure function of (ids, seed),
@@ -3872,6 +3887,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
+    "mix_corpora": q_mix_corpora,
     "vocab_topk": q_vocab_topk,
     "token_counts_bpe": q_token_counts_bpe,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -4246,6 +4262,15 @@ ORACLES = {
         "SELECT doc_id, source, "
         "((doc_id + 7) * 2654435761) % 4294967296 AS shuffle_key "
         "FROM documents"
+    ),
+    "mix_corpora": (
+        "WITH r AS (SELECT doc_id, source, "
+        "CASE source WHEN 'src0' THEN 2.5 WHEN 'src13' THEN 0.25 ELSE 1.0 END AS rate, "
+        "(((doc_id + 29) * 2654435761) % 4294967296) / 4294967296.0 AS u FROM documents) "
+        "SELECT r.doc_id, r.source, CAST(e.epoch AS BIGINT) AS epoch "
+        "FROM r CROSS JOIN (SELECT unnest([0, 1, 2]) AS epoch) e "
+        "WHERE e.epoch < CAST(floor(r.rate) AS BIGINT) "
+        "OR (e.epoch = CAST(floor(r.rate) AS BIGINT) AND r.u < r.rate - floor(r.rate))"
     ),
     "pack_sequences": (
         "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "

@@ -139,3 +139,66 @@ class TestPackSequences:
         assert out["n_tokens"].tolist() == [3, 2]
         # 3 + 2 > 4: separate sequences
         assert out["seq_id"].nunique() == 2
+
+
+class TestMixCorpora:
+    def _planted(self):
+        rng = np.random.default_rng(5)
+        n = 400
+        return pd.DataFrame(
+            {
+                "doc_id": rng.permutation(n).astype(np.int64),
+                "source": rng.choice(["a", "b", "c"], size=n),
+            }
+        )
+
+    def test_rates_and_layout_independence(self, ray_session):
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import mix_corpora
+
+        df = self._planted()
+        rates = {"a": 2.5, "b": 0.25}  # c -> default 1.0
+        out = (
+            mix_corpora(ray.data.from_pandas(df), rates)
+            .to_pandas()
+            .sort_values(["doc_id", "epoch"])
+            .reset_index(drop=True)
+        )
+        # pure function of the id: re-run over a different block layout
+        out2 = (
+            mix_corpora(
+                ray.data.from_pandas(df.sample(frac=1.0, random_state=9)).repartition(7),
+                rates,
+            )
+            .to_pandas()
+            .sort_values(["doc_id", "epoch"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out, out2)
+
+        per = out.groupby("doc_id").size()
+        src_of = df.set_index("doc_id")["source"]
+        for did, cnt in per.items():
+            r = rates.get(src_of[did], 1.0)
+            assert math.floor(r) <= cnt <= math.ceil(r)
+        # default sources emit exactly once; epochs are 0..copies-1
+        c_ids = df.loc[df["source"] == "c", "doc_id"]
+        assert (per.reindex(c_ids) == 1).all()
+        g = out.groupby("doc_id")["epoch"]
+        assert (g.min() == 0).all()
+        assert (g.max() == per - 1).all()
+        # aggregate rate approaches the target (hash-uniform draw)
+        a_ids = df.loc[df["source"] == "a", "doc_id"]
+        assert abs(per.reindex(a_ids).mean() - 2.5) < 0.2
+
+    def test_zero_rate_drops_source(self, ray_session):
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import mix_corpora
+
+        df = self._planted()
+        out = mix_corpora(
+            ray.data.from_pandas(df), {"a": 0.0, "b": 0.0, "c": 0.0}
+        ).to_pandas()
+        assert len(out) == 0
