@@ -33,6 +33,8 @@ MAP = 11  # structural: list-of-struct shredding (offsets + key/value)
 DICT_SHARED = 12  # indexes only; dictionary lives in the file's dict page
 DICT_PAGE = 13  # row label for a file-level dict page (payload is a
 # self-contained chunk of the dictionary values)
+XOR_FLOAT = 14  # byte-aligned Gorilla XOR-previous (xorfloat.py);
+# append-only addition — stores written before it decode unchanged
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -49,6 +51,7 @@ CODEC_NAMES = {
     MAP: "map",
     DICT_SHARED: "dict_shared",
     DICT_PAGE: "dict_page",
+    XOR_FLOAT: "xor_float",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -84,8 +87,8 @@ SUPPORTED: dict[int, tuple[int, ...]] = {
     BOOLEAN: (RLE, PLAIN),
     INT32: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
     INT64: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
-    FLOAT: (PLAIN, DICT, BYTE_STREAM_SPLIT),
-    DOUBLE: (PLAIN, DICT, BYTE_STREAM_SPLIT),
+    FLOAT: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT),
+    DOUBLE: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT),
     BYTE_ARRAY: (PLAIN, DICT, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, FSST),
     FIXED_LEN_BYTE_ARRAY: (PLAIN, DICT, BYTE_STREAM_SPLIT),
     P_LIST: (LIST,),
