@@ -296,3 +296,56 @@ def mix_corpora(
     return ds.select_columns([id_col, source_col]).map_batches(
         expand, batch_format="pandas"
     )
+
+
+def perplexity_filter(
+    ds: "ray.data.Dataset",
+    keep_frac: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """CCNet-style perplexity filtering: score every doc with the
+    corpus-unigram mean NLL (`unigram_logprob_scores`, integer 1e-4
+    nats) and keep the most-fluent `keep_frac` of the corpus — docs
+    with nll_e4 <= T, where T is the SMALLEST score value whose
+    cumulative doc count reaches ceil(keep_frac * n). Thresholding on
+    the VALUE (not the rank) keeps every tied doc at the boundary, so
+    the output is a pure function of the corpus — no tie-break
+    ambiguity, rerun/layout/cluster-size invariant, and the oracle can
+    state the identical rule as a window cumsum.
+
+    Scale shape: the score table (one 16 B row per doc) is checkpointed
+    once — it has two consumers (threshold + filter) and re-deriving it
+    would re-run the token exchange twice. The threshold comes from a
+    DISTINCT-VALUE histogram (scores are bounded integers: ~0..2e5
+    distinct values regardless of corpus size), folded in one tiny
+    groupby; the filter is then map-only against the broadcast scalar.
+    Returns (doc_id, nll_e4) for the kept docs."""
+    scores = unigram_logprob_scores(
+        ds, text_col=text_col, id_col=id_col
+    ).materialize()  # two consumers; 16 B/doc — the curate-chain seam
+    n = scores.count()
+    if n == 0:
+        return scores
+    need = int(np.ceil(keep_frac * n))
+
+    def hist(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("nll_e4", sort=False).size()
+        return pd.DataFrame(
+            {"nll_e4": g.index.to_numpy(np.int64), "cnt": g.to_numpy(np.int64)}
+        )
+
+    h = (
+        scores.map_batches(hist, batch_format="pandas")
+        .groupby("nll_e4")
+        .sum("cnt")
+        .to_pandas()
+        .sort_values("nll_e4")
+    )
+    cum = h["sum(cnt)"].cumsum().to_numpy()
+    thr = int(h["nll_e4"].to_numpy()[np.searchsorted(cum, need)])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["nll_e4"] <= thr]
+
+    return scores.map_batches(keep, batch_format="pandas")

@@ -2428,6 +2428,18 @@ def q_unigram_logprob(sf_dir):
     )
 
 
+def q_perplexity_filter(sf_dir):
+    """CCNet-style perplexity filter: keep the most-fluent 75% of docs
+    by corpus-unigram mean NLL, value-thresholded (every boundary tie
+    kept) so the output is layout/cluster-size invariant. The score
+    table is checkpointed once (two consumers); the threshold folds a
+    distinct-value histogram (bounded-int domain); the filter is
+    map-only (lm.py::perplexity_filter)."""
+    return lm.perplexity_filter(
+        _read_split(sf_dir, "documents", columns=["doc_id", "text"])
+    )
+
+
 def q_dup_clusters(sf_dir):
     """Distributed connected components (min-label propagation with
     pointer jumping) over a deterministic chain-edge graph: consecutive
@@ -3888,6 +3900,7 @@ QUERIES = {
     "simhash_fingerprints": q_simhash_fingerprints,
     "stratified_sample": q_stratified_sample,
     "mix_corpora": q_mix_corpora,
+    "perplexity_filter": q_perplexity_filter,
     "vocab_topk": q_vocab_topk,
     "token_counts_bpe": q_token_counts_bpe,
     "simhash_near_pairs": q_simhash_near_pairs,
@@ -4419,6 +4432,20 @@ ORACLES = {
         "g AS (SELECT passage FROM s GROUP BY passage HAVING COUNT(DISTINCT doc_id) >= 2) "
         "SELECT CAST(s.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_passages "
         "FROM s JOIN g USING (passage) GROUP BY s.doc_id"
+    ),
+    "perplexity_filter": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "
+        "FROM documents WHERE length(text) > 0), "
+        "cnt AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY t), "
+        "n AS (SELECT COUNT(*) AS total FROM tok), "
+        "scores AS (SELECT CAST(tok.doc_id AS BIGINT) AS doc_id, "
+        "CAST(floor(avg(ln(n.total) - ln(cnt.c)) * 1e4 + 0.5) AS BIGINT) AS nll_e4 "
+        "FROM tok JOIN cnt USING (t) CROSS JOIN n GROUP BY tok.doc_id), "
+        "thr AS (SELECT min(nll_e4) AS v FROM (SELECT nll_e4, "
+        "count(*) OVER (ORDER BY nll_e4) AS cum, "
+        "(SELECT count(*) FROM scores) AS nn FROM scores) "
+        "WHERE cum >= CAST(ceil(0.75 * nn) AS BIGINT)) "
+        "SELECT s.doc_id, s.nll_e4 FROM scores s, thr WHERE s.nll_e4 <= thr.v"
     ),
     "unigram_logprob": (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t "

@@ -202,3 +202,46 @@ class TestMixCorpora:
             ray.data.from_pandas(df), {"a": 0.0, "b": 0.0, "c": 0.0}
         ).to_pandas()
         assert len(out) == 0
+
+
+class TestPerplexityFilter:
+    def test_threshold_keeps_ties_and_is_layout_independent(self, ray_session):
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import (
+            perplexity_filter,
+            unigram_logprob_scores,
+        )
+
+        rng = np.random.default_rng(11)
+        common = ["the", "a", "of", "to"]
+        docs = []
+        for i in range(120):
+            if i % 3 == 0:
+                words = list(rng.choice(common, size=20))  # fluent
+            else:
+                words = [f"rare{i}_{j}" for j in range(20)]  # garbled
+            docs.append(" ".join(words))
+        df = pd.DataFrame({"doc_id": np.arange(120, dtype=np.int64), "text": docs})
+
+        kept = perplexity_filter(
+            ray.data.from_pandas(df), keep_frac=0.5
+        ).to_pandas()
+        scores = unigram_logprob_scores(ray.data.from_pandas(df)).to_pandas()
+        n = len(scores)
+        need = int(np.ceil(0.5 * n))
+        thr = np.sort(scores["nll_e4"].to_numpy())[need - 1]
+        expect = scores[scores["nll_e4"] <= thr]
+        # value threshold: at least `need` docs, every tie at thr kept
+        assert len(kept) == len(expect) >= need
+        assert set(kept["doc_id"]) == set(expect["doc_id"])
+        # all-common docs are the fluent cohort and must survive
+        assert set(df.loc[df.index % 3 == 0, "doc_id"]) <= set(kept["doc_id"])
+
+        kept2 = perplexity_filter(
+            ray.data.from_pandas(df.sample(frac=1.0, random_state=3)).repartition(9),
+            keep_frac=0.5,
+        ).to_pandas()
+        a = kept.sort_values("doc_id").reset_index(drop=True)
+        b = kept2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
