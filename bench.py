@@ -7,9 +7,11 @@ Plain run: executes the headline pipelines at $GRAFT_SF_DIR (default
     {"metric": "...", "value": <headline sec>, "unit": "sec",
      "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N, ...}
 
---scaling: runs the same bench twice in fresh processes (8 then 32
-CPUs) on the same input and prints throughput at both plus the scaling
-efficiency (target >= 0.8 per the north rule).
+--scaling: runs the same bench twice in fresh processes (N then 4N
+CPUs — default 2 then 8, override with BENCH_SCALE_LO/BENCH_SCALE_HI)
+on the same input and prints throughput at both plus the scaling
+efficiency (target >= 0.8 per the north rule). See run_scaling() for
+why the default pair sits below the host's vCPU-overcommit knee.
 
 Headline = the flagship encode job: the deterministic Common-Crawl-style
 web-page table at the matching scale factor, through automatic codec
