@@ -32,7 +32,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import bytestreamsplit as bss
-from . import delta, dictionary, fsst, plain, rle, xorfloat
+from . import alp, delta, dictionary, fsst, plain, rle, xorfloat
 from . import registry as R
 
 # byte 2 embeds the wire FORMAT_VERSION so a chunk written at any other
@@ -206,6 +206,8 @@ def _encode_payload(
             return bss.encode(v), 0
         if codec == R.XOR_FLOAT:
             return xorfloat.encode(np.asarray(v)), 0
+        if codec == R.ALP_FLOAT:
+            return alp.encode(np.asarray(v)), 0
     elif ptype == R.BYTE_ARRAY:
         if codec == R.DICT_SHARED:
             # indexes only; the dictionary page is written once per file
@@ -309,6 +311,8 @@ def _decode_payload(
             return bss.decode(payload, dtype, n)
         if codec == R.XOR_FLOAT:
             return xorfloat.decode(payload, dtype)
+        if codec == R.ALP_FLOAT:
+            return alp.decode(payload, dtype)
     elif ptype == R.BYTE_ARRAY:
         if codec == R.DICT_SHARED:
             if shared_dict is None:

@@ -35,6 +35,8 @@ DICT_PAGE = 13  # row label for a file-level dict page (payload is a
 # self-contained chunk of the dictionary values)
 XOR_FLOAT = 14  # byte-aligned Gorilla XOR-previous (xorfloat.py);
 # append-only addition — stores written before it decode unchanged
+ALP_FLOAT = 15  # adaptive lossless decimal floats (alp.py, VLDB 2023);
+# append-only addition, same contract as XOR_FLOAT
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -52,6 +54,7 @@ CODEC_NAMES = {
     DICT_SHARED: "dict_shared",
     DICT_PAGE: "dict_page",
     XOR_FLOAT: "xor_float",
+    ALP_FLOAT: "alp",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -87,8 +90,8 @@ SUPPORTED: dict[int, tuple[int, ...]] = {
     BOOLEAN: (RLE, PLAIN),
     INT32: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
     INT64: (PLAIN, RLE, DICT, DELTA_BINARY_PACKED, BYTE_STREAM_SPLIT),
-    FLOAT: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT),
-    DOUBLE: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT),
+    FLOAT: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT, ALP_FLOAT),
+    DOUBLE: (PLAIN, DICT, BYTE_STREAM_SPLIT, XOR_FLOAT, ALP_FLOAT),
     BYTE_ARRAY: (PLAIN, DICT, DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY, FSST),
     FIXED_LEN_BYTE_ARRAY: (PLAIN, DICT, BYTE_STREAM_SPLIT),
     P_LIST: (LIST,),
