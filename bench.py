@@ -315,6 +315,12 @@ def run_bench() -> dict:
         "query_router_derived",
         # stats-pruned ORDER BY LIMIT
         "store_topk",
+        # round-5 additions: ALP/XOR float codecs on the events table
+        # (ts delta + 2-decimal value), weighted domain mixing,
+        # perplexity filtering (unigram NLL + histogram threshold)
+        "encode_decode_events",
+        "mix_corpora",
+        "perplexity_filter",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -89,6 +89,12 @@ def physical_type(ty: pa.DataType) -> int:
         return R.FIXED_LEN_BYTE_ARRAY
     if pa.types.is_decimal(ty):
         return R.FIXED_LEN_BYTE_ARRAY
+    if pa.types.is_float16(ty):
+        # parquet parity: FLOAT16 is FLBA(2) on the wire (the logical
+        # annotation rides the serialized arrow type here); BSS on the
+        # two byte planes is the effective lightweight encoding, and
+        # _cast_back's equal-bit-width view restores halffloat exactly
+        return R.FIXED_LEN_BYTE_ARRAY
     if pa.types.is_list(ty) or pa.types.is_large_list(ty):
         return R.P_LIST
     if pa.types.is_struct(ty) and ty.num_fields > 0:

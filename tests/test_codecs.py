@@ -280,3 +280,55 @@ class TestDictionaryTypedInput:
         )
         out = decode_array(encode_array(ca))
         assert out.equals(ca.combine_chunks())
+
+
+class TestFloat16:
+    """float16 routes through FLBA(2) (parquet FLOAT16 parity) instead
+    of the arrow_ipc fallback; _cast_back's equal-bit-width view
+    restores halffloat bit-exactly."""
+
+    def _roundtrip_bits(self, arr):
+        from parquet_go_ray.codecs import decode_array, encode_array
+
+        out = decode_array(encode_array(arr))
+        assert out.type == arr.type and len(out) == len(arr)
+        a, b = arr.to_pandas(), out.to_pandas()
+        assert a.isna().equals(b.isna())
+        va = a.dropna().to_numpy(np.float16).view(np.uint16)
+        vb = b.dropna().to_numpy(np.float16).view(np.uint16)
+        assert np.array_equal(va, vb)
+
+    def test_vectors(self):
+        rng = np.random.default_rng(0)
+        for arr in [
+            pa.array(np.arange(4096).astype(np.float16)),
+            pa.array(rng.normal(0, 0.3, 4096).astype(np.float16)),
+            pa.array([np.float16(1.5), None, np.float16(2.5), None]),
+            pa.array([], type=pa.float16()),
+            pa.array(
+                np.array(
+                    [np.inf, -np.inf, np.nan, 0.0, -0.0, 65504.0],
+                    dtype=np.float16,
+                )
+            ),
+        ]:
+            self._roundtrip_bits(arr)
+
+    def test_physical_type_is_flba(self):
+        from parquet_go_ray.codecs import registry as R
+        from parquet_go_ray.codecs.chunk import physical_type
+
+        assert physical_type(pa.float16()) == R.FIXED_LEN_BYTE_ARRAY
+
+    def test_list_of_float16(self):
+        from parquet_go_ray.codecs import decode_array, encode_array
+
+        vals = np.random.default_rng(1).normal(0, 1, 64).astype(np.float16)
+        arr = pa.ListArray.from_arrays(
+            pa.array([0, 32, 32, 64], type=pa.int32()),
+            pa.array(vals),
+            mask=pa.array([False, True, False]),
+        )
+        out = decode_array(encode_array(arr))
+        assert out.type == arr.type
+        assert out.to_pylist() == arr.to_pylist()
