@@ -143,6 +143,124 @@ def unigram_logprob_scores(
     )
 
 
+def dsir_weights(
+    ds: ray.data.Dataset,
+    target_col: str = "source",
+    target_value: str = "src0",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+) -> ray.data.Dataset:
+    """DSIR-style importance weights (Xie et al. 2023, public): score
+    every document by how target-domain-like its hashed-unigram
+    distribution is. Per doc, the mean log importance ratio
+
+        logw(d) = avg_t [ ln(ct(t)+1) - ln(cs(t)+1) ] + K,
+        K = ln(Ns+1) - ln(Nt+1)
+
+    where ct/cs are the token's occurrence counts in the TARGET slice
+    (rows with target_col == target_value) and the WHOLE corpus, and
+    Nt/Ns the corresponding token totals — add-one smoothing with the
+    normalizing constants factored out of the per-token sum, so the
+    per-doc part rides the SAME single token-hash exchange as
+    unigram_logprob_scores (two id-sized shuffles total, text never
+    leaves the tokenizing batch). Output (id_col, logw_e4) in 1e-4 nat
+    units; high = target-like, the DSIR resampling key. Zero-token
+    docs are dropped.
+
+    Scale shape (100 TB): identical to unigram_logprob_scores — one
+    extra int64 column (target count) on the partial rows is the whole
+    marginal cost of the second distribution.
+    """
+    from ray.data.aggregate import Sum
+
+    P = n_partitions
+
+    def count_tokens(batch: pa.Table) -> pd.DataFrame:
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        is_t = np.array(
+            [v == target_value for v in batch.column(target_col).to_pylist()]
+        )
+        _, tok_offsets, doc_tok_starts = hashing._tokenize_bytes(texts)
+        per_doc = np.diff(doc_tok_starts).astype(np.int64)
+        ns = int(len(tok_offsets) - 1)
+        nt = int(per_doc[is_t].sum()) if len(per_doc) else 0
+        return pd.DataFrame(
+            {"ns": np.array([ns], np.int64), "nt": np.array([nt], np.int64)}
+        )
+
+    totals = ds.map_batches(count_tokens, batch_format="pyarrow").aggregate(
+        Sum("ns"), Sum("nt")
+    )
+    ns_total = int(totals.get("sum(ns)") or 0)
+    nt_total = int(totals.get("sum(nt)") or 0)
+    if ns_total == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    id_col: np.zeros(0, np.int64),
+                    "logw_e4": np.zeros(0, np.int64),
+                }
+            )
+        )
+    k_const = float(np.log(ns_total + 1.0) - np.log(nt_total + 1.0))
+
+    def partials(batch: pa.Table) -> pd.DataFrame:
+        ids = batch.column(id_col).to_numpy().astype(np.int64)
+        texts = [t.encode() for t in batch.column(text_col).to_pylist()]
+        is_t = np.array(
+            [v == target_value for v in batch.column(target_col).to_pylist()],
+            dtype=bool,
+        )
+        didx, h, cnt = _doc_token_hash_counts(texts)
+        if len(didx):
+            tc = np.where(is_t[didx], cnt, 0).astype(np.int64)
+        else:
+            tc = cnt
+        return pd.DataFrame(
+            {
+                "h": h.view(np.int64),
+                id_col: ids[didx],
+                "c": cnt,
+                "tc": tc,
+                "pt": (h % np.uint64(P)).astype(np.int64),
+            }
+        )
+
+    def score_partition(part: pd.DataFrame) -> pd.DataFrame:
+        # every occurrence of a token hash is in this partition: both
+        # global counts are local sums
+        g = part.groupby("h", sort=False)[["c", "tc"]].transform("sum")
+        cs = g["c"].to_numpy().astype(np.float64)
+        ct = g["tc"].to_numpy().astype(np.float64)
+        nl = np.log(ct + 1.0) - np.log(cs + 1.0)
+        contrib = part["c"].to_numpy() * nl
+        agg = pd.DataFrame(
+            {id_col: part[id_col].to_numpy(), "s": contrib, "c": part["c"]}
+        ).groupby(id_col, sort=False, as_index=False)[["s", "c"]].sum()
+        ids = agg[id_col].to_numpy().astype(np.int64)
+        agg["pt"] = ids % P
+        return agg
+
+    def finish(part: pd.DataFrame) -> pd.DataFrame:
+        agg = part.groupby(id_col, sort=False, as_index=False)[["s", "c"]].sum()
+        score = agg["s"].to_numpy() / agg["c"].to_numpy() + k_const
+        return pd.DataFrame(
+            {
+                id_col: agg[id_col].to_numpy().astype(np.int64),
+                "logw_e4": np.floor(score * 1e4 + 0.5).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("pt")
+        .map_groups(score_partition, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(finish, batch_format="pandas")
+    )
+
+
 def pack_sequences(
     ds,
     max_tokens: int = 2048,

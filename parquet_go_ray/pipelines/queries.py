@@ -2428,6 +2428,20 @@ def q_unigram_logprob(sf_dir):
     )
 
 
+def q_dsir_weights(sf_dir):
+    """DSIR importance weights (hashed-unigram, target domain =
+    source 'src0'): per-doc mean log importance ratio between the
+    target slice's unigram distribution and the whole corpus's, +1
+    smoothed, in 1e-4 nat units. Same two id-sized exchanges as
+    unigram_logprob; the oracle states the identical factored
+    expression over token STRINGS."""
+    return lm.dsir_weights(
+        _read_split(
+            sf_dir, "documents", columns=["doc_id", "text", "source"]
+        )
+    )
+
+
 def q_perplexity_filter(sf_dir):
     """CCNet-style perplexity filter: keep the most-fluent 75% of docs
     by corpus-unigram mean NLL, value-thresholded (every boundary tie
@@ -3913,6 +3927,7 @@ QUERIES = {
     "embedding_near_pairs": q_embedding_near_pairs,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
+    "dsir_weights": q_dsir_weights,
 }
 
 ORACLES = {
@@ -4455,6 +4470,22 @@ ORACLES = {
         "SELECT CAST(tok.doc_id AS BIGINT) AS doc_id, "
         "CAST(floor(avg(ln(n.total) - ln(cnt.c)) * 1e4 + 0.5) AS BIGINT) AS nll_e4 "
         "FROM tok JOIN cnt USING (t) CROSS JOIN n GROUP BY tok.doc_id"
+    ),
+    "dsir_weights": (
+        "WITH tok AS (SELECT doc_id, source, "
+        "unnest(string_split(text, ' ')) AS t "
+        "FROM documents WHERE length(text) > 0), "
+        "tokd AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t), "
+        "cnt AS (SELECT t, COUNT(*) AS cs, "
+        "COUNT(*) FILTER (WHERE source = 'src0') AS ct FROM tok GROUP BY t), "
+        "n AS (SELECT COUNT(*) AS ns, "
+        "COUNT(*) FILTER (WHERE source = 'src0') AS nt FROM tok) "
+        "SELECT CAST(tokd.doc_id AS BIGINT) AS doc_id, "
+        "CAST(floor((SUM(tokd.c * (ln(cnt.ct + 1.0) - ln(cnt.cs + 1.0))) "
+        "/ SUM(tokd.c) "
+        "+ (SELECT ln(ns + 1.0) - ln(nt + 1.0) FROM n)) * 1e4 + 0.5) "
+        "AS BIGINT) AS logw_e4 "
+        "FROM tokd JOIN cnt USING (t) GROUP BY tokd.doc_id"
     ),
     "decontaminate": (
         "WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents), "

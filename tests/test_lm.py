@@ -245,3 +245,71 @@ class TestPerplexityFilter:
         a = kept.sort_values("doc_id").reset_index(drop=True)
         b = kept2.sort_values("doc_id").reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestDsirWeights:
+    def test_planted_target_affinity(self, ray_session):
+        """Docs made of target-domain words must score higher than docs
+        of non-target words; a doc of corpus-unique words scores the
+        smoothing floor (ln(1)-ln(2) per token + K)."""
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import dsir_weights
+
+        rng = np.random.default_rng(11)
+        t_words = [f"tgt{i}" for i in range(30)]
+        o_words = [f"oth{i}" for i in range(30)]
+        rows = []
+        for i in range(90):
+            if i < 30:  # the target slice itself
+                rows.append(("src0", " ".join(rng.choice(t_words, size=25))))
+            elif i < 60:  # non-target but target-like text
+                rows.append(("src1", " ".join(rng.choice(t_words, size=25))))
+            else:  # non-target, disjoint vocabulary
+                rows.append(("src1", " ".join(rng.choice(o_words, size=25))))
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(90, dtype=np.int64),
+                "source": [s for s, _ in rows],
+                "text": [t for _, t in rows],
+            }
+        )
+        out = dsir_weights(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 90
+        w = out.set_index("doc_id")["logw_e4"]
+        target_like = w.reindex(range(30, 60)).mean()
+        disjoint = w.reindex(range(60, 90)).mean()
+        assert target_like > disjoint + 1000  # >0.1 nat separation
+
+        # layout independence: shuffled + repartitioned input, same table
+        out2 = dsir_weights(
+            ray.data.from_pandas(
+                df.sample(frac=1.0, random_state=5)
+            ).repartition(7)
+        ).to_pandas()
+        a = out.sort_values("doc_id").reset_index(drop=True)
+        b = out2.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_empty_and_no_target(self, ray_session):
+        import ray.data
+
+        from parquet_go_ray.pipelines.lm import dsir_weights
+
+        empty = pd.DataFrame(
+            {"doc_id": np.zeros(0, np.int64), "source": [], "text": []}
+        )
+        assert dsir_weights(ray.data.from_pandas(empty)).count() == 0
+
+        # no doc matches the target: weights are finite (smoothing) and
+        # every token gets the same ct=0 treatment
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(4, dtype=np.int64),
+                "source": ["srcX"] * 4,
+                "text": ["a b c", "a a", "b c", "d"],
+            }
+        )
+        out = dsir_weights(ray.data.from_pandas(df)).to_pandas()
+        assert len(out) == 4
+        assert np.isfinite(out["logw_e4"].to_numpy()).all()
