@@ -321,6 +321,9 @@ def run_bench() -> dict:
         "encode_decode_events",
         "mix_corpora",
         "perplexity_filter",
+        # DSIR importance weights (target-domain unigram log ratio;
+        # same token-hash exchange shape as unigram_logprob)
+        "dsir_weights",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so
