@@ -566,6 +566,17 @@ def _decode_map(payload, ty, n, n_null, validity) -> pa.Array:
     (off_len,) = struct.unpack_from("<I", payload, 0)
     offsets = decode_array(payload[4 : 4 + off_len]).to_numpy(zero_copy_only=False)
     entries = decode_array(payload[4 + off_len :])
+    # the entries chunk round-trips as a plain struct, whose fields are
+    # nullable; the map invariant requires the EXACT declared entry
+    # type (non-nullable key field) or Arrow's MapScalar aborts on any
+    # per-row access. Rebuild the struct under the declared field
+    # metadata (zero-copy: same child arrays).
+    want = ty.field(0).type
+    if entries.type != want:
+        entries = pa.StructArray.from_arrays(
+            [entries.field(i) for i in range(want.num_fields)],
+            fields=list(want),
+        )
     validity_buf = pa.py_buffer(validity) if n_null else None
     return pa.Array.from_buffers(
         ty,

@@ -147,6 +147,7 @@ class _FieldSpec:
     py_type: type | None = None     # leaf python type for conversion
     elem_nullable: bool = False     # list fields: optional elements
     decimal_scale: int = 0          # decimal fields: 10^-scale factor
+    is_map: bool = False            # dict fields stored as arrow map
 
 
 @dataclasses.dataclass
@@ -251,6 +252,9 @@ def _from_storage(v, f: _FieldSpec):
             "us": micros,
             "ns": micros * 1000,
         }[unit]
+    if f.is_map and isinstance(v, list):
+        # arrow map scalars read back as [(key, value), ...]
+        return dict(v)
     if (
         f.py_type is not None
         and dataclasses.is_dataclass(f.py_type)
@@ -438,6 +442,18 @@ def _field_spec(fl: dataclasses.Field, hint) -> _FieldSpec | None:
                 f"unknown tag option {option!r} on field {fl.name}"
             )
 
+    if node is None and origin is dict and fl.metadata and (
+        "parquet-key" in fl.metadata or "parquet-value" in fl.metadata
+    ):
+        # map key/value sub-tags (schema.go:540-570: the parquet-key /
+        # parquet-value struct tags); only TYPE options apply here
+        k, v = typing.get_args(base)
+        k, _, _ = _unwrap(k)
+        v, _, _ = _unwrap(v)
+        node = pa.map_(
+            _tagged_node(k, fl.metadata.get("parquet-key", ""), fl.name),
+            _tagged_node(v, fl.metadata.get("parquet-value", ""), fl.name),
+        )
     if node is None:
         node = _node_of(base, fl.name)
         # a TAGGED "optional" on a list applies to the elements
@@ -454,7 +470,47 @@ def _field_spec(fl: dataclasses.Field, hint) -> _FieldSpec | None:
 
     spec.type = node
     spec.codec = encoded
+    spec.is_map = pa.types.is_map(node)
     return spec
+
+
+def _tagged_node(t, tag: str, where: str) -> pa.DataType:
+    """Map-key/value node with type-option tags applied (the subset of
+    the grammar valid inside a map per schema.go:540-570 — logical
+    types only; encodings/compression are per-LEAF-column and invalid
+    here, mirroring throwUnknownTag)."""
+    name, opts = _split_tag(tag)
+    node = None
+    for option, args in opts:
+        if option in ("", "optional"):
+            continue
+        elif option == "json":
+            node = pa.string()
+        elif option == "enum":
+            if t is not str:
+                raise InvalidTagError(f"enum on non-string map part ({where})")
+            node = pa.string()
+        elif option == "uuid":
+            node = pa.binary(16)
+        elif option == "date":
+            node = pa.date32()
+        elif option == "timestamp":
+            body = _parse_args(args, "timestamp")
+            unit = _TIME_UNITS.get(body or "millisecond")
+            if unit is None:
+                raise InvalidTagError(f"unknown time unit: {body}")
+            node = pa.timestamp(unit)
+        elif option == "decimal":
+            body = _parse_args(args, "decimal")
+            parts = body.split(":")
+            if len(parts) != 2:
+                raise InvalidTagError(f"malformed decimal args: ({body})")
+            node = pa.decimal128(int(parts[1]), int(parts[0]))
+        else:
+            raise InvalidTagError(
+                f"unknown map key/value tag option {option!r} ({where})"
+            )
+    return node if node is not None else _node_of(t, where)
 
 
 def _node_of(t, where: str) -> pa.DataType:

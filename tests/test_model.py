@@ -262,3 +262,49 @@ class TestStoreRoundtrip:
         write_model(rows, out)
         hist = manifest.codec_histogram(out)
         assert "byte_stream_split" in hist  # score tag honored
+
+
+class TestMapKeyValueTags:
+    def test_key_and_value_tags(self):
+        # schema_test.go:124/173: parquet-key / parquet-value tags
+        @dataclass
+        class M:
+            a: dict[int, str] = field(
+                default_factory=dict,
+                metadata={
+                    "parquet": "a",
+                    "parquet-key": ",timestamp(microsecond)",
+                    "parquet-value": ",json",
+                },
+            )
+
+        ms = schema_of(M)
+        ty = ms.arrow_schema.field("a").type
+        assert pa.types.is_map(ty)
+        assert ty.key_type == pa.timestamp("us")
+        assert ty.item_type == pa.string()
+
+    def test_bad_map_part_tag_rejected(self):
+        @dataclass
+        class B:
+            a: dict[int, str] = field(
+                default_factory=dict,
+                metadata={"parquet-value": ",split"},
+            )
+
+        with pytest.raises(InvalidTagError):
+            schema_of(B)
+
+    def test_map_store_roundtrip(self, tmp_path, ray_session):
+        # regression: decoded maps must survive SCALAR access (the
+        # entries-struct invariant), not just buffer equality
+        @dataclass
+        class Plain:
+            eid: int
+            kv: dict[str, int] = field(default_factory=dict)
+
+        rows = [Plain(eid=i, kv={"a": i, "b": 2 * i}) for i in range(8)]
+        out = str(tmp_path / "mapstore")
+        write_model(rows, out)
+        back = sorted(read_model(Plain, out), key=lambda e: e.eid)
+        assert [b.kv for b in back] == [r.kv for r in rows]

@@ -86,6 +86,10 @@ def test_random_nested_roundtrip(seed):
     arr = pa.array(vals, type=ty)
     out = decode_array(encode_array(arr))
     assert out.equals(arr), f"seed={seed} type={ty}"
+    # per-row SCALAR access must also survive: .equals() compares
+    # buffers and misses a child-type/field-metadata mismatch that
+    # makes Arrow's scalar path abort (the map entries invariant)
+    assert out.to_pylist() == arr.to_pylist(), f"seed={seed} type={ty}"
 
 
 @pytest.mark.parametrize("seed", range(10))
@@ -99,3 +103,4 @@ def test_random_nested_sliced_roundtrip(seed):
     sl = arr.slice(a, ln)
     out = decode_array(encode_array(sl))
     assert out.equals(sl), f"seed={seed} type={ty} slice=({a},{ln})"
+    assert out.to_pylist() == sl.to_pylist(), f"seed={seed} type={ty}"
