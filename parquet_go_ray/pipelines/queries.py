@@ -3771,6 +3771,455 @@ def q_top_revenue_customers(sf_dir):
     )
 
 
+# ------------------------------------------- round-5 relational additions
+
+
+def q_cube_counts(sf_dir):
+    """GROUP BY CUBE(lang, source) in ONE corpus pass (the rollup's
+    2-D sibling): fine (lang, source) partials aggregate inside each
+    batch, one small exchange sums them, and the three coarser
+    granularities — per-lang, per-source, grand total — fold from the
+    already-tiny fine table (|langs| x |sources| rows) with NULL
+    marking rolled-up levels exactly as SQL does. No second corpus
+    read, no extra shuffle."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["lang", "source"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("n")
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        by_lang = df.groupby("lang", as_index=False)["n"].sum()
+        by_lang["source"] = None
+        by_src = df.groupby("source", as_index=False)["n"].sum()
+        by_src["lang"] = None
+        grand = pd.DataFrame({"lang": [None], "source": [None], "n": [df["n"].sum()]})
+        cols = ["lang", "source", "n"]
+        out = pd.concat(
+            [df[cols], by_lang[cols], by_src[cols], grand[cols]], ignore_index=True
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    # the fine table is group-count sized; fold all CUBE levels in one task
+    return fine.repartition(1).map_batches(
+        widen, batch_format="pandas", batch_size=None
+    )
+
+
+def _user_type_bits(sf_dir, a: str, b: str, min_value: float) -> ray.data.Dataset:
+    """Shared INTERSECT/EXCEPT core: one corpus pass emits per-batch
+    (user_id, in_a, in_b) bit partials (batch-local groupby, so the
+    exchange carries at most |distinct users| x batch-overlap rows,
+    never the event count), then one groupby folds the bits."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        et = t.column("event_type")
+        t2 = t.filter(
+            pc.and_(
+                pc.or_(pc.equal(et, a), pc.equal(et, b)),
+                pc.greater(t.column("value"), min_value),
+            )
+        )
+        g = pa.table(
+            {
+                "user_id": t2.column("user_id"),
+                "in_a": pc.cast(pc.equal(t2.column("event_type"), a), pa.int64()),
+                "in_b": pc.cast(pc.equal(t2.column("event_type"), b), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(g, "user_id")
+            .aggregate([("in_a", "max"), ("in_b", "max")])
+            .rename_columns(["user_id", "in_a", "in_b"])
+        )
+
+    agg = (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("user_id")
+        .max(["in_a", "in_b"])
+    )
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id", "in_a", "in_b"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_set_intersect_users(sf_dir):
+    """INTERSECT set semantics (distinct users who both clicked AND
+    purchased, both on high-value events) as bit-OR partials + one key
+    exchange — never a two-sided distinct + join."""
+    bits = _user_type_bits(sf_dir, "click", "purchase", 90.0)
+    return bits.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("in_a"), 1), pc.equal(t.column("in_b"), 1))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_set_except_users(sf_dir):
+    """EXCEPT set semantics (users who clicked but never purchased) from
+    the same bit partials as the INTERSECT — a side-bit anti filter, not
+    an anti-join shuffle."""
+    bits = _user_type_bits(sf_dir, "click", "purchase", 90.0)
+    return bits.map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.equal(t.column("in_a"), 1), pc.equal(t.column("in_b"), 0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+    )
+
+
+_PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_event_counts(sf_dir):
+    """PIVOT to wide columns (per-user count per event type): each batch
+    cross-tabs locally into the fixed column set, so the exchange carries
+    one row per (user x batch) with 5 int columns — then a single
+    groupby-sum folds partials. The column domain is static (schema must
+    be, on a Dataset); data-driven domains need a tiny distinct pre-pass."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_EVENT_TYPES]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        piv = pd.crosstab(df["user_id"], df["event_type"])
+        piv = piv.reindex(columns=list(_PIVOT_EVENT_TYPES), fill_value=0)
+        piv.columns = cols
+        out = piv.reset_index()
+        out["user_id"] = out["user_id"].astype(np.int64)
+        for c in cols:
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").sum(cols)
+    return agg.map_batches(
+        lambda t: t.rename_columns(["user_id"] + cols),
+        batch_format="pyarrow",
+    )
+
+
+def q_corr_by_group(sf_dir):
+    """Per-group Pearson correlation (quantity vs extended price by
+    return flag) as a purely ALGEBRAIC aggregate: each batch folds to
+    (n, Σx, Σy, Σxy, Σx², Σy²) per group, one tiny exchange sums the
+    six moments, and the final task computes
+    (nΣxy − ΣxΣy) / √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) — the same closed form
+    sample/population correlation reduces to. Nothing row-level ever
+    crosses the wire."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["l_quantity"].to_numpy(dtype=np.float64)
+        y = df["l_extendedprice"].to_numpy(dtype=np.float64)
+        d = pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "n": 1.0,
+                "sx": x,
+                "sy": y,
+                "sxy": x * y,
+                "sxx": x * x,
+                "syy": y * y,
+            }
+        )
+        return d.groupby("l_returnflag", sort=False, as_index=False).sum()
+
+    mom_cols = ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    agg = (
+        ds.map_batches(moments, batch_format="pandas")
+        .groupby("l_returnflag")
+        .sum(mom_cols)
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={f"sum({c})": c for c in mom_cols})
+        n = df["n"].to_numpy()
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxy, sxx, syy = df["sxy"].to_numpy(), df["sxx"].to_numpy(), df["syy"].to_numpy()
+        num = n * sxy - sx * sy
+        den = np.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pd.DataFrame(
+            {
+                "l_returnflag": df["l_returnflag"],
+                "corr_qp": np.round(num / den, 6),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
+def q_exists_semi_groupby(sf_dir):
+    """EXISTS semi-join aggregate (TPC-H Q4 shape: order priorities with
+    at least one line shipped after the order date) in ONE key exchange:
+    lineitem folds to per-batch (orderkey, max ship) partials — the only
+    reduction EXISTS(ship > odate) needs — orders tag their (odate,
+    priority), both streams union and a single groupby-max per orderkey
+    resolves the predicate; the surviving keys pre-count per batch before
+    the tiny priority groupby. No join materializes row-level output."""
+    li = _read_split(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["l_shipdate"].max()
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["l_orderkey"].astype(np.int64),
+                "ship_us": g["l_shipdate"].astype("datetime64[us]").astype(np.int64),
+                "odate_us": np.int64(-1),
+                "prio": "",
+            }
+        )
+
+    def ord_tag(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "ship_us": np.int64(-1),
+                "odate_us": df["o_orderdate"].astype("datetime64[us]").astype(np.int64),
+                "prio": df["o_orderpriority"],
+            }
+        )
+
+    u = li.map_batches(li_partial, batch_format="pandas").union(
+        orders.map_batches(ord_tag, batch_format="pandas")
+    )
+    agg = u.groupby("o_orderkey").max(["ship_us", "odate_us", "prio"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.rename_columns(["o_orderkey", "ship_us", "odate_us", "prio"])
+        # odate >= 0: the order row arrived (guards orphan lineitems)
+        keep = pc.and_(
+            pc.greater_equal(t.column("odate_us"), 0),
+            pc.greater(t.column("ship_us"), t.column("odate_us")),
+        )
+        g = pa.table({"o_orderpriority": t.filter(keep).column("prio")})
+        return (
+            pa.TableGroupBy(g, "o_orderpriority")
+            .aggregate([("o_orderpriority", "count")])
+            .rename_columns(["o_orderpriority", "n"])
+        )
+
+    out = (
+        agg.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .sum("n")
+    )
+    return out.map_batches(
+        lambda t: t.rename_columns(["o_orderpriority", "n"]).set_column(
+            1, "n", pc.cast(t.column(1), pa.int64())
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_explode_tokens(sf_dir):
+    """flat_map explode (one row per token) fully in Arrow: split to a
+    ListArray, flatten the values buffer, gather doc_id by
+    list_parent_indices — zero Python per row, zero copies of the token
+    bytes beyond the split itself. The inverse of the corpus
+    aggregations (vocab/tf-idf) and the building block any
+    tokenize-to-rows pipeline needs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        parents = pc.list_parent_indices(toks)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id").combine_chunks(), parents),
+                "token": pc.list_flatten(toks),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def q_funnel_steps(sf_dir):
+    """Ordered-funnel analytics (view → click-after-view →
+    purchase-after-click, earliest qualifying timestamp per step): the
+    corpus pass keeps only funnel-step rows (map-only filter), ONE
+    exchange co-locates each user's events, and the per-user resolve is
+    a three-min scan over that user's handful of rows. Strict event
+    ordering is resolved per user, never via a global sort."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    steps = pa.array(["view", "click", "purchase"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("event_type"), value_set=steps))
+
+    empty = pd.DataFrame(
+        {
+            "user_id": pd.Series([], dtype=np.int64),
+            "view_ts": pd.Series([], dtype="datetime64[us]"),
+            "click_ts": pd.Series([], dtype="datetime64[us]"),
+            "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+        }
+    )
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        ts, et = g["ts"], g["event_type"]
+        v = ts[et == "view"].min()
+        if pd.isna(v):
+            return empty
+        c = ts[(et == "click") & (ts > v)].min()
+        if pd.isna(c):
+            return empty
+        p = ts[(et == "purchase") & (ts > c)].min()
+        if pd.isna(p):
+            return empty
+        return pd.DataFrame(
+            {
+                "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
+                "view_ts": [v],
+                "click_ts": [c],
+                "purchase_ts": [p],
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(resolve, batch_format="pandas")
+    )
+
+
+def q_shipping_priority(sf_dir):
+    """TPC-H Q3 (shipping priority): top-10 unshipped-order revenue for
+    one market segment at a date cutoff. Staged broadcast-dim style:
+    customer filters to the segment's keys (a fixed fraction of a DIM
+    table — broadcast once via ray.put), orders filter by date + segment
+    membership into a (orderkey → odate, priority) dim, lineitem filters
+    by shipdate and pre-aggregates exact integer-cent revenue per
+    orderkey INSIDE each batch against the broadcast dim; one tiny
+    groupby-sum + a sort-limit on the aggregate finish. For a
+    non-selective dim the bucket-join form (q_top_revenue_customers)
+    is the fallback — documented, same output contract."""
+    import ray as _ray
+
+    cutoff = np.datetime64("1998-01-01")
+    seg = "BUILDING"
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), seg)).select(
+                ["c_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    ckeys_ref = _ray.put(ckeys)
+
+    def ord_dim(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy()
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        keys = _ray.get(ckeys_ref)
+        at = np.searchsorted(keys, ck)
+        at[at == len(keys)] = 0
+        m = (od < cutoff) & (keys[at] == ck)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy()[m].astype(np.int64),
+                "o_orderdate": df["o_orderdate"].to_numpy()[m],
+                "o_orderpriority": df["o_orderpriority"].to_numpy()[m],
+            }
+        )
+
+    dim = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        )
+        .map_batches(ord_dim, batch_format="pandas")
+        .to_pandas()
+    )
+    order = np.argsort(dim["o_orderkey"].to_numpy(), kind="stable")
+    dim = dim.iloc[order].reset_index(drop=True)
+    dim_keys_ref = _ray.put(dim["o_orderkey"].to_numpy().astype(np.int64))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        m = sd > cutoff
+        ok = df["l_orderkey"].to_numpy()[m].astype(np.int64)
+        ep = df["l_extendedprice"].to_numpy()[m]
+        disc = df["l_discount"].to_numpy()[m]
+        keys = _ray.get(dim_keys_ref)
+        at = np.searchsorted(keys, ok)
+        at[at == len(keys)] = 0
+        hit = keys[at] == ok
+        cents = np.floor(ep[hit] * (1.0 - disc[hit]) * 100 + 0.5).astype(np.int64)
+        agg = pd.DataFrame({"l_orderkey": ok[hit], "cents": cents}).groupby(
+            "l_orderkey", sort=False, as_index=False
+        )["cents"].sum()
+        return pd.DataFrame(
+            {
+                "l_orderkey": agg["l_orderkey"].astype(np.int64),
+                "cents": agg["cents"].astype(np.int64),
+            }
+        )
+
+    li = _read_split(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    agg = li.map_batches(li_partial, batch_format="pandas").groupby("l_orderkey").sum(
+        "cents"
+    )
+    dim_ref = _ray.put(dim)
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # per-block prune: only each block's own top-10 reach the final
+        # task, so the single-task fold sees <= 10 x blocks rows no
+        # matter how many orderkeys survive the filters
+        df = df.rename(columns={"sum(cents)": "revenue_cents"})
+        return df.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+
+    agg = agg.map_batches(block_topk, batch_format="pandas")
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = df.sort_values(
+            ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="stable"
+        ).head(10)
+        d = _ray.get(dim_ref).rename(columns={"o_orderkey": "l_orderkey"})
+        out = top.merge(d, on="l_orderkey", how="inner")
+        return pd.DataFrame(
+            {
+                "l_orderkey": out["l_orderkey"].astype(np.int64),
+                "revenue_cents": out["revenue_cents"].astype(np.int64),
+                "o_orderdate": out["o_orderdate"].astype("datetime64[us]"),
+                "o_orderpriority": out["o_orderpriority"],
+            }
+        )
+
+    return agg.repartition(1).map_batches(
+        final, batch_format="pandas", batch_size=None
+    )
+
+
 # --------------------------------------------------------------- registry
 
 QUERIES = {
@@ -3928,6 +4377,15 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "dsir_weights": q_dsir_weights,
+    "cube_counts": q_cube_counts,
+    "set_intersect_users": q_set_intersect_users,
+    "set_except_users": q_set_except_users,
+    "pivot_event_counts": q_pivot_event_counts,
+    "corr_by_group": q_corr_by_group,
+    "exists_semi_groupby": q_exists_semi_groupby,
+    "explode_tokens": q_explode_tokens,
+    "funnel_steps": q_funnel_steps,
+    "shipping_priority": q_shipping_priority,
 }
 
 ORACLES = {
@@ -4617,6 +5075,68 @@ ORACLES = {
         "DESC, vec_id) AS BIGINT) AS rank "
         "FROM embeddings "
         "ORDER BY rank LIMIT 10"
+    ),
+    "cube_counts": (
+        "SELECT lang, source, count(*) AS n FROM documents "
+        "GROUP BY CUBE(lang, source)"
+    ),
+    "set_intersect_users": (
+        "SELECT user_id FROM events WHERE event_type = 'click' AND value > 90 "
+        "INTERSECT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90"
+    ),
+    "set_except_users": (
+        "SELECT user_id FROM events WHERE event_type = 'click' AND value > 90 "
+        "EXCEPT "
+        "SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90"
+    ),
+    "pivot_event_counts": (
+        "SELECT user_id, "
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click, "
+        "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error, "
+        "CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase, "
+        "CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup, "
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view "
+        "FROM events GROUP BY user_id"
+    ),
+    "corr_by_group": (
+        "SELECT l_returnflag, round(corr(l_quantity, l_extendedprice), 6) "
+        "AS corr_qp FROM lineitem GROUP BY l_returnflag"
+    ),
+    "exists_semi_groupby": (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM orders o "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l "
+        "WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate) "
+        "GROUP BY o_orderpriority"
+    ),
+    "explode_tokens": (
+        "SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents"
+    ),
+    "funnel_steps": (
+        "WITH v AS (SELECT user_id, min(ts) AS view_ts FROM events "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "c AS (SELECT e.user_id, min(e.ts) AS click_ts FROM events e "
+        "JOIN v USING (user_id) WHERE e.event_type = 'click' "
+        "AND e.ts > v.view_ts GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, min(e.ts) AS purchase_ts FROM events e "
+        "JOIN c USING (user_id) WHERE e.event_type = 'purchase' "
+        "AND e.ts > c.click_ts GROUP BY e.user_id) "
+        "SELECT user_id, view_ts, click_ts, purchase_ts "
+        "FROM v JOIN c USING (user_id) JOIN p USING (user_id)"
+    ),
+    "shipping_priority": (
+        "WITH co AS (SELECT o_orderkey, o_orderdate, o_orderpriority "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01'), "
+        "li AS (SELECT l_orderkey, CAST(floor(l_extendedprice * "
+        "(1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents FROM lineitem "
+        "WHERE l_shipdate > TIMESTAMP '1998-01-01') "
+        "SELECT l_orderkey, CAST(sum(cents) AS BIGINT) AS revenue_cents, "
+        "o_orderdate, o_orderpriority "
+        "FROM li JOIN co ON l_orderkey = o_orderkey "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
     ),
     # lang_id, minhash_lsh_pairs, simhash_fingerprints, near_dupes_verified,
     # embedding_near_pairs, media_features: non-SQL-expressible -> rows-only
