@@ -324,6 +324,15 @@ def run_bench() -> dict:
         # DSIR importance weights (target-domain unigram log ratio;
         # same token-hash exchange shape as unigram_logprob)
         "dsir_weights",
+        # round-5 relational additions: set-op bit partials, one-pass
+        # CUBE, EXISTS semi-join aggregate, ordered funnel resolution,
+        # broadcast-dim TPC-H Q3, Arrow flat_map token explode
+        "set_intersect_users",
+        "cube_counts",
+        "exists_semi_groupby",
+        "funnel_steps",
+        "shipping_priority",
+        "explode_tokens",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -3845,14 +3845,26 @@ def _user_type_bits(sf_dir, a: str, b: str, min_value: float) -> ray.data.Datase
             .rename_columns(["user_id", "in_a", "in_b"])
         )
 
-    agg = (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .groupby("user_id")
-        .max(["in_a", "in_b"])
-    )
-    return agg.map_batches(
-        lambda t: t.rename_columns(["user_id", "in_a", "in_b"]),
-        batch_format="pyarrow",
+    n_rows = ds.count()
+    B = max(8, -(-n_rows // JOIN_BUCKET_TARGET_ROWS))
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        t = tag(t)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array((uid % B).astype(np.int32)))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # per-bucket pandas fold of both bit columns in one C pass —
+        # not groupby(...).max([2 cols]), whose per-key-per-column
+        # Python cost dominates at high key cardinality
+        out = g.groupby("user_id", sort=False, as_index=False)[["in_a", "in_b"]].max()
+        out["user_id"] = out["user_id"].astype(np.int64)
+        return out
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
@@ -3895,19 +3907,46 @@ def q_pivot_event_counts(sf_dir):
     cols = [f"n_{t}" for t in _PIVOT_EVENT_TYPES]
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        piv = pd.crosstab(df["user_id"], df["event_type"])
-        piv = piv.reindex(columns=list(_PIVOT_EVENT_TYPES), fill_value=0)
-        piv.columns = cols
-        out = piv.reset_index()
+        # one bincount over uid_idx * K + type_code — no per-type pass,
+        # no crosstab; unknown event types (code -1) drop out
+        code = pd.Categorical(
+            df["event_type"], categories=list(_PIVOT_EVENT_TYPES)
+        ).codes.astype(np.int64)
+        uids, uidx = np.unique(df["user_id"].to_numpy(np.int64), return_inverse=True)
+        k = len(_PIVOT_EVENT_TYPES)
+        m = code >= 0
+        counts = np.bincount(uidx[m] * k + code[m], minlength=len(uids) * k).reshape(
+            len(uids), k
+        )
+        out = {"user_id": uids}
+        for j, c in enumerate(cols):
+            out[c] = counts[:, j].astype(np.int64)
+        return pd.DataFrame(out)
+
+    # fold partials with the bucket map_groups idiom, NOT
+    # groupby(...).sum(cols): Ray's multi-column aggregate pays a
+    # per-key-per-column Python cost (measured ~6x for 5 columns) while
+    # a per-bucket pandas groupby folds all 5 columns in one C pass;
+    # each user lands in exactly one bucket so the fold is final
+    n_rows = ds.count()
+    B = max(8, -(-n_rows // JOIN_BUCKET_TARGET_ROWS))
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        out = partial(df)
+        out["bucket"] = (out["user_id"] % B).astype("int32")
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", sort=False, as_index=False)[cols].sum()
         out["user_id"] = out["user_id"].astype(np.int64)
         for c in cols:
             out[c] = out[c].astype(np.int64)
         return out
 
-    agg = ds.map_batches(partial, batch_format="pandas").groupby("user_id").sum(cols)
-    return agg.map_batches(
-        lambda t: t.rename_columns(["user_id"] + cols),
-        batch_format="pyarrow",
+    return (
+        ds.map_batches(bucketed, batch_format="pandas", batch_size=None)
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
     )
 
 
@@ -3968,65 +4007,103 @@ def q_exists_semi_groupby(sf_dir):
     at least one line shipped after the order date) in ONE key exchange:
     lineitem folds to per-batch (orderkey, max ship) partials — the only
     reduction EXISTS(ship > odate) needs — orders tag their (odate,
-    priority), both streams union and a single groupby-max per orderkey
-    resolves the predicate; the surviving keys pre-count per batch before
-    the tiny priority groupby. No join materializes row-level output."""
+    priority), both streams union and ONE bucket exchange co-locates each
+    orderkey; the per-bucket task folds max-ship vs odate, applies the
+    predicate and pre-counts priorities, so only (prio_code, n) partials
+    leave it. The exchange is ALL-integer: priorities map to dense codes
+    via a domain pre-pass (per-batch unique over the pruned priority
+    column — O(|domain| x blocks) rows reach the driver). No join
+    materializes row-level output."""
+    import ray as _ray
+
     li = _read_split(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
     orders = _read(
         sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
     )
 
+    dom = sorted(
+        _read(sf_dir, "orders", columns=["o_orderpriority"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .to_pandas()["o_orderpriority"]
+        .drop_duplicates()
+        .tolist()
+    )
+    dom_ref = _ray.put(dom)
+
+    n_orders = orders.count()
+    B = max(8, -(-(5 * n_orders) // JOIN_BUCKET_TARGET_ROWS))
+    n_dom = len(dom)
+
     def li_partial(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("l_orderkey", sort=False, as_index=False)["l_shipdate"].max()
+        key = g["l_orderkey"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "o_orderkey": g["l_orderkey"].astype(np.int64),
+                "o_orderkey": key,
                 "ship_us": g["l_shipdate"].astype("datetime64[us]").astype(np.int64),
                 "odate_us": np.int64(-1),
-                "prio": "",
+                "prio_code": np.int64(-1),
+                "bucket": (key % B).astype("int32"),
             }
         )
 
     def ord_tag(df: pd.DataFrame) -> pd.DataFrame:
+        code = pd.Categorical(
+            df["o_orderpriority"], categories=_ray.get(dom_ref)
+        ).codes.astype(np.int64)
+        key = df["o_orderkey"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "o_orderkey": df["o_orderkey"].astype(np.int64),
+                "o_orderkey": key,
                 "ship_us": np.int64(-1),
                 "odate_us": df["o_orderdate"].astype("datetime64[us]").astype(np.int64),
-                "prio": df["o_orderpriority"],
+                "prio_code": code,
+                "bucket": (key % B).astype("int32"),
             }
         )
 
     u = li.map_batches(li_partial, batch_format="pandas").union(
         orders.map_batches(ord_tag, batch_format="pandas")
     )
-    agg = u.groupby("o_orderkey").max(["ship_us", "odate_us", "prio"])
 
-    def count_partial(t: pa.Table) -> pa.Table:
-        t = t.rename_columns(["o_orderkey", "ship_us", "odate_us", "prio"])
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one C-speed pandas groupby folds all three columns; the
+        # predicate + priority count complete INSIDE the bucket task, so
+        # only (prio_code, n) partials leave it. NOT groupby(...).max
+        # on 3 columns — Ray's multi-column aggregate pays a per-key
+        # per-column Python cost (measured 51 s vs 2.4 s single-col on
+        # 150k keys at sf0.1)
+        m = g.groupby("o_orderkey", sort=False)[
+            ["ship_us", "odate_us", "prio_code"]
+        ].max()
         # odate >= 0: the order row arrived (guards orphan lineitems)
-        keep = pc.and_(
-            pc.greater_equal(t.column("odate_us"), 0),
-            pc.greater(t.column("ship_us"), t.column("odate_us")),
+        keep = (m["odate_us"].to_numpy() >= 0) & (
+            m["ship_us"].to_numpy() > m["odate_us"].to_numpy()
         )
-        g = pa.table({"o_orderpriority": t.filter(keep).column("prio")})
-        return (
-            pa.TableGroupBy(g, "o_orderpriority")
-            .aggregate([("o_orderpriority", "count")])
-            .rename_columns(["o_orderpriority", "n"])
+        counts = np.bincount(m["prio_code"].to_numpy(np.int64)[keep], minlength=n_dom)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {"prio_code": nz.astype(np.int64), "n": counts[nz].astype(np.int64)}
         )
 
     out = (
-        agg.map_batches(count_partial, batch_format="pyarrow")
-        .groupby("o_orderpriority")
+        u.groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .groupby("prio_code")
         .sum("n")
     )
-    return out.map_batches(
-        lambda t: t.rename_columns(["o_orderpriority", "n"]).set_column(
-            1, "n", pc.cast(t.column(1), pa.int64())
-        ),
-        batch_format="pyarrow",
-    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df.columns = ["prio_code", "n"]
+        names = _ray.get(dom_ref)
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [names[c] for c in df["prio_code"]],
+                "n": df["n"].astype(np.int64),
+            }
+        )
+
+    return out.map_batches(final, batch_format="pandas")
 
 
 def q_explode_tokens(sf_dir):
