@@ -333,6 +333,11 @@ def run_bench() -> dict:
         "funnel_steps",
         "shipping_priority",
         "explode_tokens",
+        # exact distributed median, one-pass multi COUNT DISTINCT,
+        # centroid assignment (the embedding-curation E-step)
+        "median_by_group",
+        "multi_distinct",
+        "kmeans_assign",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -4297,6 +4297,168 @@ def q_shipping_priority(sf_dir):
     )
 
 
+def q_median_by_group(sf_dir):
+    """Exact per-group MEDIAN as distributed selection over value
+    counts: each batch folds to (group, value, count) partials, one
+    exchange sums them (distinct-value bounded — never the row count),
+    and the median is read off the cumulative counts in a single tiny
+    task, averaging the two central values on even totals exactly as
+    SQL does. The same shape generalizes to any exact percentile; the
+    unbounded-domain form is quantile_sketch (KLL)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_returnflag", "l_quantity"], sort=False, as_index=False
+        ).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_quantity"])
+        .sum("n")
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        flags, meds = [], []
+        for flag, g in df.groupby("l_returnflag"):
+            g = g.sort_values("l_quantity")
+            c = g["n"].to_numpy().cumsum()
+            v = g["l_quantity"].to_numpy(dtype=np.float64)
+            total = int(c[-1])
+            if total % 2 == 1:
+                med = float(v[np.searchsorted(c, total // 2 + 1)])
+            else:
+                lo = float(v[np.searchsorted(c, total // 2)])
+                hi = float(v[np.searchsorted(c, total // 2 + 1)])
+                med = (lo + hi) / 2.0
+            flags.append(flag)
+            meds.append(med)
+        return pd.DataFrame({"l_returnflag": flags, "med_qty": meds})
+
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def q_multi_distinct(sf_dir):
+    """Several COUNT(DISTINCT ...) over different columns in ONE corpus
+    pass: each batch emits locally-deduped (group, dim, value) triples
+    for every distinct-dimension (here users and active days per event
+    type), one exchange co-locates each (group, dim)'s values, and the
+    fold is a vectorized nunique. The exchange is distinct-bounded per
+    dimension — the row count never moves twice."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id", "ts"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        day = (
+            df["ts"].astype("datetime64[us]").astype(np.int64) // 86_400_000_000
+        ).astype(np.int64)
+        a = pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "dim": np.int8(0),
+                "val": df["user_id"].astype(np.int64),
+            }
+        )
+        b = pd.DataFrame({"event_type": df["event_type"], "dim": np.int8(1), "val": day})
+        return pd.concat([a, b], ignore_index=True).drop_duplicates()
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "dim": [g["dim"].iloc[0]],
+                "n": np.array([g["val"].nunique()], dtype=np.int64),
+            }
+        )
+
+    long = (
+        ds.map_batches(pairs, batch_format="pandas")
+        .groupby(["event_type", "dim"])
+        .map_groups(count, batch_format="pandas")
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.pivot_table(index="event_type", columns="dim", values="n").reset_index()
+        return pd.DataFrame(
+            {
+                "event_type": p["event_type"],
+                "n_users": p[0].astype(np.int64),
+                "n_days": p[1].astype(np.int64),
+            }
+        )
+
+    return long.repartition(1).map_batches(
+        widen, batch_format="pandas", batch_size=None
+    )
+
+
+def q_group_concat_langs(sf_dir):
+    """LISTAGG / string_agg parity (ordered DISTINCT concatenation per
+    group): batch-local pair dedup bounds the exchange at distinct
+    (group, member) pairs; each group's sorted join happens in its own
+    task. Member sets are domain-bounded by contract (languages per
+    source) — an unbounded member column would make the concatenated
+    string itself the scale problem."""
+    ds = _read(sf_dir, "documents", columns=["source", "lang"])
+
+    def concat(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "langs": [",".join(sorted(set(g["lang"])))],
+            }
+        )
+
+    return (
+        ds.map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .groupby("source")
+        .map_groups(concat, batch_format="pandas")
+    )
+
+
+def q_kmeans_assign(sf_dir):
+    """Vector-quantization assignment (the E-step every embedding-space
+    curation loop runs — cluster-balanced sampling, SemDeDup bucketing,
+    IVF routing): centroids broadcast once via ray.put, each batch
+    computes its distance matrix vectorized and takes the argmin; ties
+    break to the lowest centroid index, with distances rounded to 1e-6
+    on BOTH sides so the oracle comparison is order-stable. Centroids
+    here are the 8 smallest vec_ids' embeddings (deterministic stand-in
+    for trained centroids; build_ivf_store's trained k-means is the
+    production path)."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    head = (
+        ds.map_batches(lambda df: df.nsmallest(8, "vec_id"), batch_format="pandas")
+        .to_pandas()
+        .nsmallest(8, "vec_id")
+        .reset_index(drop=True)
+    )
+    cents = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"]])
+    cents_ref = _ray.put(cents)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        c = _ray.get(cents_ref)
+        d = np.empty((len(x), len(c)))
+        for j in range(len(c)):
+            diff = x - c[j]
+            d[:, j] = np.sqrt((diff * diff).sum(axis=1))
+        d = np.round(d, 6)
+        return pd.DataFrame(
+            {
+                "vec_id": df["vec_id"].astype(np.int64),
+                "cluster": d.argmin(axis=1).astype(np.int64),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
 # --------------------------------------------------------------- registry
 
 QUERIES = {
@@ -4463,6 +4625,10 @@ QUERIES = {
     "explode_tokens": q_explode_tokens,
     "funnel_steps": q_funnel_steps,
     "shipping_priority": q_shipping_priority,
+    "median_by_group": q_median_by_group,
+    "multi_distinct": q_multi_distinct,
+    "group_concat_langs": q_group_concat_langs,
+    "kmeans_assign": q_kmeans_assign,
 }
 
 ORACLES = {
@@ -5214,6 +5380,31 @@ ORACLES = {
         "FROM li JOIN co ON l_orderkey = o_orderkey "
         "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
         "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+    ),
+    "median_by_group": (
+        "SELECT l_returnflag, median(l_quantity) AS med_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "multi_distinct": (
+        "SELECT event_type, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days "
+        "FROM events GROUP BY event_type"
+    ),
+    "group_concat_langs": (
+        "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
+        "FROM documents GROUP BY source"
+    ),
+    "kmeans_assign": (
+        "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
+        "embedding FROM (SELECT vec_id, embedding FROM embeddings "
+        "ORDER BY vec_id LIMIT 8)), "
+        "d AS (SELECT e.vec_id, c.cidx, "
+        "round(list_distance(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(c.embedding AS DOUBLE[])), 6) AS dist "
+        "FROM embeddings e CROSS JOIN c) "
+        "SELECT vec_id, CAST(cidx AS BIGINT) AS cluster FROM d "
+        "QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cidx) = 1"
     ),
     # lang_id, minhash_lsh_pairs, simhash_fingerprints, near_dupes_verified,
     # embedding_near_pairs, media_features: non-SQL-expressible -> rows-only
