@@ -4297,6 +4297,69 @@ def q_shipping_priority(sf_dir):
     )
 
 
+def q_moving_sum_time(sf_dir):
+    """Time-RANGE window frame parity (SUM OVER ... RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW): unlike the ROWS frame
+    (q_moving_sum), the window is defined by the ORDER-BY VALUE — all
+    events within the trailing hour, peers of the current timestamp
+    included, exactly as SQL's RANGE frame does. Per user: one sort,
+    one cumsum, two searchsorted — O(n log n) per group, no per-row
+    Python."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    hour_us = 3_600_000_000
+
+    def moving(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy()
+        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts))
+        ts, eid, cents = ts[order], eid[order], cents[order]
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        hi = np.searchsorted(ts, ts, side="right")  # peers included
+        lo = np.searchsorted(ts, ts - hour_us, side="left")  # boundary inclusive
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "user_id": np.repeat(np.int64(g["user_id"].iloc[0]), len(eid)),
+                "hour_cents": (csum[hi] - csum[lo]).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(moving, batch_format="pandas")
+
+
+def q_latest_event_per_user(sf_dir):
+    """Argmax-per-group (the keep-latest-crawl / keep-best-scored-dup
+    selection shape): each batch keeps its own per-user latest row, so
+    the exchange carries one row per (user x batch); the bucket fold
+    repeats the same vectorized tail(1) to finish. Ties on the
+    timestamp break to the larger event_id on both sides."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+    n_rows = ds.count()
+    B = max(8, -(-n_rows // JOIN_BUCKET_TARGET_ROWS))
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(["user_id", "ts", "event_id"], kind="stable")
+            .groupby("user_id", sort=False)
+            .tail(1)
+        )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = keep_latest(df).copy()
+        df["bucket"] = (df["user_id"].to_numpy(np.int64) % B).astype("int32")
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return keep_latest(g)[["user_id", "ts", "event_id", "event_type"]]
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def q_median_by_group(sf_dir):
     """Exact per-group MEDIAN as distributed selection over value
     counts: each batch folds to (group, value, count) partials, one
@@ -4629,6 +4692,8 @@ QUERIES = {
     "multi_distinct": q_multi_distinct,
     "group_concat_langs": q_group_concat_langs,
     "kmeans_assign": q_kmeans_assign,
+    "moving_sum_time": q_moving_sum_time,
+    "latest_event_per_user": q_latest_event_per_user,
 }
 
 ORACLES = {
@@ -5394,6 +5459,17 @@ ORACLES = {
     "group_concat_langs": (
         "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
         "FROM documents GROUP BY source"
+    ),
+    "moving_sum_time": (
+        "SELECT event_id, user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) "
+        "AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS hour_cents FROM events"
+    ),
+    "latest_event_per_user": (
+        "SELECT user_id, ts, event_id, event_type FROM events "
+        "QUALIFY row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) = 1"
     ),
     "kmeans_assign": (
         "WITH c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx, "
