@@ -1,0 +1,70 @@
+"""Layout independence for the round-5 relational additions: the driver
+testdata ships id-/ts-sorted single-row-group files, which masks any
+accidental dependence on row order or block boundaries. This mirror
+re-runs the new operators over a deterministically ROW-SHUFFLED copy of
+the tables (several row groups each, so reads split into multiple
+blocks) and compares against DuckDB on the SAME shuffled files — the
+results must be identical to the sorted-layout gate."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from test_queries import TABLES, _to_pandas, assert_frames_match
+
+NEW_QUERIES = [
+    "cube_counts",
+    "set_intersect_users",
+    "set_except_users",
+    "pivot_event_counts",
+    "corr_by_group",
+    "exists_semi_groupby",
+    "explode_tokens",
+    "funnel_steps",
+    "shipping_priority",
+    "median_by_group",
+    "multi_distinct",
+    "group_concat_langs",
+    "kmeans_assign",
+    "moving_sum_time",
+    "latest_event_per_user",
+]
+
+
+@pytest.fixture(scope="module")
+def shuffled_dir(tmp_path_factory):
+    src = "/root/testdata/sf0.001"
+    out = tmp_path_factory.mktemp("shuffled_sf")
+    rng = np.random.default_rng(20260820)
+    for t in TABLES:
+        tab = pq.read_table(f"{src}/{t}.parquet")
+        perm = rng.permutation(tab.num_rows)
+        shuf = tab.take(perm)
+        # small row groups -> several blocks per read
+        pq.write_table(
+            shuf, f"{out}/{t}.parquet", row_group_size=max(64, tab.num_rows // 7)
+        )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def shuffled_con(shuffled_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{shuffled_dir}/{t}.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", NEW_QUERIES)
+def test_round5_query_layout_independent(ray_session, shuffled_dir, shuffled_con, name):
+    import __ray_entry__ as entrymod
+
+    result = _to_pandas(entrymod.queries()[name](shuffled_dir))
+    sql_df = shuffled_con.execute(entrymod.oracle_sql()[name]).df()
+    assert len(sql_df) > 0, f"{name}: shuffled oracle is empty — fixture broken"
+    assert_frames_match(result, sql_df, name)
