@@ -338,6 +338,8 @@ def run_bench() -> dict:
         "median_by_group",
         "multi_distinct",
         "kmeans_assign",
+        # BPE-style adjacent-pair counting (hash-partitioned merge)
+        "bigram_counts",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -4360,6 +4360,79 @@ def q_latest_event_per_user(sf_dir):
     )
 
 
+def q_bigram_counts(sf_dir):
+    """Adjacent token-pair counting (the first statistic a BPE/WordPiece
+    tokenizer trainer needs): bigrams are formed WITHOUT materializing
+    per-row Python lists — one Arrow split, then numpy index arithmetic
+    over the flat token buffer and list offsets pairs every token with
+    its successor inside the same document; per-batch (w1, w2, n)
+    partials bound the exchange at distinct-bigrams-per-batch, one
+    groupby sums, per-block top-k prunes before the single final task.
+    Top-100 by count with lexicographic tiebreak."""
+    ds = _read_split(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        toks = pc.split_pattern(t.column("text").combine_chunks(), " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks).to_pandas().to_numpy(dtype=object)
+        offs = toks.offsets.to_numpy()
+        starts, ends = offs[:-1], offs[1:]
+        keep = np.ones(len(flat), dtype=bool)
+        keep[ends[ends > starts] - 1] = False  # last token of each doc
+        idx = np.nonzero(keep)[0]
+        # single space-joined key: tokens cannot contain the separator
+        # (they came from splitting on it), and a ONE-column string key
+        # exchanges ~2x faster than a two-column groupby key
+        bg = np.char.add(
+            np.char.add(flat[idx].astype(str), " "), flat[idx + 1].astype(str)
+        )
+        g = pd.DataFrame({"bg": bg}).groupby("bg", sort=False, as_index=False).size()
+        return pd.DataFrame({"bg": g["bg"], "n": g["size"].astype(np.int64)})
+
+    # hash-partitioned merge (the vocab_topk idiom): the exchange key is
+    # a small int partition, each partition folds its bigrams in ONE
+    # vectorized pandas groupby and emits only its own top-100 — a
+    # direct groupby on the bigram string sorts the whole distinct-
+    # bigram table through the exchange instead (measured ~3x slower)
+    P = 64
+
+    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.hashing import stable_hash_strings
+
+        df = df.copy()
+        df["pt"] = (
+            stable_hash_strings(df["bg"].to_numpy()) % np.uint64(P)
+        ).astype(np.int64)
+        return df
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df["n"] = df["n"].astype(np.int64)
+        return df.sort_values(
+            ["n", "bg"], ascending=[False, True], kind="stable"
+        ).head(100)
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("bg", sort=False, as_index=False)["n"].sum()
+        return block_topk(g)[["bg", "n"]]
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        top = block_topk(df)
+        parts = top["bg"].str.split(" ", n=1, expand=True)
+        return pd.DataFrame(
+            {"w1": parts[0], "w2": parts[1], "n": top["n"].astype(np.int64)}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_pt, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(merge, batch_format="pandas")
+        .repartition(1)
+        .map_batches(final, batch_format="pandas", batch_size=None)
+    )
+
+
 def q_median_by_group(sf_dir):
     """Exact per-group MEDIAN as distributed selection over value
     counts: each batch folds to (group, value, count) partials, one
@@ -4694,6 +4767,7 @@ QUERIES = {
     "kmeans_assign": q_kmeans_assign,
     "moving_sum_time": q_moving_sum_time,
     "latest_event_per_user": q_latest_event_per_user,
+    "bigram_counts": q_bigram_counts,
 }
 
 ORACLES = {
@@ -5459,6 +5533,13 @@ ORACLES = {
     "group_concat_langs": (
         "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
         "FROM documents GROUP BY source"
+    ),
+    "bigram_counts": (
+        "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), "
+        "z AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS p "
+        "FROM toks WHERE len(t) >= 2) "
+        "SELECT p[1] AS w1, p[2] AS w2, CAST(count(*) AS BIGINT) AS n "
+        "FROM z GROUP BY w1, w2 ORDER BY n DESC, w1, w2 LIMIT 100"
     ),
     "moving_sum_time": (
         "SELECT event_id, user_id, CAST(SUM(CAST(floor(value * 100 + 0.5) "

@@ -30,6 +30,7 @@ NEW_QUERIES = [
     "kmeans_assign",
     "moving_sum_time",
     "latest_event_per_user",
+    "bigram_counts",
 ]
 
 
