@@ -340,6 +340,8 @@ def run_bench() -> dict:
         "kmeans_assign",
         # BPE-style adjacent-pair counting (hash-partitioned merge)
         "bigram_counts",
+        # per-user Markov transition counts
+        "event_transitions",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

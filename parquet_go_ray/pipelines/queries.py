@@ -4360,6 +4360,123 @@ def q_latest_event_per_user(sf_dir):
     )
 
 
+def q_event_transitions(sf_dir):
+    """First-order transition counts over per-user event sequences (the
+    Markov statistic behind session modeling and bot detection): one
+    exchange co-locates each user's events; inside the group a lexsort
+    + shift pairs every event with its successor, and the group emits
+    (prev, next, n) COUNT partials — the tiny 5x5 transition matrix is
+    all that reaches the final groupby, never event rows."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def transitions(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
+        et = g["event_type"].to_numpy()[order]
+        if len(et) < 2:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series([], dtype=str),
+                    "next_type": pd.Series([], dtype=str),
+                    "n": pd.Series([], dtype=np.int64),
+                }
+            )
+        p = (
+            pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]})
+            .groupby(["prev_type", "next_type"], sort=False, as_index=False)
+            .size()
+        )
+        return pd.DataFrame(
+            {
+                "prev_type": p["prev_type"],
+                "next_type": p["next_type"],
+                "n": p["size"].astype(np.int64),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["prev_type", "next_type"], sort=False, as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    # the partials are |types|^2-bounded per user: fold them in one tiny task
+    return (
+        ds.groupby("user_id")
+        .map_groups(transitions, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+    )
+
+
+def q_orphan_orders(sf_dir):
+    """Referential-integrity audit (foreign-key violations — the
+    data-quality gate every ingest runs before training joins): a
+    one-row summary of orders whose custkey has no customer row, plus
+    the totals that contextualize it. The dimension's keys broadcast
+    once (sorted array + searchsorted membership, the
+    anti_join_broadcast shape); the fact table never shuffles — each
+    batch emits 3 ints and one groupby-free fold finishes. A planted
+    pytest (tests/test_relational_round5.py) proves violations are
+    actually counted."""
+    import ray as _ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+    keys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    keys_ref = _ray.put(keys)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["o_custkey"].to_numpy().astype(np.int64)
+        k = _ray.get(keys_ref)
+        at = np.searchsorted(k, ck)
+        at[at == len(k)] = 0
+        bad = k[at] != ck
+        return pd.DataFrame(
+            {
+                "n_orphans": [np.int64(bad.sum())],
+                "n_orders": [np.int64(len(ck))],
+                "n_custkeys": [np.int64(len(pd.unique(ck)))],
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        # n_custkeys from partials over-counts across batches; it is
+        # recomputed exactly below via a per-batch distinct exchange
+        return pd.DataFrame(
+            {
+                "n_orphans": [np.int64(df["n_orphans"].sum())],
+                "n_orders": [np.int64(df["n_orders"].sum())],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    summary = (
+        orders.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .to_pandas()
+    )
+    # per-batch dedup bounds the exchange at distinct keys x batch
+    # overlap; the single fold holds only the dimension-sized key set
+    n_ck = np.int64(
+        _read(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(lambda df: df.drop_duplicates(), batch_format="pandas")
+        .repartition(1)
+        .map_batches(
+            lambda df: pd.DataFrame({"n": [np.int64(df["o_custkey"].nunique())]}),
+            batch_format="pandas",
+            batch_size=None,
+        )
+        .to_pandas()["n"]
+        .iloc[0]
+    )
+    return pd.DataFrame(
+        {
+            "n_orphans": summary["n_orphans"].astype(np.int64),
+            "n_orders": summary["n_orders"].astype(np.int64),
+            "n_custkeys": [n_ck],
+        }
+    )
+
+
 def q_bigram_counts(sf_dir):
     """Adjacent token-pair counting (the first statistic a BPE/WordPiece
     tokenizer trainer needs): bigrams are formed WITHOUT materializing
@@ -4768,6 +4885,8 @@ QUERIES = {
     "moving_sum_time": q_moving_sum_time,
     "latest_event_per_user": q_latest_event_per_user,
     "bigram_counts": q_bigram_counts,
+    "event_transitions": q_event_transitions,
+    "orphan_orders": q_orphan_orders,
 }
 
 ORACLES = {
@@ -5533,6 +5652,20 @@ ORACLES = {
     "group_concat_langs": (
         "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
         "FROM documents GROUP BY source"
+    ),
+    "event_transitions": (
+        "WITH s AS (SELECT event_type, lag(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "FROM events) "
+        "SELECT prev_type, event_type AS next_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM s "
+        "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
+    ),
+    "orphan_orders": (
+        "SELECT CAST(count(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT) "
+        "AS n_orphans, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custkeys "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
     ),
     "bigram_counts": (
         "WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents), "

@@ -31,6 +31,8 @@ NEW_QUERIES = [
     "moving_sum_time",
     "latest_event_per_user",
     "bigram_counts",
+    "event_transitions",
+    "orphan_orders",
 ]
 
 
@@ -69,3 +71,35 @@ def test_round5_query_layout_independent(ray_session, shuffled_dir, shuffled_con
     sql_df = shuffled_con.execute(entrymod.oracle_sql()[name]).df()
     assert len(sql_df) > 0, f"{name}: shuffled oracle is empty — fixture broken"
     assert_frames_match(result, sql_df, name)
+
+
+def test_orphan_orders_counts_planted_violations(ray_session, tmp_path):
+    """The referential-integrity audit must actually COUNT violations —
+    the driver testdata is consistent (0 orphans), so this plants 7
+    orders pointing at custkeys no customer has."""
+    import duckdb as _duck
+
+    import __ray_entry__ as entrymod
+
+    src = "/root/testdata/sf0.001"
+    out = tmp_path / "fk"
+    out.mkdir()
+    for t in TABLES:
+        if t == "orders":
+            continue
+        (out / f"{t}.parquet").symlink_to(f"{src}/{t}.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{src}/orders.parquet') "
+        "UNION ALL "
+        "SELECT 900000000 + i AS o_orderkey, 900000000 + i AS o_custkey, "
+        "'F' AS o_orderstatus, 1.0 AS o_totalprice, "
+        "TIMESTAMP '1996-01-01' AS o_orderdate, "
+        "'1-URGENT' AS o_orderpriority FROM range(7) t(i)) "
+        f"TO '{out}/orders.parquet' (FORMAT PARQUET)"
+    )
+    res = _to_pandas(entrymod.queries()["orphan_orders"](str(out)))
+    assert int(res["n_orphans"].iloc[0]) == 7
+    base = _to_pandas(entrymod.queries()["orphan_orders"](src))
+    assert int(res["n_orders"].iloc[0]) == int(base["n_orders"].iloc[0]) + 7
+    assert int(base["n_orphans"].iloc[0]) == 0
