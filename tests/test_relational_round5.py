@@ -73,6 +73,42 @@ def test_round5_query_layout_independent(ray_session, shuffled_dir, shuffled_con
     assert_frames_match(result, sql_df, name)
 
 
+def test_token_ops_edge_docs(ray_session, tmp_path):
+    """explode_tokens / bigram_counts / vocab-adjacent kernels over
+    degenerate documents the driver testdata never contains: empty
+    text, a single token, all-identical tokens, consecutive separators
+    (empty tokens). Oracle = DuckDB over the same planted file, so the
+    Arrow split/offset arithmetic must agree with SQL semantics on
+    every edge."""
+    import duckdb as _duck
+    import pyarrow as pa
+    import pyarrow.parquet as _pq
+
+    import __ray_entry__ as entrymod
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(["", "one", "a a a", "x  y", "b c b c b"]),
+            "lang": pa.array(["en"] * 5),
+            "source": pa.array(["s0"] * 5),
+            "n_chars": pa.array([0, 3, 5, 4, 9], pa.int64()),
+        }
+    )
+    out = tmp_path / "edge"
+    out.mkdir()
+    _pq.write_table(docs, f"{out}/documents.parquet")
+    con = _duck.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{out}/documents.parquet')"
+    )
+    oracles = entrymod.oracle_sql()
+    for name in ["explode_tokens", "bigram_counts"]:
+        r = _to_pandas(entrymod.queries()[name](str(out)))
+        s = con.execute(oracles[name]).df()
+        assert_frames_match(r, s, name)
+
+
 def test_orphan_orders_counts_planted_violations(ray_session, tmp_path):
     """The referential-integrity audit must actually COUNT violations —
     the driver testdata is consistent (0 orphans), so this plants 7
