@@ -4595,6 +4595,111 @@ def q_median_by_group(sf_dir):
     )
 
 
+def q_p90_by_group(sf_dir):
+    """Exact per-group continuous percentile (p90 of quantity by return
+    flag) — the general form of q_median_by_group: the same
+    distinct-value-bounded (group, value, count) partials, and the
+    final task interpolates at rank (n-1)*q between the two bracketing
+    values exactly as SQL's quantile_cont does."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    q = 0.9
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(
+            ["l_returnflag", "l_quantity"], sort=False, as_index=False
+        ).size()
+        return g.rename(columns={"size": "n"})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby(["l_returnflag", "l_quantity"])
+        .sum("n")
+    )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        flags, vals = [], []
+        for flag, g in df.groupby("l_returnflag"):
+            g = g.sort_values("l_quantity")
+            c = g["n"].to_numpy().cumsum()
+            v = g["l_quantity"].to_numpy(dtype=np.float64)
+            total = int(c[-1])
+            pos = (total - 1) * q  # 0-based continuous rank
+            lo_i, frac = int(np.floor(pos)), pos - np.floor(pos)
+            lo = float(v[np.searchsorted(c, lo_i + 1)])
+            hi = float(v[np.searchsorted(c, min(lo_i + 1, total - 1) + 1)])
+            flags.append(flag)
+            vals.append(lo + frac * (hi - lo))
+        return pd.DataFrame({"l_returnflag": flags, "p90_qty": vals})
+
+    return counts.repartition(1).map_batches(
+        fold, batch_format="pandas", batch_size=None
+    )
+
+
+def q_above_avg_orders(sf_dir):
+    """Correlated-aggregate self-join (orders priced above their own
+    customer's average — the 'compare each row to its group statistic'
+    shape): pass 1 folds per-batch (custkey, sum, n) partials into the
+    customer-count average table; pass 2 re-reads orders map-only
+    against the broadcast averages. The fact table never shuffles; the
+    broadcast is dimension-sized (documented bucket-join fallback for
+    an unbounded group domain)."""
+    import ray as _ray
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", sort=False, as_index=False).agg(
+            s=("o_totalprice", "sum"), n=("o_totalprice", "size")
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype(np.int64),
+                "s": g["s"].astype(np.float64),
+                "n": g["n"].astype(np.int64),
+            }
+        )
+
+    def fold(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_custkey", as_index=False).agg(
+            s=("s", "sum"), n=("n", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "o_custkey": g["o_custkey"].astype(np.int64),
+                "avg": g["s"].to_numpy() / g["n"].to_numpy(),
+            }
+        )
+
+    avgs = (
+        orders.map_batches(partial, batch_format="pandas")
+        .repartition(1)
+        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .to_pandas()
+        .sort_values("o_custkey")
+    )
+    keys_ref = _ray.put(
+        (avgs["o_custkey"].to_numpy(np.int64), avgs["avg"].to_numpy(np.float64))
+    )
+
+    def above(df: pd.DataFrame) -> pd.DataFrame:
+        keys, av = _ray.get(keys_ref)
+        ck = df["o_custkey"].to_numpy(np.int64)
+        at = np.searchsorted(keys, ck)
+        m = df["o_totalprice"].to_numpy() > av[at]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy()[m].astype(np.int64),
+                "o_custkey": ck[m],
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(above, batch_format="pandas")
+
+
 def q_multi_distinct(sf_dir):
     """Several COUNT(DISTINCT ...) over different columns in ONE corpus
     pass: each batch emits locally-deduped (group, dim, value) triples
@@ -4887,6 +4992,8 @@ QUERIES = {
     "bigram_counts": q_bigram_counts,
     "event_transitions": q_event_transitions,
     "orphan_orders": q_orphan_orders,
+    "p90_by_group": q_p90_by_group,
+    "above_avg_orders": q_above_avg_orders,
 }
 
 ORACLES = {
@@ -5652,6 +5759,16 @@ ORACLES = {
     "group_concat_langs": (
         "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
         "FROM documents GROUP BY source"
+    ),
+    "p90_by_group": (
+        "SELECT l_returnflag, quantile_cont(l_quantity, 0.9) AS p90_qty "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "above_avg_orders": (
+        "WITH m AS (SELECT o_custkey, avg(o_totalprice) AS a FROM orders "
+        "GROUP BY o_custkey) "
+        "SELECT o_orderkey, o_custkey FROM orders JOIN m USING (o_custkey) "
+        "WHERE o_totalprice > m.a"
     ),
     "event_transitions": (
         "WITH s AS (SELECT event_type, lag(event_type) OVER "

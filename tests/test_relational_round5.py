@@ -33,6 +33,8 @@ NEW_QUERIES = [
     "bigram_counts",
     "event_transitions",
     "orphan_orders",
+    "p90_by_group",
+    "above_avg_orders",
 ]
 
 
