@@ -342,6 +342,13 @@ def run_bench() -> dict:
         "bigram_counts",
         # per-user Markov transition counts
         "event_transitions",
+        # remaining round-5 relational set
+        "pivot_event_counts",
+        "corr_by_group",
+        "moving_sum_time",
+        "latest_event_per_user",
+        "p90_by_group",
+        "above_avg_orders",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so
