@@ -315,6 +315,8 @@ def run_bench() -> dict:
         "query_router_derived",
         # stats-pruned ORDER BY LIMIT
         "store_topk",
+        # stats-pruned exact median from the store
+        "store_median",
         # round-5 additions: ALP/XOR float codecs on the events table
         # (ts delta + 2-decimal value), weighted domain mixing,
         # perplexity filtering (unigram NLL + histogram threshold)

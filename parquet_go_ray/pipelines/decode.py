@@ -515,6 +515,139 @@ def topk_store(
     return ray.data.from_arrow(out)
 
 
+def quantile_store(
+    encoded_dir: str,
+    column: str,
+    q: float = 0.5,
+    out_name: str | None = None,
+) -> ray.data.Dataset:
+    """EXACT continuous quantile (quantile_cont / median) answered with
+    STATS pruning: the two bracketing ranks r1=floor((N-1)q),
+    r2=ceil((N-1)q) are located from manifest (n, n_null, vmin, vmax)
+    rows ALONE — a chunk whose values are all guaranteed below r1
+    (possible-<=count at its vmax still <= r1) or all above r2
+    (guaranteed-<count at its vmin already > r2) never opens; skipped-
+    below counts become the rank offset inside the surviving values.
+    On a store CLUSTERED by `column` the candidate set is O(1) chunks
+    (chmod-000 pytest); unclustered stores degrade gracefully to
+    decoding overlapping chunks, still exact. Surviving tombstones make
+    manifest counts overcount live rows, so pruning disables and every
+    chunk decodes (deletes filter BEFORE selection), mirroring
+    topk_store's contract. Only `column` is ever decoded."""
+    import json as _json
+
+    from ..stages.decode import decode_chunk_table
+    from ..state import manifest
+    from .tombstone import load_tombstones, tomb_mask
+
+    t = manifest.lineage_table(
+        encoded_dir,
+        columns=["shard", "file", "chunk_id", "column", "n", "n_null", "vmin", "vmax"],
+        filters=[("column", "==", column)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {encoded_dir}")
+    tombs = load_tombstones(encoded_dir)
+    recs = []
+    for r in t.to_pylist():
+        vmin = _json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = _json.loads(r["vmax"]) if r.get("vmax") else None
+        recs.append((r, vmin, vmax, int(r["n"]) - int(r["n_null"])))
+    total = sum(nn for _r, _a, _b, nn in recs)
+    if total == 0:
+        return ray.data.from_arrow(pa.table({out_name or f"q{q}": pa.array([], pa.float64())}))
+    pos = (total - 1) * q
+    r1, r2 = int(np.floor(pos)), int(np.ceil(pos))
+    frac = pos - np.floor(pos)
+
+    n_below = 0
+    files: set[str] = set()
+    ids: set[str] = set()
+    root = Path(encoded_dir) / "data"
+    stats_ok = not tombs and all(
+        a is not None and b is not None for _r, a, b, nn in recs if nn
+    )
+    if stats_ok:
+        # O(C log C): prefix sums over stats sorted by vmax (for the
+        # guaranteed-below count) and by vmin (for the possible-<= count)
+        import bisect
+
+        live = [(a, b, nn) for _r, a, b, nn in recs if nn]
+        by_vmax = sorted((b, nn) for a, b, nn in live)
+        vmax_keys = [x[0] for x in by_vmax]
+        vmax_cum = np.concatenate(([0], np.cumsum([x[1] for x in by_vmax])))
+        by_vmin = sorted((a, nn) for a, b, nn in live)
+        vmin_keys = [x[0] for x in by_vmin]
+        vmin_cum = np.concatenate(([0], np.cumsum([x[1] for x in by_vmin])))
+    for r, vmin, vmax, nn in recs:
+        if nn == 0:
+            continue
+        if stats_ok:
+            # values certainly < vmin of this chunk
+            lt_vmin = int(vmax_cum[bisect.bisect_left(vmax_keys, vmin)])
+            # values possibly <= vmax of this chunk
+            le_vmax = int(vmin_cum[bisect.bisect_right(vmin_keys, vmax)])
+            if le_vmax <= r1:
+                n_below += nn  # guaranteed entirely below rank r1
+                continue
+            if lt_vmin > r2:
+                continue  # guaranteed entirely above rank r2
+        files.add(str(root / r["shard"] / f"{r['file']}.parquet"))
+        ids.add(r["chunk_id"])
+    id_list = sorted(ids) + ["__dict__"]
+    read_cols = sorted({column} | set(tombs))
+
+    def vals(batch: pa.Table) -> pa.Table:
+        outs = []
+        pcol = "path" if "path" in batch.column_names else "item"
+        for path in batch.column(pcol).to_pylist():
+            chunks = pq.read_table(
+                path,
+                filters=[("chunk_id", "in", id_list), ("column", "in", read_cols)],
+            )
+            if chunks.num_rows:
+                got = decode_chunk_table(chunks)
+                if got.num_rows:
+                    outs.append(got)
+        if not outs:
+            return pa.table({column: pa.array([], pa.float64())})
+        tt = pa.concat_tables(outs, promote_options="default")
+        if tombs:
+            m = tomb_mask(tt, tombs)
+            if m is not None:
+                tt = tt.filter(m)
+        col = tt.column(column)
+        col = col.filter(pc.is_valid(col))
+        return pa.table({column: pc.cast(col, pa.float64())})
+
+    parts = (
+        ray.data.from_items(sorted(files), override_num_blocks=max(1, len(files)))
+        .map_batches(vals, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    arrs = [x.column(column).to_numpy(zero_copy_only=False) for x in (_ray.get(p) for p in parts)]
+    v = np.sort(np.concatenate([a for a in arrs if len(a)] or [np.array([], np.float64)]))
+    if tombs:
+        # counts were unreliable: recompute ranks over the LIVE values
+        total = len(v)
+        if total == 0:
+            return ray.data.from_arrow(
+                pa.table({out_name or f"q{q}": pa.array([], pa.float64())})
+            )
+        pos = (total - 1) * q
+        r1, r2 = int(np.floor(pos)), int(np.ceil(pos))
+        frac = pos - np.floor(pos)
+        n_below = 0
+    lo = float(v[r1 - n_below])
+    hi = float(v[r2 - n_below])
+    name = out_name or f"q{q}"
+    return ray.data.from_arrow(
+        pa.table({name: pa.array([lo + frac * (hi - lo)], pa.float64())})
+    )
+
+
 def take_rows(
     encoded_dir: str,
     indices,

@@ -1473,6 +1473,20 @@ def q_store_topk(sf_dir):
     )
 
 
+def q_store_median(sf_dir):
+    """Exact MEDIAN answered from the encode store with STATS pruning
+    (decode.quantile_store): the bracketing ranks are located from
+    manifest (n, n_null, vmin, vmax) rows alone, chunks guaranteed
+    entirely below/above them never open, and only the target column
+    decodes from survivors. On a store clustered by the column the
+    candidate set is O(1) chunks (chmod-000 pytest,
+    test_quantile_store.py); this gate runs it on the doc_id-ordered
+    store, where it stays exact and simply prunes less."""
+    from .decode import quantile_store
+
+    return quantile_store(_doc_store(sf_dir), "n_chars", 0.5, out_name="med_chars")
+
+
 def q_store_take_rows(sf_dir):
     """Scattered global-position reads on the encode store
     (decode.take_rows — SeekToRow generalized to an index set):
@@ -4994,6 +5008,7 @@ QUERIES = {
     "orphan_orders": q_orphan_orders,
     "p90_by_group": q_p90_by_group,
     "above_avg_orders": q_above_avg_orders,
+    "store_median": q_store_median,
 }
 
 ORACLES = {
@@ -5759,6 +5774,9 @@ ORACLES = {
     "group_concat_langs": (
         "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs "
         "FROM documents GROUP BY source"
+    ),
+    "store_median": (
+        "SELECT median(n_chars) AS med_chars FROM documents"
     ),
     "p90_by_group": (
         "SELECT l_returnflag, quantile_cont(l_quantity, 0.9) AS p90_qty "
