@@ -315,8 +315,9 @@ def run_bench() -> dict:
         "query_router_derived",
         # stats-pruned ORDER BY LIMIT
         "store_topk",
-        # stats-pruned exact median from the store
+        # stats-pruned exact median + zone-map histogram from the store
         "store_median",
+        "store_histogram",
         # round-5 additions: ALP/XOR float codecs on the events table
         # (ts delta + 2-decimal value), weighted domain mixing,
         # perplexity filtering (unigram NLL + histogram threshold)

@@ -31,6 +31,7 @@ import json
 from pathlib import Path
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -522,5 +523,132 @@ def aggregate_range(
         {
             "n_rows": pa.array([interior_n + bn], pa.int64()),
             "vsum": pa.array([interior_sum + bs], pa.int64()),
+        }
+    )
+
+
+def histogram_store(store: str, column: str, width: int) -> pa.Table:
+    """Exact fixed-width histogram (GROUP BY floor(col/width)) with
+    zone-map short-circuiting: a chunk whose [vmin, vmax] falls inside
+    ONE bucket contributes its manifest row count without decoding —
+    on a store clustered by `column` that is almost every chunk
+    (chmod-000 pytest) — and only bucket-straddling chunks decode, one
+    column each, bincounting in their own task. NULLs never count
+    (mirror the SQL oracle's IS NOT NULL). Tombstoned stores fall back
+    to the full decode-and-count scan. The distribution profile of a
+    petabyte clustered column costs manifest I/O plus a handful of
+    boundary chunks."""
+    from ..state import manifest as M
+    from .tombstone import load_tombstones, tomb_mask
+
+    M.check_format_version(store, "histogram")
+    tombs = load_tombstones(store)
+
+    def bucketize(vals: np.ndarray) -> pd.Series:
+        return pd.Series(np.floor_divide(vals, width).astype(np.int64))
+
+    if tombs:
+        from .decode import decode_dataset
+
+        def part_t(t: pa.Table) -> pd.DataFrame:
+            col = t.column(column)
+            col = col.filter(pc.is_valid(col))
+            b = bucketize(col.to_numpy(zero_copy_only=False))
+            g = b.value_counts()
+            return pd.DataFrame(
+                {"bucket": g.index.to_numpy(np.int64), "n": g.to_numpy(np.int64)}
+            )
+
+        parts = (
+            decode_dataset(store, columns=[column])
+            .map_batches(part_t, batch_format="pyarrow")
+            .to_pandas()
+        )
+        g = parts.groupby("bucket", as_index=False)["n"].sum().sort_values("bucket")
+        return pa.table(
+            {
+                "bucket": pa.array(g["bucket"].to_numpy(np.int64)),
+                "n": pa.array(g["n"].to_numpy(np.int64)),
+            }
+        )
+
+    t = M.lineage_table(
+        store,
+        columns=["shard", "file", "chunk_id", "column", "n", "n_null", "vmin", "vmax"],
+        filters=[("column", "==", column)],
+    )
+    if t is None:
+        raise FileNotFoundError(f"no manifest under {store}")
+    interior: dict[int, int] = {}
+    boundary: dict[str, set[str]] = {}
+    root = Path(store) / "data"
+    for r in t.to_pylist():
+        if r["chunk_id"] == "__dict__":
+            continue
+        nn = int(r["n"]) - int(r["n_null"])
+        if nn == 0:
+            continue
+        vmin = json.loads(r["vmin"]) if r.get("vmin") else None
+        vmax = json.loads(r["vmax"]) if r.get("vmax") else None
+        if (
+            vmin is not None
+            and vmax is not None
+            and int(r["n_null"]) == 0
+            and vmin // width == vmax // width
+        ):
+            b = int(vmin // width)
+            interior[b] = interior.get(b, 0) + nn
+        else:
+            boundary.setdefault(
+                str(root / r["shard"] / f"{r['file']}.parquet"), set()
+            ).add(r["chunk_id"])
+
+    counts: dict[int, int] = dict(interior)
+    if boundary:
+        items = [
+            {"path": p, "chunk_ids": sorted(cids)}
+            for p, cids in sorted(boundary.items())
+        ]
+
+        def part_b(batch: pa.Table) -> pd.DataFrame:
+            from ..stages.decode import decode_chunk_table
+
+            out: dict[int, int] = {}
+            for row in batch.to_pylist():
+                chunks = pq.read_table(
+                    row["path"],
+                    filters=[
+                        ("column", "in", [column]),
+                        ("chunk_id", "in", row["chunk_ids"] + ["__dict__"]),
+                    ],
+                )
+                dec = decode_chunk_table(chunks)
+                col = dec.column(column)
+                col = col.filter(pc.is_valid(col))
+                b = bucketize(col.to_numpy(zero_copy_only=False))
+                for k, v in b.value_counts().items():
+                    out[int(k)] = out.get(int(k), 0) + int(v)
+            return pd.DataFrame(
+                {
+                    "bucket": np.array(sorted(out), dtype=np.int64),
+                    "n": np.array([out[k] for k in sorted(out)], dtype=np.int64),
+                }
+            )
+
+        parts = (
+            ray.data.from_items(
+                items, override_num_blocks=max(1, min(64, len(items)))
+            )
+            .map_batches(part_b, batch_format="pyarrow", batch_size=None)
+            .to_pandas()
+        )
+        for _, row in parts.iterrows():
+            b = int(row["bucket"])
+            counts[b] = counts.get(b, 0) + int(row["n"])
+    ks = sorted(counts)
+    return pa.table(
+        {
+            "bucket": pa.array(np.array(ks, dtype=np.int64)),
+            "n": pa.array(np.array([counts[k] for k in ks], dtype=np.int64)),
         }
     )

@@ -1487,6 +1487,19 @@ def q_store_median(sf_dir):
     return quantile_store(_doc_store(sf_dir), "n_chars", 0.5, out_name="med_chars")
 
 
+def q_store_histogram(sf_dir):
+    """Exact fixed-width histogram answered from the encode store with
+    zone-map short-circuiting (agg.histogram_store): chunks whose
+    [vmin, vmax] fit one bucket contribute manifest counts without
+    decoding; only straddling chunks decode one column. Clustered-store
+    chmod-000 proof in test_quantile_store.py's sibling test file."""
+    import ray.data as _rd
+
+    from .agg import histogram_store
+
+    return _rd.from_arrow(histogram_store(_doc_store(sf_dir), "n_chars", 100))
+
+
 def q_store_take_rows(sf_dir):
     """Scattered global-position reads on the encode store
     (decode.take_rows — SeekToRow generalized to an index set):
@@ -5009,6 +5022,7 @@ QUERIES = {
     "p90_by_group": q_p90_by_group,
     "above_avg_orders": q_above_avg_orders,
     "store_median": q_store_median,
+    "store_histogram": q_store_histogram,
 }
 
 ORACLES = {
@@ -5777,6 +5791,11 @@ ORACLES = {
     ),
     "store_median": (
         "SELECT median(n_chars) AS med_chars FROM documents"
+    ),
+    "store_histogram": (
+        "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, "
+        "CAST(count(*) AS BIGINT) AS n FROM documents "
+        "WHERE n_chars IS NOT NULL GROUP BY bucket"
     ),
     "p90_by_group": (
         "SELECT l_returnflag, quantile_cont(l_quantity, 0.9) AS p90_qty "

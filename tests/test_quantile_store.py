@@ -107,3 +107,89 @@ def test_quantile_after_delete_filters_first(tmp_path, ray_session):
     delete_where(out, "doc_id", list(range(50, 100)))
     got = quantile_store(out, "v", 0.5).to_pandas().iloc[0, 0]
     assert got == _median(v[:50]) == 24.5
+
+
+# ---------------------------------------------------------------------------
+# agg.histogram_store: exact fixed-width histogram with zone-map pruning
+
+
+def test_histogram_clustered_interior_never_opens(tmp_path, ray_session):
+    """900 increasing values over 3 shards, width 300 == one shard's
+    range: every chunk is interior to one bucket, so ALL shards can be
+    chmod-000 after the manifest is written — the histogram answers
+    from stats alone."""
+    from parquet_go_ray.pipelines.agg import histogram_store
+
+    vals = np.arange(900, dtype=np.int64)
+    paths = []
+    for i in range(3):
+        sl = vals[i * 300 : (i + 1) * 300]
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(i * 300, (i + 1) * 300, dtype=np.int64)),
+                "v": pa.array(sl, pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=100, bloom_columns=())
+    blocked = [os.path.join(out, "data", f"part{i}") for i in range(3)]
+    for d in blocked:
+        os.chmod(d, 0)
+    try:
+        got = histogram_store(out, "v", 300).to_pandas()
+    finally:
+        for d in blocked:
+            os.chmod(d, stat.S_IRWXU)
+    assert got["bucket"].tolist() == [0, 1, 2]
+    assert got["n"].tolist() == [300, 300, 300]
+
+
+def test_histogram_unclustered_matches_pandas(tmp_path, ray_session):
+    from parquet_go_ray.pipelines.agg import histogram_store
+
+    rng = np.random.default_rng(7)
+    v = rng.integers(-500, 2500, 1300)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(1300, dtype=np.int64)),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=128, bloom_columns=())
+    got = histogram_store(out, "v", 250).to_pandas()
+    import pandas as pd
+
+    want = (
+        pd.Series(np.floor_divide(v, 250))
+        .value_counts()
+        .sort_index()
+    )
+    assert got["bucket"].tolist() == want.index.tolist()
+    assert got["n"].tolist() == want.tolist()
+
+
+def test_histogram_tombstones_filter_first(tmp_path, ray_session):
+    from parquet_go_ray.pipelines.agg import histogram_store
+    from parquet_go_ray.pipelines.tombstone import delete_where
+
+    v = np.arange(100, dtype=np.int64)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(100, dtype=np.int64)),
+            "v": pa.array(v, pa.int64()),
+        }
+    )
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    out = str(tmp_path / "store")
+    encode_job([p], out, rows_per_chunk=16, bloom_columns=())
+    delete_where(out, "doc_id", list(range(0, 30)))
+    got = histogram_store(out, "v", 50).to_pandas()
+    assert got["bucket"].tolist() == [0, 1]
+    assert got["n"].tolist() == [20, 50]
