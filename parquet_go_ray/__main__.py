@@ -498,6 +498,24 @@ def cmd_query(args) -> int:
         print(df.to_string(index=False))
         print(json.dumps({"matches": len(df)}))
         return 0
+    if args.median:
+        from .pipelines.decode import quantile_store
+
+        df = quantile_store(
+            args.store_dir, args.median, args.q, out_name="value"
+        ).to_pandas()
+        print(json.dumps({"column": args.median, "q": args.q,
+                          "value": float(df["value"].iloc[0])}))
+        return 0
+    if args.histogram:
+        from .pipelines.agg import histogram_store
+
+        df = histogram_store(
+            args.store_dir, args.histogram, args.width
+        ).to_pandas()
+        print(df.to_string(index=False))
+        print(json.dumps({"buckets": len(df), "width": args.width}))
+        return 0
     column = pred = None
     if args.where:
         parts = args.where.split()
@@ -968,6 +986,20 @@ def main(argv=None) -> int:
         default=None,
         help="ORDER BY <col> DESC LIMIT --limit via stats-pruned top-k",
     )
+    qr.add_argument(
+        "--median",
+        default=None,
+        help="exact quantile of <col> via stats-pruned selection",
+    )
+    qr.add_argument("--q", type=float, default=0.5,
+                    help="quantile for --median (default 0.5)")
+    qr.add_argument(
+        "--histogram",
+        default=None,
+        help="exact fixed-width histogram of <col> via zone-map stats",
+    )
+    qr.add_argument("--width", type=int, default=100,
+                    help="bucket width for --histogram")
     qr.add_argument("--explain", action="store_true")
     qr.set_defaults(fn=cmd_query)
 
