@@ -4577,6 +4577,38 @@ def q_bigram_counts(sf_dir):
     )
 
 
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_unpivot_measures(sf_dir):
+    """UNPIVOT / melt (wide -> long, the inverse of the pivot): each
+    batch concatenates one projection per measure column with a
+    constant label — pure Arrow column reuse, zero copies of the id
+    column beyond the concat, zero shuffle, output streams. The shape
+    every metrics table takes before a generic (key, measure, value)
+    aggregation."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES]
+    )
+
+    def melt(t: pa.Table) -> pa.Table:
+        parts = []
+        for m in _UNPIVOT_MEASURES:
+            parts.append(
+                pa.table(
+                    {
+                        "l_orderkey": t.column("l_orderkey"),
+                        "l_linenumber": t.column("l_linenumber"),
+                        "measure": pa.array([m] * t.num_rows, pa.string()),
+                        "value": pc.cast(t.column(m), pa.float64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow")
+
+
 def q_median_by_group(sf_dir):
     """Exact per-group MEDIAN as distributed selection over value
     counts: each batch folds to (group, value, count) partials, one
@@ -5023,6 +5055,7 @@ QUERIES = {
     "above_avg_orders": q_above_avg_orders,
     "store_median": q_store_median,
     "store_histogram": q_store_histogram,
+    "unpivot_measures": q_unpivot_measures,
 }
 
 ORACLES = {
@@ -5791,6 +5824,17 @@ ORACLES = {
     ),
     "store_median": (
         "SELECT median(n_chars) AS med_chars FROM documents"
+    ),
+    "unpivot_measures": (
+        "SELECT l_orderkey, l_linenumber, measure, value FROM ("
+        "SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, "
+        "CAST(l_quantity AS DOUBLE) AS value FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', "
+        "CAST(l_extendedprice AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', "
+        "CAST(l_discount AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', "
+        "CAST(l_tax AS DOUBLE) FROM lineitem)"
     ),
     "store_histogram": (
         "SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bucket, "

@@ -35,6 +35,7 @@ NEW_QUERIES = [
     "orphan_orders",
     "p90_by_group",
     "above_avg_orders",
+    "unpivot_measures",
 ]
 
 
