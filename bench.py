@@ -352,6 +352,9 @@ def run_bench() -> dict:
         "latest_event_per_user",
         "p90_by_group",
         "above_avg_orders",
+        # 6-table TPC-H Q5 bucket-join composition + wide-to-long melt
+        "local_supplier_revenue",
+        "unpivot_measures",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

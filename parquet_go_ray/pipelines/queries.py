@@ -4577,6 +4577,144 @@ def q_bigram_counts(sf_dir):
     )
 
 
+def q_local_supplier_revenue(sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue per nation where the
+    CUSTOMER and the SUPPLIER sit in the same nation of one region, for
+    one order year. The deepest join composition in the registry —
+    region/nation/customer/supplier are true dimensions (broadcast as
+    sorted key arrays once), the two FACTS join on orderkey through ONE
+    bucket exchange: lineitem pre-aggregates (orderkey, supp_nation,
+    cents) partials inside each batch after the supplier-nation
+    broadcast filter, orders carry (orderkey, cust_nation), and each
+    bucket's pandas merge applies the same-nation constraint and folds
+    to (nation, cents) partials — row-level join output never leaves a
+    task."""
+    import ray as _ray
+
+    region = _read(sf_dir, "region").to_pandas()
+    nation = _read(sf_dir, "nation").to_pandas()
+    rkey = int(region.loc[region["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    asia = nation[nation["n_regionkey"] == rkey]
+    asia_keys = np.sort(asia["n_nationkey"].to_numpy(np.int64))
+    names = dict(zip(asia["n_nationkey"].astype(int), asia["n_name"]))
+
+    def _dim(table: str, key: str, val: str) -> tuple:
+        df = _read(sf_dir, table, columns=[key, val]).to_pandas()
+        order = np.argsort(df[key].to_numpy(np.int64), kind="stable")
+        return (
+            df[key].to_numpy(np.int64)[order],
+            df[val].to_numpy(np.int64)[order],
+        )
+
+    cust_ref = _ray.put(_dim("customer", "c_custkey", "c_nationkey"))
+    supp_ref = _ray.put(_dim("supplier", "s_suppkey", "s_nationkey"))
+    asia_ref = _ray.put(asia_keys)
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    n_orders = orders.count()
+    B = max(16, -(-n_orders // JOIN_BUCKET_TARGET_ROWS))
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, k: np.ndarray):
+        at = np.searchsorted(keys, k)
+        at[at == len(keys)] = 0
+        hit = keys[at] == k
+        return vals[at], hit
+
+    def ord_tag(df: pd.DataFrame) -> pd.DataFrame:
+        od = df["o_orderdate"].to_numpy()
+        m = (od >= lo) & (od < hi)
+        ok = df["o_orderkey"].to_numpy(np.int64)[m]
+        ck = df["o_custkey"].to_numpy(np.int64)[m]
+        ckeys, cnats = _ray.get(cust_ref)
+        nat, hit = _lookup(ckeys, cnats, ck)
+        akeys = _ray.get(asia_ref)
+        at = np.searchsorted(akeys, nat)
+        at[at == len(akeys)] = 0
+        keep = hit & (akeys[at] == nat)
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok[keep],
+                "nat": nat[keep],
+                "cents": np.int64(0),
+                "side": np.int8(0),
+                "bucket": (ok[keep] % B).astype("int32"),
+            }
+        )
+
+    def li_tag(df: pd.DataFrame) -> pd.DataFrame:
+        sk = df["l_suppkey"].to_numpy(np.int64)
+        skeys, snats = _ray.get(supp_ref)
+        nat, hit = _lookup(skeys, snats, sk)
+        akeys = _ray.get(asia_ref)
+        at = np.searchsorted(akeys, nat)
+        at[at == len(akeys)] = 0
+        keep = hit & (akeys[at] == nat)
+        ep = df["l_extendedprice"].to_numpy()[keep]
+        disc = df["l_discount"].to_numpy()[keep]
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"].to_numpy(np.int64)[keep],
+                    "nat": nat[keep],
+                    "cents": cents,
+                }
+            )
+            .groupby(["o_orderkey", "nat"], sort=False, as_index=False)["cents"]
+            .sum()
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].astype(np.int64),
+                "nat": g["nat"].astype(np.int64),
+                "cents": g["cents"].astype(np.int64),
+                "side": np.int8(1),
+                "bucket": (g["o_orderkey"].to_numpy(np.int64) % B).astype("int32"),
+            }
+        )
+
+    li = _read_split(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    u = orders.map_batches(ord_tag, batch_format="pandas").union(
+        li.map_batches(li_tag, batch_format="pandas")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["o_orderkey", "nat"]]
+        l = g[g["side"] == 1][["o_orderkey", "nat", "cents"]]
+        m = l.merge(o, on="o_orderkey", how="inner", suffixes=("_s", "_c"))
+        m = m[m["nat_s"] == m["nat_c"]]  # same-nation constraint
+        out = m.groupby("nat_s", sort=False, as_index=False)["cents"].sum()
+        return pd.DataFrame(
+            {
+                "nat": out["nat_s"].astype(np.int64),
+                "cents": out["cents"].astype(np.int64),
+            }
+        )
+
+    agg = (
+        u.groupby("bucket")
+        .map_groups(join_bucket, batch_format="pandas")
+        .groupby("nat")
+        .sum("cents")
+    )
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df.columns = ["nat", "revenue_cents"]
+        return pd.DataFrame(
+            {
+                "n_name": [names[int(k)] for k in df["nat"]],
+                "revenue_cents": df["revenue_cents"].astype(np.int64),
+            }
+        )
+
+    return agg.map_batches(final, batch_format="pandas")
+
+
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
 
@@ -5056,6 +5194,7 @@ QUERIES = {
     "store_median": q_store_median,
     "store_histogram": q_store_histogram,
     "unpivot_measures": q_unpivot_measures,
+    "local_supplier_revenue": q_local_supplier_revenue,
 }
 
 ORACLES = {
@@ -5824,6 +5963,18 @@ ORACLES = {
     ),
     "store_median": (
         "SELECT median(n_chars) AS med_chars FROM documents"
+    ),
+    "local_supplier_revenue": (
+        "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * "
+        "(1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM customer, orders, lineitem, supplier, nation, region "
+        "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+        "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+        "AND r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY n_name"
     ),
     "unpivot_measures": (
         "SELECT l_orderkey, l_linenumber, measure, value FROM ("

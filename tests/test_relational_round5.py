@@ -36,6 +36,7 @@ NEW_QUERIES = [
     "p90_by_group",
     "above_avg_orders",
     "unpivot_measures",
+    "local_supplier_revenue",
 ]
 
 
