@@ -2346,6 +2346,49 @@ def q_distinct_count_hll(sf_dir):
     return pd.DataFrame({"distinct_est": pd.Series([round(est)], dtype="int64")})
 
 
+def q_group_distinct_hll(sf_dir):
+    """Per-GROUP approximate distinct counts (distinct users per event
+    type) via one HLL register array per group: each batch folds into a
+    {group: 4 KiB registers} dict — group-count bounded, like the
+    per-group KLL — so the exchange carries |groups| x 4 KiB per task
+    no matter how many distinct members exist. The sketch sibling of
+    the exact `group_distinct` (whose exchange is distinct-pair
+    bounded): at web-scale member cardinality the registers win by
+    orders of magnitude. rows-only gate (approximate by design); the
+    accuracy bound vs the exact counts is pytest-asserted."""
+    from ..functions.hashing import content_hash128
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "regs": []}
+        for et, g in df.groupby("event_type", sort=False):
+            keys = [str(int(u)).encode() for u in g["user_id"]]
+            h1, _h2 = content_hash128(keys)
+            out["event_type"].append(et)
+            out["regs"].append(hll_registers(h1).tobytes())
+        return pd.DataFrame(out)
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        regs = None
+        for b in g["regs"]:
+            r = np.frombuffer(b, dtype=np.uint8)
+            regs = r if regs is None else hll_merge(regs, r)
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "n_users_est": pd.Series([round(hll_estimate(regs))], dtype="int64"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
 def q_length_percentiles(sf_dir):
     """Exact distributed percentiles of a bounded-range int column
     (the 'document length distribution' curation step): per-batch
@@ -5195,6 +5238,7 @@ QUERIES = {
     "store_histogram": q_store_histogram,
     "unpivot_measures": q_unpivot_measures,
     "local_supplier_revenue": q_local_supplier_revenue,
+    "group_distinct_hll": q_group_distinct_hll,
 }
 
 ORACLES = {

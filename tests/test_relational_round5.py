@@ -143,3 +143,23 @@ def test_orphan_orders_counts_planted_violations(ray_session, tmp_path):
     base = _to_pandas(entrymod.queries()["orphan_orders"](src))
     assert int(res["n_orders"].iloc[0]) == int(base["n_orders"].iloc[0]) + 7
     assert int(base["n_orphans"].iloc[0]) == 0
+
+
+def test_group_distinct_hll_accuracy(ray_session):
+    """The per-group HLL estimates must sit within the p=12 error bound
+    (~1.6% stderr; assert 6% = ~4 sigma) of the exact per-group distinct
+    counts on the real table."""
+    import duckdb as _duck
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.01"
+    est = _to_pandas(entrymod.queries()["group_distinct_hll"](sf))
+    exact = _duck.connect().execute(
+        f"SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        f"read_parquet('{sf}/events.parquet') GROUP BY event_type"
+    ).df()
+    m = est.merge(exact, on="event_type")
+    assert len(m) == len(exact)
+    rel = (m["n_users_est"] - m["n"]).abs() / m["n"]
+    assert (rel <= 0.06).all(), rel.tolist()
