@@ -355,6 +355,9 @@ def run_bench() -> dict:
         # 6-table TPC-H Q5 bucket-join composition + wide-to-long melt
         "local_supplier_revenue",
         "unpivot_measures",
+        # BPE tokenizer training (distributed word freq + driver merge
+        # loop) and the memoized actor-pool apply
+        "bpe_token_counts",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

@@ -467,3 +467,156 @@ def perplexity_filter(
         return df[df["nll_e4"] <= thr]
 
     return scores.map_batches(keep, batch_format="pandas")
+
+
+# --------------------------------------------------------------- BPE
+
+
+def word_frequencies(ds, text_col: str = "text", partitions: int = 64):
+    """Distributed word-frequency table: per-batch value_counts partials
+    (bounded by per-batch vocab), hash-partitioned vectorized merge —
+    counts, never word instances, ride the exchange (the vocab_topk
+    shape). Returns a pandas DataFrame (word, n), n descending, word
+    ascending on ties. The result is VOCAB-sized, not corpus-sized —
+    the property that makes driver-side BPE training below
+    scale-correct."""
+    import pandas as pd
+
+    from ..functions.hashing import stable_hash_strings
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[text_col].str.split(" ").explode()
+        toks = toks[toks != ""]
+        vc = toks.value_counts()
+        return pd.DataFrame(
+            {"word": vc.index.astype(str), "n": vc.to_numpy().astype(np.int64)}
+        )
+
+    def add_pt(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pt"] = (
+            stable_hash_strings(df["word"].to_numpy()) % np.uint64(partitions)
+        ).astype(np.int64)
+        return df
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("word", sort=False, as_index=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    out = (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_pt, batch_format="pandas")
+        .groupby("pt")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["n", "word"], ascending=[False, True], ignore_index=True)
+
+
+def train_bpe(word_freq, n_merges: int = 64) -> list[tuple[str, str]]:
+    """Classic BPE merge training (Sennrich et al. 2016) over a
+    word-frequency table: symbols start as characters + a </w> end
+    marker, each round merges the most frequent adjacent pair (count
+    desc, pair lexicographic on ties — fully deterministic). Runs on
+    the driver because its input is the VOCAB-sized frequency table
+    from word_frequencies(), never the corpus; the corpus-sized work
+    (counting) is distributed, the state-sized work (merging) is not —
+    the same split every production tokenizer trainer makes."""
+    vocab: dict[tuple, int] = {}
+    for w, n in zip(word_freq["word"], word_freq["n"]):
+        vocab[tuple(w) + ("</w>",)] = vocab.get(tuple(w) + ("</w>",), 0) + int(n)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple, int] = {}
+        for sym, n in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        # deterministic: count desc, then lexicographically SMALLEST pair
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple, int] = {}
+        for sym, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def _bpe_encode_word(word: str, ranks: dict) -> list[str]:
+    sym = list(word) + ["</w>"]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+class BPEApplier:
+    """Stateful actor-pool apply stage: the merge ranks load ONCE per
+    actor in __init__ (from the object store), and a per-actor memo
+    caches each UNIQUE word's encoding across every batch the actor
+    sees — per-batch work is np.unique + memo lookups, the per-word
+    merge loop runs once per distinct word per actor."""
+
+    def __init__(self, merges_ref):
+        import ray as _ray
+
+        merges = _ray.get(merges_ref)
+        self.ranks = {tuple(p): i for i, p in enumerate(merges)}
+        self.memo: dict[str, int] = {}
+
+    def __call__(self, df):
+        import pandas as pd
+
+        counts = []
+        for text in df["text"]:
+            words = [w for w in text.split(" ") if w]
+            total = 0
+            for w in words:
+                n = self.memo.get(w)
+                if n is None:
+                    n = len(_bpe_encode_word(w, self.ranks))
+                    self.memo[w] = n
+                total += n
+            counts.append(total)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype(np.int64),
+                "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+            }
+        )
+
+
+def bpe_token_counts(ds, merges, concurrency: int = 4):
+    """Tokenize the corpus with a trained merge list: merges broadcast
+    once via ray.put, applied by a BPEApplier actor pool (memoized per
+    actor) — map-only, zero shuffle."""
+    import ray as _ray
+
+    merges_ref = _ray.put(merges)
+    return ds.map_batches(
+        BPEApplier,
+        batch_format="pandas",
+        concurrency=concurrency,
+        fn_constructor_args=(merges_ref,),
+    )

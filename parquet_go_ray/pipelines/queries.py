@@ -2346,6 +2346,42 @@ def q_distinct_count_hll(sf_dir):
     return pd.DataFrame({"distinct_est": pd.Series([round(est)], dtype="int64")})
 
 
+def q_bpe_merges(sf_dir):
+    """BPE tokenizer TRAINING (Sennrich et al. 2016) with the
+    production split of work: the corpus-sized stage (word-frequency
+    counting) runs distributed with a vocab-bounded exchange
+    (lm.word_frequencies); the state-sized stage (the merge loop) runs
+    on the driver over that vocab-sized table. Returns the ordered
+    merge list — deterministic (count desc, lexicographic tiebreak), so
+    layout-independent. rows-only gate (an iterative algorithm, not
+    SQL); pinned against a from-scratch reference implementation in
+    tests/test_bpe.py."""
+    from .lm import train_bpe, word_frequencies
+
+    wf = word_frequencies(_read(sf_dir, "documents", columns=["text"]))
+    merges = train_bpe(wf, n_merges=48)
+    return pd.DataFrame(
+        {
+            "rank": pd.Series(range(len(merges)), dtype="int64"),
+            "left": [m[0] for m in merges],
+            "right": [m[1] for m in merges],
+        }
+    )
+
+
+def q_bpe_token_counts(sf_dir):
+    """Tokenize the corpus with the trained BPE (map-only actor pool,
+    merges broadcast once, per-actor word memo): per-doc subword token
+    counts — the sequence-length statistic packing and batching need.
+    rows-only gate (depends on the trained merges)."""
+    from .lm import bpe_token_counts, train_bpe, word_frequencies
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    wf = word_frequencies(_read(sf_dir, "documents", columns=["text"]))
+    merges = train_bpe(wf, n_merges=48)
+    return bpe_token_counts(ds, merges, concurrency=autoscale_concurrency())
+
+
 def q_group_distinct_hll(sf_dir):
     """Per-GROUP approximate distinct counts (distinct users per event
     type) via one HLL register array per group: each batch folds into a
@@ -5239,6 +5275,8 @@ QUERIES = {
     "unpivot_measures": q_unpivot_measures,
     "local_supplier_revenue": q_local_supplier_revenue,
     "group_distinct_hll": q_group_distinct_hll,
+    "bpe_merges": q_bpe_merges,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 ORACLES = {
