@@ -193,3 +193,36 @@ def test_histogram_tombstones_filter_first(tmp_path, ray_session):
     got = histogram_store(out, "v", 50).to_pandas()
     assert got["bucket"].tolist() == [0, 1]
     assert got["n"].tolist() == [20, 50]
+
+
+def test_quantile_and_histogram_survive_compaction(tmp_path, ray_session):
+    """Compaction rewrites shards and manifests; the stats-pruned
+    aggregates must answer identically before and after (they read
+    through the manifest lineage, never a stale file list)."""
+    from parquet_go_ray.pipelines.agg import histogram_store
+    from parquet_go_ray.pipelines.compact import compact_store
+
+    rng = np.random.default_rng(13)
+    v = rng.integers(0, 5000, 900)
+    paths = []
+    for i in range(6):
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(i * 150, (i + 1) * 150, dtype=np.int64)),
+                "v": pa.array(v[i * 150 : (i + 1) * 150], pa.int64()),
+            }
+        )
+        p = str(tmp_path / f"part{i}.parquet")
+        pq.write_table(t, p)
+        paths.append(p)
+    out = str(tmp_path / "store")
+    encode_job(paths, out, rows_per_chunk=64, bloom_columns=())
+    before_q = quantile_store(out, "v", 0.5).to_pandas().iloc[0, 0]
+    before_h = histogram_store(out, "v", 500).to_pandas()
+    res = compact_store(out, target_bytes=1 << 20)
+    assert res["groups"] >= 1
+    after_q = quantile_store(out, "v", 0.5).to_pandas().iloc[0, 0]
+    after_h = histogram_store(out, "v", 500).to_pandas()
+    assert after_q == before_q == _median(v)
+    assert after_h["bucket"].tolist() == before_h["bucket"].tolist()
+    assert after_h["n"].tolist() == before_h["n"].tolist()
