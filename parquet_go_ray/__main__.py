@@ -304,24 +304,66 @@ def cmd_curate(args) -> int:
 
 
 def cmd_ingest(args) -> int:
-    """Ingest a directory of JSONL / CSV / parquet files into an
-    encoded chunk store: non-parquet sources stream through ray.data
-    readers into a parquet staging layout (one shard per output block —
-    the resumable unit), then the normal path-planned encode job runs
-    over the staged shards. Parquet input skips the staging pass."""
+    """Ingest a directory of JSONL / CSV / ORC / Feather(Arrow-IPC) /
+    parquet files into an encoded chunk store: non-parquet sources
+    stage into a parquet layout first (JSONL/CSV stream through
+    ray.data readers, one shard per output block; ORC/Feather stage one
+    task per input file via the pyarrow readers, staged shard named by
+    the input stem — re-running skips already-staged files), then the
+    normal path-planned encode job runs over the staged shards. Parquet
+    input skips the staging pass."""
     _init_ray(args.num_cpus, getattr(args, "address", None))
     import ray.data
 
     from .pipelines.encode import encode_job
 
     fmt = args.format
-    pats = {"jsonl": "*.jsonl", "csv": "*.csv", "parquet": "*.parquet"}
+    pats = {
+        "jsonl": "*.jsonl",
+        "csv": "*.csv",
+        "parquet": "*.parquet",
+        "orc": "*.orc",
+        "feather": "*.feather",
+    }
     files = sorted(str(p) for p in Path(args.input_dir).glob(pats[fmt]))
     if not files:
         print(f"no {pats[fmt]} files under {args.input_dir}", file=sys.stderr)
         return 2
     if fmt == "parquet":
         shard_files = files
+    elif fmt in ("orc", "feather"):
+        staging = Path(args.staging or str(Path(args.out_dir) / "_staged"))
+        staging.mkdir(parents=True, exist_ok=True)
+
+        def stage(batch):
+            import pyarrow as pa
+            import pyarrow.parquet as _pq
+
+            done = []
+            col = "path" if "path" in batch.column_names else "item"
+            for path in batch.column(col).to_pylist():
+                dst = staging / (Path(path).stem + ".parquet")
+                if not dst.exists():  # resumable: stem-named shards
+                    if fmt == "orc":
+                        from pyarrow import orc as _orc
+
+                        t = _orc.ORCFile(path).read()
+                    else:
+                        from pyarrow import feather as _feather
+
+                        t = _feather.read_table(path)
+                    tmp = dst.with_suffix(".tmp")
+                    _pq.write_table(t, tmp)
+                    tmp.rename(dst)
+                done.append(str(dst))
+            return pa.table({"staged": pa.array(done)})
+
+        list(
+            ray.data.from_items(files, override_num_blocks=len(files))
+            .map_batches(stage, batch_format="pyarrow")
+            .iter_batches()
+        )
+        shard_files = sorted(str(p) for p in staging.glob("*.parquet"))
     else:
         staging = args.staging or str(Path(args.out_dir) / "_staged")
         ds = (
@@ -887,7 +929,11 @@ def main(argv=None) -> int:
     ig = sub.add_parser("ingest")
     ig.add_argument("input_dir")
     ig.add_argument("out_dir")
-    ig.add_argument("--format", default="jsonl", choices=["jsonl", "csv", "parquet"])
+    ig.add_argument(
+        "--format",
+        default="jsonl",
+        choices=["jsonl", "csv", "parquet", "orc", "feather"],
+    )
     ig.add_argument("--staging", default=None)
     ig.add_argument("--rows-per-chunk", type=int, default=4096)
     ig.add_argument("--compression", default=None)
