@@ -358,6 +358,10 @@ def run_bench() -> dict:
         # BPE tokenizer training (distributed word freq + driver merge
         # loop) and the memoized actor-pool apply
         "bpe_token_counts",
+        # Q14 / Q12 / Q18 shapes
+        "promo_revenue_share",
+        "urgent_line_counts",
+        "large_orders",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so

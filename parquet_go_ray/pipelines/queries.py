@@ -4367,21 +4367,32 @@ def q_shipping_priority(sf_dir):
         "lineitem",
         columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
     )
-    agg = li.map_batches(li_partial, batch_format="pandas").groupby("l_orderkey").sum(
-        "cents"
-    )
     dim_ref = _ray.put(dim)
+    BQ = max(16, -(-len(dim) // JOIN_BUCKET_TARGET_ROWS))
 
-    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
-        # per-block prune: only each block's own top-10 reach the final
-        # task, so the single-task fold sees <= 10 x blocks rows no
-        # matter how many orderkeys survive the filters
-        df = df.rename(columns={"sum(cents)": "revenue_cents"})
-        return df.sort_values(
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["l_orderkey"].to_numpy(np.int64) % BQ).astype("int32")
+        return df
+
+    def fold_topk(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket fold + per-bucket top-10 prune: the orderkey aggregate
+        # folds in one C-speed pandas pass per bucket (never Ray's
+        # per-key aggregate — see the SCALE.md engine rule), and only
+        # each bucket's own top-10 reach the final task
+        s = g.groupby("l_orderkey", sort=False, as_index=False)["cents"].sum()
+        s = s.rename(columns={"cents": "revenue_cents"})
+        s["revenue_cents"] = s["revenue_cents"].astype(np.int64)
+        return s.sort_values(
             ["revenue_cents", "l_orderkey"], ascending=[False, True], kind="stable"
         ).head(10)
 
-    agg = agg.map_batches(block_topk, batch_format="pandas")
+    agg = (
+        li.map_batches(li_partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold_topk, batch_format="pandas")
+    )
 
     def final(df: pd.DataFrame) -> pd.DataFrame:
         top = df.sort_values(
@@ -4792,6 +4803,234 @@ def q_local_supplier_revenue(sf_dir):
         )
 
     return agg.map_batches(final, batch_format="pandas")
+
+
+def q_promo_revenue_share(sf_dir):
+    """TPC-H Q14 (promotion effect): promo revenue share of one ship
+    month as a pure two-scalar fold — the part dimension broadcasts as
+    (sorted partkeys, promo-flag bits), each lineitem batch folds to
+    (promo_cents, total_cents) int partials, and the single ratio
+    divides two identical integer sums on both engines, so the rounded
+    double compares exactly."""
+    import ray as _ray
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy(np.int64), kind="stable")
+    pkeys = part["p_partkey"].to_numpy(np.int64)[order]
+    promo = (part["p_type"].to_numpy() == "PROMO")[order]
+    dim_ref = _ray.put((pkeys, promo))
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1996-02-01")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        pk = df["l_partkey"].to_numpy(np.int64)[m]
+        ep = df["l_extendedprice"].to_numpy()[m]
+        disc = df["l_discount"].to_numpy()[m]
+        cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
+        keys, flags = _ray.get(dim_ref)
+        at = np.searchsorted(keys, pk)
+        at[at == len(keys)] = 0
+        hit = keys[at] == pk
+        return pd.DataFrame(
+            {
+                "promo_cents": [np.int64(cents[hit & flags[at]].sum())],
+                "total_cents": [np.int64(cents[hit].sum())],
+            }
+        )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    parts = li.map_batches(partial, batch_format="pandas").to_pandas()
+    p, t = int(parts["promo_cents"].sum()), int(parts["total_cents"].sum())
+    # floor-quantize rather than round: round() ties break differently
+    # between engines; floor of the identical double is identical
+    pct = np.floor(100.0 * p / t * 1e6) / 1e6
+    return pd.DataFrame({"promo_pct": [float(pct)]})
+
+
+def q_urgent_line_counts(sf_dir):
+    """TPC-H Q12 shape (priority mix per line status): both facts join
+    on orderkey through ONE bucket exchange — lineitem pre-counts
+    (orderkey, linestatus) rows for the ship year inside each batch,
+    orders carry an urgent bit, each bucket's merge folds to the 2x2
+    (status, urgent) cells, and the final groupby sums a handful of
+    rows."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    n_orders = orders.count()
+    B = max(16, -(-(3 * n_orders) // JOIN_BUCKET_TARGET_ROWS))
+    lo = np.datetime64("1996-01-01")
+    hi = np.datetime64("1997-01-01")
+
+    def ord_tag(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        urgent = df["o_orderpriority"].isin(["1-URGENT", "2-HIGH"]).to_numpy()
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok,
+                "status": "",
+                "n": np.int64(0),
+                "urgent": urgent.astype(np.int8),
+                "side": np.int8(0),
+                "bucket": (ok % B).astype("int32"),
+            }
+        )
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        sd = df["l_shipdate"].to_numpy()
+        m = (sd >= lo) & (sd < hi)
+        g = (
+            pd.DataFrame(
+                {
+                    "o_orderkey": df["l_orderkey"].to_numpy(np.int64)[m],
+                    "status": df["l_linestatus"].to_numpy()[m],
+                }
+            )
+            .groupby(["o_orderkey", "status"], sort=False, as_index=False)
+            .size()
+        )
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "o_orderkey": ok,
+                "status": g["status"],
+                "n": g["size"].astype(np.int64),
+                "urgent": np.int8(0),
+                "side": np.int8(1),
+                "bucket": (ok % B).astype("int32"),
+            }
+        )
+
+    u = orders.map_batches(ord_tag, batch_format="pandas").union(
+        _read_split(
+            sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+        ).map_batches(li_partial, batch_format="pandas")
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["o_orderkey", "urgent"]]
+        l = g[g["side"] == 1][["o_orderkey", "status", "n"]]
+        m = l.merge(o, on="o_orderkey", how="inner")
+        m["high"] = np.where(m["urgent"] == 1, m["n"], 0)
+        m["low"] = np.where(m["urgent"] == 0, m["n"], 0)
+        out = m.groupby("status", sort=False, as_index=False)[["high", "low"]].sum()
+        return pd.DataFrame(
+            {
+                "l_linestatus": out["status"],
+                "high": out["high"].astype(np.int64),
+                "low": out["low"].astype(np.int64),
+            }
+        )
+
+    agg = (
+        u.groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .groupby("l_linestatus")
+        .sum(["high", "low"])
+    )
+    # 2 groups x 2 columns: the multi-column aggregate is fine here
+    return agg.map_batches(
+        lambda df: pd.DataFrame(
+            {
+                "l_linestatus": df.iloc[:, 0],
+                "high_line_count": df.iloc[:, 1].astype(np.int64),
+                "low_line_count": df.iloc[:, 2].astype(np.int64),
+            }
+        ),
+        batch_format="pandas",
+    )
+
+
+def q_large_orders(sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose total line
+    quantity exceeds a threshold, with customer names, top-10 by order
+    value. The HAVING-on-aggregate semi-join shape: per-orderkey
+    quantity sums fold from per-batch partials (single-column groupby —
+    Ray's fast path), the few survivors broadcast BACK to the orders
+    scan (selectivity-bounded by the threshold's design), and customer
+    names attach from the dimension broadcast."""
+    import ray as _ray
+
+    threshold = 250.0
+    li = _read_split(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+    n_li = li.count()
+    B = max(16, -(-n_li // JOIN_BUCKET_TARGET_ROWS))
+
+    def li_partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", sort=False, as_index=False)["l_quantity"].sum()
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "l_orderkey": ok,
+                "qty": g["l_quantity"].astype(np.float64),
+                "bucket": (ok % B).astype("int32"),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket fold, NOT groupby(orderkey).sum: Ray's per-key aggregate
+        # measured 39.7 s over 147k keys at sf0.1 where this C-speed
+        # pandas fold takes the bucket in one pass; survivors only leave
+        s = g.groupby("l_orderkey", sort=False, as_index=False)["qty"].sum()
+        s = s[s["qty"] > threshold]
+        return pd.DataFrame(
+            {
+                "l_orderkey": s["l_orderkey"].astype(np.int64),
+                "qty": s["qty"].astype(np.float64),
+            }
+        )
+
+    sums = (
+        li.map_batches(li_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    surv = np.sort(sums["l_orderkey"].to_numpy(np.int64))
+    qty = dict(zip(sums["l_orderkey"].astype(int), sums["qty"]))
+    surv_ref = _ray.put(surv)
+
+    def ord_pick(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["o_orderkey"].to_numpy(np.int64)
+        keys = _ray.get(surv_ref)
+        at = np.searchsorted(keys, ok)
+        at[at == len(keys)] = 0
+        m = keys[at] == ok
+        return df.loc[m, ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]]
+
+    hits = (
+        _read(
+            sf_dir,
+            "orders",
+            columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        .map_batches(ord_pick, batch_format="pandas")
+        .to_pandas()
+    )
+    names = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .rename(columns={"c_custkey": "o_custkey"})
+    )
+    out = hits.merge(names, on="o_custkey", how="inner")
+    out["sum_qty"] = out["o_orderkey"].map(qty).astype(np.int64)
+    out = out.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True], kind="stable"
+    ).head(10)
+    return pd.DataFrame(
+        {
+            "c_name": out["c_name"],
+            "c_custkey": out["o_custkey"].astype(np.int64),
+            "o_orderkey": out["o_orderkey"].astype(np.int64),
+            "o_orderdate": out["o_orderdate"].astype("datetime64[us]"),
+            "o_totalprice": out["o_totalprice"].astype(np.float64),
+            "sum_qty": out["sum_qty"],
+        }
+    )
 
 
 _UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -5277,6 +5516,9 @@ QUERIES = {
     "group_distinct_hll": q_group_distinct_hll,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "promo_revenue_share": q_promo_revenue_share,
+    "urgent_line_counts": q_urgent_line_counts,
+    "large_orders": q_large_orders,
 }
 
 ORACLES = {
@@ -6045,6 +6287,35 @@ ORACLES = {
     ),
     "store_median": (
         "SELECT median(n_chars) AS med_chars FROM documents"
+    ),
+    "promo_revenue_share": (
+        "SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents "
+        "ELSE 0 END) / sum(cents) * 1000000) / 1000000 AS promo_pct FROM "
+        "(SELECT l_partkey, CAST(floor(l_extendedprice * (1 - l_discount) "
+        "* 100 + 0.5) AS BIGINT) AS cents FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-02-01') "
+        "JOIN part ON l_partkey = p_partkey"
+    ),
+    "urgent_line_counts": (
+        "SELECT l_linestatus, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "GROUP BY l_linestatus"
+    ),
+    "large_orders": (
+        "WITH s AS (SELECT l_orderkey, sum(l_quantity) AS q FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 250) "
+        "SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, "
+        "CAST(q AS BIGINT) AS sum_qty "
+        "FROM s JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
     ),
     "local_supplier_revenue": (
         "SELECT n_name, CAST(sum(CAST(floor(l_extendedprice * "

@@ -37,6 +37,9 @@ NEW_QUERIES = [
     "above_avg_orders",
     "unpivot_measures",
     "local_supplier_revenue",
+    "promo_revenue_share",
+    "urgent_line_counts",
+    "large_orders",
 ]
 
 
