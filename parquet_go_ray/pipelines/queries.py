@@ -256,86 +256,123 @@ def q_session_windows(sf_dir):
     return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
 
 
+def _window_buckets(ds, fold, B=None):
+    """Shared scaffold for per-KEY window operators: hash-bucket the
+    user key (one map-only tag), ONE bucket exchange, and a VECTORIZED
+    fold per bucket that handles every user in the bucket with segment
+    arithmetic over one lexsort — never a Python call per user
+    (groupby(user).map_groups costs a per-GROUP call, which at 10^9
+    users is days of pure call overhead; this shape is flat in the
+    number of keys)."""
+    if B is None:
+        B = max(16, -(-ds.count() // JOIN_BUCKET_TARGET_ROWS))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket"] = (df["user_id"].to_numpy(np.int64) % B).astype("int32")
+        return df
+
+    return (
+        ds.map_batches(tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+    )
+
+
+class _Segs:
+    """Segment structure of one bucket sorted by (user, ts, event_id):
+    the scaffolding every vectorized window fold reads."""
+
+    __slots__ = ("order", "u", "ts", "eid", "starts", "seg_id", "start_idx", "cents")
+
+    def __init__(self, g: pd.DataFrame, value_col: str | None = None):
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        eid = g["event_id"].to_numpy(np.int64)
+        self.order = np.lexsort((eid, ts, u))
+        self.u, self.ts, self.eid = u[self.order], ts[self.order], eid[self.order]
+        self.starts = np.empty(len(u), dtype=bool)
+        if len(u):
+            self.starts[0] = True
+            self.starts[1:] = self.u[1:] != self.u[:-1]
+        self.seg_id = np.cumsum(self.starts) - 1
+        self.start_idx = np.nonzero(self.starts)[0]
+        self.cents = None
+        if value_col is not None:
+            self.cents = np.floor(
+                g[value_col].to_numpy()[self.order] * 100 + 0.5
+            ).astype(np.int64)
+
+
+def _user_segments(g: pd.DataFrame, value_col: str | None = None):
+    s = _Segs(g, value_col)
+    return s.u, s.ts, s.eid, s.starts, s.seg_id, s.start_idx, s.cents
+
+
 def q_lag_gaps(sf_dir):
     """LAG window parity: per user, the microsecond gap since the
     user's previous event ((ts, event_id)-ordered; -1 for the first).
-    Ray side: partition by key, vectorized diff inside the group —
-    numpy argsort + diff, no per-row Python."""
+    Vectorized bucket fold: one lexsort per bucket, one diff, segment
+    starts reset to -1 — no per-user Python call (see
+    _window_buckets)."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
-        eid = g["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        ts, eid = ts[order], eid[order]
-        gap = np.concatenate(([-1], np.diff(ts))).astype(np.int64)
-        return pd.DataFrame(
-            {
-                "event_id": eid,
-                "user_id": np.repeat(
-                    np.int64(g["user_id"].iloc[0]), len(eid)
-                ),
-                "gap_us": gap,
-            }
-        )
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u, ts, eid, starts, _seg, _si, _v = _user_segments(g)
+        gap = np.empty(len(ts), dtype=np.int64)
+        if len(ts):
+            gap[0] = -1
+            gap[1:] = np.diff(ts)
+            gap[starts] = -1
+        return pd.DataFrame({"event_id": eid, "user_id": u, "gap_us": gap})
 
-    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def q_running_total(sf_dir):
     """Cumulative-window parity (SUM OVER ... ROWS UNBOUNDED
     PRECEDING): per user, the running total of value in integer cents
     ((ts, event_id)-ordered) — exact int64 arithmetic so the oracle
-    hash-matches bit-for-bit."""
-    ds = _read(
-        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
-    )
+    hash-matches bit-for-bit. Vectorized bucket fold: one global
+    cumsum, per-segment base subtraction."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def running(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
-        eid = g["event_id"].to_numpy()
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        order = np.lexsort((eid, ts))
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u, ts, eid, starts, seg_id, start_idx, cents = _user_segments(g, "value")
+        cs = np.cumsum(cents)
+        base = cs[start_idx] - cents[start_idx]
         return pd.DataFrame(
             {
-                "event_id": eid[order],
-                "user_id": np.repeat(
-                    np.int64(g["user_id"].iloc[0]), len(eid)
-                ),
-                "run_cents": np.cumsum(cents[order]).astype(np.int64),
+                "event_id": eid,
+                "user_id": u,
+                "run_cents": (cs - base[seg_id]).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(running, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def q_moving_sum(sf_dir):
     """Sliding-window parity (SUM OVER ... ROWS BETWEEN 2 PRECEDING AND
-    CURRENT ROW): per user, the 3-event moving total in integer cents,
-    via a cumsum-difference inside each key group."""
-    ds = _read(
-        sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]
-    )
+    CURRENT ROW): per user, the 3-event moving total in integer cents.
+    Vectorized bucket fold: padded cumsum difference with the window's
+    left edge clamped to each user's segment start."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
 
-    def moving(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
-        eid = g["event_id"].to_numpy()
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        order = np.lexsort((eid, ts))
-        c = cents[order]
-        run = np.cumsum(c)
-        win = run - np.concatenate(([0, 0, 0], run[:-3]))
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u, ts, eid, starts, seg_id, start_idx, cents = _user_segments(g, "value")
+        cs0 = np.concatenate(([0], np.cumsum(cents)))
+        i = np.arange(len(u))
+        j = np.maximum(i - 2, start_idx[seg_id])
         return pd.DataFrame(
             {
-                "event_id": eid[order],
-                "user_id": np.repeat(
-                    np.int64(g["user_id"].iloc[0]), len(eid)
-                ),
-                "win3_cents": win.astype(np.int64),
+                "event_id": eid,
+                "user_id": u,
+                "win3_cents": (cs0[i + 1] - cs0[j]).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(moving, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def q_rollup_counts(sf_dir):
@@ -4243,46 +4280,48 @@ def q_funnel_steps(sf_dir):
     exchange co-locates each user's events, and the per-user resolve is
     a three-min scan over that user's handful of rows. Strict event
     ordering is resolved per user, never via a global sort."""
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
     steps = pa.array(["view", "click", "purchase"])
 
     def pre(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("event_type"), value_set=steps))
 
-    empty = pd.DataFrame(
-        {
-            "user_id": pd.Series([], dtype=np.int64),
-            "view_ts": pd.Series([], dtype="datetime64[us]"),
-            "click_ts": pd.Series([], dtype="datetime64[us]"),
-            "purchase_ts": pd.Series([], dtype="datetime64[us]"),
-        }
-    )
+    sentinel = np.iinfo(np.int64).max
 
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        ts, et = g["ts"], g["event_type"]
-        v = ts[et == "view"].min()
-        if pd.isna(v):
-            return empty
-        c = ts[(et == "click") & (ts > v)].min()
-        if pd.isna(c):
-            return empty
-        p = ts[(et == "purchase") & (ts > c)].min()
-        if pd.isna(p):
-            return empty
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized three-step chain per bucket: minimum.reduceat per
+        # segment resolves each step's earliest qualifying timestamp for
+        # every user at once — no per-user Python call
+        s = _Segs(g)
+        u, ts, seg_id, start_idx = s.u, s.ts, s.seg_id, s.start_idx
+        if len(u) == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "view_ts": pd.Series([], dtype="datetime64[us]"),
+                    "click_ts": pd.Series([], dtype="datetime64[us]"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        et = g["event_type"].to_numpy()[s.order]
+        v = np.minimum.reduceat(np.where(et == "view", ts, sentinel), start_idx)
+        c = np.minimum.reduceat(
+            np.where((et == "click") & (ts > v[seg_id]), ts, sentinel), start_idx
+        )
+        p = np.minimum.reduceat(
+            np.where((et == "purchase") & (ts > c[seg_id]), ts, sentinel), start_idx
+        )
+        keep = (v < sentinel) & (c < sentinel) & (p < sentinel)
         return pd.DataFrame(
             {
-                "user_id": np.array([g["user_id"].iloc[0]], dtype=np.int64),
-                "view_ts": [v],
-                "click_ts": [c],
-                "purchase_ts": [p],
+                "user_id": u[start_idx][keep],
+                "view_ts": v[keep].astype("datetime64[us]"),
+                "click_ts": c[keep].astype("datetime64[us]"),
+                "purchase_ts": p[keep].astype("datetime64[us]"),
             }
         )
 
-    return (
-        ds.map_batches(pre, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(resolve, batch_format="pandas")
-    )
+    return _window_buckets(ds.map_batches(pre, batch_format="pyarrow"), fold)
 
 
 def q_shipping_priority(sf_dir):
@@ -4425,24 +4464,37 @@ def q_moving_sum_time(sf_dir):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
     hour_us = 3_600_000_000
 
-    def moving(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
-        eid = g["event_id"].to_numpy()
-        cents = np.floor(g["value"].to_numpy() * 100 + 0.5).astype(np.int64)
-        order = np.lexsort((eid, ts))
-        ts, eid, cents = ts[order], eid[order], cents[order]
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        u, ts, eid, starts, seg_id, start_idx, cents = _user_segments(g, "value")
+        if len(u) == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "hour_cents": pd.Series([], dtype=np.int64),
+                }
+            )
+        # composite key: per-segment rebased timestamps separated by
+        # gaps > the window, so ONE searchsorted pair serves every user
+        # in the bucket and k - window never reaches a previous segment.
+        # Magnitude check: cum spans <= n*(span+H) ~ 1e15 << 2^63.
+        end_idx = np.concatenate((start_idx[1:], [len(u)])) - 1
+        seg_min, seg_max = ts[start_idx], ts[end_idx]
+        span = seg_max - seg_min + hour_us + 2
+        base = np.concatenate(([0], np.cumsum(span)))[:-1]
+        k = ts - seg_min[seg_id] + base[seg_id]
         csum = np.concatenate(([0], np.cumsum(cents)))
-        hi = np.searchsorted(ts, ts, side="right")  # peers included
-        lo = np.searchsorted(ts, ts - hour_us, side="left")  # boundary inclusive
+        hi = np.searchsorted(k, k, side="right")  # peers included
+        lo = np.searchsorted(k, k - hour_us, side="left")  # boundary inclusive
         return pd.DataFrame(
             {
                 "event_id": eid,
-                "user_id": np.repeat(np.int64(g["user_id"].iloc[0]), len(eid)),
+                "user_id": u,
                 "hour_cents": (csum[hi] - csum[lo]).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(moving, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def q_latest_event_per_user(sf_dir):
@@ -4486,10 +4538,11 @@ def q_event_transitions(sf_dir):
     all that reaches the final groupby, never event rows."""
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
 
-    def transitions(g: pd.DataFrame) -> pd.DataFrame:
-        order = np.lexsort((g["event_id"].to_numpy(), g["ts"].to_numpy()))
-        et = g["event_type"].to_numpy()[order]
-        if len(et) < 2:
+    def bucket_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the whole bucket: successor pairs are adjacent
+        # sorted rows with the same user; one pandas size() counts them
+        s = _Segs(g)
+        if len(s.u) < 2:
             return pd.DataFrame(
                 {
                     "prev_type": pd.Series([], dtype=str),
@@ -4497,8 +4550,10 @@ def q_event_transitions(sf_dir):
                     "n": pd.Series([], dtype=np.int64),
                 }
             )
+        et = g["event_type"].to_numpy()[s.order]
+        same = s.u[1:] == s.u[:-1]
         p = (
-            pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]})
+            pd.DataFrame({"prev_type": et[:-1][same], "next_type": et[1:][same]})
             .groupby(["prev_type", "next_type"], sort=False, as_index=False)
             .size()
         )
@@ -4510,17 +4565,16 @@ def q_event_transitions(sf_dir):
             }
         )
 
-    def fold(df: pd.DataFrame) -> pd.DataFrame:
+    def final(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(["prev_type", "next_type"], sort=False, as_index=False)["n"].sum()
         g["n"] = g["n"].astype(np.int64)
         return g
 
-    # the partials are |types|^2-bounded per user: fold them in one tiny task
+    # the bucket partials are |types|^2-bounded: fold them in one tiny task
     return (
-        ds.groupby("user_id")
-        .map_groups(transitions, batch_format="pandas")
+        _window_buckets(ds, bucket_fold)
         .repartition(1)
-        .map_batches(fold, batch_format="pandas", batch_size=None)
+        .map_batches(final, batch_format="pandas", batch_size=None)
     )
 
 

@@ -40,6 +40,10 @@ NEW_QUERIES = [
     "promo_revenue_share",
     "urgent_line_counts",
     "large_orders",
+    # window family after the vectorized-bucket-fold refit
+    "lag_gaps",
+    "running_total",
+    "moving_sum",
 ]
 
 
