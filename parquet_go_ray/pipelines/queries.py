@@ -240,20 +240,49 @@ def q_session_windows(sf_dir):
     GAP = 1_800_000_000  # 30 min in µs
     ds = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].astype("int64").to_numpy())
-        new_session = np.concatenate(([True], np.diff(ts) > GAP))
-        sid = np.cumsum(new_session)
-        sizes = np.bincount(sid)[1:]
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized over the bucket: session breaks are timestamp gaps
+        # > GAP within a user segment; reduceat folds per-user counts
+        # and per-user max session sizes with no per-user Python call
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].astype("int64").to_numpy()
+        order = np.lexsort((ts, u))
+        u, ts = u[order], ts[order]
+        n = len(u)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "n_sessions": pd.Series([], dtype=np.int64),
+                    "max_session_events": pd.Series([], dtype=np.int64),
+                }
+            )
+        starts = np.empty(n, dtype=bool)
+        starts[0] = True
+        starts[1:] = u[1:] != u[:-1]
+        start_idx = np.nonzero(starts)[0]
+        new_s = np.empty(n, dtype=bool)
+        new_s[0] = True
+        new_s[1:] = np.diff(ts) > GAP
+        new_s[starts] = True
+        sess_start = np.nonzero(new_s)[0]
+        sizes = np.diff(np.concatenate((sess_start, [n])))
+        # sessions are contiguous per user segment: the first session of
+        # each segment indexes the reduceat over session sizes
+        first_sess = np.searchsorted(sess_start, start_idx)
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sid[-1])],
-                "max_session_events": [int(sizes.max())],
+                "user_id": u[start_idx],
+                "n_sessions": np.add.reduceat(
+                    new_s.astype(np.int64), start_idx
+                ).astype(np.int64),
+                "max_session_events": np.maximum.reduceat(
+                    sizes, first_sess
+                ).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def _window_buckets(ds, fold, B=None):
@@ -535,25 +564,34 @@ def q_window_edges(sf_dir):
     per group, no per-row Python."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def edges(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g["ts"].astype("int64").to_numpy()
-        eid = g["event_id"].to_numpy()
-        order = np.lexsort((eid, ts))
-        eid = eid[order]
-        nxt = np.concatenate((eid[1:], [-1])).astype(np.int64)
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = _Segs(g)
+        n = len(s.u)
+        if n == 0:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "user_id": pd.Series([], dtype=np.int64),
+                    "next_event": pd.Series([], dtype=np.int64),
+                    "first_event": pd.Series([], dtype=np.int64),
+                    "last_event": pd.Series([], dtype=np.int64),
+                }
+            )
+        nxt = np.concatenate((s.eid[1:], [-1])).astype(np.int64)
+        seg_end = np.concatenate((s.starts[1:], [True]))
+        nxt[seg_end] = -1  # LEAD default at each partition's last row
+        end_idx = np.concatenate((s.start_idx[1:], [n])) - 1
         return pd.DataFrame(
             {
-                "event_id": eid,
-                "user_id": np.repeat(
-                    np.int64(g["user_id"].iloc[0]), len(eid)
-                ),
+                "event_id": s.eid,
+                "user_id": s.u,
                 "next_event": nxt,
-                "first_event": np.repeat(np.int64(eid[0]), len(eid)),
-                "last_event": np.repeat(np.int64(eid[-1]), len(eid)),
+                "first_event": s.eid[s.start_idx][s.seg_id],
+                "last_event": s.eid[end_idx][s.seg_id],
             }
         )
 
-    return ds.groupby("user_id").map_groups(edges, batch_format="pandas")
+    return _window_buckets(ds, fold)
 
 
 def q_cume_dists(sf_dir):

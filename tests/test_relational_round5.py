@@ -44,6 +44,8 @@ NEW_QUERIES = [
     "lag_gaps",
     "running_total",
     "moving_sum",
+    "session_windows",
+    "window_edges",
 ]
 
 
