@@ -5082,6 +5082,18 @@ def q_large_orders(sf_dir):
         .map_groups(fold, batch_format="pandas")
         .to_pandas()
     )
+    empty_out = pd.DataFrame(
+        {
+            "c_name": pd.Series([], dtype=str),
+            "c_custkey": pd.Series([], dtype=np.int64),
+            "o_orderkey": pd.Series([], dtype=np.int64),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "o_totalprice": pd.Series([], dtype=np.float64),
+            "sum_qty": pd.Series([], dtype=np.int64),
+        }
+    )
+    if len(sums) == 0:  # no order over the threshold (empty Dataset
+        return empty_out  # to_pandas drops the schema, so short-circuit)
     surv = np.sort(sums["l_orderkey"].to_numpy(np.int64))
     qty = dict(zip(sums["l_orderkey"].astype(int), sums["qty"]))
     surv_ref = _ray.put(surv)
