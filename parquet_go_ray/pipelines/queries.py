@@ -49,6 +49,18 @@ def _read_split(sf_dir: str, table: str, **kw) -> ray.data.Dataset:
     return ds
 
 
+def _dim_lookup(keys: np.ndarray, k: np.ndarray):
+    """Sorted-dimension membership probe that is safe on an EMPTY
+    dimension (np.searchsorted + fancy-index crashes on empty keys —
+    found by the micro-warehouse fuzz): returns (positions, hit mask),
+    all-miss when the dimension has no rows."""
+    if len(keys) == 0:
+        return np.zeros(len(k), dtype=np.int64), np.zeros(len(k), dtype=bool)
+    at = np.searchsorted(keys, k)
+    at[at == len(keys)] = 0
+    return at, keys[at] == k
+
+
 # --------------------------------------------------------------- queries
 
 
@@ -4387,16 +4399,19 @@ def q_shipping_priority(sf_dir):
         )
         .to_pandas()
     )
-    ckeys = np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+    # an all-empty filtered Dataset loses its schema on to_pandas
+    ckeys = (
+        np.sort(cust["c_custkey"].to_numpy().astype(np.int64))
+        if "c_custkey" in cust.columns
+        else np.array([], dtype=np.int64)
+    )
     ckeys_ref = _ray.put(ckeys)
 
     def ord_dim(df: pd.DataFrame) -> pd.DataFrame:
         od = df["o_orderdate"].to_numpy()
         ck = df["o_custkey"].to_numpy().astype(np.int64)
-        keys = _ray.get(ckeys_ref)
-        at = np.searchsorted(keys, ck)
-        at[at == len(keys)] = 0
-        m = (od < cutoff) & (keys[at] == ck)
+        _at, hit = _dim_lookup(_ray.get(ckeys_ref), ck)
+        m = (od < cutoff) & hit
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].to_numpy()[m].astype(np.int64),
@@ -4414,6 +4429,15 @@ def q_shipping_priority(sf_dir):
         .map_batches(ord_dim, batch_format="pandas")
         .to_pandas()
     )
+    if "o_orderkey" not in dim.columns:  # empty dim: schema was dropped
+        return pd.DataFrame(
+            {
+                "l_orderkey": pd.Series([], dtype=np.int64),
+                "revenue_cents": pd.Series([], dtype=np.int64),
+                "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                "o_orderpriority": pd.Series([], dtype=str),
+            }
+        )
     order = np.argsort(dim["o_orderkey"].to_numpy(), kind="stable")
     dim = dim.iloc[order].reset_index(drop=True)
     dim_keys_ref = _ray.put(dim["o_orderkey"].to_numpy().astype(np.int64))
@@ -4424,10 +4448,7 @@ def q_shipping_priority(sf_dir):
         ok = df["l_orderkey"].to_numpy()[m].astype(np.int64)
         ep = df["l_extendedprice"].to_numpy()[m]
         disc = df["l_discount"].to_numpy()[m]
-        keys = _ray.get(dim_keys_ref)
-        at = np.searchsorted(keys, ok)
-        at[at == len(keys)] = 0
-        hit = keys[at] == ok
+        _at, hit = _dim_lookup(_ray.get(dim_keys_ref), ok)
         cents = np.floor(ep[hit] * (1.0 - disc[hit]) * 100 + 0.5).astype(np.int64)
         agg = pd.DataFrame({"l_orderkey": ok[hit], "cents": cents}).groupby(
             "l_orderkey", sort=False, as_index=False
@@ -4634,10 +4655,8 @@ def q_orphan_orders(sf_dir):
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         ck = df["o_custkey"].to_numpy().astype(np.int64)
-        k = _ray.get(keys_ref)
-        at = np.searchsorted(k, ck)
-        at[at == len(k)] = 0
-        bad = k[at] != ck
+        _at, hit = _dim_lookup(_ray.get(keys_ref), ck)
+        bad = ~hit
         return pd.DataFrame(
             {
                 "n_orphans": [np.int64(bad.sum())],
@@ -4798,10 +4817,8 @@ def q_local_supplier_revenue(sf_dir):
     B = max(16, -(-n_orders // JOIN_BUCKET_TARGET_ROWS))
 
     def _lookup(keys: np.ndarray, vals: np.ndarray, k: np.ndarray):
-        at = np.searchsorted(keys, k)
-        at[at == len(keys)] = 0
-        hit = keys[at] == k
-        return vals[at], hit
+        at, hit = _dim_lookup(keys, k)
+        return (vals[at] if len(keys) else np.zeros(len(k), np.int64)), hit
 
     def ord_tag(df: pd.DataFrame) -> pd.DataFrame:
         od = df["o_orderdate"].to_numpy()
@@ -4810,10 +4827,8 @@ def q_local_supplier_revenue(sf_dir):
         ck = df["o_custkey"].to_numpy(np.int64)[m]
         ckeys, cnats = _ray.get(cust_ref)
         nat, hit = _lookup(ckeys, cnats, ck)
-        akeys = _ray.get(asia_ref)
-        at = np.searchsorted(akeys, nat)
-        at[at == len(akeys)] = 0
-        keep = hit & (akeys[at] == nat)
+        _at2, in_asia = _dim_lookup(_ray.get(asia_ref), nat)
+        keep = hit & in_asia
         return pd.DataFrame(
             {
                 "o_orderkey": ok[keep],
@@ -4828,10 +4843,8 @@ def q_local_supplier_revenue(sf_dir):
         sk = df["l_suppkey"].to_numpy(np.int64)
         skeys, snats = _ray.get(supp_ref)
         nat, hit = _lookup(skeys, snats, sk)
-        akeys = _ray.get(asia_ref)
-        at = np.searchsorted(akeys, nat)
-        at[at == len(akeys)] = 0
-        keep = hit & (akeys[at] == nat)
+        _at2, in_asia = _dim_lookup(_ray.get(asia_ref), nat)
+        keep = hit & in_asia
         ep = df["l_extendedprice"].to_numpy()[keep]
         disc = df["l_discount"].to_numpy()[keep]
         cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
@@ -4922,9 +4935,7 @@ def q_promo_revenue_share(sf_dir):
         disc = df["l_discount"].to_numpy()[m]
         cents = np.floor(ep * (1.0 - disc) * 100 + 0.5).astype(np.int64)
         keys, flags = _ray.get(dim_ref)
-        at = np.searchsorted(keys, pk)
-        at[at == len(keys)] = 0
-        hit = keys[at] == pk
+        at, hit = _dim_lookup(keys, pk)
         return pd.DataFrame(
             {
                 "promo_cents": [np.int64(cents[hit & flags[at]].sum())],
@@ -4939,6 +4950,8 @@ def q_promo_revenue_share(sf_dir):
     )
     parts = li.map_batches(partial, batch_format="pandas").to_pandas()
     p, t = int(parts["promo_cents"].sum()), int(parts["total_cents"].sum())
+    if t == 0:  # no revenue in the month: SQL's aggregate row is NULL
+        return pd.DataFrame({"promo_pct": [np.nan]})
     # floor-quantize rather than round: round() ties break differently
     # between engines; floor of the identical double is identical
     pct = np.floor(100.0 * p / t * 1e6) / 1e6
@@ -5100,10 +5113,7 @@ def q_large_orders(sf_dir):
 
     def ord_pick(df: pd.DataFrame) -> pd.DataFrame:
         ok = df["o_orderkey"].to_numpy(np.int64)
-        keys = _ray.get(surv_ref)
-        at = np.searchsorted(keys, ok)
-        at[at == len(keys)] = 0
-        m = keys[at] == ok
+        _at, m = _dim_lookup(_ray.get(surv_ref), ok)
         return df.loc[m, ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]]
 
     hits = (
@@ -5305,8 +5315,11 @@ def q_above_avg_orders(sf_dir):
     def above(df: pd.DataFrame) -> pd.DataFrame:
         keys, av = _ray.get(keys_ref)
         ck = df["o_custkey"].to_numpy(np.int64)
-        at = np.searchsorted(keys, ck)
-        m = df["o_totalprice"].to_numpy() > av[at]
+        at, hit = _dim_lookup(keys, ck)
+        cmp = np.zeros(len(ck), dtype=bool)
+        if len(keys):
+            cmp = df["o_totalprice"].to_numpy() > av[at]
+        m = hit & cmp
         return pd.DataFrame(
             {
                 "o_orderkey": df["o_orderkey"].to_numpy()[m].astype(np.int64),

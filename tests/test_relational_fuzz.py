@@ -122,3 +122,91 @@ def test_relational_ops_random_warehouse(ray_session, tmp_path, seed):
             assert len(r) == 0, f"{name}: ray {len(r)} rows vs empty oracle"
             continue
         assert_frames_match(r, s, f"{name}[seed={seed}]")
+
+
+def test_empty_dimension_paths(ray_session, tmp_path):
+    """Force the broadcast-dim edge cases the random warehouses may
+    miss: a segment with NO customers (shipping_priority's dim goes
+    empty), a ship month with NO lineitems (promo's total is zero ->
+    SQL NULL), and a threshold nothing reaches (large_orders empty) —
+    each must return exactly what the oracle returns instead of
+    crashing in an empty searchsorted."""
+    import __ray_entry__ as entrymod
+
+    d = tmp_path / "edge"
+    d.mkdir()
+    cust = pa.table(
+        {
+            "c_custkey": pa.array([1, 4], pa.int64()),
+            "c_name": pa.array(["Customer#0", "Customer#1"]),
+            "c_nationkey": pa.array([0, 1], pa.int64()),
+            "c_acctbal": pa.array([10.0, 20.0]),
+            # NO 'BUILDING' rows anywhere
+            "c_mktsegment": pa.array(["MACHINERY", "HOUSEHOLD"]),
+        }
+    )
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([2, 6], pa.int64()),
+            "o_custkey": pa.array([1, 4], pa.int64()),
+            "o_orderstatus": pa.array(["F", "O"]),
+            "o_totalprice": pa.array([100.0, 200.0]),
+            "o_orderdate": pa.array(
+                np.array(["1996-05-01", "1996-07-01"], dtype="datetime64[us]")
+            ),
+            "o_orderpriority": pa.array(["1-URGENT", "5-LOW"]),
+        }
+    )
+    lineitem = pa.table(
+        {
+            "l_orderkey": pa.array([2, 2, 6], pa.int64()),
+            "l_partkey": pa.array([2, 7, 2], pa.int64()),
+            "l_suppkey": pa.array([1, 2, 3], pa.int64()),
+            "l_linenumber": pa.array([1, 2, 1], pa.int32()),
+            "l_quantity": pa.array([5.0, 6.0, 7.0]),
+            "l_extendedprice": pa.array([1000.0, 2000.0, 3000.0]),
+            "l_discount": pa.array([0.05, 0.0, 0.1]),
+            "l_tax": pa.array([0.0, 0.02, 0.01]),
+            "l_returnflag": pa.array(["A", "N", "R"]),
+            "l_linestatus": pa.array(["O", "F", "O"]),
+            # NONE in promo's 1996-01 window
+            "l_shipdate": pa.array(
+                np.array(
+                    ["1996-06-01", "1996-08-01", "1995-02-01"],
+                    dtype="datetime64[us]",
+                )
+            ),
+        }
+    )
+    part = pa.table(
+        {
+            "p_partkey": pa.array([2, 7], pa.int64()),
+            "p_name": pa.array(["p0", "p1"]),
+            "p_brand": pa.array(["B1", "B2"]),
+            "p_type": pa.array(["PROMO", "STANDARD"]),
+            "p_size": pa.array([1, 2], pa.int64()),
+            "p_retailprice": pa.array([900.0, 950.0]),
+        }
+    )
+    for name, t in [
+        ("customer", cust),
+        ("orders", orders),
+        ("lineitem", lineitem),
+        ("part", part),
+    ]:
+        pq.write_table(t, f"{d}/{name}.parquet")
+    con = duckdb.connect()
+    for t in ["customer", "orders", "lineitem", "part"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{d}/{t}.parquet')"
+        )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    for name in ["shipping_priority", "large_orders"]:
+        r = _to_pandas(qs[name](str(d)))
+        assert len(r) == 0, f"{name}: expected empty, got {len(r)}"
+        assert len(con.execute(oracles[name]).df()) == 0
+    # promo: SQL yields one row of NULL; ray yields one NaN row
+    r = _to_pandas(qs["promo_revenue_share"](str(d)))
+    s = con.execute(oracles["promo_revenue_share"]).df()
+    assert len(r) == len(s) == 1
+    assert pd.isna(r["promo_pct"].iloc[0]) and pd.isna(s["promo_pct"].iloc[0])
