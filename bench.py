@@ -362,6 +362,12 @@ def run_bench() -> dict:
         "promo_revenue_share",
         "urgent_line_counts",
         "large_orders",
+        # window family after the vectorized bucket-fold sweep
+        "lag_gaps",
+        "running_total",
+        "moving_sum",
+        "session_windows",
+        "window_edges",
     ]
     # same min-over-repeats policy as the headline: every query here is a
     # pure read / in-memory transform (no disk state to resume-skip), so
