@@ -4010,6 +4010,42 @@ def q_cube_counts(sf_dir):
     )
 
 
+def q_grouping_sets(sf_dir):
+    """GROUP BY GROUPING SETS ((lang), (source)) — the third member of
+    the ROLLUP/CUBE family: the same one-pass fine partials as the
+    CUBE, but only the two single-column granularities fold from the
+    group-count-sized fine table, NULL marking the absent column."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.TableGroupBy(t, ["lang", "source"])
+            .aggregate([("lang", "count")])
+            .rename_columns(["lang", "source", "n"])
+        )
+
+    fine = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "source"])
+        .sum("n")
+    )
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"sum(n)": "n"})
+        by_lang = df.groupby("lang", as_index=False)["n"].sum()
+        by_lang["source"] = None
+        by_src = df.groupby("source", as_index=False)["n"].sum()
+        by_src["lang"] = None
+        cols = ["lang", "source", "n"]
+        out = pd.concat([by_lang[cols], by_src[cols]], ignore_index=True)
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    return fine.repartition(1).map_batches(
+        widen, batch_format="pandas", batch_size=None
+    )
+
+
 def _user_type_bits(sf_dir, a: str, b: str, min_value: float) -> ray.data.Dataset:
     """Shared INTERSECT/EXCEPT core: one corpus pass emits per-batch
     (user_id, in_a, in_b) bit partials (batch-local groupby, so the
@@ -5633,6 +5669,7 @@ QUERIES = {
     "group_distinct_hll": q_group_distinct_hll,
     "bpe_merges": q_bpe_merges,
     "bpe_token_counts": q_bpe_token_counts,
+    "grouping_sets": q_grouping_sets,
     "promo_revenue_share": q_promo_revenue_share,
     "urgent_line_counts": q_urgent_line_counts,
     "large_orders": q_large_orders,
@@ -6404,6 +6441,10 @@ ORACLES = {
     ),
     "store_median": (
         "SELECT median(n_chars) AS med_chars FROM documents"
+    ),
+    "grouping_sets": (
+        "SELECT lang, source, count(*) AS n FROM documents "
+        "GROUP BY GROUPING SETS ((lang), (source))"
     ),
     "promo_revenue_share": (
         "SELECT floor(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN cents "

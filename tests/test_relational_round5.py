@@ -46,6 +46,7 @@ NEW_QUERIES = [
     "moving_sum",
     "session_windows",
     "window_edges",
+    "grouping_sets",
 ]
 
 
